@@ -1,0 +1,197 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Keys, Merge, Scd2, Snapshots}
+import graft.warehouse.DimDate
+
+/** Correctness-gate queries for the core operator library, each paired with
+  * an equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Every query ends in a deterministic ORDER BY on a unique key (mirrored
+  * in the oracle) so the driver's hash compare is row-order stable, and
+  * every computed column carries the same alias on both sides.
+  */
+object CoreGates {
+
+  /** SCD2 merge (M1/M2 shape) on a synthetic dimension built from
+    * `customer`: existing = custkeys not divisible by 3 (all current as of
+    * 2026-01-01); incoming batch = even custkeys, with acctbal bumped for
+    * multiples of 5 → keys in both sides where 10 | key are "changed".
+    */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val existing = c.filter(col("c_custkey") % 3 =!= 0).select(
+      col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("2026-01-01").cast("date").as("effective_date"),
+      lit(null).cast("date").as("expiry_date"),
+      lit(true).as("is_current"))
+    val incoming = c.filter(col("c_custkey") % 2 === 0).select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal")).as("c_acctbal"))
+    Scd2.merge(existing, incoming, Seq("c_custkey"), Seq("c_acctbal"),
+        lit("2026-02-01"))
+      .orderBy("c_custkey", "is_current", "effective_date")
+  }
+
+  val scd2MergeSql: String =
+    """WITH existing AS (
+      |  SELECT c_custkey, c_name, c_acctbal, DATE '2026-01-01' AS effective_date,
+      |         CAST(NULL AS DATE) AS expiry_date, TRUE AS is_current
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |j AS (
+      |  SELECT e.c_custkey AS ek, e.c_name AS en, e.c_acctbal AS ea,
+      |         i.c_custkey AS ik, i.c_name AS inm, i.c_acctbal AS ia
+      |  FROM existing e FULL OUTER JOIN incoming i ON e.c_custkey = i.c_custkey)
+      |SELECT ek AS c_custkey, en AS c_name, ea AS c_acctbal,
+      |       DATE '2026-01-01' AS effective_date, CAST(NULL AS DATE) AS expiry_date,
+      |       TRUE AS is_current
+      |FROM j WHERE ek IS NOT NULL AND (ik IS NULL OR ea IS NOT DISTINCT FROM ia)
+      |UNION ALL
+      |SELECT ek, en, ea, DATE '2026-01-01', DATE '2026-02-01', FALSE
+      |FROM j WHERE ek IS NOT NULL AND ik IS NOT NULL AND ea IS DISTINCT FROM ia
+      |UNION ALL
+      |SELECT ik, inm, ia, DATE '2026-02-01', CAST(NULL AS DATE), TRUE
+      |FROM j WHERE ik IS NOT NULL AND (ek IS NULL OR ea IS DISTINCT FROM ia)
+      |ORDER BY c_custkey, is_current, effective_date""".stripMargin
+
+  /** Carry-forward snapshot (M5) over two single-day `orders` slices:
+    * today's rows ∪ yesterday's "unexpired" (totalprice < 300k) rows whose
+    * custkey is absent today, restamped to today's date.
+    */
+  def carryForward(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val yesterday = o.filter(date_format(col("o_orderdate"), "yyyy-MM") === lit("1996-09"))
+    val today     = o.filter(date_format(col("o_orderdate"), "yyyy-MM") === lit("1997-08"))
+    Snapshots.carryForward(yesterday, today, Seq("o_custkey"),
+        notExpired = col("o_totalprice") < 300000,
+        restamp = Seq("o_orderdate" -> lit("1997-08-01").cast("timestamp")))
+      .orderBy("o_orderkey")
+  }
+
+  val carryForwardSql: String =
+    """WITH y AS (SELECT * FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-09'),
+      |t AS (SELECT * FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-08')
+      |SELECT * FROM t
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       TIMESTAMP '1997-08-01 00:00:00' AS o_orderdate, o_orderpriority
+      |FROM y WHERE o_totalprice < 300000
+      |  AND o_custkey NOT IN (SELECT o_custkey FROM t)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Keyed upsert (S5/M8) on `supplier` with the 4-way
+    * inserted/updated/unchanged/untouched classification.
+    */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+    val existing = sup.filter(col("s_suppkey") % 2 === 0)
+    val incoming = sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_acctbal",
+        when(col("s_suppkey") % 5 === 0, col("s_acctbal") + 50).otherwise(col("s_acctbal")))
+    Merge.upsert(existing, incoming, Seq("s_suppkey"),
+        Seq("s_name", "s_nationkey", "s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  val upsertMergeSql: String =
+    """WITH e AS (SELECT * FROM supplier WHERE s_suppkey % 2 = 0),
+      |i AS (SELECT s_suppkey, s_name, s_nationkey,
+      |             CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 50 ELSE s_acctbal END AS s_acctbal
+      |      FROM supplier WHERE s_suppkey % 3 = 0),
+      |j AS (
+      |  SELECT e.s_suppkey AS ek, e.s_name AS en, e.s_nationkey AS enk, e.s_acctbal AS ea,
+      |         i.s_suppkey AS ik, i.s_name AS inm, i.s_nationkey AS ink, i.s_acctbal AS ia,
+      |         (e.s_suppkey IS NULL OR e.s_name IS DISTINCT FROM i.s_name
+      |            OR e.s_nationkey IS DISTINCT FROM i.s_nationkey
+      |            OR e.s_acctbal IS DISTINCT FROM i.s_acctbal) AS takes
+      |  FROM e FULL OUTER JOIN i ON e.s_suppkey = i.s_suppkey)
+      |SELECT COALESCE(ik, ek) AS s_suppkey,
+      |       CASE WHEN ik IS NOT NULL AND takes THEN inm ELSE en END AS s_name,
+      |       CASE WHEN ik IS NOT NULL AND takes THEN ink ELSE enk END AS s_nationkey,
+      |       CASE WHEN ik IS NOT NULL AND takes THEN ia ELSE ea END AS s_acctbal,
+      |       CASE WHEN ek IS NULL THEN 'inserted'
+      |            WHEN ik IS NULL THEN 'untouched'
+      |            WHEN takes THEN 'updated'
+      |            ELSE 'unchanged' END AS merge_class
+      |FROM j ORDER BY s_suppkey""".stripMargin
+
+  /** Surrogate-key assignment (W2): sequence-like ids over the distinct
+    * market segments, offset 100.
+    */
+  def skAssign(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables(s, dir, "customer").select(col("c_mktsegment")).distinct()
+    Keys.assign(segs, Seq("c_mktsegment"), "sk", 100L).orderBy("c_mktsegment")
+  }
+
+  val skAssignSql: String =
+    """SELECT c_mktsegment,
+      |       CAST(100 + ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS BIGINT) AS sk
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer)
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Priority dedup (M6 rule / W1 duplicate-fact cleanup): keep the
+    * smallest (l_linenumber, l_partkey) row per l_orderkey.
+    */
+  def dedupPriority(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    Snapshots.dedupByPriority(l, Seq("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .orderBy("l_orderkey")
+  }
+
+  val dedupPrioritySql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                                   ORDER BY l_linenumber, l_partkey,
+      |                                            l_suppkey, l_extendedprice) AS rn
+      |      FROM lineitem)
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** Date-dimension generation (M4) spanning orders.o_orderdate. */
+  def dimDate(s: SparkSession, dir: String): DataFrame =
+    DimDate.forSpan(Tables(s, dir, "orders"), col("o_orderdate")).orderBy("date_id")
+
+  val dimDateSql: String =
+    """WITH span AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+      |                     CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |                                         CAST(hi AS TIMESTAMP),
+      |                                         INTERVAL 1 DAY)) AS DATE) AS date_id
+      |      FROM span)
+      |SELECT date_id,
+      |       CAST(day(date_id) AS BIGINT) AS day,
+      |       CAST(month(date_id) AS BIGINT) AS month,
+      |       CAST(quarter(date_id) AS BIGINT) AS quarter,
+      |       CAST(year(date_id) AS BIGINT) AS year,
+      |       CAST(weekofyear(date_id) AS BIGINT) AS iso_week,
+      |       CAST(isodow(date_id) AS BIGINT) AS iso_dow,
+      |       dayname(date_id) AS day_name,
+      |       isodow(date_id) >= 6 AS is_weekend,
+      |       strftime(date_id, '%Y-%m') AS month_str,
+      |       'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_str
+      |FROM d ORDER BY date_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_merge"     -> (scd2Merge _),
+    "carry_forward"  -> (carryForward _),
+    "upsert_merge"   -> (upsertMerge _),
+    "sk_assign"      -> (skAssign _),
+    "dedup_priority" -> (dedupPriority _),
+    "dim_date"       -> (dimDate _))
+
+  val oracleSql: Map[String, String] = Map(
+    "scd2_merge"     -> scd2MergeSql,
+    "carry_forward"  -> carryForwardSql,
+    "upsert_merge"   -> upsertMergeSql,
+    "sk_assign"      -> skAssignSql,
+    "dedup_priority" -> dedupPrioritySql,
+    "dim_date"       -> dimDateSql)
+}

@@ -39,9 +39,14 @@ object Merge {
     val keyCols  = key.map(k => coalesce(col(s"in.$k"), col(s"ex.$k")).as(k))
     val attrCols = attrs.map(c =>
       when(hasIn && takeIncoming, col(s"in.$c")).otherwise(col(s"ex.$c")).as(c))
+    // The reference's inserted/updated/unchanged stats count only rows
+    // present in the incoming batch (`postgres.py:86-96`); existing rows
+    // the batch never touched are a separate class so stats drawn from
+    // `merge_class` match the reference exactly.
     val cls = when(!hasEx, lit("inserted"))
       .when(hasIn && differs, lit("updated"))
-      .otherwise(lit("unchanged")).as(ClassCol)
+      .when(hasIn, lit("unchanged"))
+      .otherwise(lit("untouched")).as(ClassCol)
 
     j.select(keyCols ++ attrCols :+ cls: _*)
   }

@@ -34,6 +34,19 @@ object Scd2 {
   val ExpiryCol    = "expiry_date"
   val CurrentCol   = "is_current"
 
+  /** Reference change-detection semantics: values are compared STRINGIFIED
+    * with null treated as '' (`str(old or '') != str(new or '')`,
+    * reference `dimensions/job.py:67-71`) — so a null↔'' flip is NOT a
+    * change and does not spawn a phantom SCD2 version. Arrays compare via
+    * their stringified form, matching the reference's stringified skills
+    * compare.
+    */
+  private def refEquals(a: Column, b: Column): Column =
+    coalesce(a.cast("string"), lit("")) === coalesce(b.cast("string"), lit(""))
+
+  private def changedPredicate(compare: Seq[String]): Column =
+    compare.map(c => !refEquals(col(s"cur.$c"), col(s"inc.$c"))).reduce(_ || _)
+
   /** @param existing  full dim content: key ++ attrs ++ effective/expiry/is_current
     * @param incoming  batch: key ++ attrs (attr set must match existing's)
     * @param key       business key column(s)
@@ -57,7 +70,7 @@ object Scd2 {
 
     val hasCur  = col(s"cur.${key.head}").isNotNull
     val hasInc  = col(s"inc.${key.head}").isNotNull
-    val changed = compare.map(c => !(col(s"cur.$c") <=> col(s"inc.$c"))).reduce(_ || _)
+    val changed = changedPredicate(compare)
 
     def curSide: Seq[Column] =
       (key ++ attrs).map(c => col(s"cur.$c").as(c)) :+
@@ -88,7 +101,7 @@ object Scd2 {
     val j = inc.as("inc").join(cur.as("cur"),
       key.map(k => col(s"cur.$k") === col(s"inc.$k")).reduce(_ && _), "left_outer")
     val hasCur  = col(s"cur.${key.head}").isNotNull
-    val changed = compare.map(c => !(col(s"cur.$c") <=> col(s"inc.$c"))).reduce(_ || _)
+    val changed = changedPredicate(compare)
     j.agg(
       count(when(!hasCur, 1)).as("inserted"),
       count(when(hasCur && changed, 1)).as("updated"),

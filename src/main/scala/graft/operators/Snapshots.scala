@@ -43,9 +43,10 @@ object Snapshots {
     * priority = lit(0) and tiebreak = fact_id.
     */
   def dedupByPriority(df: DataFrame, key: Seq[String],
-                      priority: Column, tiebreak: Column): DataFrame = {
+                      priority: Column, tiebreak: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key.map(col): _*).orderBy(priority.asc, tiebreak.asc)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(priority.asc +: tiebreak.map(_.asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
