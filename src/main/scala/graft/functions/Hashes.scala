@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Business-key hashing (F7) and raw-field cleanup (F12).
+  *
+  * Reference: `src/etl/warehouse/dimensions/company.py:16-20` —
+  * `md5(lower(strip(name)))`, with null/empty name hashing the literal
+  * 'unknown'. Case-variant company names collapse to one business key;
+  * the display name keeps its first-seen casing (SURVEY.md §7.5-9).
+  */
+object Hashes {
+
+  /** F7: company business-key hash — native `md5`, codegen'd. */
+  def companyHash(name: Column): Column =
+    md5(
+      when(name.isNull || name.cast("string") === "", lit("unknown"))
+        .otherwise(lower(trim(name.cast("string")))))
+
+  /** F12: ''/'None' → null (`parser.py:273`'s `df.replace`). */
+  def nullifyEmpty(c: Column): Column =
+    when(c.cast("string").isin("", "None"), lit(null).cast("string"))
+      .otherwise(c.cast("string"))
+}
