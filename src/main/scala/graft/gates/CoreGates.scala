@@ -171,12 +171,12 @@ object CoreGates {
       |       CAST(month(date_id) AS BIGINT) AS month,
       |       CAST(quarter(date_id) AS BIGINT) AS quarter,
       |       CAST(year(date_id) AS BIGINT) AS year,
-      |       CAST(weekofyear(date_id) AS BIGINT) AS iso_week,
-      |       CAST(isodow(date_id) AS BIGINT) AS iso_dow,
-      |       dayname(date_id) AS day_name,
+      |       CAST(weekofyear(date_id) AS BIGINT) AS week_of_year,
+      |       CAST(isodow(date_id) AS BIGINT) AS day_of_week,
+      |       dayname(date_id) AS weekday_name,
       |       isodow(date_id) >= 6 AS is_weekend,
-      |       strftime(date_id, '%Y-%m') AS month_str,
-      |       'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_str
+      |       strftime(date_id, '%Y-%m') AS year_month,
+      |       'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_name
       |FROM d ORDER BY date_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

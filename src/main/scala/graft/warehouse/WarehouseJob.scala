@@ -1,0 +1,75 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.views.Star
+
+/** One warehouse day-run (the `jobinsight_dwh` DAG body, SURVEY.md §3.2):
+  * staging slice → dimension merges (M1–M4) → fact build (M5+M6) → bridge
+  * build (M7). Pure DataFrame-in/DataFrame-out so tests and the storage
+  * layer both drive it.
+  *
+  * Scale: each step shuffles at most |current dims| + |one day of facts|;
+  * dim lookups broadcast; fact/bridge history is only unioned, never
+  * joined. With the fact table date-partitioned on disk, a day-run reads
+  * two partitions (yesterday, today) and writes one.
+  */
+object WarehouseJob {
+
+  case class State(star: Star)
+
+  def emptyState(spark: SparkSession): State = State(Star(
+    dimJob = Schemas.empty(spark, Schemas.dimJob),
+    dimCompany = Schemas.empty(spark, Schemas.dimCompany),
+    dimLocation = Schemas.seedDimLocation(spark),
+    dimDate = Schemas.empty(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("date_id",
+          org.apache.spark.sql.types.DateType)))
+        .add("day", "long").add("month", "long").add("quarter", "long")
+        .add("year", "long").add("week_of_year", "long").add("day_of_week", "long")
+        .add("weekday_name", "string").add("is_weekend", "boolean")
+        .add("year_month", "string").add("quarter_name", "string")),
+    fact = Schemas.empty(spark, Schemas.factDaily),
+    bridge = Schemas.empty(spark, Schemas.bridge)))
+
+  /** Run one day: returns the new warehouse state. `staging` must follow
+    * [[Schemas.staging]]. Frames are localCheckpoint'd so multi-day runs
+    * don't stack lineage (the on-disk table layer plays this role in
+    * production).
+    */
+  def runDay(spark: SparkSession, state: State, staging: DataFrame,
+             runDate: String, checkpoint: Boolean = true): State = {
+    val rd = lit(runDate)
+    val today = java.sql.Date.valueOf(runDate)
+    val yesterday = java.sql.Date.valueOf(today.toLocalDate.minusDays(1))
+
+    val dimJob = Dimensions.mergeDimJob(state.star.dimJob, staging, rd)
+    val dimCompany = Dimensions.mergeDimCompany(state.star.dimCompany, staging, rd)
+    val dimLocation = Dimensions.mergeDimLocation(state.star.dimLocation, staging)
+    val dimDate = DimDate.mergeInto(state.star.dimDate, staging,
+      Seq(col("posted_time"), col("due_date"), col("crawled_at")), rd)
+
+    val factYesterday = state.star.fact.filter(col("date_id") === lit(yesterday))
+    val factOther = state.star.fact.filter(col("date_id") =!= lit(runDate).cast("date"))
+    val factTodayExisting = state.star.fact.filter(col("date_id") === lit(runDate).cast("date"))
+    val maxFactId = maxOf(state.star.fact, "fact_id")
+
+    val factToday = FactDaily.buildDay(
+      factYesterday, factTodayExisting, staging, dimJob, dimCompany,
+      runDate = rd, crawledAt = lit(runDate + " 07:00:00"), maxFactId = maxFactId)
+    val fact = factOther.unionByName(factToday)
+
+    val bridge = Bridge.buildDay(
+      state.star.bridge, fact, factToday, factYesterday, staging,
+      dimJob, dimLocation, maxBridgeId = maxOf(state.star.bridge, "bridge_id"))
+
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    State(Star(cp(dimJob), cp(dimCompany), cp(dimLocation), cp(dimDate),
+      cp(fact), cp(bridge)))
+  }
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+}
