@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     The query side broadcasts; the corpus streams once. Right answer,
+  *     O(|Q|·|C|) work — fine for |Q| small, not the 100 TB path.
+  *   - [[lshTopK]]: sign-random-projection LSH — corpus and queries hash
+  *     to sign-bit buckets (deterministic pseudo-random hyperplanes from
+  *     xxhash64); candidates are bucket collisions (plus 1-bit-flip probes
+  *     on the query side for recall), then exact cosine within candidates.
+  *     Work scales with bucket occupancy, not corpus size × queries.
+  *
+  * All arithmetic in double via native higher-order functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDFs.
+  */
+object Ann {
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k per query (self-match excluded when ids collide).
+    * Ranking uses the cosine rounded to 6 decimals with the neighbor id as
+    * tiebreak, so results are stable across summation orders and engines.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     queryId: String = "query_id", corpusId: String = "neighbor_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(queryId), col(vecCol).as("__qv")))
+    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-random-projection bucket id over `bits` pseudo-random
+    * hyperplanes. Plane i's component for dimension d is ±1 by
+    * xxhash64(seed, i, d) parity — deterministic, no stored model.
+    */
+  def signBucket(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val projections = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
+          v.cast("double") *
+            when(pmod(xxhash64(lit(seed), lit(i), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    projections.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Buckets with all 1-bit flips (multi-probe): recall recovery for
+    * near-boundary vectors at the cost of `bits` extra probes. */
+  private def probeBuckets(bucket: Column, bits: Int): Column =
+    array_union(array(bucket),
+      array((0 until bits).map(i => bucket.bitwiseXOR(shiftleft(lit(1L), i))): _*))
+
+  /** LSH-bucketed approximate top-k: candidates = corpus rows whose bucket
+    * matches the query's bucket or any 1-bit-flip probe of it.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 12, queryId: String = "query_id",
+              corpusId: String = "neighbor_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val q = queries.select(col(queryId), col(vecCol).as("__qv"),
+        explode(probeBuckets(signBucket(col(vecCol), bits), bits)).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+      .dropDuplicates(queryId, corpusId)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) via shared LSH buckets — never all-pairs.
+    */
+  def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, bits: Int = 12): DataFrame = {
+    val h = df.select(col(idCol), col(vecCol).as("__v"),
+      signBucket(col(vecCol), bits).as("__bucket"))
+    val a = h.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = h.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshots
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Three tiers, all banded/bucketed so no step is ever all-pairs — the
+  * candidate set at 100 TB is bounded by bucket collisions, not n²:
+  *
+  *   - exact: normalize → md5 → keep min id per hash (one shuffle);
+  *   - MinHash/LSH: word-shingles → k minhashes → b bands of r hashes →
+  *     bucket join → Jaccard verify on candidates only;
+  *   - SimHash: 64-bit sign fingerprint → 16-bit band buckets →
+  *     Hamming-distance verify on candidates only.
+  *
+  * Signatures use `xxhash64` (codegen'd, seed folded as a literal column);
+  * everything is native Column expressions — no UDFs in any hot path.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase text — the normalization applied
+    * before exact hashing and shingling. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup: one row per distinct normalized text, keeping the
+    * smallest id. Scale: a single hash-partitioned window on the digest.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Snapshots.dedupByPriority(
+      df.withColumn("__digest", md5(normalize(col(textCol)))),
+      Seq("__digest"), col(idCol)).drop("__digest")
+
+  /** Word n-gram shingles of the normalized text (whole text as a single
+    * shingle when shorter than n words). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    transform(
+      sequence(lit(0), greatest(size(words) - lit(n), lit(0))),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+  }
+
+  /** MinHash signatures: k independent min-hashes over the shingle set.
+    * One explode + one groupBy(id) shuffle; k mins aggregate map-side.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("__shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__shingle"))).as(s"__h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: (band index, hash of the band's r signature rows) keys.
+    * Docs sharing any band key are candidates. bands*rowsPerBand must equal
+    * the signature length.
+    */
+  def lshBands(sigs: DataFrame, idCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(j, slice(col("signature"), j * lit(rowsPerBand) + 1,
+            lit(rowsPerBand))))).as(Seq("__band", "__bucket")))
+
+  /** Candidate pairs (a < b) from shared LSH buckets. `maxBucket` guards
+    * skew: a degenerate bucket (e.g. empty-text docs) would otherwise
+    * explode quadratically; oversize buckets are dropped, mirroring
+    * production near-dup pipelines.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String,
+                     maxBucket: Int = 1000): DataFrame = {
+    val sized = bandsDf.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__n") <= maxBucket)
+    val a = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the true
+    * shingle sets — computed only for candidates, never all pairs.
+    */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb")))).as("jaccard"))
+  }
+
+  /** Full MinHash/LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
+    * jaccard ≥ threshold.
+    */
+  def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.7, numHashes: Int = 32,
+                     bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+    jaccardVerify(cands, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the word set: bit i is the sign of the sum of
+    * ±1 votes from each word's hash bit i. Native: one explode + 64
+    * conditional sums + bit packing via bitwise OR (bit 63 lands in the
+    * long sign bit, which is fine for a fingerprint).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
+    val h = xxhash64(col("__w"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
+    val packed = (0 until 64).map(i =>
+        when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup: bucket by the 4 16-bit quarters (a pair within
+    * Hamming distance 3 must agree on at least one quarter), verify
+    * Hamming ≤ maxDistance on candidates only.
+    */
+  def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
+                     maxDistance: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band", "__bucket")))
+    val a = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_a"), col("simhash").as("__sa"))
+    val b = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_b"), col("simhash").as("__sb"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("__sa"), col("__sb")).as("distance"))
+      .distinct()
+      .filter(col("distance") <= maxDistance)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, language identification, fingerprinting. All native Column
+  * expressions (codegen'd, no UDFs).
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(trim(text) === "" || text.isNull, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word pieces of ≤4 chars plus standalone
+    * punctuation — a cheap, deterministic proxy for tokenizer budgeting.
+    */
+  def approxBpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation chars to all chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0 || text.isNull, 0.0)
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")) /
+        length(text).cast("double"))
+
+  /** Ratio of digit chars. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0 || text.isNull, 0.0)
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")) /
+        length(text).cast("double"))
+
+  /** Ratio of uppercase chars. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0 || text.isNull, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")) /
+        length(text).cast("double"))
+
+  /** Mean word length. */
+  def avgWordLen(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(trim(text) === "" || text.isNull, 0.0)
+      .otherwise(
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(words))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
+    "vi" -> Seq("của", "và", "là", "có", "được", "cho", "này", "không", "người", "những"))
+
+  /** Stopword-hit ratio against a language's profile. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val words = split(normalizeWords(text), " ")
+    val hits = filter(words, w => w.isin(stopwords(lang).map(_.asInstanceOf[Any]): _*))
+    when(size(words) === 0, 0.0)
+      .otherwise(size(hits).cast("double") / size(words))
+  }
+
+  private def normalizeWords(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** N-gram-profile language ID: score each language by its stopword hit
+    * count, take the argmax ('und' when nothing hits). Native expression:
+    * one pass, max_by over a literal-keyed score array.
+    */
+  def langId(text: Column): Column = {
+    val words = split(normalizeWords(text), " ")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(words, w => w.isin(sw.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * punctuation/digit density and missing stopwords — the usual cheap
+    * pre-filter before expensive model-based scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val lengthOk = when(toks.between(5, 10000), 1.0).otherwise(0.3)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
+    val digitOk = when(digitRatio(text) < 0.3, 1.0).otherwise(0.5)
+    val stopOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.7)
+    round(lengthOk * punctOk * digitOk * stopOk, 4)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (stable under
+    * whitespace/case noise). For shift-tolerant fingerprints use
+    * [[Dedup.simhash]].
+    */
+  def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit + cross-check tests for the LLM-pipeline operators. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "The  Quick Brown Fox jumps over the lazy dog"),  // exact dup of 1 mod case/ws
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup: case/whitespace variants collapse, min id kept") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L, 5L)) // 3 collapsed into 1
+  }
+
+  test("minhash near-dup finds the fox pair, not the unrelated doc") {
+    val pairs = Dedup.nearDupMinhash(docs.filter($"doc_id" =!= 5L), "doc_id", "text",
+        threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical after normalize → jaccard 1
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard of identical-after-normalize pair is 1.0") {
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", shingleN = 2)
+      .head().getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical texts same hash; near-dups close; distinct far") {
+    val h = Dedup.simhash(docs.filter($"doc_id" =!= 5L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(4L)))
+  }
+
+  test("lang id on real sentences") {
+    val s = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("le chat est dans la maison et il est content", "fr"),
+      ("der Hund ist nicht mit der Katze", "de"),
+      ("el perro es grande y la casa es bonita", "es"),
+      ("xyzzy qwerty asdf", "und")).toDF("text", "expected")
+    val got = s.select(TextStats.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(1)} got ${r.getString(0)}"))
+  }
+
+  test("token counts and ratios") {
+    val t = Seq("Hello, World! 123").toDF("text")
+    val r = t.select(
+      TextStats.tokenCount(col("text")),
+      TextStats.charCount(col("text")),
+      TextStats.punctRatio(col("text")),
+      TextStats.digitRatio(col("text"))).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 17)
+    assert(r.getDouble(2) == 2.0 / 17)  // , and !
+    assert(r.getDouble(3) == 3.0 / 17)
+  }
+
+  test("empty text: zero counts, no NaNs") {
+    val r = Seq("").toDF("text").select(
+      TextStats.tokenCount(col("text")),
+      TextStats.avgWordLen(col("text")),
+      TextStats.qualityScore(col("text"))).head()
+    assert(r.getInt(0) == 0)
+    assert(r.getDouble(1) == 0.0)
+    assert(!r.getDouble(2).isNaN)
+  }
+
+  test("brute-force ANN: identical vector is rank-1 with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("query_id"), $"embedding")
+    val c = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    val top = Ann.bruteForceTopK(q, c, 3).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding")
+    val exact = Ann.bruteForceTopK(q, c, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(q, c, 5, bits = 4).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // The synthetic embeddings are near-uniform (angular neighbors barely
+    // beat chance), so recall is bounded by candidate fraction: 4 bits +
+    // 1-bit probes ≈ 31% of corpus → measured 0.4. Real clustered data
+    // would use more bits; the assertion pins beats-chance behavior.
+    assert(recall >= 0.25, s"LSH recall $recall too low")
+  }
+
+  test("multimodal: stub features are fixed-dim, normalized, deterministic") {
+    val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("media"))
+    val f = Multimodal.extractFeatures(d, "doc_id", "media")
+      .orderBy("doc_id").collect()
+    val feats = f(0).getSeq[Float](1)
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(math.abs(feats.sum - 1.0) < 1e-5)
+    assert(f(1).getSeq[Float](1).sum == 0.0f) // empty media → zero vector
+  }
+
+  test("multimodal: frame sampling shape") {
+    val d = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("media"))
+    val frames = Multimodal.sampleFrames(d, "doc_id", "media", 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+  }
+}
