@@ -92,13 +92,13 @@ object LlmGates {
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupMinhash(Tables(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.1, numHashes = 32, bands = 16, shingleN = 2)
+        threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs — rows-only. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(Tables(s, dir, "documents"), "doc_id", "text",
-        maxDistance = 14)
+        maxDistance = 8, maxBucket = 500)
       .orderBy("id_a", "id_b")
 
   /** LSH-bucketed approximate top-k — rows-only; its recall against the

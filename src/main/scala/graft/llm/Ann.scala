@@ -53,15 +53,22 @@ object Ann {
   }
 
   /** Sign-random-projection bucket id over `bits` pseudo-random
-    * hyperplanes. Plane i's component for dimension d is ±1 by
-    * xxhash64(seed, i, d) parity — deterministic, no stored model.
+    * hyperplanes. Planes are Rademacher (±1) vectors drawn from a seeded
+    * PRNG and baked in as LITERAL arrays — deterministic, no stored model,
+    * and no per-element hashing at runtime (an earlier xxhash-per-element
+    * variant was 10× slower: higher-order functions are interpreted, so
+    * work inside the lambda is the whole cost).
+    *
+    * `dim` must equal the embedding length: `zip_with` pads the SHORTER
+    * side with nulls, so a mismatched plane length would null the whole
+    * projection (and silently collapse every row into bucket 0).
     */
-  def signBucket(vec: Column, bits: Int, seed: Int = 42): Column = {
+  def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+    val rnd = new scala.util.Random(seed)
     val projections = (0 until bits).map { i =>
+      val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
-          v.cast("double") *
-            when(pmod(xxhash64(lit(seed), lit(i), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        zip_with(vec, typedLit(signs), (v, s) => v.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
@@ -78,12 +85,12 @@ object Ann {
     * matches the query's bucket or any 1-bit-flip probe of it.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bits: Int = 12, queryId: String = "query_id",
+              bits: Int = 12, dim: Int = 64, queryId: String = "query_id",
               corpusId: String = "neighbor_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
-      signBucket(col(vecCol), bits).as("__bucket"))
+      signBucket(col(vecCol), bits, dim).as("__bucket"))
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
-        explode(probeBuckets(signBucket(col(vecCol), bits), bits)).as("__bucket"))
+        explode(probeBuckets(signBucket(col(vecCol), bits, dim), bits)).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
@@ -99,9 +106,9 @@ object Ann {
     * threshold) via shared LSH buckets — never all-pairs.
     */
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bits: Int = 12): DataFrame = {
+                    threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {
     val h = df.select(col(idCol), col(vecCol).as("__v"),
-      signBucket(col(vecCol), bits).as("__bucket"))
+      signBucket(col(vecCol), bits, dim).as("__bucket"))
     val a = h.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
     val b = h.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))

@@ -34,24 +34,50 @@ object Dedup {
       Seq("__digest"), col(idCol)).drop("__digest")
 
   /** Word n-gram shingles of the normalized text (whole text as a single
-    * shingle when shorter than n words). */
+    * shingle when shorter than n words).
+    *
+    * Built as n−1 chained `zip_with` concats against shifted copies of the
+    * word array — O(L) cheap string concats per row. (A transform-over-
+    * indices with `slice`+`array_join` is O(L·n) with per-gram array
+    * allocation, and higher-order functions are interpreted, so constant
+    * factors dominate: this form measured ~2× faster at sf0.1. A window/
+    * lead formulation was slower still — 3 shuffles.) Trailing positions
+    * null out via concat's null propagation and are filtered.
+    */
   def shingles(text: Column, n: Int): Column = {
     val words = split(normalize(text), " ")
-    transform(
-      sequence(lit(0), greatest(size(words) - lit(n), lit(0))),
-      i => array_join(slice(words, i + 1, lit(n)), " "))
+    val grams = (2 to n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), size(words)), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(words) < n, array(array_join(words, " ")))
+      .otherwise(filter(grams, x => x.isNotNull))
   }
 
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * One explode + one groupBy(id) shuffle; k mins aggregate map-side.
     */
+  /** MinHash signatures: k independent min-hashes over the shingle set.
+    * One explode + ONE groupBy(id) shuffle with map-side partial mins.
+    * Each shingle is string-hashed ONCE (murmur3, widened to an unsigned
+    * 32-bit long); the k hash functions are universal-family transforms
+    * (a·h+b) mod p with p = 2^31−1 — the mod is ESSENTIAL: without it the
+    * affine map is monotone and min() commutes with it, collapsing all k
+    * "independent" minhashes into transforms of one shingle. Products stay
+    * under 2^63 so ANSI arithmetic never overflows. 1 string hash + k
+    * multiply-add-mods per row instead of k string hashes.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("__shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__shingle"))).as(s"__h$i"))
-    exploded.groupBy(col(idCol))
+    val P = 2147483647L // 2^31 - 1, prime
+    val rnd = new scala.util.Random(9591)
+    val coefs = IndexedSeq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+    val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(P))).as(s"__h$i") }
+    df.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("__shingle"))
+      .withColumn("__h", hash(col("__shingle")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+      .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
@@ -107,7 +133,11 @@ object Dedup {
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.7, numHashes: Int = 32,
                      bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    // Signatures feed the band self-join twice (a/b sides) — materialize
+    // once and truncate lineage instead of recomputing the whole shingle
+    // pipeline per branch.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint(true)
     val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
     jaccardVerify(cands, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -140,20 +170,26 @@ object Dedup {
     * Hamming ≤ maxDistance on candidates only.
     */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-                     maxDistance: Int = 3): DataFrame = {
+                     maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band", "__bucket")))
-    val a = banded.select(col("__band"), col("__bucket"),
+    // Same skew guard as MinHash: correlated corpora concentrate band
+    // buckets; an uncapped bucket joins quadratically.
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__n") <= maxBucket)
+    val a = sized.select(col("__band"), col("__bucket"),
       col(idCol).as("id_a"), col("simhash").as("__sa"))
-    val b = banded.select(col("__band"), col("__bucket"),
+    val b = sized.select(col("__band"), col("__bucket"),
       col(idCol).as("id_b"), col("simhash").as("__sb"))
     a.join(b, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        hamming(col("__sa"), col("__sb")) <= maxDistance)
       .select(col("id_a"), col("id_b"), hamming(col("__sa"), col("__sb")).as("distance"))
       .distinct()
-      .filter(col("distance") <= maxDistance)
   }
 }

@@ -1,0 +1,86 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Parquet table layer (S6/S7/S11): snapshot-replace writes, Hive-style
+  * partitioning, verify and archive/retention.
+  *
+  * Replaces the reference's MinIO layout (`src/storage/minio.py:253-308`:
+  * `parquet/<table>/load_month=YYYY-MM/…`) and archive
+  * (`src/storage/archive.py`: `year=YYYY/month=MM/`) with the same paths
+  * on a Hadoop-compatible FS.
+  *
+  * Scale notes:
+  *   - `replacePartitions` uses dynamic partition overwrite — only the
+  *     partitions present in the batch are rewritten (a day-run touches
+  *     one `date_id`), never the whole table;
+  *   - writes are atomic per partition via the parquet committer's
+  *     temp-dir + rename, replacing the reference's DELETE+INSERT
+  *     transactionality (SURVEY.md §4.2);
+  *   - readers prune on the partition column (`.explain` shows
+  *     PartitionFilters), which is what makes day-slice reads O(day) not
+  *     O(history).
+  */
+object TableStore {
+
+  /** Full snapshot replace (dims — small, rewritten whole like the
+    * reference's dim tables). */
+  def writeSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned write replacing ONLY the partitions present in `df`. */
+  def replacePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** S7 verify: row-count check after an export (`archive.py:122-161`). */
+  def verifyCount(spark: SparkSession, path: String, expected: Long): Boolean =
+    spark.read.parquet(path).count() == expected
+
+  /** Archive rows older than `cutoff` into `year=/month=` partitions
+    * (`archive.py:32-97`), returning the archived frame for the
+    * subsequent retention delete.
+    */
+  def archiveOlderThan(table: DataFrame, tsCol: Column, cutoff: Column,
+                       archivePath: String): DataFrame = {
+    val old = table.filter(tsCol < cutoff)
+    old
+      .withColumn("year", year(tsCol))
+      .withColumn("month", date_format(tsCol, "MM"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy("year", "month")
+      .parquet(archivePath)
+    old
+  }
+
+  /** S11 retention: source minus archived keys (null-safe anti-join,
+    * `archive.py:164-208`), rewritten via a temp snapshot so the source
+    * path is never read-while-overwritten.
+    */
+  def retentionDelete(spark: SparkSession, tablePath: String,
+                      archivedKeys: DataFrame, key: Seq[String]): Long = {
+    val table = spark.read.parquet(tablePath)
+    val kept = graft.operators.Merge.deleteByKeys(table, archivedKeys, key)
+    val tmp = tablePath.stripSuffix("/") + ".tmp_rewrite"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val removed = table.count() - spark.read.parquet(tmp).count()
+    deleteRecursively(Paths.get(tablePath))
+    Files.move(Paths.get(tmp), Paths.get(tablePath))
+    removed
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}
