@@ -27,11 +27,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     gates.CoreGates.queries ++ gates.FunctionGates.queries ++
-      gates.ViewGates.queries ++ gates.LlmGates.queries
+      gates.ViewGates.queries ++ gates.LlmGates.queries ++
+      gates.QualityGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     gates.CoreGates.oracleSql ++ gates.FunctionGates.oracleSql ++
-      gates.ViewGates.oracleSql ++ gates.LlmGates.oracleSql
+      gates.ViewGates.oracleSql ++ gates.LlmGates.oracleSql ++
+      gates.QualityGates.oracleSql
 }

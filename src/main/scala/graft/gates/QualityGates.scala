@@ -1,0 +1,264 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.monitoring.Metrics
+import graft.operators.Merge
+import graft.quality.Validators
+import graft.warehouse.DimDate
+
+/** Correctness gates for the quality/monitoring/retention operators
+  * (A8–A12, S11) over synthesized reference-shaped inputs, each with a
+  * full DuckDB oracle.
+  */
+object QualityGates {
+
+  /** A8: crawl validation one-pass agg over job rows synthesized from
+    * customer (nulls, non-numeric ids, blank titles, missing companies).
+    */
+  def qualityCrawl(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val jobs = c.select(
+      when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 10 === 1, concat(lit("x"), col("c_custkey")))
+        .otherwise(col("c_custkey").cast("string")).as("job_id"),
+      when(col("c_custkey") % 7 === 0, lit(""))
+        .otherwise(concat(lit("Title "), col("c_custkey"))).as("title"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("company_name"))
+    Validators.crawlStats(jobs)
+  }
+
+  val qualityCrawlSql: String =
+    """WITH jobs AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |              WHEN c_custkey % 10 = 1 THEN 'x' || CAST(c_custkey AS VARCHAR)
+      |              ELSE CAST(c_custkey AS VARCHAR) END AS job_id,
+      |         CASE WHEN c_custkey % 7 = 0 THEN ''
+      |              ELSE 'Title ' || CAST(c_custkey AS VARCHAR) END AS title,
+      |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS company_name
+      |  FROM customer),
+      |f AS (SELECT *,
+      |        (job_id IS NOT NULL AND regexp_full_match(job_id, '\d+')) AS id_ok,
+      |        (title IS NOT NULL AND trim(title) <> '') AS title_ok,
+      |        (company_name IS NOT NULL) AS company_ok
+      |      FROM jobs)
+      |SELECT COUNT(*) AS total_jobs,
+      |  COUNT(DISTINCT job_id) AS unique_jobs,
+      |  round(CAST(COUNT(*) - COUNT(DISTINCT job_id) AS DOUBLE) / COUNT(*), 6) AS duplicate_rate,
+      |  COUNT(CASE WHEN id_ok AND title_ok AND company_ok THEN 1 END) AS valid_jobs,
+      |  round(CAST(COUNT(CASE WHEN id_ok AND title_ok AND company_ok THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS valid_rate,
+      |  round(CAST(COUNT(CASE WHEN NOT id_ok THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS missing_job_id_rate,
+      |  round(CAST(COUNT(CASE WHEN NOT title_ok THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS missing_title_rate,
+      |  round(CAST(COUNT(CASE WHEN NOT company_ok THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS missing_company_rate
+      |FROM f""".stripMargin
+
+  /** A9: the 9 business-rule violation counters over rows synthesized
+    * from orders (anchored runDate 1996-06-01 so past/warn/hard deadline
+    * bands all populate).
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val jobs = o.select(
+      when(col("o_orderkey") % 13 === 0, lit(-5).cast("decimal(18,2)"))
+        .otherwise(col("o_totalprice").cast("decimal(18,2)")).as("salary_min"),
+      when(col("o_orderkey") % 17 === 0, lit(600000000L).cast("decimal(18,2)"))
+        .when(col("o_orderkey") % 19 === 0, lit(300000000L).cast("decimal(18,2)"))
+        .otherwise((col("o_totalprice") * 2).cast("decimal(18,2)")).as("salary_max"),
+      to_date(col("o_orderdate")).as("deadline"),
+      when(col("o_orderkey") % 7 === 0, lit("Dev"))
+        .otherwise(concat(lit("Title "), col("o_orderkey"))).as("title"),
+      when(col("o_orderkey") % 11 === 0, lit("AB"))
+        .otherwise(lit("ACME Corp")).as("company_name"),
+      when(col("o_orderkey") % 23 === 0, lit("n/a"))
+        .otherwise(lit("Hà Nội")).as("location"))
+    Validators.businessRuleStats(jobs, lit("1996-06-01"))
+  }
+
+  val qualityRulesSql: String =
+    """WITH jobs AS (
+      |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN -5 ELSE o_totalprice END AS salary_min,
+      |         CASE WHEN o_orderkey % 17 = 0 THEN 600000000
+      |              WHEN o_orderkey % 19 = 0 THEN 300000000
+      |              ELSE o_totalprice * 2 END AS salary_max,
+      |         CAST(o_orderdate AS DATE) AS deadline,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'Dev'
+      |              ELSE 'Title ' || CAST(o_orderkey AS VARCHAR) END AS title,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'AB' ELSE 'ACME Corp' END AS company_name,
+      |         CASE WHEN o_orderkey % 23 = 0 THEN 'n/a' ELSE 'Hà Nội' END AS location
+      |  FROM orders),
+      |f AS (SELECT *,
+      |  (salary_min IS NOT NULL AND salary_max IS NOT NULL AND
+      |    (salary_min < 0 OR salary_max < salary_min)) AS v_inv,
+      |  date_diff('day', DATE '1996-06-01', deadline) AS days_until
+      |  FROM jobs),
+      |g AS (SELECT *,
+      |  (NOT v_inv AND salary_max > 500000000) AS v_susp,
+      |  (NOT v_inv AND salary_max > 200000000 AND salary_max <= 500000000) AS v_high,
+      |  (days_until < 0) AS v_past,
+      |  (days_until > 180) AS v_far,
+      |  (days_until > 90 AND days_until <= 180) AS v_dsusp,
+      |  (length(trim(title)) < 5) AS v_title,
+      |  (length(trim(company_name)) < 3) AS v_comp,
+      |  (trim(lower(location)) IN ('', 'n/a', 'na', 'none')) AS v_loc
+      |  FROM f)
+      |SELECT COUNT(*) AS total_jobs,
+      |  COUNT(CASE WHEN v_inv THEN 1 END) AS salary_invalid,
+      |  COUNT(CASE WHEN v_high THEN 1 END) AS salary_too_high,
+      |  COUNT(CASE WHEN v_susp THEN 1 END) AS salary_suspicious,
+      |  COUNT(CASE WHEN v_past THEN 1 END) AS deadline_past,
+      |  COUNT(CASE WHEN v_far THEN 1 END) AS deadline_too_far,
+      |  COUNT(CASE WHEN v_dsusp THEN 1 END) AS deadline_suspicious,
+      |  COUNT(CASE WHEN v_title THEN 1 END) AS title_too_short,
+      |  COUNT(CASE WHEN v_comp THEN 1 END) AS company_too_short,
+      |  COUNT(CASE WHEN v_loc THEN 1 END) AS location_invalid,
+      |  -- reference sums the counters, so a multi-violation row counts
+      |  -- once per rule and the rate can exceed 1 (validators.py:263-271)
+      |  round(CAST(COUNT(CASE WHEN v_inv THEN 1 END) + COUNT(CASE WHEN v_high THEN 1 END)
+      |      + COUNT(CASE WHEN v_past THEN 1 END) + COUNT(CASE WHEN v_far THEN 1 END)
+      |      + COUNT(CASE WHEN v_title THEN 1 END) + COUNT(CASE WHEN v_comp THEN 1 END)
+      |      + COUNT(CASE WHEN v_loc THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+      |    AS violation_rate,
+      |  CASE WHEN CAST(COUNT(CASE WHEN v_inv THEN 1 END) + COUNT(CASE WHEN v_high THEN 1 END)
+      |          + COUNT(CASE WHEN v_past THEN 1 END) + COUNT(CASE WHEN v_far THEN 1 END)
+      |          + COUNT(CASE WHEN v_title THEN 1 END) + COUNT(CASE WHEN v_comp THEN 1 END)
+      |          + COUNT(CASE WHEN v_loc THEN 1 END) AS DOUBLE) / COUNT(*) > 0.10
+      |       THEN 'unhealthy'
+      |       WHEN CAST(COUNT(CASE WHEN v_inv THEN 1 END) + COUNT(CASE WHEN v_high THEN 1 END)
+      |          + COUNT(CASE WHEN v_past THEN 1 END) + COUNT(CASE WHEN v_far THEN 1 END)
+      |          + COUNT(CASE WHEN v_title THEN 1 END) + COUNT(CASE WHEN v_comp THEN 1 END)
+      |          + COUNT(CASE WHEN v_loc THEN 1 END) AS DOUBLE) / COUNT(*) > 0.05
+      |            OR CAST(COUNT(CASE WHEN v_susp THEN 1 END)
+      |                  + COUNT(CASE WHEN v_dsusp THEN 1 END) AS DOUBLE)
+      |               > COUNT(*) * 0.10
+      |       THEN 'degraded' ELSE 'healthy' END AS status
+      |FROM g""".stripMargin
+
+  /** A10: pipeline-health 7-day rollup over metrics synthesized from the
+    * events stream table.
+    */
+  def monitorHealth(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read it as long nanos and truncate to micros.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events")
+    val metrics = e.select(
+      col("event_type").as("dag_id"),
+      concat(lit("task_"), (col("event_id") % 3)).as("task_id"),
+      // exact ns→µs truncation: long/long would go through double and
+      // lose precision at 1.7e18; decimal floor-divide is exact
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("started_at"),
+      col("value").as("duration_seconds"),
+      col("user_id").as("rows_out"),
+      when(col("value") > 1.0, "success").otherwise("failed").as("status"))
+    Metrics.pipelineHealth(metrics, lit("2024-01-31"))
+      .withColumn("last_run_at",
+        date_format(col("last_run_at"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+  }
+
+  val monitorHealthSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS dag_id,
+      |         'task_' || CAST(event_id % 3 AS VARCHAR) AS task_id,
+      |         ts AS started_at, value AS duration_seconds, user_id AS rows_out,
+      |         CASE WHEN value > 1.0 THEN 'success' ELSE 'failed' END AS status
+      |  FROM events)
+      |SELECT dag_id, task_id,
+      |  COUNT(*) AS run_count,
+      |  round(CAST(COUNT(CASE WHEN status = 'success' THEN 1 END) AS DOUBLE)
+      |        / COUNT(*), 4) AS success_rate,
+      |  round(AVG(duration_seconds), 2) AS avg_duration_seconds,
+      |  round(AVG(rows_out), 1) AS avg_rows_out,
+      |  strftime(MAX(started_at), '%Y-%m-%d %H:%M:%S.%f') AS last_run_at
+      |FROM m WHERE started_at >= DATE '2024-01-31' - INTERVAL 7 DAY
+      |GROUP BY dag_id, task_id ORDER BY dag_id, task_id""".stripMargin
+
+  /** A11: per-load-month fact rollups (top 3 months) over a fact slice
+    * synthesized from orders.
+    */
+  def dwhStats(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("fact_id"), col("o_custkey").as("job_sk"),
+      to_date(col("o_orderdate")).as("date_id"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("load_month"))
+    Metrics.loadMonthStats(fact)
+  }
+
+  val dwhStatsSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS load_month,
+      |  COUNT(*) AS fact_count,
+      |  COUNT(DISTINCT o_custkey) AS job_count,
+      |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS day_count
+      |FROM orders GROUP BY 1 ORDER BY load_month DESC LIMIT 3""".stripMargin
+
+  /** A12 + M4 complete-range semantics: observed span over two date
+    * columns with the today+5d projection extension.
+    */
+  def dateSpanMulti(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderdate").as("d1"), date_add(to_date(col("o_orderdate")), 40).as("d2"))
+    DimDate.forObserved(o, Seq(col("d1"), col("d2")), lit("2001-11-01"))
+      .orderBy("date_id")
+  }
+
+  val dateSpanMultiSql: String =
+    """WITH span AS (
+      |  SELECT LEAST(MIN(CAST(o_orderdate AS DATE)),
+      |               MIN(CAST(o_orderdate AS DATE) + 40)) AS lo,
+      |         GREATEST(MAX(CAST(o_orderdate AS DATE)),
+      |                  MAX(CAST(o_orderdate AS DATE) + 40),
+      |                  DATE '2001-11-06') AS hi
+      |  FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |                                         CAST(hi AS TIMESTAMP),
+      |                                         INTERVAL 1 DAY)) AS DATE) AS date_id
+      |      FROM span)
+      |SELECT date_id,
+      |       CAST(day(date_id) AS BIGINT) AS day,
+      |       CAST(month(date_id) AS BIGINT) AS month,
+      |       CAST(quarter(date_id) AS BIGINT) AS quarter,
+      |       CAST(year(date_id) AS BIGINT) AS year,
+      |       CAST(weekofyear(date_id) AS BIGINT) AS week_of_year,
+      |       CAST(isodow(date_id) AS BIGINT) AS day_of_week,
+      |       dayname(date_id) AS weekday_name,
+      |       isodow(date_id) >= 6 AS is_weekend,
+      |       strftime(date_id, '%Y-%m') AS year_month,
+      |       'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_name
+      |FROM d ORDER BY date_id""".stripMargin
+
+  /** S11/P9: retention delete — table minus archived keys (age filter),
+    * via the null-safe anti-join.
+    */
+  def retentionDelete(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val archivedKeys = o.filter(to_date(col("o_orderdate")) < lit("1996-01-01"))
+      .select(col("o_orderkey"))
+    Merge.deleteByKeys(o, archivedKeys, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val retentionDeleteSql: String =
+    """SELECT * FROM orders
+      |WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01')
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_crawl"    -> (qualityCrawl _),
+    "quality_rules"    -> (qualityRules _),
+    "monitor_health"   -> (monitorHealth _),
+    "dwh_stats"        -> (dwhStats _),
+    "date_span_multi"  -> (dateSpanMulti _),
+    "retention_delete" -> (retentionDelete _))
+
+  val oracleSql: Map[String, String] = Map(
+    "quality_crawl"    -> qualityCrawlSql,
+    "quality_rules"    -> qualityRulesSql,
+    "monitor_health"   -> monitorHealthSql,
+    "dwh_stats"        -> dwhStatsSql,
+    "date_span_multi"  -> dateSpanMultiSql,
+    "retention_delete" -> retentionDeleteSql)
+}
