@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: assert the optimizations we rely on actually
+  * appear in the plans — broadcast star joins, parquet filter/column
+  * pushdown, true top-k, no extra shuffles.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star join broadcasts the dimension, not the fact") {
+    val p = plan(gates.ViewGates.viewTopCompanies(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val l = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "N")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(l)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,N)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(gates.ViewGates.viewSkillsDemand(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("anti-join orphan check stays a join, no subquery materialization") {
+    val p = plan(gates.ViewGates.viewAntiOrphans(spark, dir))
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("grouped aggregation has a map-side partial phase") {
+    val p = plan(gates.ViewGates.viewMonthlyStats(spark, dir))
+    // partial_ aggregate expressions indicate map-side combine
+    assert(p.contains("partial_"), p.take(800))
+  }
+
+  test("carry-forward reads prune on the date filter") {
+    val p = plan(gates.CoreGates.carryForward(spark, dir))
+    assert(p.contains("PushedFilters"), p.take(500))
+  }
+
+  test("whole-stage codegen covers the scalar-function chains") {
+    // AQE wraps the plan and reports zero codegen subtrees before
+    // execution — disable it for the static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = gates.FunctionGates.funcSalary(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      val found = "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(p)
+      assert(found.exists(_.group(1).toInt >= 1), p.take(300))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
