@@ -21,6 +21,10 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
+    // JIT/codegen warmup so the alphabetically-first query doesn't absorb
+    // JVM startup cost into its measurement.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY.md §2.10: the reference is batch
+  * only and lists Kafka streaming as future work, `README.md:253-257`;
+  * this is the post-parity path the brief asks for).
+  *
+  * Shapes provided, mirroring the batch pipeline over the `events`-style
+  * stream (event_id, ts, user_id, event_type, value):
+  *
+  *   - windowed rollups with watermark (the streaming form of the daily
+  *     monitoring aggregations A10);
+  *   - streaming ingest → the same raw-merge semantics via foreachBatch
+  *     (each micro-batch calls the batch [[graft.operators.Merge]]);
+  *   - sessionization with mapGroupsWithState (custom per-key state).
+  *
+  * Every transform is input-agnostic (works on readStream or a batch
+  * DataFrame), so correctness tests drive them through MemoryStream.
+  */
+object StreamingJobs {
+
+  /** Tumbling-window per-type event rollup with late-data handling.
+    * Watermark bounds state: at 100 TB/day ingest, state is
+    * |window × event_type| not |events|.
+    */
+  def windowedEventStats(events: DataFrame, watermarkDelay: String = "10 minutes",
+                         windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("event_count"), col("total_value"),
+        col("approx_users"))
+
+  case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,
+                          events: Long, totalValue: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, events: Long,
+                        total_value: Double)
+
+  /** Per-user sessionization with mapGroupsWithState — the reference
+    * implementation for arbitrary per-key streaming state. A session
+    * closes after `gapMinutes` of inactivity when `gapMinutes > 0`
+    * (processing-time timeout emits the final session and clears state);
+    * with `gapMinutes = 0` sessions are running aggregates with no
+    * timeout (bounded tests drive this mode — a pending processing-time
+    * timeout otherwise keeps the test harness cycling micro-batches).
+    */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
+                 gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (gapMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (gapMinutes > 0 && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.start, s.last, s.events, s.totalValue)
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val prev = state.getOption
+            val merged = sorted.foldLeft(prev) { (acc, r) =>
+              acc match {
+                case Some(s) => Some(s.copy(last = r._2, events = s.events + 1,
+                  totalValue = s.totalValue + r._3))
+                case None => Some(SessionState(r._2, r._2, 1L, r._3))
+              }
+            }.get
+            state.update(merged)
+            if (gapMinutes > 0) state.setTimeoutDuration(s"$gapMinutes minutes")
+            SessionOut(userId, merged.start, merged.last, merged.events, merged.totalValue)
+          }
+      }
+  }
+
+  /** Streaming ingest into the batch raw-merge: each micro-batch runs the
+    * same upsert the daily pipeline uses (S5/M8), giving exactly-once
+    * table contents under the sink's snapshot-replace + checkpointing.
+    */
+  def mergeEachBatch(stream: DataFrame, key: Seq[String], tracked: Seq[String],
+                     readTable: () => DataFrame, writeTable: DataFrame => Unit) =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = graft.operators.Merge.upsert(readTable(), batch, key, tracked)
+        writeTable(merged.drop(graft.operators.Merge.ClassCol))
+      }
+}

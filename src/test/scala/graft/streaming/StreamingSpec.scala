@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming transforms driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed event stats with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = StreamingJobs.windowedEventStats(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:20:00"), 2L, "click", 2.0),
+        (3L, ts("2024-01-01 10:40:00"), 1L, "view", 5.0))
+      query.processAllAvailable()
+      val out = spark.table("win_stats").collect()
+      val click = out.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("event_count") == 2)
+      assert(click.getAs[Double]("total_value") == 3.0)
+      assert(click.getAs[Timestamp]("window_start") == ts("2024-01-01 10:00:00"))
+
+      // late-but-inside-watermark row still updates the window
+      input.addData((4L, ts("2024-01-01 10:50:00"), 3L, "click", 1.0))
+      query.processAllAvailable()
+      val click2 = spark.table("win_stats").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .map(_.getAs[Long]("event_count")).max
+      assert(click2 == 3)
+    } finally query.stop()
+  }
+
+  test("windowed stats transform is batch/stream agnostic") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 11:05:00"), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = StreamingJobs.windowedEventStats(batch).collect()
+    assert(out.length == 2) // two 1-hour windows
+  }
+
+  test("sessionize: events within the gap share one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val query = StreamingJobs.sessionize(input.toDS(), gapMinutes = 0)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),
+        (8L, ts("2024-01-01 10:00:00"), 5.0))
+      query.processAllAvailable()
+      val s7 = spark.table("sessions").filter(col("user_id") === 7L)
+        .orderBy(col("events").desc).head()
+      assert(s7.getAs[Long]("events") == 2)
+      assert(s7.getAs[Double]("total_value") == 3.0)
+      assert(s7.getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+    } finally query.stop()
+  }
+
+  test("foreachBatch merge applies batch upsert semantics per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var table = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
+    val input = MemoryStream[(Long, String, Double)]
+    val stream = input.toDF().toDF("id", "name", "v")
+    val query = StreamingJobs.mergeEachBatch(stream, Seq("id"), Seq("name", "v"),
+      () => table, merged => { table = merged }).start()
+    try {
+      input.addData((1L, "a", 99.0), (2L, "b", 5.0)) // update + insert
+      query.processAllAvailable()
+      val rows = table.orderBy("id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getDouble(2) == 99.0)
+      assert(rows(1).getString(1) == "b")
+    } finally query.stop()
+  }
+}
