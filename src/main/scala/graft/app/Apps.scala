@@ -1,0 +1,153 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaners, Hashes, Salary}
+import graft.ingest.HtmlParser
+import graft.operators.Merge
+import graft.quality.{QualityGate, Validators}
+import graft.storage.TableStore
+import graft.views.{Star, Views}
+import graft.warehouse.WarehouseJob
+
+/** DAG-equivalent entry points (SURVEY.md §3): each app is the Spark
+  * counterpart of one reference Airflow DAG, wired over the parquet table
+  * layer. Layout under a warehouse root:
+  *
+  * {{{
+  *   <root>/raw_jobs/            (full snapshot)
+  *   <root>/staging_jobs/        crawl_date=YYYY-MM-DD/   (partitioned)
+  *   <root>/dwh/<DimX|Fact...>/  facts partitioned by date_id
+  *   <root>/archive/raw_jobs/    year=YYYY/month=MM/
+  * }}}
+  */
+object Apps {
+
+  /** `jobinsight_pipeline` (§3.1): HTML batch → parse → validate+gate →
+    * raw merge → staging transform → validate+gate. Returns the staging
+    * slice it wrote.
+    */
+  def runIngestDay(spark: SparkSession, htmlDir: String, warehouseRoot: String,
+                   runDate: String): DataFrame = {
+    val pages = spark.read.option("wholetext", "true").text(htmlDir)
+      .withColumnRenamed("value", "html")
+    val jobs = HtmlParser.parseJobs(pages)
+      .dropDuplicates("job_id") // DAG-level re-dedup (pipeline_dag.py:113-114)
+
+    val crawlStats = Validators.crawlStats(jobs).head()
+    QualityGate.evaluate(crawlStats, QualityGate.crawlConfig)
+
+    // Raw merge (S5/M8) over the snapshot table.
+    val rawPath = s"$warehouseRoot/raw_jobs"
+    val incoming = jobs.withColumn("crawled_at",
+      lit(runDate + " 06:00:00").cast("timestamp"))
+    val existing = readOrEmpty(spark, rawPath, incoming)
+    val merged = Merge.upsert(existing, incoming,
+      key = Seq("job_id"),
+      tracked = Seq("title", "company_name", "salary", "location", "deadline",
+        "verified_employer"))
+      .drop(Merge.ClassCol)
+    TableStore.writeSnapshot(merged, rawPath)
+
+    // Staging transform (F1–F8 projection, staging_procedures.sql).
+    val crawledAt = lit(runDate + " 06:00:00").cast("timestamp")
+    val sal = Salary.normalizeSalary(col("salary"))
+    val due = Salary.dueDate(crawledAt, col("deadline"))
+    val staging = spark.read.parquet(rawPath).select(
+      col("job_id"),
+      Cleaners.cleanTitle(col("title")).as("title_clean"),
+      col("job_url"),
+      col("skills"),
+      Cleaners.cleanCompanyName(col("company_name")).as("company_name_standardized"),
+      col("company_url"),
+      col("logo_url"),
+      col("verified_employer"),
+      col("location"),
+      sal.getField("salary_min").as("salary_min"),
+      sal.getField("salary_max").as("salary_max"),
+      sal.getField("salary_type").as("salary_type"),
+      Salary.timeRemaining(due, crawledAt).as("time_remaining"),
+      graft.functions.LastUpdate.postedTime(col("last_update"), crawledAt).as("posted_time"),
+      due.as("due_date"),
+      crawledAt.as("crawled_at"))
+      .withColumn("crawl_date", lit(runDate))
+    TableStore.replacePartitions(staging, s"$warehouseRoot/staging_jobs", Seq("crawl_date"))
+
+    val stagingStats = Validators.stagingStats(staging).head()
+    QualityGate.evaluate(stagingStats, QualityGate.stagingConfig)
+    staging.drop("crawl_date")
+  }
+
+  /** `jobinsight_dwh` (§3.2): read today's staging partition
+    * (partition-pruned, S4), run the warehouse day, write dims as
+    * snapshots and fact/bridge with dynamic partition overwrite.
+    */
+  def runWarehouseDay(spark: SparkSession, warehouseRoot: String, runDate: String): Unit = {
+    val staging = spark.read.parquet(s"$warehouseRoot/staging_jobs")
+      .filter(col("crawl_date") === runDate)   // partition pruning, S4/P10
+      .drop("crawl_date")
+
+    val state = WarehouseJob.State(readStar(spark, warehouseRoot))
+    // checkpoint = true: materialize results BEFORE the writes below
+    // replace the very files their plans read from.
+    val next = WarehouseJob.runDay(spark, state, staging, runDate, checkpoint = true)
+
+    val dwh = s"$warehouseRoot/dwh"
+    TableStore.writeSnapshot(next.star.dimJob, s"$dwh/DimJob")
+    TableStore.writeSnapshot(next.star.dimCompany, s"$dwh/DimCompany")
+    TableStore.writeSnapshot(next.star.dimLocation, s"$dwh/DimLocation")
+    TableStore.writeSnapshot(next.star.dimDate, s"$dwh/DimDate")
+    // Day-run rewrites only today's date_id partition.
+    TableStore.replacePartitions(
+      next.star.fact.filter(col("date_id") === lit(runDate).cast("date")),
+      s"$dwh/FactJobPostingDaily", Seq("date_id"))
+    TableStore.writeSnapshot(next.star.bridge, s"$dwh/FactJobLocationBridge")
+  }
+
+  /** Read the star schema back from disk (empty frames before day 1). */
+  def readStar(spark: SparkSession, warehouseRoot: String): Star = {
+    val dwh = s"$warehouseRoot/dwh"
+    val empty = WarehouseJob.emptyState(spark).star
+    Star(
+      dimJob = readOrEmpty(spark, s"$dwh/DimJob", empty.dimJob),
+      dimCompany = readOrEmpty(spark, s"$dwh/DimCompany", empty.dimCompany),
+      dimLocation = if (exists(s"$dwh/DimLocation"))
+        spark.read.parquet(s"$dwh/DimLocation") else empty.dimLocation,
+      dimDate = readOrEmpty(spark, s"$dwh/DimDate", empty.dimDate),
+      fact = readOrEmpty(spark, s"$dwh/FactJobPostingDaily", empty.fact)
+        .select(empty.fact.columns.map(col): _*), // partition col read-back order
+      bridge = readOrEmpty(spark, s"$dwh/FactJobLocationBridge", empty.bridge))
+  }
+
+  /** `jobinsight_archive` + maintenance (§3 secondary): archive old raw
+    * rows (oldest-first export, O5) then retention-delete them.
+    */
+  def runArchive(spark: SparkSession, warehouseRoot: String, runDate: String,
+                 retentionDays: Int = 30): Long = {
+    val rawPath = s"$warehouseRoot/raw_jobs"
+    if (!exists(rawPath)) return 0L
+    val raw = spark.read.parquet(rawPath)
+    val cutoff = date_sub(lit(runDate).cast("date"), retentionDays).cast("timestamp")
+    val archived = TableStore.archiveOlderThan(
+      raw.orderBy(col("crawled_at").asc), col("crawled_at"), cutoff,
+      s"$warehouseRoot/archive/raw_jobs")
+    val n = archived.count()
+    if (n > 0) {
+      val expected = spark.read.parquet(s"$warehouseRoot/archive/raw_jobs")
+        .filter(col("crawled_at") < cutoff).count()
+      require(expected >= n, s"archive verify failed: $expected < $n") // S7
+      TableStore.retentionDelete(spark, rawPath, archived.select("job_id"), Seq("job_id"))
+    }
+    n
+  }
+
+  /** Register the BI surface (§3.3). */
+  def registerViews(spark: SparkSession, warehouseRoot: String, runDate: String): Unit =
+    Views.registerAll(spark, readStar(spark, warehouseRoot), lit(runDate))
+
+  private def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+
+  private def readOrEmpty(spark: SparkSession, path: String, like: DataFrame): DataFrame =
+    if (exists(path)) spark.read.parquet(path) else like.limit(0)
+}

@@ -27,9 +27,17 @@ import java.util.Comparator
 object TableStore {
 
   /** Full snapshot replace (dims — small, rewritten whole like the
-    * reference's dim tables). */
-  def writeSnapshot(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+    * reference's dim tables). Writes to a temp dir then swaps, so a plan
+    * that lazily READS the current snapshot can safely produce its
+    * replacement (plain Overwrite deletes the target before the read
+    * executes).
+    */
+  def writeSnapshot(df: DataFrame, path: String): Unit = {
+    val tmp = path.stripSuffix("/") + ".__tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path))
+  }
 
   /** Partitioned write replacing ONLY the partitions present in `df`. */
   def replacePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
