@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.Salary
+import graft.operators.{Scd2, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5.2-2): SCD2 invariants over random
+  * event sequences, salary-ladder branch properties, carry-forward
+  * invariants.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // No scalatest-scalacheck bridge in the offline cache: drive raw
+  // ScalaCheck generators with fixed seeds (10 cases per property — each
+  // case spins real Spark jobs).
+  private def forAllSeeded[A](gen: Gen[A], cases: Int = 10)(body: A => Unit): Unit =
+    (1 to cases).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val keyGen = Gen.choose(1, 8).map(i => s"k$i")
+  private val valGen = Gen.oneOf("a", "b", "c")
+  private val batchGen = Gen.listOfN(6, Gen.zip(keyGen, valGen)).map(_.distinctBy(_._1))
+
+  test("SCD2: random merge sequences keep exactly one current row per key") {
+    forAllSeeded(Gen.listOfN(3, batchGen)) { batches =>
+      var dim = Seq.empty[(String, String)].toDF("k", "v")
+        .withColumn("effective_date", lit(null).cast("date"))
+        .withColumn("expiry_date", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+        .limit(0)
+      batches.zipWithIndex.foreach { case (batch, day) =>
+        val incoming = batch.toDF("k", "v")
+        dim = Scd2.merge(dim, incoming, Seq("k"), Seq("v"),
+          lit(s"2026-01-0${day + 1}")).localCheckpoint(true)
+      }
+      val perKey = dim.filter(col("is_current")).groupBy("k").count().collect()
+      assert(perKey.forall(_.getLong(1) == 1))
+      // every key ever seen has exactly one current row
+      val seen = batches.flatten.map(_._1).toSet
+      assert(dim.filter(col("is_current")).count() == seen.size)
+      // history rows all have expiry dates
+      assert(dim.filter(!col("is_current") && col("expiry_date").isNull).count() == 0)
+    }
+  }
+
+  test("SCD2: merging the same batch twice is a no-op (idempotence)") {
+    forAllSeeded(batchGen) { batch =>
+      if (batch.nonEmpty) {
+        val incoming = batch.toDF("k", "v")
+        val d0 = Seq.empty[(String, String)].toDF("k", "v")
+          .withColumn("effective_date", lit(null).cast("date"))
+          .withColumn("expiry_date", lit(null).cast("date"))
+          .withColumn("is_current", lit(true)).limit(0)
+        val d1 = Scd2.merge(d0, incoming, Seq("k"), Seq("v"), lit("2026-01-01"))
+          .localCheckpoint(true)
+        val d2 = Scd2.merge(d1, incoming, Seq("k"), Seq("v"), lit("2026-01-02"))
+        assert(d2.count() == d1.count())            // no new versions
+        assert(d2.filter(!col("is_current")).count() == 0)
+      }
+    }
+  }
+
+  private val salaryGen: Gen[String] = Gen.oneOf(
+    Gen.const(""),
+    Gen.const("Thỏa thuận"),
+    Gen.const("Cạnh tranh"),
+    Gen.choose(1, 99).map(n => s"$n - ${n * 2} triệu"),
+    Gen.choose(100, 5000).map(n => s"$n - ${n * 2} USD"),
+    Gen.choose(1, 99).map(n => s"Tới $n triệu"),
+    Gen.choose(1, 99).map(n => s"Từ $n triệu"),
+    Gen.choose(1, 99).map(n => s"$n triệu"),
+    Gen.alphaStr)
+
+  test("salary ladder: min<=max when both set; type always classified") {
+    forAllSeeded(Gen.listOfN(20, salaryGen), cases = 5) { inputs =>
+      val r = inputs.toDF("s")
+        .select(Salary.normalizeSalary(col("s")).as("r"))
+        .select("r.salary_min", "r.salary_max", "r.salary_type").collect()
+      r.foreach { row =>
+        val mn = Option(row.getDecimal(0)); val mx = Option(row.getDecimal(1))
+        if (mn.isDefined && mx.isDefined) assert(mn.get.compareTo(mx.get) <= 0)
+        assert(Set("range", "upto", "from", "negotiable", "competitive", "unknown")
+          .contains(row.getString(2)))
+        // branch shape: 'upto'/'from' are half-open
+        if (row.getString(2) == "upto") assert(mn.isEmpty && mx.isDefined)
+        if (row.getString(2) == "from") assert(mn.isDefined && mx.isEmpty)
+      }
+    }
+  }
+
+  test("carry-forward: output keys = today ∪ unexpired yesterday; no dup keys when inputs are keyed") {
+    val rowGen = Gen.zip(Gen.choose(1, 12), Gen.choose(0, 1)).map {
+      case (k, exp) => (s"j$k", exp == 1)
+    }
+    forAllSeeded(Gen.zip(
+        Gen.listOfN(6, rowGen).map(_.distinctBy(_._1)),
+        Gen.listOfN(6, rowGen).map(_.distinctBy(_._1)))) { case (yRows, tRows) =>
+      val y = yRows.toDF("k", "expired")
+      val t = tRows.toDF("k", "expired")
+      val out = Snapshots.carryForward(y, t, Seq("k"),
+        notExpired = !col("expired"), restamp = Seq.empty)
+      val outKeys = out.select("k").collect().map(_.getString(0)).toSeq
+      assert(outKeys.distinct.size == outKeys.size)
+      val expected = tRows.map(_._1).toSet ++
+        yRows.filter(!_._2).map(_._1).toSet
+      assert(outKeys.toSet == expected)
+      // today's row always wins over a carried one
+      val tMap = tRows.toMap
+      out.collect().foreach { r =>
+        if (tMap.contains(r.getString(0)))
+          assert(r.getBoolean(1) == tMap(r.getString(0)))
+      }
+    }
+  }
+}
