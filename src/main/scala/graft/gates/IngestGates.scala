@@ -1,0 +1,93 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ingest.HtmlParser
+
+/** Gates for the ingest parser (S2) and the remaining filter/join shapes
+  * (P5 ILIKE, J7 left-semi).
+  */
+object IngestGates {
+
+  /** S2: synthesize one job card per part row, run the real HTML parser
+    * over the page, output the extracted fields. The oracle reconstructs
+    * the expected extraction analytically from the same construction.
+    */
+  def ingestParse(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val html = concat(
+      lit("""<div class="job-item-2" data-job-id=""""), col("p_partkey"), lit("\">"),
+      lit("""<h3 class="title"><a href="/viec-lam/x-"""), col("p_partkey"),
+      lit(""".html"><span data-original-title="Engineer """), col("p_name"),
+      lit("""">t</span></a></h3>"""),
+      lit("""<a class="company" href="/cong-ty/c">"""), col("p_brand"), lit("</a>"),
+      lit("""<label class="title-salary">"""), col("p_size"), lit(""" - """),
+      col("p_size") * 2, lit(""" triệu</label>"""),
+      lit("""<label class="address">Hà Nội</label>"""),
+      lit("""<div class="skills"><label class="item">"""), col("p_type"),
+      lit("""</label></div>"""),
+      lit("""<label class="time"><strong>"""), col("p_size"), lit("""</strong></label>"""),
+      lit("""</div>"""))
+    HtmlParser.parseJobs(p.select(html.as("html")))
+      .select(col("job_id"), col("title"), col("job_url"), col("company_name"),
+        col("salary"), col("location"), col("deadline"),
+        element_at(col("skills"), 1).as("skill0"), col("verified_employer"))
+      .orderBy(col("job_id").cast("long"))
+  }
+
+  val ingestParseSql: String =
+    """SELECT CAST(p_partkey AS VARCHAR) AS job_id,
+      |       'Engineer ' || p_name AS title,
+      |       'https://www.topcv.vn/viec-lam/x-' || CAST(p_partkey AS VARCHAR) || '.html' AS job_url,
+      |       p_brand AS company_name,
+      |       CAST(p_size AS VARCHAR) || ' - ' || CAST(p_size * 2 AS VARCHAR) || ' triệu' AS salary,
+      |       'Hà Nội' AS location,
+      |       CAST(p_size AS VARCHAR) AS deadline,
+      |       p_type AS skill0,
+      |       FALSE AS verified_employer
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P5: ILIKE-style pattern predicate (the vw_jobs_hanoi city filter
+    * shape) — lower-contains on a scanned column.
+    */
+  def viewIlike(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .filter(lower(col("p_name")).contains("green") ||
+        lower(col("p_name")).contains("blue"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  val viewIlikeSql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE lower(p_name) LIKE '%green%' OR lower(p_name) LIKE '%blue%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** J7: keep-matching left-semi (the orphan-bridge cleanup shape). */
+  def viewSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    l.join(o.select("o_orderkey"),
+        l("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+  }
+
+  val viewSemiJoinSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_parse"   -> (ingestParse _),
+    "view_ilike"     -> (viewIlike _),
+    "view_semi_join" -> (viewSemiJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ingest_parse"   -> ingestParseSql,
+    "view_ilike"     -> viewIlikeSql,
+    "view_semi_join" -> viewSemiJoinSql)
+}
