@@ -139,7 +139,17 @@ object LlmGates {
       .orderBy("doc_id")
   }
 
+  /** Embedding-cosine near-dup pairs via shared LSH buckets — rows-only
+    * (library cross-checks in LlmSpec). Threshold tuned to the synthetic
+    * near-uniform embeddings so the pair set is non-empty.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupCosine(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, bits = 8)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_exact"         -> (dedupExact _),
     "text_stats"          -> (textStats _),
     "ann_topk"            -> (annTopK _),
