@@ -28,12 +28,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     gates.CoreGates.queries ++ gates.FunctionGates.queries ++
       gates.ViewGates.queries ++ gates.LlmGates.queries ++
-      gates.QualityGates.queries ++ gates.IngestGates.queries
+      gates.QualityGates.queries ++ gates.IngestGates.queries ++
+      gates.ViewRealGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     gates.CoreGates.oracleSql ++ gates.FunctionGates.oracleSql ++
       gates.ViewGates.oracleSql ++ gates.LlmGates.oracleSql ++
-      gates.QualityGates.oracleSql ++ gates.IngestGates.oracleSql
+      gates.QualityGates.oracleSql ++ gates.IngestGates.oracleSql ++
+      gates.ViewRealGates.oracleSql
 }
