@@ -49,6 +49,21 @@ object TableStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Bucketed + sorted catalog table: both sides of a keyed merge written
+    * this way join WITHOUT a shuffle (the SortMergeJoin reads co-located
+    * buckets — no Exchange in the plan, asserted in BucketedMergeSpec).
+    * This is what makes `Merge.upsert` / carry-forward scale: the big
+    * fact/raw tables shuffle once at write time, then every daily merge
+    * is exchange-free. Native parquet bucketing — no Hive dependency.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S7 verify: row-count check after an export (`archive.py:122-161`). */
   def verifyCount(spark: SparkSession, path: String, expected: Long): Boolean =
     spark.read.parquet(path).count() == expected
