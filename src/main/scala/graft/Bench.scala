@@ -22,8 +22,15 @@ object Bench {
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
-    // JVM startup cost into its measurement.
+    // JVM startup cost into its measurement: exercise codegen, the
+    // parquet reader, and the interpreted higher-order-function path the
+    // ANN/dedup queries use.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    try {
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(256)
+        .selectExpr("sum(aggregate(transform(embedding, x -> cast(x as double)), " +
+          "cast(0.0 as double), (a, b) -> a + b))").collect()
+    } catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors  = scala.collection.mutable.LinkedHashMap[String, String]()
