@@ -64,6 +64,29 @@ object TableStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** S8: HTML blob sink — raw page text to `html/<name>` under the store
+    * root (`minio.py:75-94`'s `html/it_p{page}_{ts}.html` layout).
+    */
+  def writeBlob(root: String, name: String, content: String): Unit = {
+    val p = Paths.get(root, "html", name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** S10: backup = recursive snapshot copy of a table/warehouse directory
+    * (replaces the reference's pg_dump/DuckDB-file shuttle — the parquet
+    * tables ARE the database).
+    */
+  def backupDir(src: String, dst: String): Unit = {
+    val s = Paths.get(src); val d = Paths.get(dst)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
+
   /** S7 verify: row-count check after an export (`archive.py:122-161`). */
   def verifyCount(spark: SparkSession, path: String, expected: Long): Boolean =
     spark.read.parquet(path).count() == expected

@@ -89,6 +89,16 @@ class AppsE2ESpec extends SparkSpec {
     assert(fact.count() == 60)
   }
 
+  test("html blob sink and warehouse backup snapshot") {
+    ran
+    graft.storage.TableStore.writeBlob(root, "it_p1_20260201.html", "<html>x</html>")
+    assert(Files.readString(java.nio.file.Paths.get(s"$root/html/it_p1_20260201.html"))
+      == "<html>x</html>")
+    graft.storage.TableStore.backupDir(s"$root/dwh", s"$root/backup/dwh")
+    assert(spark.read.parquet(s"$root/backup/dwh/DimJob").count() ==
+      spark.read.parquet(s"$root/dwh/DimJob").count())
+  }
+
   test("archive + retention delete old raw rows") {
     ran
     // cutoff 0 days after runDate+1 → everything archived
