@@ -113,6 +113,18 @@ object LlmGates {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed approximate top-k — rows-only (deterministic centroid
+    * sample; recall asserted vs brute force in LlmSpec).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Ann.ivfTopK(queries, corpus, k = 5, stride = 25, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Language-ID + quality score over the documents — rows-only (the
     * heuristic's stopword profiles aren't worth mirroring in SQL; its
     * behavior is unit-tested on real sentences in LlmSpec).
@@ -156,6 +168,7 @@ object LlmGates {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
+    "ann_ivf"             -> (annIvf _),
     "text_quality"        -> (textQuality _),
     "multimodal_features" -> (multimodalFeatures _))
 

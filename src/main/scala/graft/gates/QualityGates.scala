@@ -246,7 +246,35 @@ object QualityGates {
       |  SELECT o_orderkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** §2.10 streaming: the watermarked window rollup run in BATCH mode
+    * (the transform is input-agnostic); oracle via time_bucket. The
+    * approx-distinct column is excluded (engine-specific sketches).
+    */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Tables(s, dir, "events").select(
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("user_id"), col("event_type"),
+      col("value").cast("decimal(18,2)").as("value"))
+    graft.streaming.StreamingJobs.windowedEventStats(events, "10 minutes", "1 hour")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("event_count"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamWindowSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       COUNT(*) AS event_count,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window"    -> (streamWindow _),
     "quality_crawl"    -> (qualityCrawl _),
     "quality_rules"    -> (qualityRules _),
     "monitor_health"   -> (monitorHealth _),
@@ -255,6 +283,7 @@ object QualityGates {
     "retention_delete" -> (retentionDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "stream_window"    -> streamWindowSql,
     "quality_crawl"    -> qualityCrawlSql,
     "quality_rules"    -> qualityRulesSql,
     "monitor_health"   -> monitorHealthSql,

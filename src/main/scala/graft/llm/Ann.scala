@@ -102,6 +102,46 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: a deterministic sample of the corpus
+    * serves as centroids (every `stride`-th id — no training step, no
+    * stored model); vectors assign to their nearest centroid, queries
+    * probe the `nprobe` nearest centroid lists. Candidates scale with
+    * list occupancy × probes; the centroid assignment is one broadcast
+    * nested-loop over C centroids (C small by construction).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              stride: Int = 50, nprobe: Int = 3,
+              queryId: String = "query_id", corpusId: String = "neighbor_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(corpus
+      .filter(pmod(col(corpusId), lit(stride)) === 0)
+      .select(col(corpusId).as("__cent"), col(vecCol).as("__cv0")))
+
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__cdist").desc, col("__cent").asc)
+      df.crossJoin(centroids)
+        .withColumn("__cdist", cosine(col("__v"), col("__cv0")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .drop("__cdist", "__cr", "__cv0")
+    }
+
+    val c = assign(corpus.select(col(corpusId), col(vecCol).as("__v")), corpusId, 1)
+      .withColumnRenamed("__v", "__cvv")
+    val q = assign(queries.select(col(queryId), col(vecCol).as("__v")), queryId, nprobe)
+      .withColumnRenamed("__v", "__qv")
+    val scored = q.join(c, Seq("__cent"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(cosine(col("__qv"), col("__cvv")), 6).as("cosine"))
+      .dropDuplicates(queryId, corpusId)
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via shared LSH buckets — never all-pairs.
     */

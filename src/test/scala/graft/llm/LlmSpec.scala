@@ -107,6 +107,19 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.25, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding")
+    val c = e.select($"vec_id".as("neighbor_id"), $"embedding")
+    val exact = Ann.bruteForceTopK(q, c, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(q, c, 5, stride = 25, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall $recall too low")
+  }
+
   test("multimodal: stub features are fixed-dim, normalized, deterministic") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("media"))
