@@ -121,7 +121,7 @@ object LlmGates {
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Ann.ivfTopK(queries, corpus, k = 5, stride = 25, nprobe = 4)
+    Ann.ivfTopK(queries, corpus, k = 5, stride = 50, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 

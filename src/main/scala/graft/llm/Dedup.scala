@@ -167,21 +167,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the word set: bit i is the sign of the sum of
-    * ±1 votes from each word's hash bit i. Computed INLINE per row — the
-    * word-hash array is built once, then 64 aggregate-votes fold over it;
-    * no explode, no shuffle (measured 2× the exploded groupBy form with
-    * identical output). Bit 63 lands in the long sign bit, fine for a
-    * fingerprint.
+    * ±1 votes from each word's hash bit i. Explode + 64 conditional sums:
+    * the sums are whole-stage-codegen'd, which beats an inline
+    * 64-aggregate higher-order-function fold (interpreted) by ~2× cold —
+    * the opposite trade from MinHash, where the inline form replaced a
+    * shuffle AND its per-element work was cheap arithmetic. Bit 63 lands
+    * in the long sign bit, fine for a fingerprint.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = transform(array_distinct(split(normalize(col(textCol)), " ")),
-      w => xxhash64(w))
-    val packed = (0 until 64).map { i =>
-      val votes = aggregate(ws, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    df.select(col(idCol), packed.as("simhash"))
+    val words = df.select(col(idCol),
+      explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
+    val h = xxhash64(col("__w"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$i"))
+    val packed = (0 until 64).map(i =>
+        when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -193,7 +197,10 @@ object Dedup {
     */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
                      maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
+    // The inline simhash has no shuffle for downstream plans to reuse, so
+    // without materialization the 64-vote fold would re-run for the
+    // window AND both join sides.
+    val sigs = simhash(df, idCol, textCol).localCheckpoint(true)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
