@@ -141,6 +141,26 @@ object Apps {
     n
   }
 
+  /** Denormalized fact export (J11 + S6: `minio.py:231-237` enrichment
+    * join, `:253-308` load_month-partitioned layout): fact ⋈ DimJob ⋈
+    * DimCompany, snappy parquet under `parquet/load_month=YYYY-MM/`.
+    */
+  def exportDenormalized(spark: SparkSession, warehouseRoot: String): Unit = {
+    val star = readStar(spark, warehouseRoot)
+    val denorm = star.fact.as("f")
+      .join(broadcast(star.dimJob.filter(col("is_current"))).as("j"),
+        col("f.job_sk") === col("j.job_sk"))
+      .join(broadcast(star.dimCompany.filter(col("is_current"))).as("c"),
+        col("f.company_sk") === col("c.company_sk"))
+      .select(col("f.fact_id"), col("j.job_id"), col("j.title"),
+        col("c.company_name"), col("c.verified_employer"), col("f.date_id"),
+        col("f.salary_min"), col("f.salary_max"), col("f.salary_type"),
+        col("f.due_date"), col("f.posted_time"), col("j.skills"),
+        col("j.job_url"), col("f.load_month"))
+    TableStore.replacePartitions(denorm, s"$warehouseRoot/parquet/job_postings",
+      Seq("load_month"))
+  }
+
   /** Register the BI surface (§3.3). */
   def registerViews(spark: SparkSession, warehouseRoot: String, runDate: String): Unit =
     Views.registerAll(spark, readStar(spark, warehouseRoot), lit(runDate))

@@ -89,6 +89,10 @@ object Salary {
 
   /** F5: tiered Vietnamese countdown (`staging_procedures.sql:89-123`).
     * `now` is an explicit column for determinism (SURVEY.md §7.5-1).
+    * Sub-second divergence: the seconds tier truncates whole seconds where
+    * PG's `EXTRACT(second)::int` would round the fraction — observable
+    * only when `due_date` carries sub-second precision, which staged data
+    * never does.
     */
   def timeRemaining(dueDate: Column, now: Column): Column = {
     val secs = epochSecs(dueDate) - epochSecs(now)

@@ -89,6 +89,15 @@ class AppsE2ESpec extends SparkSpec {
     assert(fact.count() == 60)
   }
 
+  test("denormalized export lands in load_month partitions") {
+    ran
+    Apps.exportDenormalized(spark, root)
+    val exp = spark.read.parquet(s"$root/parquet/job_postings")
+    assert(exp.count() == 60)
+    assert(exp.select("load_month").distinct().head().getString(0) == "2026-02")
+    assert(exp.filter(col("company_name").isNull).count() == 0) // enriched
+  }
+
   test("html blob sink and warehouse backup snapshot") {
     ran
     graft.storage.TableStore.writeBlob(root, "it_p1_20260201.html", "<html>x</html>")
