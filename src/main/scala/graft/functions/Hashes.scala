@@ -22,4 +22,12 @@ object Hashes {
   def nullifyEmpty(c: Column): Column =
     when(c.cast("string").isin("", "None"), lit(null).cast("string"))
       .otherwise(c.cast("string"))
+
+  /** F11 boundary codec: the engine stores skills as a native
+    * `array<string>`; the Postgres/raw-compat boundary carries the
+    * reference's JSON string (`parser.py:266-269`). */
+  def skillsToJson(skills: Column): Column = to_json(skills)
+  def skillsFromJson(json: Column): Column =
+    from_json(json, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
 }
