@@ -1,0 +1,34 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Physical-plan audit of the fact build: dimension lookups must
+  * broadcast and the only hash exchanges are the union branches
+  * co-partitioning for the snapshot dedup window — no redundant
+  * shuffles creep in as the code evolves.
+  */
+class WarehousePlanSpec extends SparkSpec {
+  test("fact build: dims broadcast, only window co-partition exchanges") {
+    import scala.jdk.CollectionConverters._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def row(id: String): Row =
+      Row(id, "T", "u", Seq("S"), "C", null, null, true, "Hà Nội", null, null,
+        "negotiable", null, ts("2026-01-01 06:00:00"), null, ts("2026-01-01 06:00:00"))
+    val staging = spark.createDataFrame(
+      new java.util.ArrayList[Row]((1 to 5).map(i => row(s"j$i")).asJava), Schemas.staging)
+    val s0 = WarehouseJob.emptyState(spark)
+    val s1 = WarehouseJob.runDay(spark, s0, staging, "2026-01-01")
+    val fact2 = FactDaily.buildDay(
+      s1.star.fact.filter(col("date_id") === "2026-01-01"),
+      s1.star.fact.limit(0), staging, s1.star.dimJob, s1.star.dimCompany,
+      lit("2026-01-02"), lit("2026-01-02 07:00:00"), 100L)
+    val plan = fact2.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n" + plan.take(1500))
+    assert("BroadcastHashJoin|BroadcastNestedLoop".r.findAllIn(plan).nonEmpty,
+      "dim lookups must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no sort-merge joins in the fact build")
+  }
+}
