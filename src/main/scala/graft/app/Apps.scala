@@ -115,7 +115,7 @@ object Apps {
         spark.read.parquet(s"$dwh/DimLocation") else empty.dimLocation,
       dimDate = readOrEmpty(spark, s"$dwh/DimDate", empty.dimDate),
       fact = readOrEmpty(spark, s"$dwh/FactJobPostingDaily", empty.fact)
-        .select(empty.fact.columns.map(col): _*), // partition col read-back order
+        .select(empty.fact.columns.toIndexedSeq.map(col): _*), // partition col read-back order
       bridge = readOrEmpty(spark, s"$dwh/FactJobLocationBridge", empty.bridge))
   }
 

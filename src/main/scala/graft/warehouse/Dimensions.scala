@@ -90,7 +90,7 @@ object Dimensions {
     val existing = df.filter(col(skCol).isNotNull)
     val missing  = df.filter(col(skCol).isNull).drop(skCol)
     Keys.assign(missing, orderBy, skCol, offset = maxSkOf(existing, skCol))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .unionByName(existing)
   }
 

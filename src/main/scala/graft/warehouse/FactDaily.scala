@@ -87,7 +87,7 @@ object FactDaily {
     val keep = deduped.filter(col("fact_id").isNotNull)
     val mint = Keys.assign(deduped.filter(col("fact_id").isNull).drop("fact_id"),
         Seq("job_sk"), "fact_id", offset = maxFactId)
-      .select(deduped.columns.map(col): _*)
+      .select(deduped.columns.toIndexedSeq.map(col): _*)
     keep.unionByName(mint)
   }
 }
