@@ -138,6 +138,18 @@ object LlmGates {
         round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"))
       .orderBy("doc_id")
 
+  /** Rolling-hash fingerprints via the custom codegen'd Catalyst
+    * expression — rows-only (the O(n) rolling arithmetic has no DuckDB
+    * equivalent; codegen/interpreted/reference agreement is asserted in
+    * RollingHashSpec).
+    */
+  def textRollingFp(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+        col("doc_id"),
+        graft.expressions.RollingHashMin.rolling_hash_min(col("text"), 16)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+
   /** Multimodal plumbing — rows-only: text bytes as the opaque binary
     * column, stub feature extraction through the real mapPartitions path.
     */
@@ -170,6 +182,7 @@ object LlmGates {
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
     "text_quality"        -> (textQuality _),
+    "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _))
 
   val oracleSql: Map[String, String] = Map(

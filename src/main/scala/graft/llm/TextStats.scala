@@ -97,7 +97,15 @@ object TextStats {
 
   /** Content fingerprint: md5 of the normalized text (stable under
     * whitespace/case noise). For shift-tolerant fingerprints use
-    * [[Dedup.simhash]].
+    * [[rollingFingerprint]] (substring-stable) or [[Dedup.simhash]]
+    * (edit-distance-stable).
     */
   def fingerprint(text: Column): Column = md5(Dedup.normalize(text))
+
+  /** Shift-tolerant rolling-hash fingerprint — the custom codegen'd
+    * Catalyst expression [[graft.expressions.RollingHashMin]] over the
+    * normalized text (O(n) per row).
+    */
+  def rollingFingerprint(text: Column, k: Int = 16): Column =
+    graft.expressions.RollingHashMin.rolling_hash_min(Dedup.normalize(text), k)
 }
