@@ -49,6 +49,16 @@ class RollingHashSpec extends SparkSpec {
     assert(RollingHashMin.eval(Array.empty[Byte], 16) == 0L)
   }
 
+  test("SQL surface: rolling_hash_min and clean_company_name registered") {
+    Functions.register(spark)
+    Seq("hello world document").toDF("t").createOrReplaceTempView("rh_t")
+    val viaSql = spark.sql("SELECT rolling_hash_min(t, 8) FROM rh_t").head().getLong(0)
+    assert(viaSql == RollingHashMin.eval("hello world document".getBytes("UTF-8"), 8))
+    val name = spark.sql("SELECT clean_company_name('công ty tnhh fpt software')")
+      .head().getString(0)
+    assert(name == "Công Ty TNHH FPT Software")
+  }
+
   test("null input stays null") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(rolling_hash_min(col("t"), 8)).head()
