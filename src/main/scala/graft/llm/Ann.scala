@@ -33,6 +33,13 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pair cosine from PRE-COMPUTED norms: identical arithmetic to
+    * [[cosine]] (`dot / (na·nb)`), but each row's norm is evaluated once
+    * instead of once per pair — ~2/3 less work on the candidate join.
+    */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact cosine top-k per query (self-match excluded when ids collide).
     * Ranking uses the cosine rounded to 6 decimals with the neighbor id as
     * tiebreak, so results are stable across summation orders and engines.
@@ -40,12 +47,15 @@ object Ann {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      queryId: String = "query_id", corpusId: String = "neighbor_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(queryId), col(vecCol).as("__qv")))
-    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(queryId), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.crossJoin(c)
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+        round(cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -88,13 +98,16 @@ object Ann {
               bits: Int = 12, dim: Int = 64, queryId: String = "query_id",
               corpusId: String = "neighbor_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(corpusId), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       signBucket(col(vecCol), bits, dim).as("__bucket"))
     val q = queries.select(col(queryId), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"),
         explode(probeBuckets(signBucket(col(vecCol), bits, dim), bits)).as("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(cosine(col("__qv"), col("__cv")), 6).as("cosine"))
+        round(cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
       .dropDuplicates(queryId, corpusId)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
@@ -115,26 +128,31 @@ object Ann {
               vecCol: String = "embedding"): DataFrame = {
     val centroids = broadcast(corpus
       .filter(pmod(col(corpusId), lit(stride)) === 0)
-      .select(col(corpusId).as("__cent"), col(vecCol).as("__cv0")))
+      .select(col(corpusId).as("__cent"), col(vecCol).as("__cv0"),
+        norm(col(vecCol)).as("__cn0")))
 
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__cdist").desc, col("__cent").asc)
       df.crossJoin(centroids)
-        .withColumn("__cdist", cosine(col("__v"), col("__cv0")))
+        .withColumn("__cdist",
+          cosinePre(col("__v"), col("__cv0"), col("__n"), col("__cn0")))
         .withColumn("__cr", row_number().over(w))
         .filter(col("__cr") <= keep)
-        .drop("__cdist", "__cr", "__cv0")
+        .drop("__cdist", "__cr", "__cv0", "__cn0")
     }
 
-    val c = assign(corpus.select(col(corpusId), col(vecCol).as("__v")), corpusId, 1)
-      .withColumnRenamed("__v", "__cvv")
-    val q = assign(queries.select(col(queryId), col(vecCol).as("__v")), queryId, nprobe)
-      .withColumnRenamed("__v", "__qv")
+    val c = assign(corpus.select(col(corpusId), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")), corpusId, 1)
+      .withColumnRenamed("__v", "__cvv").withColumnRenamed("__n", "__cn")
+    val q = assign(queries.select(col(queryId), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")), queryId, nprobe)
+      .withColumnRenamed("__v", "__qv").withColumnRenamed("__n", "__qn")
     val scored = q.join(c, Seq("__cent"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(cosine(col("__qv"), col("__cvv")), 6).as("cosine"))
+        round(cosinePre(col("__qv"), col("__cvv"), col("__qn"), col("__cn")), 6)
+          .as("cosine"))
       .dropDuplicates(queryId, corpusId)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId).asc)
@@ -148,13 +166,17 @@ object Ann {
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {
     val h = df.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
       signBucket(col(vecCol), bits, dim).as("__bucket"))
-    val a = h.select(col("__bucket"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = h.select(col("__bucket"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val a = h.select(col("__bucket"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = h.select(col("__bucket"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("__va"), col("__vb")), 6).as("cosine"))
+        round(cosinePre(col("__va"), col("__vb"), col("__na"), col("__nb")), 6)
+          .as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
   }
