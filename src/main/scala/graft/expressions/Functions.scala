@@ -1,7 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SQL-surface registration (SURVEY.md §2.11): the custom Catalyst
   * expression and the scalar cleaners become callable from `spark.sql`,
@@ -9,12 +12,38 @@ import org.apache.spark.sql.functions.udf
   */
 object Functions {
 
+  /** The `k` argument must be a foldable integral literal >= 1 — anything
+    * else fails ANALYSIS cleanly instead of throwing a raw
+    * ClassCastException out of `eval()` at resolution time.
+    */
+  private def windowArg(e: Expression): Int = {
+    val k = e match {
+      case lit if lit.foldable && Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(lit.dataType) =>
+        lit.eval() match {
+          case n: Number => n.intValue
+          case _ => fail(e)
+        }
+      case _ => fail(e)
+    }
+    if (k < 1) fail(e)
+    k
+  }
+
+  private def fail(e: Expression): Nothing =
+    throw new AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+      messageParameters = Map(
+        "parameter" -> "`k` (must be a literal >= 1)",
+        "functionName" -> "`rolling_hash_min`",
+        "invalidValue" -> e.sql))
+
   def register(spark: SparkSession): Unit = {
     // native expression → FunctionRegistry (expression-level, codegen'd)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash_min",
       exprs => RollingHashMin(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(16)),
+        exprs.lift(1).map(windowArg).getOrElse(16)),
       "scala_udf")
 
     // scalar cleaners for SQL parity (clean_title stays a native chain

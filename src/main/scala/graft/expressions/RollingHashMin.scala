@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHashMin(child: Expression, k: Int)
   extends UnaryExpression {
+  require(k >= 1, s"rolling_hash_min: window k must be >= 1, got $k")
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes()

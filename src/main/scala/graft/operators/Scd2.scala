@@ -39,10 +39,14 @@ object Scd2 {
     * reference `dimensions/job.py:67-71`) — so a null↔'' flip is NOT a
     * change and does not spawn a phantom SCD2 version. Arrays compare via
     * their stringified form, matching the reference's stringified skills
-    * compare.
+    * compare; an EMPTY array is falsy in Python (`str([] or '') == ''`), so
+    * its Spark stringification '[]' is normalized to '' and an empty↔null
+    * skills flip is likewise not a change.
     */
-  private def refEquals(a: Column, b: Column): Column =
-    coalesce(a.cast("string"), lit("")) === coalesce(b.cast("string"), lit(""))
+  private def refEquals(a: Column, b: Column): Column = {
+    def s(c: Column) = coalesce(nullif(c.cast("string"), lit("[]")), lit(""))
+    s(a) === s(b)
+  }
 
   private def changedPredicate(compare: Seq[String]): Column =
     compare.map(c => !refEquals(col(s"cur.$c"), col(s"inc.$c"))).reduce(_ || _)

@@ -62,8 +62,11 @@ object Snapshots {
     */
   def dedupByPrioritySalted(df: DataFrame, key: Seq[String], salts: Int,
                             priority: Column, tiebreak: Column*): DataFrame = {
+    // Variadic hash over the tiebreak columns directly — no arithmetic, so
+    // string tiebreaks don't hit ANSI cast errors and long tiebreaks can't
+    // overflow; any tiebreak value distribution spreads across the salts.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(tiebreak.reduceOption(_ + _).getOrElse(priority)), lit(salts)))
+      pmod(xxhash64((tiebreak :+ priority).toIndexedSeq: _*), lit(salts)))
     val phase1 = dedupByPriority(salted, key :+ "__salt", priority, tiebreak: _*)
     dedupByPriority(phase1.drop("__salt"), key, priority, tiebreak: _*)
   }

@@ -70,13 +70,15 @@ object FactDaily {
         col("time_remaining"), col("posted_time"), col("due_date"),
         crawledAt.cast("timestamp").as("crawled_at"),
         date_format(today, "yyyy-MM").as("load_month"))
-      .withColumn("__priority", lit(1))
+      .withColumn("__priority", lit(0))
 
-    val existing = factTodayExisting.withColumn("__priority", lit(0))
+    val existing = factTodayExisting.withColumn("__priority", lit(1))
 
-    // Priority: existing row (idempotent re-run) > staging > carried; then
-    // dedup on the snapshot grain. Carried rows drop their old fact_id so
-    // every today-row gets a fresh id like the reference's NEXTVAL.
+    // Priority: staging > existing row > carried. The reference's re-run is
+    // DELETE+INSERT (`daily.py:208-231`): a revised staging row OVERWRITES an
+    // existing `(job_sk, date_id)` row and mints a fresh fact_id, so staging
+    // must outrank existing. Carried rows drop their old fact_id so every
+    // today-row gets a fresh id like the reference's NEXTVAL.
     val unioned = existing.unionByName(
       fromStaging.withColumn("fact_id", lit(null).cast("long")), allowMissingColumns = true)
       .unionByName(carried.withColumn("fact_id", lit(null).cast("long")))

@@ -59,6 +59,24 @@ class RollingHashSpec extends SparkSpec {
     assert(name == "Công Ty TNHH FPT Software")
   }
 
+  test("SQL surface: invalid k fails analysis cleanly, not with a raw CCE") {
+    Functions.register(spark)
+    Seq("text").toDF("t").createOrReplaceTempView("rh_bad")
+    for (bad <- Seq("rolling_hash_min(t, t)",        // non-foldable
+                    "rolling_hash_min(t, 'x')",      // non-integral
+                    "rolling_hash_min(t, 0)",        // k < 1
+                    "rolling_hash_min(t, -3)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad FROM rh_bad").collect()
+      }
+      assert(e.getMessage.contains("rolling_hash_min"), s"$bad → ${e.getMessage}")
+    }
+    // the expression itself also rejects k < 1
+    intercept[IllegalArgumentException] {
+      RollingHashMin.rolling_hash_min(col("t"), 0)
+    }
+  }
+
   test("null input stays null") {
     val r = Seq(Option.empty[String]).toDF("t")
       .select(rolling_hash_min(col("t"), 8)).head()

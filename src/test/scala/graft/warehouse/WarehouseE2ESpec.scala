@@ -115,6 +115,31 @@ class WarehouseE2ESpec extends SparkSpec {
     assert(f3.filter(col("salary_max") === new java.math.BigDecimal("45000000.00")).count() == 1)
   }
 
+  test("intra-day re-run with revised staging overwrites the existing row (DELETE+INSERT parity)") {
+    // Reference _upsert_fact (daily.py:208-231) DELETE+INSERTs: re-running a
+    // day with REVISED staging must replace the existing (job_sk, date_id)
+    // row with the revised values and a fresh fact_id.
+    val s1 = states(0)
+    val aFactBefore = s1.star.fact.as("f")
+      .join(s1.star.dimJob.filter(col("job_id") === "A"), Seq("job_sk"))
+      .select("fact_id", "salary_min").head()
+    val day1Revised = Seq(
+      row("A", "Python Dev", Seq("Python", "SQL"), "Công Ty X", verified = true,
+        "Hà Nội", Some(27000000L), Some(42000000L), "range",
+        Some("2026-01-05 00:00:00"), "2026-01-01 09:00:00"),
+      row("B", "Java Dev", Seq("Java"), "Công Ty X", verified = true,
+        "Hồ Chí Minh & Hà Nội", None, None, "negotiable",
+        Some("2026-01-02 00:00:00"), "2026-01-01 09:00:00"))
+    val s1b = WarehouseJob.runDay(spark, s1, stagingDf(day1Revised), "2026-01-01")
+    val f1b = s1b.star.fact.filter(col("date_id") === "2026-01-01")
+    assert(f1b.count() == 2)                                     // still one row per job
+    val aAfter = f1b.as("f")
+      .join(s1b.star.dimJob.filter(col("is_current") && col("job_id") === "A"), Seq("job_sk"))
+      .select("fact_id", "salary_min").head()
+    assert(aAfter.getDecimal(1) == new java.math.BigDecimal("27000000.00")) // revised value wins
+    assert(aAfter.getLong(0) != aFactBefore.getLong(0))          // fresh fact_id (NEXTVAL parity)
+  }
+
   test("snapshot invariant: no duplicate (job_sk, date_id)") {
     for (st <- states) {
       val dups = st.star.fact.groupBy("job_sk", "date_id").count()
