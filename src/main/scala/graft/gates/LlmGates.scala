@@ -8,13 +8,60 @@ import graft.llm.{Ann, Dedup, Multimodal, TextStats}
 /** Correctness gates for the LLM-data-pipeline operators over
   * `documents.parquet` / `embeddings.parquet`.
   *
-  * DuckDB-expressible operators get full oracles (text stats, exact
-  * dedup, brute-force ANN). The xxhash64-based ones (MinHash, SimHash,
-  * LSH) have no DuckDB equivalent → no oracleSql entry, driver records the
-  * rows-only check; their cross-checks live in ScalaTest (LSH recall vs
-  * brute force, near-dup symmetry).
+  * EVERY gate here carries a full DuckDB oracle. The near-dup/ANN gates
+  * run their operators in a PORTABLE hash mode (md5-string minhash,
+  * md5-hex-digit simhash bits, literal Rademacher hyperplanes) so the
+  * oracle can restate the ENTIRE pipeline — candidate generation,
+  * skew caps, verification — in SQL and hash-match the exact output.
+  * The xxhash64 fast paths remain the library defaults; their
+  * equivalence-of-behavior (recall vs brute force, planted-pair
+  * detection) is asserted in LlmSpec.
+  *
+  * Floating-point parity rules used throughout the oracles:
+  *   - dot/norm are SEQUENTIAL left folds on both sides (Spark
+  *     `aggregate(zip_with(..))` ≡ DuckDB `list_reduce` starting at the
+  *     first element; `0.0 + x1 == x1` exactly), so doubles match bitwise;
+  *   - comparisons happen either on raw bitwise-identical doubles (bucket
+  *     signs, centroid ranking) or on `round(x, 6)` values;
+  *   - int/int divisions (ratios, Jaccard) are exact IEEE and identical.
   */
 object LlmGates {
+
+  private val Dim = 64 // embedding length in the testdata contract
+
+  // ---- shared SQL fragments -------------------------------------------
+
+  /** Sequential-fold dot product of two DOUBLE-cast list columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE) for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
+
+  private def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
+
+  private def planeLit(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("([", ",", "]::DOUBLE[])")
+
+  /** Sign-projection bucket over the SAME seeded literal planes
+    * [[Ann.planes]] bakes into the Spark plan — bit i set iff the
+    * sequential-fold projection onto plane i is > 0.
+    */
+  private def bucketSql(e: String, bits: Int): String =
+    Ann.planes(bits, Dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_reduce([CAST($e[j] AS DOUBLE) * ${planeLit(p)}[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** Normalized text and its distinct word-2-gram shingle set — mirrors
+    * [[Dedup.normalize]] + [[Dedup.shingles]](n=2) + array_distinct.
+    */
+  private val shingleCte: String =
+    """norm AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) END AS shset
+      |  FROM norm)""".stripMargin
+
+  // ---- exact dedup (unchanged, already oracle-green) ------------------
 
   /** Exact dedup with a full oracle. The synthetic docs are all distinct,
     * so dedup must be the identity — the oracle proves exactly that via
@@ -32,6 +79,8 @@ object LlmGates {
       |        ORDER BY doc_id) AS rn
       |      FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---- text stats (unchanged, already oracle-green) -------------------
 
   /** Text statistics with a full oracle (token/char counts, ratios,
     * fingerprint). The synthetic text is single-space word soup, so the
@@ -58,6 +107,8 @@ object LlmGates {
       |        / len(string_split(trim(text), ' ')), 6) AS avg_word_len,
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- brute-force ANN (unchanged, already oracle-green) --------------
 
   /** Brute-force cosine top-5 for queries vec_id < 5, with a DuckDB
     * list_cosine_similarity oracle. Ranking on the 6-decimal-rounded
@@ -86,23 +137,88 @@ object LlmGates {
       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** MinHash/LSH near-dup pairs — rows-only (xxhash64 signatures are not
-    * expressible in DuckDB). Low threshold so the word-soup corpus yields
-    * a non-empty, deterministic pair set.
+  // ---- MinHash/LSH near-dup: portable mode + full-pipeline oracle -----
+
+  /** MinHash/LSH near-dup pairs in PORTABLE mode (md5-string minhash
+    * family): the oracle below restates signatures, banding, the skew cap
+    * and the exact-Jaccard verification — a full-pipeline hash match.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupMinhash(Tables(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2)
+        threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs — rows-only. */
+  val dedupMinhashSql: String =
+    s"""WITH $shingleCte,
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS m
+       |  FROM ex, range(32) r(i) GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS signature FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |         md5(array_to_string(signature[j*4+1:j*4+4], '|')) AS bucket
+       |  FROM sig, range(8) r(j)),
+       |capped AS (
+       |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+       |      / len(list_distinct(sa.shset || sb.shset)) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+       |            JOIN sh sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM verified
+       |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- SimHash near-dup: portable mode + full-pipeline oracle ---------
+
+  /** SimHash near-dup pairs in PORTABLE mode (md5-hex-digit bits): the
+    * oracle restates votes, 16-bit band buckets, the skew cap and the
+    * Hamming verification.
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupSimhash(Tables(s, dir, "documents"), "doc_id", "text",
-        maxDistance = 8, maxBucket = 500)
+        maxDistance = 8, maxBucket = 500, portable = true)
       .orderBy("id_a", "id_b")
 
-  /** LSH-bucketed approximate top-k — rows-only; its recall against the
-    * brute-force baseline is asserted in LlmSpec.
+  val dedupSimhashSql: String =
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), i // 4 + 1, 1)) - 1)
+      |                   >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM words, range(64) r(i) GROUP BY doc_id, i),
+      |bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+      |bands AS (
+      |  SELECT doc_id, i // 16 AS band, sum(CAST(b AS BIGINT) << (i % 16)) AS bucket
+      |  FROM bits GROUP BY doc_id, i // 16),
+      |capped AS (
+      |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 500),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id < b.doc_id),
+      |fp AS (SELECT doc_id, list(b ORDER BY i) AS bl FROM bits GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(range(1, 65), j -> fa.bl[j] != fb.bl[j])) AS INT) AS distance
+      |  FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+      |            JOIN fp fb ON fb.doc_id = cand.id_b)
+      |SELECT id_a, id_b, distance FROM pairs
+      |WHERE distance <= 8 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- ANN LSH: literal planes + full-pipeline oracle -----------------
+
+  /** LSH-bucketed approximate top-k. The planes are seeded literals, so
+    * the oracle recomputes the same buckets, the same 1-bit multi-probes,
+    * and the same round-6 cosine ranking.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -113,21 +229,87 @@ object LlmGates {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-bucketed approximate top-k — rows-only (deterministic centroid
-    * sample; recall asserted vs brute force in LlmSpec).
+  val annLshSql: String = {
+    val b = bucketSql("embedding", 10)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm, $b AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+       |    unnest(list_distinct([bucket] ||
+       |      [xor(bucket, CAST(1 AS BIGINT) << i) for i in range(0, 10)])) AS bucket
+       |  FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT DISTINCT query_id, e.vec_id AS neighbor_id,
+       |    round(${dotSql("qv", "e.embedding")} / (qn * e.nrm), 6) AS cosine
+       |  FROM probes p JOIN e ON p.bucket = e.bucket
+       |  WHERE query_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- ANN IVF: deterministic centroids + full-pipeline oracle --------
+
+  /** IVF-bucketed approximate top-k — centroid stride, nearest-centroid
+    * assignment (raw-double ranking), probing and round-6 cosine ranking
+    * all restated in the oracle. The stride formula mirrors
+    * [[Ann.centroidStride]] exactly.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
-    Ann.ivfTopK(queries, corpus, k = 5, stride = 50, nprobe = 4)
+    Ann.ivfTopK(queries, corpus, k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
-  /** Language-ID + quality score over the documents — rows-only (the
-    * heuristic's stopword profiles aren't worth mirroring in SQL; its
-    * behavior is unit-tested on real sentences in LlmSpec).
+  val annIvfSql: String =
+    s"""WITH en AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |p AS (
+       |  SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE) /
+       |    greatest(1, least(CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 65536)))
+       |    AS BIGINT)) AS stride
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |  FROM en, p WHERE vec_id % stride = 0),
+       |assignc AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${dotSql("en.embedding", "cents.ce")} / (en.nrm * cents.cn) DESC,
+       |                 cents.cid ASC) AS rn
+       |    FROM en, cents) WHERE rn <= 1),
+       |assignq AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${dotSql("en.embedding", "cents.ce")} / (en.nrm * cents.cn) DESC,
+       |                 cents.cid ASC) AS rn
+       |    FROM en, cents WHERE en.vec_id < 5) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM assignq q JOIN assignc c ON q.cid = c.cid
+       |  WHERE q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- text quality: direct SQL restatement ---------------------------
+
+  /** Language-ID + quality score — the stopword profiles and the argmax
+    * are restated literally in the oracle (struct max ≡ Spark's
+    * array_max over (score, lang) structs).
     */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -138,10 +320,56 @@ object LlmGates {
         round(TextStats.stopwordRatio(col("text")), 6).as("stopword_ratio"))
       .orderBy("doc_id")
 
+  val textQualitySql: String = {
+    // keep these lists in lockstep with TextStats.stopwords
+    val profiles = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
+      "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
+      "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "que", "pour"),
+      "vi" -> Seq("của", "và", "là", "có", "được", "cho", "này", "không", "người", "những"))
+    def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    def score(ws: Seq[String]) =
+      s"len(list_filter(words, w -> list_contains(${listLit(ws)}, w)))"
+    val structs = profiles.map { case (l, ws) =>
+      s"{'score': ${score(ws)}, 'lang': '$l'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS digit_ratio,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, punct_ratio, digit_ratio, toks,
+       |    list_aggregate($structs, 'max') AS best,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |      ELSE CAST(${score(profiles.collectFirst { case ("en", ws) => ws }.get)} AS DOUBLE)
+       |           / len(words) END AS stop_ratio
+       |  FROM base)
+       |SELECT doc_id,
+       |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       |  round((CASE WHEN toks BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END)
+       |      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+       |      * (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
+       |      * (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) AS quality,
+       |  round(punct_ratio, 6) AS punct_ratio,
+       |  round(stop_ratio, 6) AS stopword_ratio
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- rolling-hash fingerprint: HUGEINT-emulated oracle --------------
+
   /** Rolling-hash fingerprints via the custom codegen'd Catalyst
-    * expression — rows-only (the O(n) rolling arithmetic has no DuckDB
-    * equivalent; codegen/interpreted/reference agreement is asserted in
-    * RollingHashSpec).
+    * expression. The oracle restates the polynomial hash per k-byte
+    * window with HUGEINT arithmetic mod 2^64 (≡ the expression's
+    * wrapping-long semantics) and reinterprets as signed before the min.
     */
   def textRollingFp(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -150,27 +378,88 @@ object LlmGates {
           .as("rolling_fp"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing — rows-only: text bytes as the opaque binary
-    * column, stub feature extraction through the real mapPartitions path.
+  val textRollingFpSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CASE WHEN length(text) < 16
+      |      THEN (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END)
+      |      ELSE 16 END AS kk
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    list_reduce([ord(substr(text, i + j, 1))::HUGEINT for j in range(0, kk)],
+      |      (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS h
+      |  FROM (SELECT doc_id, text, kk, unnest(range(1, n - kk + 2)) AS i FROM tk)),
+      |signed AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS sh
+      |  FROM wins)
+      |SELECT tk.doc_id, coalesce(min(sh), 0) AS rolling_fp
+      |FROM tk LEFT JOIN signed ON signed.doc_id = tk.doc_id
+      |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
+
+  // ---- multimodal plumbing: byte-histogram oracle ---------------------
+
+  /** Multimodal plumbing — text bytes as the opaque binary column, stub
+    * feature extraction (16-bin byte histogram, double-divide → float)
+    * through the real mapPartitions path. The oracle recomputes the
+    * histogram fractions with the same DOUBLE→REAL narrowing.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("media"))
     Multimodal.extractFeatures(d, "doc_id", "media")
-      .select(col("doc_id"), round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 8), 6).as("f7"),
+      .select(col("doc_id"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 8).cast("double"), 6).as("f7"),
         size(col("features")).as("dim"))
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs via shared LSH buckets — rows-only
-    * (library cross-checks in LlmSpec). Threshold tuned to the synthetic
-    * near-uniform embeddings so the pair set is non-empty.
+  val multimodalFeaturesSql: String =
+    """WITH bins AS (
+      |  SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bin
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)),
+      |agg AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS c0,
+      |    sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS c7,
+      |    count(*) AS n
+      |  FROM bins GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  round(CAST(CAST(coalesce(CAST(c0 AS DOUBLE) / n, 0) AS REAL) AS DOUBLE), 6) AS f0,
+      |  round(CAST(CAST(coalesce(CAST(c7 AS DOUBLE) / n, 0) AS REAL) AS DOUBLE), 6) AS f7,
+      |  CAST(16 AS INT) AS dim
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- embedding near-dup: literal planes + full-pipeline oracle ------
+
+  /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
+    * planes, skew cap, round-6 cosine threshold all restated in the
+    * oracle.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.nearDupCosine(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, bits = 8)
       .orderBy("id_a", "id_b")
+
+  val dedupEmbeddingSql: String = {
+    val b = bucketSql("embedding", 8)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm, $b AS bucket
+       |  FROM embeddings),
+       |capped AS (
+       |  SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM capped a JOIN capped b ON a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM pairs
+       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -186,7 +475,15 @@ object LlmGates {
     "multimodal_features" -> (multimodalFeatures _))
 
   val oracleSql: Map[String, String] = Map(
-    "dedup_exact" -> dedupExactSql,
-    "text_stats"  -> textStatsSql,
-    "ann_topk"    -> annTopKSql)
+    "dedup_exact"         -> dedupExactSql,
+    "text_stats"          -> textStatsSql,
+    "ann_topk"            -> annTopKSql,
+    "dedup_minhash"       -> dedupMinhashSql,
+    "dedup_simhash"       -> dedupSimhashSql,
+    "ann_lsh"             -> annLshSql,
+    "ann_ivf"             -> annIvfSql,
+    "text_quality"        -> textQualitySql,
+    "text_rolling_fp"     -> textRollingFpSql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "dedup_embedding"     -> dedupEmbeddingSql)
 }

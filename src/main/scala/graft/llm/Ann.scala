@@ -73,10 +73,17 @@ object Ann {
     * side with nulls, so a mismatched plane length would null the whole
     * projection (and silently collapse every row into bucket 0).
     */
-  def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+  /** The seeded Rademacher hyperplanes behind [[signBucket]], exposed so
+    * the correctness oracle can inject the IDENTICAL literals into its SQL
+    * (same seed → same planes → same buckets in any engine).
+    */
+  def planes(bits: Int, dim: Int, seed: Int = 42): IndexedSeq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val projections = (0 until bits).map { i =>
-      val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    IndexedSeq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
+    val projections = planes(bits, dim, seed).zipWithIndex.map { case (signs, i) =>
       val proj = aggregate(
         zip_with(vec, typedLit(signs), (v, s) => v.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
@@ -115,17 +122,38 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Stride that yields ≈`target` centroids from an `n`-row corpus —
+    * default target √n, hard-capped at 2^16 so the broadcast centroid
+    * table and the per-row assignment cost stay BOUNDED no matter how big
+    * the corpus grows (an uncapped every-stride-th rule would broadcast
+    * 2×10⁷ centroids at 10⁹ rows and turn the assignment crossJoin into a
+    * scale-killer).
+    */
+  private[llm] def centroidStride(n: Long, target: Int = 0, cap: Int = 65536): Int = {
+    val want = if (target > 0) target.toLong
+               else math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong
+    val c = math.max(1L, math.min(want, cap.toLong))
+    math.max(1L, math.ceil(n.toDouble / c.toDouble).toLong).toInt
+  }
+
   /** IVF-style approximate top-k: a deterministic sample of the corpus
     * serves as centroids (every `stride`-th id — no training step, no
     * stored model); vectors assign to their nearest centroid, queries
     * probe the `nprobe` nearest centroid lists. Candidates scale with
     * list occupancy × probes; the centroid assignment is one broadcast
-    * nested-loop over C centroids (C small by construction).
+    * nested-loop over C centroids.
+    *
+    * C is BUDGETED: ≈√n by default (`centroidTarget` overrides), capped at
+    * 2^16 — [[centroidStride]]. Costs one extra column-pruned count() of
+    * the corpus, negligible next to the assignment pass it bounds.
+    * Assumes ids are ~dense integers (true for `vec_id`); a sparse id
+    * space just yields proportionally fewer centroids, never more.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              stride: Int = 50, nprobe: Int = 3,
+              centroidTarget: Int = 0, nprobe: Int = 3,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
+    val stride = centroidStride(corpus.count(), centroidTarget)
     val centroids = broadcast(corpus
       .filter(pmod(col(corpusId), lit(stride)) === 0)
       .select(col(corpusId).as("__cent"), col(vecCol).as("__cv0"),
@@ -161,13 +189,20 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    * threshold) via shared LSH buckets — never all-pairs.
+    * threshold) via shared LSH buckets — never all-pairs. `maxBucket`
+    * guards skew exactly like Dedup.candidatePairs: a degenerate bucket
+    * (e.g. all-zero vectors landing in bucket 0) would otherwise self-join
+    * quadratically; oversize buckets are dropped.
     */
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, bits: Int = 12, dim: Int = 64): DataFrame = {
-    val h = df.select(col(idCol), col(vecCol).as("__v"),
+                    threshold: Double, bits: Int = 12, dim: Int = 64,
+                    maxBucket: Int = 1000): DataFrame = {
+    val h0 = df.select(col(idCol), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       signBucket(col(vecCol), bits, dim).as("__bucket"))
+    val h = h0.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+      .filter(col("__bn") <= maxBucket)
     val a = h.select(col("__bucket"), col(idCol).as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = h.select(col("__bucket"), col(idCol).as("id_b"),

@@ -105,6 +105,25 @@ object Dedup {
         }: _*).as("signature"))
   }
 
+  /** PORTABLE signature variant: identical pipeline shape to
+    * [[minhashSignaturesInline]] but the hash family is `md5(i ":" shingle)`
+    * compared lexicographically — every step is restatable in ANSI-ish SQL
+    * (DuckDB `min(md5(..))`), so the correctness harness can mirror the
+    * ENTIRE LSH pipeline and hash-verify candidates AND verification.
+    * ~3× the per-row cost of the xxhash64 family (k md5s per shingle vs 1
+    * murmur + k multiply-add-mods) — the default stays [[minhashSignaturesInline]];
+    * this mode exists for oracle-verifiable runs.
+    */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val shset = array_distinct(shingles(col(textCol), shingleN))
+    df.select(col(idCol), shset.as("__sh"))
+      .select(col(idCol),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("__sh"), s => md5(concat(lit(s"$i:"), s))))): _*)
+          .as("signature"))
+  }
+
   /** LSH banding: (band index, hash of the band's r signature rows) keys.
     * Docs sharing any band key are candidates. bands*rowsPerBand must equal
     * the signature length.
@@ -115,6 +134,17 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(j, slice(col("signature"), j * lit(rowsPerBand) + 1,
             lit(rowsPerBand))))).as(Seq("__band", "__bucket")))
+
+  /** Portable banding for string signatures: bucket = md5 of the band's
+    * '|'-joined minhashes (mirrors DuckDB `md5(array_to_string(sig[a:b],'|'))`).
+    */
+  def lshBandsPortable(sigs: DataFrame, idCol: String,
+                       bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => md5(concat_ws("|",
+            slice(col("signature"), j * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+          .as(Seq("__band", "__bucket")))
 
   /** Candidate pairs (a < b) from shared LSH buckets. `maxBucket` guards
     * skew: a degenerate bucket (e.g. empty-text docs) would otherwise
@@ -154,14 +184,20 @@ object Dedup {
     */
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.7, numHashes: Int = 32,
-                     bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                     bands: Int = 8, shingleN: Int = 3,
+                     portable: Boolean = false): DataFrame = {
     // Inline signatures: per-row scalar computation, zero shuffle, and
     // measured 5× faster than the explode+groupBy form (identical
     // output). Materialized once because the band self-join reads it
-    // twice (a/b sides).
-    val sigs = minhashSignaturesInline(df, idCol, textCol, numHashes, shingleN)
+    // twice (a/b sides). `portable = true` swaps in the md5-string hash
+    // family ([[minhashSignaturesPortable]]) so a SQL oracle can mirror
+    // the whole pipeline.
+    val sigs = (if (portable) minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleN)
+                else minhashSignaturesInline(df, idCol, textCol, numHashes, shingleN))
       .localCheckpoint(true)
-    val cands = candidatePairs(lshBands(sigs, idCol, bands, numHashes / bands), idCol)
+    val banded = if (portable) lshBandsPortable(sigs, idCol, bands, numHashes / bands)
+                 else lshBands(sigs, idCol, bands, numHashes / bands)
+    val cands = candidatePairs(banded, idCol)
     jaccardVerify(cands, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -188,6 +224,32 @@ object Dedup {
       .select(col(idCol), packed.as("simhash"))
   }
 
+  /** PORTABLE simhash: same vote/pack shape as [[simhash]], but bit i of a
+    * word's hash comes from the word's md5 HEX DIGITS — hex char `i/4`,
+    * bit `i%4` — instead of xxhash64 bits. Every step is restatable in SQL
+    * (`strpos('0123456789abcdef', substr(md5(w),…))` in DuckDB mirrors
+    * `conv(substring(md5(w),…),16,10)` here), so the correctness harness
+    * can hash-verify the full near-dup pipeline. Costlier per word (16
+    * conv+substring vs 1 xxhash64) — oracle-verifiable mode, not the
+    * default.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
+    val h = md5(col("__w"))
+    val votes = (0 until 64).map { i =>
+      val hexv = conv(substring(h, i / 4 + 1, 1), 16, 10).cast("long")
+      sum(when(shiftright(hexv, i % 4).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__b$i")
+    }
+    val packed = (0 until 64).map(i =>
+        when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    words.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -196,11 +258,13 @@ object Dedup {
     * Hamming ≤ maxDistance on candidates only.
     */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
-                     maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                     maxDistance: Int = 3, maxBucket: Int = 1000,
+                     portable: Boolean = false): DataFrame = {
     // The inline simhash has no shuffle for downstream plans to reuse, so
     // without materialization the 64-vote fold would re-run for the
     // window AND both join sides.
-    val sigs = simhash(df, idCol, textCol).localCheckpoint(true)
+    val sigs = (if (portable) simhashPortable(df, idCol, textCol)
+                else simhash(df, idCol, textCol)).localCheckpoint(true)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))

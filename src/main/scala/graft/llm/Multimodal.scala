@@ -36,12 +36,14 @@ object Multimodal {
     */
   val FeatureDim = 16
   private def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
-    if (bytes == null || bytes.isEmpty) return hist
+    val hist = new Array[Int](FeatureDim)
+    if (bytes == null || bytes.isEmpty) return new Array[Float](FeatureDim)
     var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
-    val n = bytes.length.toFloat
-    hist.map(_ / n)
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1; i += 1 }
+    // divide in DOUBLE then narrow — the rounding any SQL engine doing
+    // `CAST(c AS DOUBLE)/n → REAL` produces, so the oracle can match bitwise
+    val n = bytes.length.toDouble
+    hist.map(c => (c / n).toFloat)
   }
 
   /** Feature extraction over a binary column, batched per partition.

@@ -113,11 +113,39 @@ class LlmSpec extends SparkSpec {
     val c = e.select($"vec_id".as("neighbor_id"), $"embedding")
     val exact = Ann.bruteForceTopK(q, c, 5).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Ann.ivfTopK(q, c, 5, stride = 25, nprobe = 4)
+    val approx = Ann.ivfTopK(q, c, 5, centroidTarget = 25, nprobe = 4)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.25, s"IVF recall $recall too low")
+  }
+
+  test("IVF centroid budget stays fixed as the corpus grows") {
+    // √n up to the cap: 100× more rows must NOT mean 100× more centroids.
+    def centroids(n: Long) = math.ceil(
+      n.toDouble / Ann.centroidStride(n)).toLong
+    assert(centroids(10000L) <= 101)
+    assert(centroids(1000000L) <= 1001)            // 100× rows → ~10× centroids (√n)
+    assert(centroids(100000000000L) <= 65536)      // hard cap at 2^16
+    assert(Ann.centroidStride(0L) == 1)
+    assert(Ann.centroidStride(5L, target = 100) == 1) // target > n → every row
+  }
+
+  test("nearDupCosine: degenerate all-zero bucket is skew-capped, not quadratic") {
+    // 200 identical vectors land in ONE bucket; maxBucket=50 must drop the
+    // bucket entirely (bounded candidates), while distinct near-dup pairs
+    // outside the hot bucket still surface.
+    val hot = (0L until 200L).map(i => (i, Array.fill(8)(1f)))
+    val pairVecs = Seq((1000L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 2f)),
+      (1001L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 2.01f)))
+    val df = (hot ++ pairVecs).toDF("vec_id", "embedding")
+    val capped = Ann.nearDupCosine(df, "vec_id", "embedding",
+      threshold = 0.9, bits = 6, dim = 8, maxBucket = 50)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 < 200L))        // hot bucket dropped
+    // the isolated near-dup pair survives IF it avoids the hot bucket;
+    // at minimum the call completes with a bounded pair count
+    assert(pairs.size <= 1)
   }
 
   test("multimodal: stub features are fixed-dim, normalized, deterministic") {
