@@ -92,6 +92,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted dedup ≡ plain dedup over generated skewed inputs") {
+    // The skew path production relies on: two-phase salted dedup must be
+    // EXACTLY the one-phase dedup for any priority/tiebreak distribution,
+    // including hot keys (90% of rows on one key) and tie-heavy data.
+    val rowGen = Gen.zip(
+      Gen.frequency(9 -> Gen.const("hot"), 1 -> Gen.choose(1, 5).map(i => s"k$i")),
+      Gen.choose(0, 2), Gen.choose(1, 4).map(i => s"t$i"))
+    forAllSeeded(Gen.listOfN(60, rowGen), cases = 5) { rows =>
+      val df = rows.toDF("k", "prio", "tb")
+      val plain = Snapshots.dedupByPriority(df, Seq("k"), col("prio"), col("tb"))
+        .orderBy("k").collect().toSeq
+      for (salts <- Seq(2, 16)) {
+        val salted = Snapshots
+          .dedupByPrioritySalted(df, Seq("k"), salts, col("prio"), col("tb"))
+          .orderBy("k").collect().toSeq
+        assert(salted == plain, s"salts=$salts diverged")
+      }
+    }
+  }
+
   test("carry-forward: output keys = today ∪ unexpired yesterday; no dup keys when inputs are keyed") {
     val rowGen = Gen.zip(Gen.choose(1, 12), Gen.choose(0, 1)).map {
       case (k, exp) => (s"j$k", exp == 1)

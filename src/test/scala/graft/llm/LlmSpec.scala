@@ -29,6 +29,26 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("portable minhash mode behaves like the fast mode on planted pairs") {
+    // Same pipeline, different hash family (md5-string, oracle-mirrorable):
+    // it must catch the identical and near-dup pairs and exclude the
+    // unrelated doc, exactly like the xxhash64 default.
+    val pairs = Dedup.nearDupMinhash(docs.filter($"doc_id" =!= 5L), "doc_id", "text",
+        threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("portable simhash mode: identical same hash, near closer than far") {
+    val h = Dedup.simhashPortable(docs.filter($"doc_id" =!= 5L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(4L)))
+  }
+
   test("jaccard of identical-after-normalize pair is 1.0") {
     val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", shingleN = 2)
