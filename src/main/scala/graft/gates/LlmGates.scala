@@ -148,16 +148,22 @@ object LlmGates {
         threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
       .orderBy("id_a", "id_b")
 
-  val dedupMinhashSql: String =
+  val dedupMinhashSql: String = {
+    // the IDENTICAL seeded (a, b) coefficients the Spark plan bakes in
+    val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
+      s"min(($a * h + $b) % 2147483647)"
+    }.mkString("[", ", ", "]")
     s"""WITH $shingleCte,
        |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
-       |mh AS (
-       |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS m
-       |  FROM ex, range(32) r(i) GROUP BY doc_id, i),
-       |sig AS (SELECT doc_id, list(m ORDER BY i) AS signature FROM mh GROUP BY doc_id),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
+       |  FROM ex),
+       |sig AS (SELECT doc_id, $mins AS signature FROM hs GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, j AS band,
-       |         md5(array_to_string(signature[j*4+1:j*4+4], '|')) AS bucket
+       |         md5(array_to_string([x::VARCHAR for x in signature[j*4+1:j*4+4]], '|')) AS bucket
        |  FROM sig, range(8) r(j)),
        |capped AS (
        |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
@@ -173,6 +179,7 @@ object LlmGates {
        |            JOIN sh sb ON sb.doc_id = cand.id_b)
        |SELECT id_a, id_b, jaccard FROM verified
        |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- SimHash near-dup: portable mode + full-pipeline oracle ---------
 

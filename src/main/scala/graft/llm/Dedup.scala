@@ -105,23 +105,36 @@ object Dedup {
         }: _*).as("signature"))
   }
 
+  /** The seeded universal-family coefficients behind
+    * [[minhashSignaturesPortable]], exposed so the correctness oracle can
+    * inject the IDENTICAL literals into its SQL.
+    */
+  def minhashCoefsPortable(k: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(4243)
+    IndexedSeq.fill(k)(
+      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** PORTABLE signature variant: identical pipeline shape to
-    * [[minhashSignaturesInline]] but the hash family is `md5(i ":" shingle)`
-    * compared lexicographically — every step is restatable in ANSI-ish SQL
-    * (DuckDB `min(md5(..))`), so the correctness harness can mirror the
-    * ENTIRE LSH pipeline and hash-verify candidates AND verification.
-    * ~3× the per-row cost of the xxhash64 family (k md5s per shingle vs 1
-    * murmur + k multiply-add-mods) — the default stays [[minhashSignaturesInline]];
-    * this mode exists for oracle-verifiable runs.
+    * [[minhashSignaturesInline]] — ONE string hash per shingle, then k
+    * multiply-add-mod transforms — but the base hash is the first 8 hex
+    * digits of md5 instead of murmur3, so every step is restatable in SQL
+    * (DuckDB folds the same 8 hex chars to the same 32-bit value) and the
+    * correctness harness can mirror the ENTIRE LSH pipeline. Products
+    * stay under 2^63 ((2^31−1)·(2^32−1) + 2^31 < 2^63−1): no ANSI
+    * overflow here, no BIGINT overflow in the oracle.
     */
   def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
-    val shset = array_distinct(shingles(col(textCol), shingleN))
-    df.select(col(idCol), shset.as("__sh"))
+    val P = 2147483647L
+    val coefs = minhashCoefsPortable(numHashes)
+    val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    df.select(col(idCol), hs.as("__hs"))
       .select(col(idCol),
-        array((0 until numHashes).map(i =>
-          array_min(transform(col("__sh"), s => md5(concat(lit(s"$i:"), s))))): _*)
-          .as("signature"))
+        array(coefs.map { case (a, b) =>
+          array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P))))
+        }: _*).as("signature"))
   }
 
   /** LSH banding: (band index, hash of the band's r signature rows) keys.
@@ -135,15 +148,17 @@ object Dedup {
           j => xxhash64(j, slice(col("signature"), j * lit(rowsPerBand) + 1,
             lit(rowsPerBand))))).as(Seq("__band", "__bucket")))
 
-  /** Portable banding for string signatures: bucket = md5 of the band's
-    * '|'-joined minhashes (mirrors DuckDB `md5(array_to_string(sig[a:b],'|'))`).
+  /** Portable banding: bucket = md5 of the band's '|'-joined minhash
+    * values rendered as decimal strings (mirrors DuckDB
+    * `md5(array_to_string([x::VARCHAR ...], '|'))`).
     */
   def lshBandsPortable(sigs: DataFrame, idCol: String,
                        bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => md5(concat_ws("|",
-            slice(col("signature"), j * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+            transform(slice(col("signature"), j * lit(rowsPerBand) + 1,
+              lit(rowsPerBand)), x => x.cast("string"))))))
           .as(Seq("__band", "__bucket")))
 
   /** Candidate pairs (a < b) from shared LSH buckets. `maxBucket` guards
