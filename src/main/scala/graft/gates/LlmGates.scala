@@ -49,17 +49,22 @@ object LlmGates {
       s"(CASE WHEN list_reduce([CAST($e[j] AS DOUBLE) * ${planeLit(p)}[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
 
-  /** Normalized text and its distinct word-2-gram shingle set — mirrors
-    * [[Dedup.normalize]] + [[Dedup.shingles]](n=2) + array_distinct.
+  /** Normalized text and its distinct word-n-gram shingle set — mirrors
+    * [[Dedup.normalize]] + [[Dedup.shingles]] + array_distinct.
     */
-  private val shingleCte: String =
-    """norm AS (
-      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
-      |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) END AS shset
-      |  FROM norm)""".stripMargin
+  private def shingleCteN(n: Int): String = {
+    val gram = (0 until n).map(o => if (o == 0) "ws[i]" else s"ws[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""norm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
+       |    ELSE list_distinct([$gram for i in range(1, len(ws) - ${n - 2})]) END AS shset
+       |  FROM norm)""".stripMargin
+  }
+
+  private val shingleCte: String = shingleCteN(2)
 
   // ---- exact dedup (unchanged, already oracle-green) ------------------
 
@@ -180,6 +185,29 @@ object LlmGates {
        |SELECT id_a, id_b, jaccard FROM verified
        |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---- EXACT Jaccard near-dup: ground-truth all-pairs oracle ----------
+
+  /** Exact 3-gram Jaccard pairs via the prefix-filtered inverted index.
+    * The oracle is the TRUE all-pairs ground truth (feasible at gate
+    * scale) — this verifies the ALGORITHM's completeness claim, not a
+    * restatement of the pipeline: if the prefix filter ever dropped a
+    * real pair, the hash compare would fail.
+    */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupJaccardExact(Tables(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, shingleN = 3)
+      .orderBy("id_a", "id_b")
+
+  val dedupJaccardSql: String =
+    s"""WITH ${shingleCteN(3)}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(a.shset || b.shset)) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |    / len(list_distinct(a.shset || b.shset)) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---- SimHash near-dup: portable mode + full-pipeline oracle ---------
 
@@ -474,6 +502,7 @@ object LlmGates {
     "text_stats"          -> (textStats _),
     "ann_topk"            -> (annTopK _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
@@ -486,6 +515,7 @@ object LlmGates {
     "text_stats"          -> textStatsSql,
     "ann_topk"            -> annTopKSql,
     "dedup_minhash"       -> dedupMinhashSql,
+    "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,

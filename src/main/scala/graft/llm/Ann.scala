@@ -136,46 +136,92 @@ object Ann {
     math.max(1L, math.ceil(n.toDouble / c.toDouble).toLong).toInt
   }
 
+  /** Scala-side dot/norm with the SAME sequential (ascending-index, from
+    * zero) summation as the Column-level [[dot]]/[[norm]] folds — doubles
+    * are bitwise-identical, so the two are interchangeable under the
+    * hash-compared oracles.
+    */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+    s
+  }
+  private def normD(a: Array[Float]): Double = math.sqrt(dotD(a, a))
+
   /** IVF-style approximate top-k: a deterministic sample of the corpus
     * serves as centroids (every `stride`-th id — no training step, no
     * stored model); vectors assign to their nearest centroid, queries
     * probe the `nprobe` nearest centroid lists. Candidates scale with
-    * list occupancy × probes; the centroid assignment is one broadcast
-    * nested-loop over C centroids.
+    * list occupancy × probes.
     *
     * C is BUDGETED: ≈√n by default (`centroidTarget` overrides), capped at
     * 2^16 — [[centroidStride]]. Costs one extra column-pruned count() of
     * the corpus, negligible next to the assignment pass it bounds.
     * Assumes ids are ~dense integers (true for `vec_id`); a sparse id
     * space just yields proportionally fewer centroids, never more.
+    *
+    * The n×C assignment is a DENSE NUMERIC KERNEL, so it runs as a
+    * mapPartitions loop over the broadcast centroid array (the sanctioned
+    * mapPartitions case: per-element work is pure arithmetic where
+    * interpreted higher-order functions cost 3×, and an expanded
+    * element_at expression tree measured WORSE — codegen splitting).
+    * Ranking semantics are unchanged: nearest = max cosine, centroid id
+    * ascending on ties; FP order matches the Column fold, so the SQL
+    * oracle mirrors it exactly.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidTarget: Int = 0, nprobe: Int = 3,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val stride = centroidStride(corpus.count(), centroidTarget)
-    val centroids = broadcast(corpus
+    val cents: Array[(Long, Array[Float], Double)] = corpus
       .filter(pmod(col(corpusId), lit(stride)) === 0)
-      .select(col(corpusId).as("__cent"), col(vecCol).as("__cv0"),
-        norm(col(vecCol)).as("__cn0")))
+      .select(col(corpusId).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv, normD(cv)) }
+    val bc = spark.sparkContext.broadcast(cents)
 
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__cdist").desc, col("__cent").asc)
-      df.crossJoin(centroids)
-        .withColumn("__cdist",
-          cosinePre(col("__v"), col("__cv0"), col("__n"), col("__cn0")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .drop("__cdist", "__cr", "__cv0", "__cn0")
-    }
+    // top-`keep` centroids per row by (cosine desc, centroid id asc);
+    // emits one row per (vector, probed centroid)
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame =
+      df.select(col(id).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.flatMap { case (rid, vec) =>
+            val n = normD(vec)
+            val topCos = new Array[Double](keep)
+            val topCid = new Array[Long](keep)
+            var filled = 0
+            var i = 0
+            while (i < cs.length) {
+              val (cid, cv, cn) = cs(i)
+              val cos = dotD(vec, cv) / (n * cn)
+              var pos = filled
+              while (pos > 0 && (topCos(pos - 1) < cos ||
+                     (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
+              if (pos < keep) {
+                val last = math.min(filled, keep - 1)
+                var m = last
+                while (m > pos) {
+                  topCos(m) = topCos(m - 1); topCid(m) = topCid(m - 1); m -= 1
+                }
+                topCos(pos) = cos; topCid(pos) = cid
+                if (filled < keep) filled += 1
+              }
+              i += 1
+            }
+            (0 until filled).iterator.map(p => (rid, vec, n, topCid(p)))
+          }
+        }
+        .toDF(id, vecCol, "__n", "__cent")
 
-    val c = assign(corpus.select(col(corpusId), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__n")), corpusId, 1)
-      .withColumnRenamed("__v", "__cvv").withColumnRenamed("__n", "__cn")
-    val q = assign(queries.select(col(queryId), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__n")), queryId, nprobe)
-      .withColumnRenamed("__v", "__qv").withColumnRenamed("__n", "__qn")
+    val c = assign(corpus.select(col(corpusId), col(vecCol)), corpusId, 1)
+      .withColumnRenamed(vecCol, "__cvv").withColumnRenamed("__n", "__cn")
+    val q = assign(queries.select(col(queryId), col(vecCol)), queryId, nprobe)
+      .withColumnRenamed(vecCol, "__qv").withColumnRenamed("__n", "__qn")
     val scored = q.join(c, Seq("__cent"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),

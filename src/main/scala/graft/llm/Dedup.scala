@@ -217,6 +217,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard near-dup — the third dedup tier the pipeline
+    * offers (exact digest, probabilistic MinHash/SimHash, and this:
+    * exact similarity with COMPLETE candidates, never all-pairs).
+    *
+    * Prefix filter (AllPairs/PPJoin family): order all shingles globally
+    * by (document frequency asc, shingle) — rarest first. For a pair with
+    * jaccard ≥ t, the shared-set size o satisfies o ≥ ceil(t·L) for EACH
+    * side's set size L, so the minimum shared shingle (in the global
+    * order) sits within the first L − ceil(t·L) + 1 shingles of BOTH
+    * docs. Joining just those prefixes on the shingle is therefore a
+    * candidate set with recall 1; exact Jaccard verifies candidates only.
+    *
+    * Scale: the DF pass is one aggregation; prefix posting lists are
+    * short BY CONSTRUCTION (prefixes prefer rare shingles, so the hot
+    * shingles fall out of the index). The filter weakens as t drops
+    * (prefix → whole doc at t→0): use t ≥ ~0.5 at corpus scale, or the
+    * MinHash tier below it. The epsilon in the ceil guards FP error in
+    * t·L toward the SAFE side (a longer prefix, never a shorter one).
+    */
+  def nearDupJaccardExact(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+    val posts = sets.select(col(idCol), explode(col("__set")).as("__sh"),
+      size(col("__set")).as("__L"))
+    val dfreq = posts.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))
+    val prefix = posts.join(dfreq, "__sh")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("__L") - ceil(col("__L") * lit(threshold) - lit(1e-9)) + 1)
+    val a = prefix.select(col("__sh"), col(idCol).as("id_a"))
+    val b = prefix.select(col("__sh"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cands, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over the word set: bit i is the sign of the sum of
     * ±1 votes from each word's hash bit i. Explode + 64 conditional sums:
     * the sums are whole-stage-codegen'd, which beats an inline

@@ -41,6 +41,24 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("exact Jaccard near-dup equals brute force (prefix filter is complete)") {
+    val d = docs.filter($"doc_id" =!= 5L)
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val got = Dedup.nearDupJaccardExact(d, "doc_id", "text", threshold = t, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force over all pairs
+      val sets = d.select($"doc_id",
+        array_distinct(Dedup.shingles($"text", 2)).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+        if j >= t
+      } yield (a, b, j)).toSet
+      assert(got == want, s"t=$t: got $got want $want")
+    }
+  }
+
   test("portable simhash mode: identical same hash, near closer than far") {
     val h = Dedup.simhashPortable(docs.filter($"doc_id" =!= 5L), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
