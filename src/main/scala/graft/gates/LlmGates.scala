@@ -196,7 +196,7 @@ object LlmGates {
     */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupJaccardExact(Tables(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.2, shingleN = 3)
+        threshold = 0.5, shingleN = 3)
       .orderBy("id_a", "id_b")
 
   val dedupJaccardSql: String =
@@ -206,7 +206,7 @@ object LlmGates {
        |    / len(list_distinct(a.shset || b.shset)) AS jaccard
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |    / len(list_distinct(a.shset || b.shset)) >= 0.2
+       |    / len(list_distinct(a.shset || b.shset)) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- SimHash near-dup: portable mode + full-pipeline oracle ---------

@@ -249,10 +249,19 @@ object Dedup {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <=
         col("__L") - ceil(col("__L") * lit(threshold) - lit(1e-9)) + 1)
-    val a = prefix.select(col("__sh"), col(idCol).as("id_a"))
-    val b = prefix.select(col("__sh"), col(idCol).as("id_b"))
+    val a = prefix.select(col("__sh"), col(idCol).as("id_a"),
+      col("__L").as("__La"), col("__r").as("__ra"))
+    val b = prefix.select(col("__sh"), col(idCol).as("id_b"),
+      col("__L").as("__Lb"), col("__r").as("__rb"))
+    // PPJoin positional filter: a shared prefix shingle at ranks (ra, rb)
+    // bounds the overlap by min(La−ra, Lb−rb)+1, which must reach the
+    // jaccard-t-required overlap ceil(t·(La+Lb)/(1+t)). Recall stays 1:
+    // for a true pair the MINIMUM shared shingle passes (all o shared
+    // shingles rank at or after it on both sides, so its bound ≥ o).
+    val oMin = ceil((col("__La") + col("__Lb")) * lit(threshold / (1 + threshold)) - lit(1e-9))
     val cands = a.join(b, Seq("__sh"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__La") - col("__ra"), col("__Lb") - col("__rb")) + 1 >= oMin)
       .select("id_a", "id_b").distinct()
     jaccardVerify(cands, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -290,13 +299,17 @@ object Dedup {
     * default.
     */
   def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one md5 + 16 PROJECTED hex-digit values per word, THEN 64 bit votes
+    // referencing those columns — not 64 repeated conv(substring(md5(..)))
+    // chains per word
     val words = df.select(col(idCol),
-      explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
-    val h = md5(col("__w"))
+        explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
+      .withColumn("__h", md5(col("__w")))
+      .select(col(idCol) +: (0 until 16).map(c =>
+        conv(substring(col("__h"), c + 1, 1), 16, 10).cast("long").as(s"__c$c")): _*)
     val votes = (0 until 64).map { i =>
-      val hexv = conv(substring(h, i / 4 + 1, 1), 16, 10).cast("long")
-      sum(when(shiftright(hexv, i % 4).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"__b$i")
+      sum(when(shiftright(col(s"__c${i / 4}"), i % 4).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i")
     }
     val packed = (0 until 64).map(i =>
         when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))

@@ -48,6 +48,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p.take(500))
   }
 
+  test("NO gate plan contains a cartesian product (brute-force baseline excepted)") {
+    // The one sanctioned nested-loop is ann_topk's labeled brute-force
+    // baseline (broadcast NLJ over a 5-row query side). Everything else —
+    // all 60 registered queries — must plan joins with keys.
+    val allow = Set("ann_topk")
+    for ((name, fn) <- SparkEntry.queries if !allow(name)) {
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n${p.take(800)}")
+    }
+  }
+
   test("whole-stage codegen covers the scalar-function chains") {
     // AQE wraps the plan and reports zero codegen subtrees before
     // execution — disable it for the static inspection only.
