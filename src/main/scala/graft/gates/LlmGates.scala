@@ -469,6 +469,32 @@ object LlmGates {
       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Frame-sampling plumbing: n evenly-spaced byte-slices per blob
+    * through the real flatMap path; the oracle recomputes each frame's
+    * length and md5 from the same slice arithmetic (ASCII text ⇒ byte
+    * slices ≡ substr).
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    Multimodal.sampleFrames(d, "doc_id", "media", n = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, length(text) AS L,
+      |    greatest(length(text) // 4, 1) AS step,
+      |    unnest(range(0, least(4, length(text)))) AS fi
+      |  FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(least(step, L - fi * step) AS BIGINT) AS frame_len,
+      |  md5(substr(text, fi * step + 1, least(step, L - fi * step))) AS frame_md5
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -508,7 +534,8 @@ object LlmGates {
     "ann_ivf"             -> (annIvf _),
     "text_quality"        -> (textQuality _),
     "text_rolling_fp"     -> (textRollingFp _),
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames"   -> (multimodalFrames _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
@@ -522,5 +549,6 @@ object LlmGates {
     "text_quality"        -> textQualitySql,
     "text_rolling_fp"     -> textRollingFpSql,
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames"   -> multimodalFramesSql,
     "dedup_embedding"     -> dedupEmbeddingSql)
 }

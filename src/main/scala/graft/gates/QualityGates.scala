@@ -273,8 +273,42 @@ object QualityGates {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Batch gap-sessionization over the events table (30-minute gap),
+    * mirrored by a lag + running-sum window in the oracle.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("value"))
+    graft.streaming.StreamingJobs.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL
+      |      OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END AS nw
+      |  FROM o),
+      |s AS (
+      |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window"    -> (streamWindow _),
+    "sessionize_batch" -> (sessionizeBatch _),
     "quality_crawl"    -> (qualityCrawl _),
     "quality_rules"    -> (qualityRules _),
     "monitor_health"   -> (monitorHealth _),
@@ -284,6 +318,7 @@ object QualityGates {
 
   val oracleSql: Map[String, String] = Map(
     "stream_window"    -> streamWindowSql,
+    "sessionize_batch" -> sessionizeBatchSql,
     "quality_crawl"    -> qualityCrawlSql,
     "quality_rules"    -> qualityRulesSql,
     "monitor_health"   -> monitorHealthSql,

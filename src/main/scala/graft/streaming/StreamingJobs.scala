@@ -84,6 +84,39 @@ object StreamingJobs {
       }
   }
 
+  /** BATCH event-time gap sessionization — the deterministic batch
+    * analogue of [[sessionize]] (which keys sessions on processing-time
+    * timeouts): a session is a maximal run of a user's events with
+    * inter-event gaps ≤ `gapMinutes`. Two windows over ONE
+    * user-partitioned sort — lag to flag session starts, running count
+    * to number them — then a single aggregation; the classic
+    * shuffle-once formulation, O(|events|) at any scale. The tiebreak
+    * column makes equal-timestamp orders deterministic; the value sum
+    * goes through decimal so it is order-independent.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      valueCol: String = "value",
+                      tiebreak: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreak))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(wRun))
+      .groupBy(col(userCol), col("__sid").as("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.Exact.dsum(col(valueCol)).as("total_value"))
+  }
+
   /** flatMapGroupsWithState variant: emits ONLY closed sessions (zero or
     * one output per key per trigger), the right shape when downstream
     * consumes completed sessions rather than running aggregates.

@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("batch sessionization: gap splits sessions, aggregates per session") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:20:00"), 2.0),   // 20 min gap → same session
+      (3L, 7L, ts("2024-01-01 11:20:00"), 4.0),   // 60 min gap → new session
+      (4L, 8L, ts("2024-01-01 10:00:00"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = StreamingJobs.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val (s1, s2, s3) = (out(0), out(1), out(2))
+    assert(s1.getAs[Long]("user_id") == 7L && s1.getAs[Long]("n_events") == 2 &&
+      s1.getAs[Double]("total_value") == 3.0 &&
+      s1.getAs[Timestamp]("session_end") == ts("2024-01-01 10:20:00"))
+    assert(s2.getAs[Long]("user_id") == 7L && s2.getAs[Long]("n_events") == 1 &&
+      s2.getAs[Double]("total_value") == 4.0)
+    assert(s3.getAs[Long]("user_id") == 8L && s3.getAs[Long]("n_events") == 1)
+    // a gap of exactly 30 min does NOT split (strict > semantics)
+    val boundary = Seq(
+      (1L, 9L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 9L, ts("2024-01-01 10:30:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(StreamingJobs.sessionizeBatch(boundary, 30).count() == 1)
+  }
+
   test("foreachBatch merge applies batch upsert semantics per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
