@@ -21,12 +21,14 @@ object Functions {
       case lit if lit.foldable && Seq(ByteType, ShortType, IntegerType, LongType)
           .contains(lit.dataType) =>
         lit.eval() match {
-          case n: Number => n.intValue
+          // longValue then range-check: intValue would silently WRAP a
+          // Long literal >= 2^32 into a plausible-but-wrong window
+          case n: Number if n.longValue >= 1 && n.longValue <= Int.MaxValue =>
+            n.longValue.toInt
           case _ => fail(e)
         }
       case _ => fail(e)
     }
-    if (k < 1) fail(e)
     k
   }
 

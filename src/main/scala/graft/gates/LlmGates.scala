@@ -356,13 +356,9 @@ object LlmGates {
       .orderBy("doc_id")
 
   val textQualitySql: String = {
-    // keep these lists in lockstep with TextStats.stopwords
-    val profiles = Seq(
-      "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),
-      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
-      "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
-      "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "que", "pour"),
-      "vi" -> Seq("của", "và", "là", "có", "được", "cho", "này", "không", "người", "những"))
+    // the IDENTICAL profile literals the Spark plan bakes in, sorted by
+    // lang key exactly like TextStats.langId's struct list
+    val profiles = TextStats.stopwords.toSeq.sortBy(_._1)
     def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
     def score(ws: Seq[String]) =
       s"len(list_filter(words, w -> list_contains(${listLit(ws)}, w)))"
@@ -405,6 +401,10 @@ object LlmGates {
     * expression. The oracle restates the polynomial hash per k-byte
     * window with HUGEINT arithmetic mod 2^64 (≡ the expression's
     * wrapping-long semantics) and reinterprets as signed before the min.
+    * ASCII testdata contract: the expression hashes UTF-8 BYTES while the
+    * oracle's ord()/length() see characters — identical only because the
+    * documents are pure ASCII (verified; same assumption as the
+    * multimodal gates).
     */
   def textRollingFp(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -439,7 +439,8 @@ object LlmGates {
   /** Multimodal plumbing — text bytes as the opaque binary column, stub
     * feature extraction (16-bin byte histogram, double-divide → float)
     * through the real mapPartitions path. The oracle recomputes the
-    * histogram fractions with the same DOUBLE→REAL narrowing.
+    * histogram fractions with the same DOUBLE→REAL narrowing. Byte ≡
+    * char only because the documents are pure ASCII (testdata contract).
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")

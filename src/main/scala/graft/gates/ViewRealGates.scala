@@ -39,10 +39,16 @@ object ViewRealGates {
     * smallest date on ties; the oracle computes the same date in the
     * `anchor` CTE.
     */
+  private val anchorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def anchorDate(s: SparkSession, dir: String): String =
-    Tables(s, dir, "orders")
-      .groupBy(to_date(col("o_orderdate")).as("d")).count()
-      .orderBy(col("count").desc, col("d")).head().getDate(0).toString
+    // cached per dir: ~9 anchored gates would otherwise each run the
+    // orders aggregation at DataFrame-construction time
+    anchorCache.computeIfAbsent(dir, _ =>
+      Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d")).count()
+        .orderBy(col("count").desc, col("d")).head().getDate(0).toString)
 
   private val anchorCte: String =
     """anchor AS (

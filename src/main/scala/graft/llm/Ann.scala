@@ -246,9 +246,13 @@ object Ann {
     val h0 = df.select(col(idCol), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       signBucket(col(vecCol), bits, dim).as("__bucket"))
+    // materialized once: the self-join reads both sides, and the norm +
+    // interpreted sign-projection work would otherwise run twice (same
+    // reason the minhash/simhash pipelines checkpoint their signatures)
     val h = h0.withColumn("__bn",
         count(lit(1)).over(Window.partitionBy(col("__bucket"))))
       .filter(col("__bn") <= maxBucket)
+      .localCheckpoint(true)
     val a = h.select(col("__bucket"), col(idCol).as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = h.select(col("__bucket"), col(idCol).as("id_b"),

@@ -49,7 +49,10 @@ object TextStats {
           size(words))
   }
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  /** Exposed (like Ann.planes / Dedup.minhashCoefsPortable) so the
+    * correctness oracle injects the IDENTICAL profile literals.
+    */
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was"),
     "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "que", "pour"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "zu"),

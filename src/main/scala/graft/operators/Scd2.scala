@@ -40,16 +40,26 @@ object Scd2 {
     * change and does not spawn a phantom SCD2 version. Arrays compare via
     * their stringified form, matching the reference's stringified skills
     * compare; an EMPTY array is falsy in Python (`str([] or '') == ''`), so
-    * its Spark stringification '[]' is normalized to '' and an empty↔null
-    * skills flip is likewise not a change.
+    * for ARRAY-typed columns only, the Spark stringification '[]' is
+    * normalized to '' and an empty↔null skills flip is likewise not a
+    * change. (A STRING column whose literal value is "[]" must NOT be
+    * conflated with empty — hence the dataType gate.)
     */
-  private def refEquals(a: Column, b: Column): Column = {
-    def s(c: Column) = coalesce(nullif(c.cast("string"), lit("[]")), lit(""))
+  private def refEquals(a: Column, b: Column, isArray: Boolean): Column = {
+    def s(c: Column) =
+      if (isArray) coalesce(nullif(c.cast("string"), lit("[]")), lit(""))
+      else coalesce(c.cast("string"), lit(""))
     s(a) === s(b)
   }
 
-  private def changedPredicate(compare: Seq[String]): Column =
-    compare.map(c => !refEquals(col(s"cur.$c"), col(s"inc.$c"))).reduce(_ || _)
+  private def changedPredicate(compare: Seq[String], arrayCols: Set[String]): Column =
+    compare.map(c =>
+      !refEquals(col(s"cur.$c"), col(s"inc.$c"), arrayCols.contains(c))).reduce(_ || _)
+
+  private def arrayTyped(df: DataFrame): Set[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+    }.toSet
 
   /** @param existing  full dim content: key ++ attrs ++ effective/expiry/is_current
     * @param incoming  batch: key ++ attrs (attr set must match existing's)
@@ -74,7 +84,7 @@ object Scd2 {
 
     val hasCur  = col(s"cur.${key.head}").isNotNull
     val hasInc  = col(s"inc.${key.head}").isNotNull
-    val changed = changedPredicate(compare)
+    val changed = changedPredicate(compare, arrayTyped(existing))
 
     def curSide: Seq[Column] =
       (key ++ attrs).map(c => col(s"cur.$c").as(c)) :+
@@ -105,7 +115,7 @@ object Scd2 {
     val j = inc.as("inc").join(cur.as("cur"),
       key.map(k => col(s"cur.$k") === col(s"inc.$k")).reduce(_ && _), "left_outer")
     val hasCur  = col(s"cur.${key.head}").isNotNull
-    val changed = changedPredicate(compare)
+    val changed = changedPredicate(compare, arrayTyped(existing))
     j.agg(
       count(when(!hasCur, 1)).as("inserted"),
       count(when(hasCur && changed, 1)).as("updated"),

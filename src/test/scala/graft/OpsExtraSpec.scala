@@ -56,6 +56,18 @@ class OpsExtraSpec extends SparkSpec {
     assert(merged2.count() == 2)
   }
 
+  test("SCD2: a STRING column literally '[]' is NOT conflated with empty") {
+    // the empty-array falsy normalization is gated on ArrayType — a string
+    // field changing "[]" → null IS a change and must version
+    val existing = Seq(("A", "[]")).toDF("k", "v")
+      .withColumn("effective_date", lit("2026-01-01").cast("date"))
+      .withColumn("expiry_date", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val incoming = Seq(("A", Option.empty[String])).toDF("k", "v")
+    val merged = Scd2.merge(existing, incoming, Seq("k"), Seq("v"), lit("2026-01-02"))
+    assert(merged.count() == 2) // expired + fresh: "[]"→null versions
+  }
+
   test("skills JSON codec round-trips arrays and unicode") {
     val df = Seq(Seq("Python", "Kỹ Sư", "C++")).toDF("skills")
     val json = df.select(Hashes.skillsToJson(col("skills")).as("j"))

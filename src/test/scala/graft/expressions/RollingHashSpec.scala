@@ -65,7 +65,9 @@ class RollingHashSpec extends SparkSpec {
     for (bad <- Seq("rolling_hash_min(t, t)",        // non-foldable
                     "rolling_hash_min(t, 'x')",      // non-integral
                     "rolling_hash_min(t, 0)",        // k < 1
-                    "rolling_hash_min(t, -3)")) {
+                    "rolling_hash_min(t, -3)",
+                    "rolling_hash_min(t, 4294967312)")) { // 2^32+16: would wrap to 16
+
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $bad FROM rh_bad").collect()
       }
