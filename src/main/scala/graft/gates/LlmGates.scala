@@ -186,6 +186,36 @@ object LlmGates {
        |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Cluster resolution over the portable-minhash pair set: every doc →
+    * the minimum id of its near-dup connected component. The oracle
+    * computes the transitive closure of the SAME pairs with a recursive
+    * CTE — so both the pair pipeline and the component semantics are
+    * hash-verified.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+      threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
+    Dedup.resolveClusters(pairs, docs, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($dedupMinhashSql)),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (
+       |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s)
+       |SELECT doc.doc_id, coalesce(comp.canon, doc.doc_id) AS canonical_id
+       |FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   // ---- EXACT Jaccard near-dup: ground-truth all-pairs oracle ----------
 
   /** Exact 3-gram Jaccard pairs via the prefix-filtered inverted index.
@@ -529,6 +559,7 @@ object LlmGates {
     "text_stats"          -> (textStats _),
     "ann_topk"            -> (annTopK _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_clusters"      -> (dedupClusters _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -543,6 +574,7 @@ object LlmGates {
     "text_stats"          -> textStatsSql,
     "ann_topk"            -> annTopKSql,
     "dedup_minhash"       -> dedupMinhashSql,
+    "dedup_clusters"      -> dedupClustersSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

@@ -217,6 +217,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER RESOLUTION: pairs → connected components → one
+    * canonical id (the component minimum) per document. This is the step
+    * a production dedup pipeline runs AFTER pair generation — without it,
+    * overlapping pairs (a,b),(b,c) double-drop or double-keep.
+    *
+    * Min-label propagation WITH PATH HALVING: every doc starts labeled
+    * with itself; each round takes the min over its neighbors' labels and
+    * then compresses via label-of-label (every label is itself a doc id,
+    * so the self-join is total). Halving makes convergence O(log
+    * diameter) rounds instead of O(diameter) — each driver-loop round is
+    * one edge join + one self join over the (small) label table, and the
+    * loop exits on a changed-count of zero (capped as a backstop).
+    */
+  def resolveClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
+                      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("__s"), col("id_b").as("__d"))
+      .union(pairs.select(col("id_b").as("__s"), col("id_a").as("__d")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("__id"), col(idCol).as("__label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("__d") === labels("__id"))
+        .groupBy(col("__s")).agg(min(col("__label")).as("__nl"))
+      val prop = labels.join(nbrMin, labels("__id") === nbrMin("__s"), "left")
+        .select(col("__id"),
+          least(col("__label"), coalesce(col("__nl"), col("__label"))).as("__label"))
+      // path halving: follow the label one hop (label(label(x)))
+      val next = prop.as("a")
+        .join(prop.as("b").select(col("__id").as("__bid"), col("__label").as("__bl")),
+          col("a.__label") === col("__bid"))
+        .select(col("a.__id").as("__id"),
+          least(col("a.__label"), col("__bl")).as("__label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.__id") === col("o.__id"))
+        .filter(col("n.__label") =!= col("o.__label")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("__id").as(idCol), col("__label").as("canonical_id"))
+  }
+
   /** EXACT n-gram Jaccard near-dup — the third dedup tier the pipeline
     * offers (exact digest, probabilistic MinHash/SimHash, and this:
     * exact similarity with COMPLETE candidates, never all-pairs).

@@ -41,6 +41,15 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cluster resolution: transitive pairs collapse to the component min") {
+    val pairs = Seq((2L, 3L), (3L, 7L), (9L, 8L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val got = Dedup.resolveClusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {2,3,7} → 2 (transitively, though (2,7) was never a pair); {8,9} → 8
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 2L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("exact Jaccard near-dup equals brute force (prefix filter is complete)") {
     val d = docs.filter($"doc_id" =!= 5L)
     for (t <- Seq(0.2, 0.5, 0.8)) {
