@@ -52,12 +52,12 @@ object LlmGates {
   /** Normalized text and its distinct word-n-gram shingle set — mirrors
     * [[Dedup.normalize]] + [[Dedup.shingles]] + array_distinct.
     */
-  private def shingleCteN(n: Int): String = {
+  private def shingleCteN(n: Int, table: String = "documents"): String = {
     val gram = (0 until n).map(o => if (o == 0) "ws[i]" else s"ws[i+$o]")
       .mkString(" || ' ' || ")
     s"""norm AS (
        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
-       |  FROM documents),
+       |  FROM $table),
        |sh AS (
        |  SELECT doc_id, CASE WHEN len(ws) < $n THEN [array_to_string(ws, ' ')]
        |    ELSE list_distinct([$gram for i in range(1, len(ws) - ${n - 2})]) END AS shset
@@ -65,6 +65,40 @@ object LlmGates {
   }
 
   private val shingleCte: String = shingleCteN(2)
+
+  /** The full portable-minhash near-dup CTE chain over `table`, ending in
+    * a `verified(id_a, id_b, jaccard)` relation — shared by the
+    * `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus` oracles.
+    */
+  private def minhashCtes(table: String, threshold: Double): String = {
+    val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
+      s"min(($a * h + $b) % 2147483647)"
+    }.mkString("[", ", ", "]")
+    s"""${shingleCteN(2, table)},
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
+       |  FROM ex),
+       |sig AS (SELECT doc_id, $mins AS signature FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |         md5(array_to_string([x::VARCHAR for x in signature[j*4+1:j*4+4]], '|')) AS bucket
+       |  FROM sig, range(8) r(j)),
+       |capped AS (
+       |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+       |      / len(list_distinct(sa.shset || sb.shset)) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+       |            JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
 
   // ---- exact dedup (unchanged, already oracle-green) ------------------
 
@@ -153,38 +187,10 @@ object LlmGates {
         threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
       .orderBy("id_a", "id_b")
 
-  val dedupMinhashSql: String = {
-    // the IDENTICAL seeded (a, b) coefficients the Spark plan bakes in
-    val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
-      s"min(($a * h + $b) % 2147483647)"
-    }.mkString("[", ", ", "]")
-    s"""WITH $shingleCte,
-       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
-       |hs AS (
-       |  SELECT doc_id,
-       |    list_reduce([strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1
-       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
-       |  FROM ex),
-       |sig AS (SELECT doc_id, $mins AS signature FROM hs GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, j AS band,
-       |         md5(array_to_string([x::VARCHAR for x in signature[j*4+1:j*4+4]], '|')) AS bucket
-       |  FROM sig, range(8) r(j)),
-       |capped AS (
-       |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
-       |  WHERE a.doc_id < b.doc_id),
-       |verified AS (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
-       |      / len(list_distinct(sa.shset || sb.shset)) AS jaccard
-       |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
-       |            JOIN sh sb ON sb.doc_id = cand.id_b)
+  val dedupMinhashSql: String =
+    s"""WITH ${minhashCtes("documents", 0.1)}
        |SELECT id_a, id_b, jaccard FROM verified
        |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** Cluster resolution over the portable-minhash pair set: every doc →
     * the minimum id of its near-dup connected component. The oracle
@@ -215,6 +221,67 @@ object LlmGates {
        |SELECT doc.doc_id, coalesce(comp.canon, doc.doc_id) AS canonical_id
        |FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
+
+  /** The FULL curation chain (quality ≥ 0.6 → exact dedup → portable
+    * minhash pairs → cluster resolution → canonical survivors) against a
+    * single composed oracle: the same five stages as chained CTEs. This
+    * is the end-to-end proof that the verified pieces compose.
+    */
+  def llmCleanCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Curation.cleanCorpus(Tables(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.6, nearDupThreshold = 0.1, numHashes = 32, bands = 8,
+        shingleN = 2, portable = true)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val llmCleanCorpusSql: String = {
+    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE qbase AS (
+       |  SELECT *,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS digit_ratio,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+       |  FROM documents),
+       |qscored AS (
+       |  SELECT *, CASE WHEN len(words) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(words, w -> list_contains($en, w))) AS DOUBLE)
+       |         / len(words) END AS stop_ratio
+       |  FROM qbase),
+       |qdocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM qscored
+       |  WHERE round((CASE WHEN toks BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END)
+       |      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+       |      * (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
+       |      * (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) >= 0.6),
+       |ddocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars
+       |  FROM (SELECT *, ROW_NUMBER() OVER (
+       |          PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |          ORDER BY doc_id) AS rn
+       |        FROM qdocs)
+       |  WHERE rn = 1),
+       |${minhashCtes("ddocs", 0.1)},
+       |pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.1),
+       |cedges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT s, d FROM cedges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s),
+       |comp AS (
+       |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s)
+       |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+       |FROM ddocs dd LEFT JOIN comp ON comp.id = dd.doc_id
+       |WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+  }
 
   // ---- EXACT Jaccard near-dup: ground-truth all-pairs oracle ----------
 
@@ -560,6 +627,7 @@ object LlmGates {
     "ann_topk"            -> (annTopK _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_clusters"      -> (dedupClusters _),
+    "llm_clean_corpus"    -> (llmCleanCorpus _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -575,6 +643,7 @@ object LlmGates {
     "ann_topk"            -> annTopKSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "llm_clean_corpus"    -> llmCleanCorpusSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

@@ -1,0 +1,36 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs, wired from the verified pieces:
+  *
+  *   1. quality filter ([[TextStats.qualityScore]] ≥ minQuality);
+  *   2. exact dedup (normalize → digest → min-id, [[Dedup.exactDedup]]);
+  *   3. near-dup pair generation (MinHash/LSH, [[Dedup.nearDupMinhash]]);
+  *   4. cluster resolution ([[Dedup.resolveClusters]]);
+  *   5. keep only each cluster's canonical (minimum-id) document.
+  *
+  * Every stage is set-level; the only materializations are the ones the
+  * stages themselves need (signature checkpoint, label iteration). The
+  * `llm_clean_corpus` gate runs this whole chain in portable-hash mode
+  * against a single composed SQL oracle.
+  */
+object Curation {
+
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  minQuality: Double = 0.6, nearDupThreshold: Double = 0.7,
+                  numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                  portable: Boolean = false): DataFrame = {
+    val quality = docs.filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    // reused by pair generation, cluster resolution AND the survivor join
+    val exact = Dedup.exactDedup(quality, idCol, textCol).localCheckpoint(true)
+    val pairs = Dedup.nearDupMinhash(exact, idCol, textCol, nearDupThreshold,
+      numHashes, bands, shingleN, portable)
+    val clusters = Dedup.resolveClusters(pairs, exact, idCol)
+    exact.join(
+      clusters.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+}

@@ -41,6 +41,16 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("clean corpus: quality filter, exact dup, near-dup cluster all applied") {
+    // doc 5 (empty) fails quality; doc 3 is an exact dup of 1; docs 1 and 2
+    // are near-dups (one cluster → keep min id 1); doc 4 survives alone
+    val out = Curation.cleanCorpus(docs, "doc_id", "text",
+        minQuality = 0.5, nearDupThreshold = 0.3, numHashes = 32, bands = 16,
+        shingleN = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 4L))
+  }
+
   test("cluster resolution: transitive pairs collapse to the component min") {
     val pairs = Seq((2L, 3L), (3L, 7L), (9L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
