@@ -48,6 +48,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p.take(500))
   }
 
+  test("EVERY registered query has an oracle (no rows-only checks)") {
+    // round-4 invariant: zero no_oracle rows in the driver's correctness
+    // report — a new gate without an oracle entry fails here first
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
   test("NO gate plan contains a cartesian product (brute-force baseline excepted)") {
     // The one sanctioned nested-loop is ann_topk's labeled brute-force
     // baseline (broadcast NLJ over a 5-row query side). Everything else —
