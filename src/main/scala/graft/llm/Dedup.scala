@@ -235,7 +235,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("__s"), col("id_b").as("__d"))
       .union(pairs.select(col("id_b").as("__s"), col("id_a").as("__d")))
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("__id"), col(idCol).as("__label"))
+    // iterate ONLY over pair participants — every other doc's label can
+    // never change, so it joins back as its own canonical at the end;
+    // the label table is |participants|, not |corpus|
+    var labels = edges.select(col("__s").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("__label"))
       .localCheckpoint(true)
     var changed = 1L
     var round = 0
@@ -257,7 +261,10 @@ object Dedup {
       labels = next
       round += 1
     }
-    labels.select(col("__id").as(idCol), col("__label").as("canonical_id"))
+    docs.select(col(idCol))
+      .join(labels, docs(idCol) === labels("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__label"), col(idCol)).as("canonical_id"))
   }
 
   /** EXACT n-gram Jaccard near-dup — the third dedup tier the pipeline
