@@ -66,9 +66,70 @@ object LlmGates {
 
   private val shingleCte: String = shingleCteN(2)
 
+  /** Recursive transitive closure over a `pairs(id_a, id_b)` relation,
+    * ending in `comp(id, canon)` — shared by the `dedup_clusters` and
+    * `llm_clean_corpus` oracles. Must be placed under a WITH RECURSIVE.
+    */
+  private val closureCtes: String =
+    """cedges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT s, d FROM cedges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s)""".stripMargin
+
+  /** Ratio columns + the composite quality expression over `table` —
+    * `qscored` carries punct/digit/toks/stop ratios; [[qualityExpr]] is
+    * the round-4 score over them. Shared by the `text_quality` and
+    * `llm_clean_corpus` oracles (single source for the formula).
+    */
+  private def qualityCtes(table: String): String = {
+    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
+    s"""qbase AS (
+       |  SELECT *,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS digit_ratio,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+       |  FROM $table),
+       |qscored AS (
+       |  SELECT *, CASE WHEN len(words) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(words, w -> list_contains($en, w))) AS DOUBLE)
+       |         / len(words) END AS stop_ratio
+       |  FROM qbase)""".stripMargin
+  }
+
+  private val qualityExpr: String =
+    """round((CASE WHEN toks BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
+      |      * (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
+      |      * (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4)""".stripMargin
+
+  /** Min-id-per-normalized-digest exact dedup over `table`, ending in a
+    * relation named `ddocs` — shared by the `dedup_exact`-style stages.
+    */
+  private def exactDedupCte(table: String): String =
+    s"""ddocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars
+       |  FROM (SELECT *, ROW_NUMBER() OVER (
+       |          PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |          ORDER BY doc_id) AS rn
+       |        FROM $table)
+       |  WHERE rn = 1)""".stripMargin
+
   /** The full portable-minhash near-dup CTE chain over `table`, ending in
-    * a `verified(id_a, id_b, jaccard)` relation — shared by the
-    * `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus` oracles.
+    * `verified(id_a, id_b, jaccard)` (all candidates) and
+    * `pairs(id_a, id_b, jaccard)` (jaccard ≥ `threshold`) — shared by
+    * the `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus`
+    * oracles.
     */
   private def minhashCtes(table: String, threshold: Double): String = {
     val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
@@ -97,7 +158,8 @@ object LlmGates {
        |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
        |      / len(list_distinct(sa.shset || sb.shset)) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
-       |            JOIN sh sb ON sb.doc_id = cand.id_b)""".stripMargin
+       |            JOIN sh sb ON sb.doc_id = cand.id_b),
+       |pairs AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= $threshold)""".stripMargin
   }
 
   // ---- exact dedup (unchanged, already oracle-green) ------------------
@@ -189,8 +251,7 @@ object LlmGates {
 
   val dedupMinhashSql: String =
     s"""WITH ${minhashCtes("documents", 0.1)}
-       |SELECT id_a, id_b, jaccard FROM verified
-       |WHERE jaccard >= 0.1 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
   /** Cluster resolution over the portable-minhash pair set: every doc →
     * the minimum id of its near-dup connected component. The oracle
@@ -207,17 +268,8 @@ object LlmGates {
   }
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT id_a, id_b FROM ($dedupMinhashSql)),
-       |edges AS (
-       |  SELECT id_a AS s, id_b AS d FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |reach AS (
-       |  SELECT s, d FROM edges
-       |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-       |comp AS (
-       |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s)
+    s"""WITH RECURSIVE ${minhashCtes("documents", 0.1)},
+       |$closureCtes
        |SELECT doc.doc_id, coalesce(comp.canon, doc.doc_id) AS canonical_id
        |FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
@@ -234,54 +286,18 @@ object LlmGates {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
-  val llmCleanCorpusSql: String = {
-    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH RECURSIVE qbase AS (
-       |  SELECT *,
-       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
-       |           / length(text) END AS punct_ratio,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-       |           / length(text) END AS digit_ratio,
-       |    CASE WHEN trim(text) = '' THEN 0
-       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-       |  FROM documents),
-       |qscored AS (
-       |  SELECT *, CASE WHEN len(words) = 0 THEN 0.0
-       |    ELSE CAST(len(list_filter(words, w -> list_contains($en, w))) AS DOUBLE)
-       |         / len(words) END AS stop_ratio
-       |  FROM qbase),
+  val llmCleanCorpusSql: String =
+    s"""WITH RECURSIVE ${qualityCtes("documents")},
        |qdocs AS (
        |  SELECT doc_id, text, lang, source, n_chars FROM qscored
-       |  WHERE round((CASE WHEN toks BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END)
-       |      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
-       |      * (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
-       |      * (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) >= 0.6),
-       |ddocs AS (
-       |  SELECT doc_id, text, lang, source, n_chars
-       |  FROM (SELECT *, ROW_NUMBER() OVER (
-       |          PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-       |          ORDER BY doc_id) AS rn
-       |        FROM qdocs)
-       |  WHERE rn = 1),
+       |  WHERE $qualityExpr >= 0.6),
+       |${exactDedupCte("qdocs")},
        |${minhashCtes("ddocs", 0.1)},
-       |pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.1),
-       |cedges AS (
-       |  SELECT id_a AS s, id_b AS d FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
-       |reach AS (
-       |  SELECT s, d FROM cedges
-       |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s),
-       |comp AS (
-       |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s)
+       |$closureCtes
        |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
        |FROM ddocs dd LEFT JOIN comp ON comp.id = dd.doc_id
        |WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id
        |ORDER BY dd.doc_id""".stripMargin
-  }
 
   // ---- EXACT Jaccard near-dup: ground-truth all-pairs oracle ----------
 
@@ -454,42 +470,25 @@ object LlmGates {
 
   val textQualitySql: String = {
     // the IDENTICAL profile literals the Spark plan bakes in, sorted by
-    // lang key exactly like TextStats.langId's struct list
+    // lang key exactly like TextStats.langId's struct list; the ratio
+    // CTEs and quality formula are the SAME fragments llm_clean_corpus
+    // composes ([[qualityCtes]]/[[qualityExpr]])
     val profiles = TextStats.stopwords.toSeq.sortBy(_._1)
     def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
-    def score(ws: Seq[String]) =
-      s"len(list_filter(words, w -> list_contains(${listLit(ws)}, w)))"
     val structs = profiles.map { case (l, ws) =>
-      s"{'score': ${score(ws)}, 'lang': '$l'}"
+      s"{'score': len(list_filter(words, w -> list_contains(${listLit(ws)}, w))), 'lang': '$l'}"
     }.mkString("[", ", ", "]")
-    s"""WITH base AS (
-       |  SELECT doc_id, text,
-       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |      ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
-       |           / length(text) END AS punct_ratio,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |      ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-       |           / length(text) END AS digit_ratio,
-       |    CASE WHEN trim(text) = '' THEN 0
-       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-       |  FROM documents),
-       |scored AS (
-       |  SELECT doc_id, punct_ratio, digit_ratio, toks,
-       |    list_aggregate($structs, 'max') AS best,
-       |    CASE WHEN len(words) = 0 THEN 0.0
-       |      ELSE CAST(${score(profiles.collectFirst { case ("en", ws) => ws }.get)} AS DOUBLE)
-       |           / len(words) END AS stop_ratio
-       |  FROM base)
+    s"""WITH ${qualityCtes("documents")},
+       |lscored AS (
+       |  SELECT doc_id, punct_ratio, digit_ratio, toks, stop_ratio,
+       |    list_aggregate($structs, 'max') AS best
+       |  FROM qscored)
        |SELECT doc_id,
        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
-       |  round((CASE WHEN toks BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END)
-       |      * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END)
-       |      * (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END)
-       |      * (CASE WHEN stop_ratio > 0.01 THEN 1.0 ELSE 0.7 END), 4) AS quality,
+       |  $qualityExpr AS quality,
        |  round(punct_ratio, 6) AS punct_ratio,
        |  round(stop_ratio, 6) AS stopword_ratio
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |FROM lscored ORDER BY doc_id""".stripMargin
   }
 
   // ---- rolling-hash fingerprint: HUGEINT-emulated oracle --------------

@@ -258,9 +258,15 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), col("n.__id") === col("o.__id"))
         .filter(col("n.__label") =!= col("o.__label")).count()
+      labels.unpersist() // keep ≤ 2 live label checkpoints, not O(rounds)
       labels = next
       round += 1
     }
+    // fail LOUDLY on truncation: returning under-merged components would
+    // silently keep duplicate documents downstream
+    require(changed == 0,
+      s"resolveClusters did not converge within $maxRounds rounds " +
+        "(component diameter > 2^rounds); raise maxRounds")
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("__id"), "left")
       .select(col(idCol),
