@@ -592,6 +592,25 @@ object LlmGates {
       |  md5(substr(text, fi * step + 1, least(step, L - fi * step))) AS frame_md5
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize ("thumbnail") plumbing: binary truncation to a target byte
+    * budget; the oracle mirrors the substring and digests the result
+    * (ASCII testdata ⇒ byte slice ≡ substr).
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        Multimodal.resizeStub(col("text").cast("binary"), 64).as("thumb"))
+      .select(col("doc_id"),
+        length(col("thumb")).cast("long").as("thumb_len"),
+        md5(col("thumb")).as("thumb_md5"))
+      .orderBy("doc_id")
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  CAST(length(substr(text, 1, 64)) AS BIGINT) AS thumb_len,
+      |  md5(substr(text, 1, 64)) AS thumb_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -634,7 +653,8 @@ object LlmGates {
     "text_quality"        -> (textQuality _),
     "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames"   -> (multimodalFrames _))
+    "multimodal_frames"   -> (multimodalFrames _),
+    "multimodal_resize"   -> (multimodalResize _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
@@ -651,5 +671,6 @@ object LlmGates {
     "text_rolling_fp"     -> textRollingFpSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
+    "multimodal_resize"   -> multimodalResizeSql,
     "dedup_embedding"     -> dedupEmbeddingSql)
 }
