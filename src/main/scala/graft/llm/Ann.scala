@@ -248,11 +248,15 @@ object Ann {
       signBucket(col(vecCol), bits, dim).as("__bucket"))
     // materialized once: the self-join reads both sides, and the norm +
     // interpreted sign-projection work would otherwise run twice (same
-    // reason the minhash/simhash pipelines checkpoint their signatures)
-    val h = h0.withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+    // reason the minhash/simhash pipelines checkpoint their signatures).
+    // Bucket sizes via partial-agg count + semi-join over the checkpoint,
+    // never count-over-window (no partial agg → the degenerate bucket the
+    // cap targets would stall one task; see Dedup.candidatePairs).
+    val hc = h0.localCheckpoint(true)
+    val small = hc.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
-      .localCheckpoint(true)
+      .select("__bucket")
+    val h = hc.join(small, Seq("__bucket"), "left_semi")
     val a = h.select(col("__bucket"), col(idCol).as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = h.select(col("__bucket"), col(idCol).as("id_b"),

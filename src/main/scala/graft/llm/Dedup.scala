@@ -165,13 +165,20 @@ object Dedup {
     * skew: a degenerate bucket (e.g. empty-text docs) would otherwise
     * explode quadratically; oversize buckets are dropped, mirroring
     * production near-dup pipelines.
+    *
+    * Bucket sizes come from `groupBy().count()` + a semi-join back, NOT a
+    * count-over-window: WindowExec has no partial aggregation, so the
+    * degenerate bucket the cap exists for would itself stall one task with
+    * its full row set. The partial count makes the hot bucket nearly free
+    * map-side, and the join-back is an equi-join AQE can skew-split.
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = 1000): DataFrame = {
-    val sized = bandsDf.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__band"), col("__bucket"))))
+    val small = bandsDf.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
+      .select("__band", "__bucket")
+    val sized = bandsDf.join(small, Seq("__band", "__bucket"), "left_semi")
     val a = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
     val b = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
@@ -244,20 +251,24 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("__d") === labels("__id"))
+      // strip the previous round's __prev before joining (rounds > 1)
+      val lab = labels.select(col("__id"), col("__label"))
+      val nbrMin = edges.join(lab, edges("__d") === lab("__id"))
         .groupBy(col("__s")).agg(min(col("__label")).as("__nl"))
-      val prop = labels.join(nbrMin, labels("__id") === nbrMin("__s"), "left")
-        .select(col("__id"),
+      // carry the round's INPUT label along as __prev so convergence is a
+      // filter over the checkpointed result — not a second join job per
+      // round re-reading the old label table
+      val prop = lab.join(nbrMin, lab("__id") === nbrMin("__s"), "left")
+        .select(col("__id"), col("__label").as("__prev"),
           least(col("__label"), coalesce(col("__nl"), col("__label"))).as("__label"))
       // path halving: follow the label one hop (label(label(x)))
       val next = prop.as("a")
         .join(prop.as("b").select(col("__id").as("__bid"), col("__label").as("__bl")),
           col("a.__label") === col("__bid"))
-        .select(col("a.__id").as("__id"),
+        .select(col("a.__id").as("__id"), col("a.__prev").as("__prev"),
           least(col("a.__label"), col("__bl")).as("__label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.__id") === col("o.__id"))
-        .filter(col("n.__label") =!= col("o.__label")).count()
+      changed = next.filter(col("__label") =!= col("__prev")).count()
       labels.unpersist() // keep ≤ 2 live label checkpoints, not O(rounds)
       labels = next
       round += 1
@@ -395,11 +406,13 @@ object Dedup {
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band", "__bucket")))
     // Same skew guard as MinHash: correlated corpora concentrate band
-    // buckets; an uncapped bucket joins quadratically.
-    val sized = banded.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__band"), col("__bucket"))))
+    // buckets; an uncapped bucket joins quadratically. Sizes via partial-
+    // agg count + semi-join, never count-over-window (see candidatePairs).
+    val small = banded.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
+      .select("__band", "__bucket")
+    val sized = banded.join(small, Seq("__band", "__bucket"), "left_semi")
     val a = sized.select(col("__band"), col("__bucket"),
       col(idCol).as("id_a"), col("simhash").as("__sa"))
     val b = sized.select(col("__band"), col("__bucket"),

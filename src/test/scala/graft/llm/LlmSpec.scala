@@ -205,6 +205,25 @@ class LlmSpec extends SparkSpec {
     assert(pairs.size <= 1)
   }
 
+  test("bucket cap sizes via partial aggregation, not a window; 100x-cap bucket dropped") {
+    // A count-over-window has no partial aggregation: the degenerate
+    // bucket the cap exists FOR would land entirely in one task before it
+    // could be dropped. The size computation must plan as a HashAggregate
+    // with a partial_count (map-side combine makes the hot bucket nearly
+    // free) and never a Window.
+    val hot = (0L until 500L).map(i =>
+      (i, "same exact text in every document of the hot bucket"))
+    val df = (hot :+ (9000L, "an unrelated singleton document here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesInline(df, "doc_id", "text", 16, 2)
+    val banded = Dedup.lshBands(sigs, "doc_id", 4, 4)
+    val cands = Dedup.candidatePairs(banded, "doc_id", maxBucket = 5)
+    val plan = cands.queryExecution.sparkPlan.toString
+    assert(plan.contains("partial_count"), plan.take(1000))
+    assert(!plan.contains("Window"), "cap must not plan a window:\n" + plan.take(1000))
+    assert(cands.count() == 0) // 500-row bucket at 100x the cap → dropped whole
+  }
+
   test("multimodal: stub features are fixed-dim, normalized, deterministic") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("media"))
