@@ -4,16 +4,61 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed partition-wise.
+/** Pluggable media-decode seam: the Spark-side plumbing (schema contract,
+  * binary columns, partition-wise batching, fixed-dim `array<float>`
+  * features feeding [[Ann]]) is real and gated; the codec itself is
+  * injected. This container has no image/audio codecs, so the default is
+  * [[StubDecoder]] — a deployment with codecs supplies its own
+  * implementation without touching the gated pipeline.
   *
-  * The decode step is a STUB — the real implementation would call an
-  * image/audio codec (not present in this container) inside the same
-  * per-partition batch loop. Everything around it is real and tested:
-  * the schema contract, the binary column plumbing, the fixed-dimension
-  * `array<float>` feature output feeding [[Ann]], and the partition-wise
-  * batch shape (amortizing per-batch codec setup, exactly like a Pandas-
-  * batched UDF would).
+  * Implementations MUST be serializable: instances ship to executors
+  * inside the `mapPartitions` closures, and any expensive codec context
+  * should be opened lazily per partition (inside `features`/`frames` on
+  * first use, or via a `@transient lazy val`), not in the constructor.
+  */
+trait MediaDecoder extends Serializable {
+
+  /** bytes in → fixed-dim float features out (the decode→embed contract). */
+  def features(bytes: Array[Byte]): Array[Float]
+
+  /** bytes in → up to `n` (frame index, frame bytes) samples (the video
+    * frame-extraction contract). */
+  def frames(bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])]
+}
+
+/** STUB decoder — deterministic fakes standing in for real codecs:
+  * features = L1-normalized 16-bin byte histogram; frames = evenly-spaced
+  * byte slices. Honest placeholders (environment-blocked, not lazy): the
+  * signatures and batch shapes are the production contract.
+  */
+object StubDecoder extends MediaDecoder {
+
+  val FeatureDim = 16
+
+  override def features(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Int](FeatureDim)
+    if (bytes == null || bytes.isEmpty) return new Array[Float](FeatureDim)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1; i += 1 }
+    // divide in DOUBLE then narrow — the rounding any SQL engine doing
+    // `CAST(c AS DOUBLE)/n → REAL` produces, so the oracle can match bitwise
+    val n = bytes.length.toDouble
+    hist.map(c => (c / n).toFloat)
+  }
+
+  override def frames(bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] =
+    if (bytes == null || bytes.isEmpty) Iterator.empty
+    else {
+      val step = math.max(bytes.length / n, 1)
+      (0 until math.min(n, bytes.length)).iterator.map { f =>
+        (f, bytes.slice(f * step, math.min(f * step + step, bytes.length)))
+      }
+    }
+}
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed partition-wise through a
+  * [[MediaDecoder]].
   */
 object Multimodal {
 
@@ -29,57 +74,37 @@ object Multimodal {
     StructField("media", BinaryType),
     StructField("meta", metaSchema)))
 
-  /** STUB "decoder": a deterministic 16-bin byte histogram (L1-normalized)
-    * standing in for a real decode→embed step. Swap the body for a codec
-    * call; the signature — bytes in, fixed-dim float features out — is the
-    * production contract.
-    */
-  val FeatureDim = 16
-  private def stubFeatures(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Int](FeatureDim)
-    if (bytes == null || bytes.isEmpty) return new Array[Float](FeatureDim)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xFF) % FeatureDim) += 1; i += 1 }
-    // divide in DOUBLE then narrow — the rounding any SQL engine doing
-    // `CAST(c AS DOUBLE)/n → REAL` produces, so the oracle can match bitwise
-    val n = bytes.length.toDouble
-    hist.map(c => (c / n).toFloat)
-  }
+  /** Feature dimension of the default [[StubDecoder]]. */
+  val FeatureDim: Int = StubDecoder.FeatureDim
 
   /** Feature extraction over a binary column, batched per partition.
     * Implemented with mapPartitions on the typed Dataset so per-partition
     * setup (a real codec context) happens once per task, not per row.
     */
-  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+                      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val out = df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: open codec here, close after the iterator drains
-        rows.map { case (id, bytes) => (id, stubFeatures(bytes)) }
+        rows.map { case (id, bytes) => (id, decoder.features(bytes)) }
       }
     out.toDF(idCol, "features")
       .withColumn("features", col("features").cast("array<float>"))
   }
 
-  /** Deterministic frame sampling STUB: n evenly-spaced byte-slices of the
-    * blob (stand-in for video frame extraction); output one row per frame
-    * with its index — the explode shape a real frame sampler produces.
+  /** Frame sampling: one row per (id, frame index, frame bytes) — the
+    * explode shape a real frame sampler produces.
     */
-  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int,
+                   decoder: MediaDecoder = StubDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val out = df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        if (bytes == null || bytes.isEmpty) Iterator.empty
-        else {
-          val step = math.max(bytes.length / n, 1)
-          (0 until math.min(n, bytes.length)).iterator.map { f =>
-            (id, f, bytes.slice(f * step, math.min(f * step + step, bytes.length)))
-          }
-        }
+        decoder.frames(bytes, n).map { case (f, b) => (id, f, b) }
       }
     out.toDF(idCol, "frame_idx", "frame")
   }

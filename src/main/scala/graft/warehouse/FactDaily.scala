@@ -34,11 +34,17 @@ object FactDaily {
     * @param dimJob / dimCompany post-merge dims (current rows used)
     * @param runDate today
     * @param maxFactId current max fact_id across the fact table
+    * @param skewSalts 0/1 = plain priority-dedup window; >1 = the two-phase
+    *                  salted dedup ([[Snapshots.dedupByPrioritySalted]],
+    *                  property-proven identical output) for corpora where
+    *                  one (job_sk, date_id) key can dominate a partition —
+    *                  e.g. a re-run replaying many revisions of one job
     * @return today's complete fact slice (Schemas.factDaily)
     */
   def buildDay(factYesterday: DataFrame, factTodayExisting: DataFrame,
                staging: DataFrame, dimJob: DataFrame, dimCompany: DataFrame,
-               runDate: Column, crawledAt: Column, maxFactId: Long): DataFrame = {
+               runDate: Column, crawledAt: Column, maxFactId: Long,
+               skewSalts: Int = 0): DataFrame = {
     val today = runDate.cast("date")
 
     // M5: carried rows, re-stamped (daily.py:138-146); fact_id re-minted below.
@@ -82,8 +88,12 @@ object FactDaily {
     val unioned = existing.unionByName(
       fromStaging.withColumn("fact_id", lit(null).cast("long")), allowMissingColumns = true)
       .unionByName(carried.withColumn("fact_id", lit(null).cast("long")))
-    val deduped = Snapshots.dedupByPriority(unioned, Seq("job_sk", "date_id"),
-      col("__priority"), col("fact_id")).drop("__priority")
+    val deduped = (if (skewSalts > 1)
+        Snapshots.dedupByPrioritySalted(unioned, Seq("job_sk", "date_id"),
+          skewSalts, col("__priority"), col("fact_id"))
+      else
+        Snapshots.dedupByPriority(unioned, Seq("job_sk", "date_id"),
+          col("__priority"), col("fact_id"))).drop("__priority")
 
     // Fresh fact_ids, deterministic by job_sk within the day slice (unique
     // after the (job_sk, date_id) dedup — date_id is constant). Minting is

@@ -36,10 +36,12 @@ object WarehouseJob {
   /** Run one day: returns the new warehouse state. `staging` must follow
     * [[Schemas.staging]]. Frames are localCheckpoint'd so multi-day runs
     * don't stack lineage (the on-disk table layer plays this role in
-    * production).
+    * production). `skewSalts > 1` routes the fact dedup through the
+    * salted two-phase variant (identical output; for skewed day slices).
     */
   def runDay(spark: SparkSession, state: State, staging: DataFrame,
-             runDate: String, checkpoint: Boolean = true): State = {
+             runDate: String, checkpoint: Boolean = true,
+             skewSalts: Int = 0): State = {
     val rd = lit(runDate)
     val today = java.sql.Date.valueOf(runDate)
     val yesterday = java.sql.Date.valueOf(today.toLocalDate.minusDays(1))
@@ -57,7 +59,8 @@ object WarehouseJob {
 
     val factToday = FactDaily.buildDay(
       factYesterday, factTodayExisting, staging, dimJob, dimCompany,
-      runDate = rd, crawledAt = lit(runDate + " 07:00:00"), maxFactId = maxFactId)
+      runDate = rd, crawledAt = lit(runDate + " 07:00:00"), maxFactId = maxFactId,
+      skewSalts = skewSalts)
     val fact = factOther.unionByName(factToday)
 
     val bridge = Bridge.buildDay(

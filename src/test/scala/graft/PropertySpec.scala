@@ -112,6 +112,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact Jaccard near-dup ≡ brute-force all-pairs over generated clustered corpora") {
+    // The recall-1 claim (Dedup.nearDupJaccardExact: prefix + positional
+    // filter never lose a true pair) checked against literal all-pairs
+    // Jaccard computed Scala-side, for clustered corpora (variants of
+    // shared base docs + noise) across thresholds 0.5–0.9.
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def shingleSet(text: String, n: Int): Set[String] = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val words = norm.split(" ", -1).toVector
+      if (words.size < n) Set(norm)
+      else words.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val docGen = Gen.choose(5, 12).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab)).map(_.toVector))
+    val corpusGen = for {
+      bases <- Gen.listOfN(4, docGen)
+      variants <- Gen.listOfN(4, for {
+        b <- Gen.oneOf(bases)
+        k <- Gen.choose(0, 2)          // 0 = exact dup; 1–2 word swaps = near-dup
+        idxs <- Gen.listOfN(k, Gen.choose(0, 99))
+        w <- Gen.oneOf(vocab)
+      } yield idxs.foldLeft(b)((d, i) => d.updated(i % d.size, w)))
+    } yield (bases ++ variants).zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    forAllSeeded(Gen.zip(corpusGen, Gen.oneOf(0.5, 0.7, 0.9)), cases = 6) { case (docs, t) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.llm.Dedup.nearDupJaccardExact(df, "doc_id", "text", t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map { case (id, txt) => id -> shingleSet(txt, 3) }.toMap
+      val ids = docs.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        if jac(sets(a), sets(b)) >= t
+      } yield (a, b)).toSet
+      assert(got == want, s"t=$t missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("carry-forward: output keys = today ∪ unexpired yesterday; no dup keys when inputs are keyed") {
     val rowGen = Gen.zip(Gen.choose(1, 12), Gen.choose(0, 1)).map {
       case (k, exp) => (s"j$k", exp == 1)

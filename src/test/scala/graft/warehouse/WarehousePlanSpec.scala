@@ -63,4 +63,25 @@ class WarehousePlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name build has an unpartitioned window:\n${bad.mkString("\n")}")
     }
   }
+
+  test("skewSalts routes the fact dedup through the salted variant with identical output") {
+    // The skew-threshold switch for hot (job_sk, date_id) keys: the salted
+    // two-phase dedup must yield the exact same day slice (rows AND minted
+    // fact_ids) as the plain window. Staging repeats each job 3× with
+    // distinct crawl times to give the dedup real duplicates to resolve.
+    import scala.jdk.CollectionConverters._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def row(id: String, h: Int): Row =
+      Row(id, "T", "u", Seq("S"), "C", null, null, true, "Hà Nội", null, null,
+        "negotiable", null, ts(f"2026-01-01 0$h:00:00"), null, ts(f"2026-01-01 0$h:00:00"))
+    val staging = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        (1 to 4).flatMap(i => (1 to 3).map(h => row(s"j$i", h))).asJava), Schemas.staging)
+    val s0 = WarehouseJob.emptyState(spark)
+    val plain = WarehouseJob.runDay(spark, s0, staging, "2026-01-01")
+    val salted = WarehouseJob.runDay(spark, s0, staging, "2026-01-01", skewSalts = 8)
+    assert(plain.star.fact.exceptAll(salted.star.fact).isEmpty &&
+      salted.star.fact.exceptAll(plain.star.fact).isEmpty,
+      "salted day slice diverged from plain")
+  }
 }
