@@ -43,8 +43,12 @@ object ViewRealGates {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def anchorDate(s: SparkSession, dir: String): String =
-    // cached per dir: ~9 anchored gates would otherwise each run the
-    // orders aggregation at DataFrame-construction time
+    // cached per dir for the JVM lifetime: ~9 anchored gates would
+    // otherwise each run the orders aggregation at DataFrame-construction
+    // time. ASSUMES the parquet under a dir is never rewritten within one
+    // session (true for the read-only /root/testdata dirs this harness
+    // reads) — a harness regenerating data in place would need to key
+    // this on a file fingerprint instead.
     anchorCache.computeIfAbsent(dir, _ =>
       Tables(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("d")).count()

@@ -62,17 +62,6 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-random-projection bucket id over `bits` pseudo-random
-    * hyperplanes. Planes are Rademacher (±1) vectors drawn from a seeded
-    * PRNG and baked in as LITERAL arrays — deterministic, no stored model,
-    * and no per-element hashing at runtime (an earlier xxhash-per-element
-    * variant was 10× slower: higher-order functions are interpreted, so
-    * work inside the lambda is the whole cost).
-    *
-    * `dim` must equal the embedding length: `zip_with` pads the SHORTER
-    * side with nulls, so a mismatched plane length would null the whole
-    * projection (and silently collapse every row into bucket 0).
-    */
   /** The seeded Rademacher hyperplanes behind [[signBucket]], exposed so
     * the correctness oracle can inject the IDENTICAL literals into its SQL
     * (same seed → same planes → same buckets in any engine).
@@ -82,6 +71,16 @@ object Ann {
     IndexedSeq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Sign-random-projection bucket id over `bits` pseudo-random
+    * hyperplanes ([[planes]]) baked in as LITERAL arrays — deterministic,
+    * no stored model, and no per-element hashing at runtime (an earlier
+    * xxhash-per-element variant was 10× slower: higher-order functions are
+    * interpreted, so work inside the lambda is the whole cost).
+    *
+    * `dim` must equal the embedding length: `zip_with` pads the SHORTER
+    * side with nulls, so a mismatched plane length would null the whole
+    * projection (and silently collapse every row into bucket 0).
+    */
   def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
     val projections = planes(bits, dim, seed).zipWithIndex.map { case (signs, i) =>
       val proj = aggregate(
@@ -168,6 +167,14 @@ object Ann {
     * Ranking semantics are unchanged: nearest = max cosine, centroid id
     * ascending on ties; FP order matches the Column fold, so the SQL
     * oracle mirrors it exactly.
+    *
+    * CONTRACT: embeddings and centroids must have NONZERO norm. A
+    * zero-norm vector yields cos = NaN, and NaN ordering differs between
+    * this kernel's insertion sort (never-better → sorts last) and the
+    * ROW_NUMBER/ORDER BY cosine DESC mirror (NaN sorts FIRST in both
+    * Spark and DuckDB) — the documented FP equivalence only holds on
+    * nonzero-norm input. The testdata generator and the embedding gates
+    * satisfy this; normalize or drop zero vectors before calling.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidTarget: Int = 0, nprobe: Int = 3,
