@@ -44,10 +44,66 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+    // ---- scaled sweep: the warehouse day-build + near-dup family re-run
+    // over an on-the-fly SCALE× copy of their input tables, surfacing any
+    // serialization the base scale hides (single-task funnels, quadratic
+    // candidate growth). Replicas are DECORRELATED — letter-rotated text,
+    // hash-sign-flipped embeddings, remapped keys — so per-key/per-bucket
+    // group sizes keep the base data's character and the SCALE× timing
+    // isolates engine scaling, not an artificial duplicate explosion.
+    val scaleF = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val scaleQs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var scaleGen = 0.0
+    if (scaleF > 1) {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      val scaleDir = s"target/bench_scale_x$scaleF"
+      val g0 = System.nanoTime()
+      val lo = "abcdefghijklmnopqrstuvwxyz"
+      def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+      def replicate(table: String, f: (DataFrame, Int) => DataFrame): Unit = {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        (0 until scaleF).map(r => f(base, r)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$scaleDir/$table.parquet")
+      }
+      replicate("documents", (d, r) => d
+        .withColumn("doc_id", col("doc_id") * scaleF + r)
+        .withColumn("text", if (r == 0) col("text")
+          else translate(col("text"), lo + lo.toUpperCase,
+            rot(lo, 1 + r % 25) + rot(lo, 1 + r % 25).toUpperCase)))
+      replicate("embeddings", (d, r) => d
+        .withColumn("vec_id", col("vec_id") * scaleF + r)
+        .withColumn("embedding", if (r == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(col("vec_id"), i, lit(r)), lit(2)) === 0, x).otherwise(-x))))
+      replicate("lineitem", (d, r) =>
+        d.withColumn("l_orderkey", col("l_orderkey") * scaleF + r))
+      replicate("orders", (d, r) => d
+        .withColumn("o_orderkey", col("o_orderkey") * scaleF + r)
+        .withColumn("o_custkey", col("o_custkey") * scaleF + r))
+      scaleGen = (System.nanoTime() - g0) / 1e9
+      val sweep = Seq("carry_forward", "dedup_priority", "dedup_exact",
+        "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embedding",
+        "dedup_clusters")
+      for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, scaleDir).count()
+          scaleQs(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(s"scale_$name") =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+      }
+    }
+
     val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    val sq = scaleQs.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"scale":$scale,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
