@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Dedup, Multimodal, TextStats}
+import graft.llm.{Ann, Contamination, Dedup, Multimodal, TextStats}
 
 /** Correctness gates for the LLM-data-pipeline operators over
   * `documents.parquet` / `embeddings.parquet`.
@@ -638,7 +638,69 @@ object LlmGates {
        |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- contamination detection ----------------------------------------
+
+  /** Test-set contamination with PLANTED ground truth: the eval set is
+    * the first-half-word prefix of every 7th document, so each eval doc
+    * is verbatim-contained in its source (a prefix's 3-gram shingles are
+    * a subset of the full doc's) — containment 1.0 ≥ 0.8 guarantees a
+    * non-vacuous result at any scale factor. The oracle restates the
+    * whole computation via list_intersect over the same shingle sets.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val ws = split(Dedup.normalize(col("text")), " ")
+    val half = greatest(floor(size(ws) / lit(2)).cast("int"), lit(1))
+    val evalSet = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        array_join(slice(ws, lit(1), half), " ").as("text"))
+    Contamination.detect(d, evalSet, "doc_id", "text", threshold = 0.8)
+      .orderBy("train_id", "eval_id")
+  }
+
+  val contaminationSql: String =
+    """WITH tnorm AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |tsh AS (
+      |  SELECT doc_id AS train_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) END AS shset
+      |  FROM tnorm),
+      |eprefix AS (
+      |  SELECT doc_id, ws[1:greatest(len(ws)//2, 1)] AS ews
+      |  FROM tnorm WHERE doc_id % 7 = 0),
+      |esh AS (
+      |  SELECT doc_id AS eval_id, CASE WHEN len(ews) < 3 THEN [array_to_string(ews, ' ')]
+      |    ELSE list_distinct([ews[i] || ' ' || ews[i+1] || ' ' || ews[i+2] for i in range(1, len(ews) - 1)]) END AS shset
+      |  FROM eprefix)
+      |SELECT t.train_id, e.eval_id,
+      |       CAST(len(list_intersect(t.shset, e.shset)) AS DOUBLE) / len(e.shset) AS containment
+      |FROM tsh t CROSS JOIN esh e
+      |WHERE CAST(len(list_intersect(t.shset, e.shset)) AS DOUBLE) / len(e.shset) >= 0.8
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  // ---- stratified sampling --------------------------------------------
+
+  /** Deterministic 3-per-language sample: the portable md5(id) order lets
+    * the oracle draw the IDENTICAL rows.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        Tables(s, dir, "documents"), Seq("lang"), "doc_id", n = 3)
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "doc_id")
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination"       -> (contamination _),
+    "sample_stratified"   -> (sampleStratified _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_exact"         -> (dedupExact _),
     "text_stats"          -> (textStats _),
@@ -657,6 +719,8 @@ object LlmGates {
     "multimodal_resize"   -> (multimodalResize _))
 
   val oracleSql: Map[String, String] = Map(
+    "contamination"       -> contaminationSql,
+    "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,
     "text_stats"          -> textStatsSql,
     "ann_topk"            -> annTopKSql,

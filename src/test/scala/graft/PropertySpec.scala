@@ -152,6 +152,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: salted ≡ plain; exactly min(n, |group|) rows per group") {
+    // Same composition argument as the salted dedup: top-n under a total
+    // order composes across phases, so the salted draw must be row-for-row
+    // identical, including on hot groups (80% of rows in one group).
+    val rowGen = Gen.zip(
+      Gen.frequency(8 -> Gen.const("hot"), 2 -> Gen.oneOf("g1", "g2")),
+      Gen.choose(0L, 100000L))
+    forAllSeeded(Gen.listOfN(50, rowGen).map(_.distinctBy(_._2)), cases = 5) { rows =>
+      val df = rows.toDF("g", "id")
+      val plain = graft.operators.Sampling.stratified(df, Seq("g"), "id", 3)
+        .orderBy("g", "id").collect().toSeq
+      val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val gotSizes = plain.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+      sizes.foreach { case (g, n) => assert(gotSizes(g) == math.min(3, n)) }
+      for (salts <- Seq(2, 8)) {
+        val salted = graft.operators.Sampling.stratified(df, Seq("g"), "id", 3, salts)
+          .orderBy("g", "id").collect().toSeq
+        assert(salted == plain, s"salts=$salts diverged")
+      }
+    }
+  }
+
   test("carry-forward: output keys = today ∪ unexpired yesterday; no dup keys when inputs are keyed") {
     val rowGen = Gen.zip(Gen.choose(1, 12), Gen.choose(0, 1)).map {
       case (k, exp) => (s"j$k", exp == 1)

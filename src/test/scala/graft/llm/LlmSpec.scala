@@ -224,6 +224,50 @@ class LlmSpec extends SparkSpec {
     assert(cands.count() == 0) // 500-row bucket at 100x the cap → dropped whole
   }
 
+  test("contamination: planted prefix contained at 1.0; unrelated eval excluded") {
+    val train = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "totally different words appear in this training document")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "alpha bravo charlie delta"),     // prefix of train 1 → containment 1.0
+      (11L, "unrelated eval question here")). // no shared 3-grams
+      toDF("doc_id", "text")
+    val got = Contamination.detect(train, evalSet, "doc_id", "text",
+        threshold = 0.8, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 1.0)))
+  }
+
+  test("contamination: asymmetric — short eval inside long train, not vice versa") {
+    // Jaccard between the pair is low (train has many extra shingles);
+    // containment of the eval side is still 1.0 — the decontamination case.
+    val train = Seq((1L, ("w" +: (1 to 40).map(i => s"t$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((10L, "t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = Contamination.detect(train, evalSet, "doc_id", "text", 0.99)
+      .collect()
+    assert(got.length == 1 && got(0).getDouble(2) == 1.0)
+  }
+
+  test("contamination: maxPostings cap drops only over-shared shingles") {
+    // 'the quick brown' appears in every train doc (df 3 > cap 2) → its
+    // contribution disappears; eval contained only via rarer shingles.
+    val train = Seq(
+      (1L, "the quick brown fox one"),
+      (2L, "the quick brown fox two"),
+      (3L, "the quick brown fox three")).toDF("doc_id", "text")
+    val evalSet = Seq((10L, "the quick brown fox one")).toDF("doc_id", "text")
+    val exact = Contamination.detect(train, evalSet, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(exact(1L) == 1.0)              // full containment in its source
+    val capped = Contamination.detect(train, evalSet, "doc_id", "text", 0.3,
+        maxPostings = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // 'the quick brown'/'quick brown fox' (df 3) capped away; only
+    // 'brown fox one' (df 1) survives → containment 1/3 via train 1 only
+    assert(capped.keySet == Set(1L) && capped(1L) == 1.0 / 3)
+  }
+
   test("multimodal: stub features are fixed-dim, normalized, deterministic") {
     val d = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .select($"doc_id", $"text".cast("binary").as("media"))
