@@ -229,19 +229,35 @@ object Dedup {
     * a production dedup pipeline runs AFTER pair generation — without it,
     * overlapping pairs (a,b),(b,c) double-drop or double-keep.
     *
-    * Min-label propagation WITH PATH HALVING: every doc starts labeled
-    * with itself; each round takes the min over its neighbors' labels and
-    * then compresses via label-of-label (every label is itself a doc id,
-    * so the self-join is total). Halving makes convergence O(log
-    * diameter) rounds instead of O(diameter) — each driver-loop round is
-    * one edge join + one self join over the (small) label table, and the
-    * loop exits on a changed-count of zero (capped as a backstop).
+    * Size-adaptive, two regimes:
+    *
+    *   - `|pairs| ≤ localThreshold` (long ids): collect the checkpointed
+    *     edge list (bounded: 10⁶ edges ≈ 16 MB) and run driver-side
+    *     union-find with min-root union — zero iterative Spark rounds,
+    *     the result broadcast-joins back. The same small-graph shortcut
+    *     GraphFrames-style CC implementations take; near-dup pair sets
+    *     are usually a tiny fraction of the corpus.
+    *   - otherwise: distributed min-label propagation WITH PATH HALVING —
+    *     every doc starts labeled with itself; each round takes the min
+    *     over its neighbors' labels and compresses via label-of-label
+    *     (every label is itself a doc id, so the self-join is total).
+    *     Halving converges in O(log diameter) rounds; each driver-loop
+    *     round is one edge join + one self join over the participants-
+    *     only label table, and the loop exits on a changed-count of zero
+    *     (capped as a backstop).
+    *
+    * Both regimes produce the identical (id, component-min) labeling.
     */
   def resolveClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
-                      maxRounds: Int = 20): DataFrame = {
+                      maxRounds: Int = 20,
+                      localThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("__s"), col("id_b").as("__d"))
       .union(pairs.select(col("id_b").as("__s"), col("id_a").as("__d")))
       .localCheckpoint(true)
+    val isLong = pairs.schema("id_a").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (isLong && edges.count() <= 2 * localThreshold)
+      return resolveClustersLocal(edges, docs, idCol)
     // iterate ONLY over pair participants — every other doc's label can
     // never change, so it joins back as its own canonical at the end;
     // the label table is |participants|, not |corpus|
@@ -278,8 +294,42 @@ object Dedup {
     require(changed == 0,
       s"resolveClusters did not converge within $maxRounds rounds " +
         "(component diameter > 2^rounds); raise maxRounds")
+    val lab = labels.select(col("__id"), col("__label"))
     docs.select(col(idCol))
-      .join(labels, docs(idCol) === labels("__id"), "left")
+      .join(lab, docs(idCol) === lab("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__label"), col(idCol)).as("canonical_id"))
+  }
+
+  /** Driver-side union-find over a COLLECTED (bounded) edge list.
+    * Min-root union keeps the invariant "a component's root is its
+    * minimum id seen so far", so after all unions `find(x)` IS the
+    * component minimum — the same labeling the distributed loop computes.
+    */
+  private def resolveClustersLocal(edges: DataFrame, docs: DataFrame,
+                                   idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // the doubled edge table holds each pair twice; keep one direction
+    val ps = edges.filter(col("__s") < col("__d"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    ps.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val participants = ps.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val labels = participants.iterator.map(p => (p, find(p))).toSeq
+      .toDF("__id", "__label")
+    docs.select(col(idCol))
+      .join(broadcast(labels), docs(idCol) === labels("__id"), "left")
       .select(col(idCol),
         coalesce(col("__label"), col(idCol)).as("canonical_id"))
   }

@@ -51,13 +51,19 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq(1L, 4L))
   }
 
-  test("cluster resolution: transitive pairs collapse to the component min") {
+  test("cluster resolution: transitive pairs collapse to the component min (both regimes)") {
     val pairs = Seq((2L, 3L), (3L, 7L), (9L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
-    val got = Dedup.resolveClusters(pairs, ids, "doc_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // {2,3,7} → 2 (transitively, though (2,7) was never a pair); {8,9} → 8
-    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 2L, 8L -> 8L, 9L -> 8L))
+    val want = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 7L -> 2L, 8L -> 8L, 9L -> 8L)
+    val local = Dedup.resolveClusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == want)
+    // localThreshold = 0 forces the distributed label-propagation loop —
+    // both regimes must produce the identical labeling
+    val looped = Dedup.resolveClusters(pairs, ids, "doc_id", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(looped == want)
   }
 
   test("exact Jaccard near-dup equals brute force (prefix filter is complete)") {
