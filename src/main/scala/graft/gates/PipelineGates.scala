@@ -1,0 +1,185 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Chunking, Keywords, Privacy, Repetition}
+import graft.operators.Sharding
+
+/** Correctness gates for the pipeline-output operators (PII scrub,
+  * repetition filters, chunking, sharding, keywords) over
+  * `documents.parquet`. Same contract as [[LlmGates]]: every gate
+  * carries a full DuckDB oracle restating the ENTIRE computation;
+  * portable hash/score forms (md5 shard fold, linear-IDF score) keep
+  * the comparison bitwise, per the FP parity rules in LlmGates' header.
+  */
+object PipelineGates {
+
+  private val NormWs =
+    "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+  // ---- PII detect / redact --------------------------------------------
+
+  /** The synthetic corpus carries no PII, so the gate PLANTS it
+    * deterministically (doc_id % 3 picks the flavor) on both sides —
+    * exercising hits, multi-category rows, and clean rows — then
+    * verifies counts and the md5 of the redacted text.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val id = col("doc_id")
+    val aug = when(id % 3 === 0,
+        concat(col("text"), lit(" reach user"), id.cast("string"),
+          lit("@mail.example.com ok")))
+      .when(id % 3 === 1,
+        concat(col("text"), lit(" call 555-010-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10."), pmod(id, lit(256)).cast("string"),
+          lit(".0."), pmod(id * 7, lit(256)).cast("string"), lit(" now")))
+      .otherwise(col("text"))
+    d.select(id,
+        Privacy.countEmails(aug).as("n_emails"),
+        Privacy.countPhones(aug).as("n_phones"),
+        Privacy.countIpv4(aug).as("n_ips"),
+        Privacy.hasPii(aug).as("has_pii"),
+        md5(Privacy.redact(aug)).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    // runtime regex values carry single backslashes; DuckDB single-quoted
+    // strings pass them through unprocessed, so no re-escaping is needed.
+    val email = Privacy.emailRe
+    val ip = Privacy.ipv4Re
+    val phone = Privacy.phoneRe
+    s"""WITH aug AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 3 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ok'
+       |    WHEN doc_id % 3 = 1 THEN text || ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id * 7 % 256 AS VARCHAR) || ' now'
+       |    ELSE text END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
+       |  (len(regexp_extract_all(t, '$email')) + len(regexp_extract_all(t, '$ip'))
+       |     + len(regexp_extract_all(t, '$phone'))) > 0 AS has_pii,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g')) AS redacted_md5
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- repetition quality metrics -------------------------------------
+
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.profile(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qualityRepetitionSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, text, $NormWs AS ws FROM documents),
+       |per AS (
+       |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |    round(CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+       |      ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6) AS uniq_word_frac,
+       |    ws FROM norm),
+       |cnt AS (
+       |  SELECT doc_id, g, count(*) AS c FROM (
+       |    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+       |    FROM per) GROUP BY doc_id, g),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_bigram_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_words, p.uniq_word_frac,
+       |  coalesce(t.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(t.top_bigram_cnt, 0) AS top_bigram_cnt,
+       |  round(CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
+       |    ELSE CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams END, 6) AS top_bigram_frac,
+       |  (round(CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
+       |    ELSE CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams END, 6) > 0.2
+       |   OR p.uniq_word_frac < 0.3) AS repetitive
+       |FROM per p LEFT JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- fixed-window chunking ------------------------------------------
+
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunk(Tables(s, dir, "documents"), "doc_id", "text", ChunkW, ChunkS)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDocumentsSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $NormWs AS ws FROM documents),
+       |n AS (
+       |  SELECT doc_id, ws, CASE WHEN len(ws) <= $ChunkW THEN 1
+       |    ELSE CAST(ceil(CAST(len(ws) - $ChunkW AS DOUBLE) / $ChunkS) AS BIGINT) + 1 END AS nc
+       |  FROM norm),
+       |e AS (SELECT doc_id, ws, unnest(range(nc)) AS i FROM n)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  CAST(len(ws[i * $ChunkS + 1 : i * $ChunkS + $ChunkW]) AS INT) AS n_tokens,
+       |  md5(array_to_string(ws[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ')) AS chunk_md5
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- deterministic sharding -----------------------------------------
+
+  private val NShards = 16
+
+  def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Sharding.profile(Tables(s, dir, "documents"), "doc_id", col("n_chars"),
+        NShards, portable = true)
+      .orderBy("shard")
+
+  val shardAssignSql: String =
+    s"""SELECT CAST(sh AS INT) AS shard, count(*) AS n_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS weight,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) % $NShards AS sh
+       |  FROM documents)
+       |GROUP BY sh ORDER BY shard""".stripMargin
+
+  // ---- TF-IDF top-k keywords ------------------------------------------
+
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    Keywords.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val tfidfTopKSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($NormWs) AS term FROM documents),
+       |ft AS (SELECT doc_id, term FROM terms WHERE len(term) >= 3),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |s AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df,
+       |    t.tf * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df) AS score
+       |  FROM tf t JOIN dfq d USING (term)),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, df ASC, term ASC) AS rn FROM s)
+       |SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df, score
+       |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact"         -> (piiRedact _),
+    "quality_repetition" -> (qualityRepetition _),
+    "chunk_documents"    -> (chunkDocuments _),
+    "shard_assign"       -> (shardAssign _),
+    "tfidf_topk"         -> (tfidfTopK _))
+
+  val oracleSql: Map[String, String] = Map(
+    "pii_redact"         -> piiRedactSql,
+    "quality_repetition" -> qualityRepetitionSql,
+    "chunk_documents"    -> chunkDocumentsSql,
+    "shard_assign"       -> shardAssignSql,
+    "tfidf_topk"         -> tfidfTopKSql)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic output sharding — the final step of a training-data
+  * pipeline: route every row to a stable shard so re-runs produce
+  * byte-identical shard membership regardless of cluster size, task
+  * retries, or input split order (unlike `repartition(n)`'s round-robin,
+  * which is none of those things).
+  *
+  * Two hash modes, mirroring the dedup/ANN families:
+  *   - `shardId` (default): xxhash64 — one codegen'd call, the
+  *     production path;
+  *   - `shardIdPortable`: fold of the first 8 md5 hex digits — cross-
+  *     engine reproducible, so the DuckDB oracle derives the IDENTICAL
+  *     assignment (same trick as [[graft.llm.Dedup.minhashPortable]]).
+  */
+object Sharding {
+
+  def shardId(id: Column, nShards: Int): Column =
+    pmod(xxhash64(id.cast("string")), lit(nShards.toLong)).cast("int")
+
+  /** Portable mode: first 8 md5 hex digits as a 32-bit value, mod n —
+    * restatable in any engine with md5 + string ops.
+    */
+  def shardIdPortable(id: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+
+  /** Per-shard balance profile: row count and payload volume per shard.
+    * The balance check a pipeline runs before shipping shards to
+    * trainers; a skewed hash or a hot key shows up here first.
+    */
+  def profile(df: DataFrame, idCol: String, weightCol: Column, nShards: Int,
+              portable: Boolean = false): DataFrame = {
+    val sid = if (portable) shardIdPortable(col(idCol), nShards)
+              else shardId(col(idCol), nShards)
+    df.select(sid.as("shard"), col(idCol).as("__id"), weightCol.as("__w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("weight"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"))
+  }
+
+  /** Write `df` as `path/shard=K/` parquet, one directory per shard,
+    * co-locating each shard's rows first so every shard is a small
+    * number of whole files (`repartition` by the shard column hashes
+    * rows of one shard to one task; partitionBy then splits nothing).
+    */
+  def writeSharded(df: DataFrame, idCol: String, path: String, nShards: Int,
+                   portable: Boolean = false): Unit = {
+    val sid = if (portable) shardIdPortable(col(idCol), nShards)
+              else shardId(col(idCol), nShards)
+    df.withColumn("shard", sid)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.Sharding
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Privacy ---------------------------------------------------------
+
+  test("Privacy counts and redacts emails, IPv4s and phones in order") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-corp.io or x@y.org call 555-010-1234 from 10.1.0.7 end"),
+      (2L, "no pii here"),
+      (3L, "ip only 192.168.0.1")).toDF("id", "text")
+    val r = df.select($"id",
+        Privacy.countEmails($"text").as("e"),
+        Privacy.countPhones($"text").as("p"),
+        Privacy.countIpv4($"text").as("i"),
+        Privacy.hasPii($"text").as("h"),
+        Privacy.redact($"text").as("red"))
+      .orderBy("id").collect()
+    assert(r(0).getInt(1) == 2 && r(0).getInt(2) == 1 && r(0).getInt(3) == 1)
+    assert(r(0).getBoolean(4))
+    assert(r(0).getString(5) ==
+      "mail [EMAIL] or [EMAIL] call [PHONE] from [IP] end")
+    assert(r(1).getInt(1) == 0 && !r(1).getBoolean(4) &&
+      r(1).getString(5) == "no pii here")
+    assert(r(2).getInt(3) == 1 && r(2).getString(5) == "ip only [IP]")
+  }
+
+  // ---- Repetition ------------------------------------------------------
+
+  test("Repetition flags looping text and passes varied text") {
+    val looping = Seq.fill(20)("buy now").mkString(" ")   // "buy now buy now ..."
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, looping), (2L, varied), (3L, "single")).toDF("id", "text")
+    val r = Repetition.profile(df, "id", "text").orderBy("id").collect()
+    // looping: 39 bigrams, "buy now" appears 20×, "now buy" 19× → top frac 20/39
+    assert(r(0).getAs[Long]("n_bigrams") == 39L)
+    assert(r(0).getAs[Long]("top_bigram_cnt") == 20L)
+    assert(r(0).getAs[Boolean]("repetitive"))
+    assert(r(1).getAs[Double]("uniq_word_frac") == 1.0)
+    assert(!r(1).getAs[Boolean]("repetitive"))
+    // 1-word doc: zero bigram profile, never flagged
+    assert(r(2).getAs[Long]("n_bigrams") == 0L &&
+      r(2).getAs[Double]("top_bigram_frac") == 0.0 &&
+      !r(2).getAs[Boolean]("repetitive"))
+  }
+
+  // ---- Chunking --------------------------------------------------------
+
+  test("Chunking windows with overlap and covers every token") {
+    val words = (1 to 150).map(i => s"t$i")
+    val df = Seq((7L, words.mkString(" ")), (8L, "tiny doc")).toDF("id", "text")
+    val r = Chunking.chunk(df, "id", "text", window = 64, stride = 48)
+      .orderBy("id", "chunk_idx").collect()
+    val doc7 = r.filter(_.getLong(0) == 7L)
+    // 150 tokens, W=64 S=48 → 1 + ceil(86/48) = 3 chunks
+    assert(doc7.length == 3)
+    assert(doc7.map(_.getAs[Int]("n_tokens")).toSeq == Seq(64, 64, 54))
+    // chunk 1 starts at token 49 (overlap of 16 with chunk 0)
+    assert(doc7(1).getAs[String]("chunk_text").startsWith("t49 "))
+    assert(doc7(2).getAs[String]("chunk_text").endsWith(" t150"))
+    val doc8 = r.filter(_.getLong(0) == 8L)
+    assert(doc8.length == 1 && doc8(0).getAs[Int]("n_tokens") == 2)
+  }
+
+  test("Chunking rejects stride > window") {
+    intercept[IllegalArgumentException] {
+      Chunking.chunk(Seq((1L, "a")).toDF("id", "text"), "id", "text", 8, 9)
+    }
+  }
+
+  // ---- Sharding --------------------------------------------------------
+
+  test("Sharding is deterministic, in-range, and partitions the input") {
+    val df = spark.range(0, 1000).select($"id", lit(5L).as("w"))
+    for (portable <- Seq(false, true)) {
+      val prof = Sharding.profile(df, "id", $"w", 16, portable).collect()
+      assert(prof.map(_.getAs[Long]("n_rows")).sum == 1000L)
+      assert(prof.map(_.getAs[Long]("weight")).sum == 5000L)
+      assert(prof.forall(r => (0 until 16).contains(r.getAs[Int]("shard"))))
+      // deterministic: a second run assigns identically
+      val again = Sharding.profile(df, "id", $"w", 16, portable).collect()
+      assert(prof.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("n_rows")).toMap ==
+        again.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("n_rows")).toMap)
+      // no empty shards at 1000 rows / 16 shards (hash sanity, not a law)
+      assert(prof.length == 16)
+    }
+  }
+
+  test("Sharding.writeSharded round-trips with shard directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = spark.range(0, 200).select($"id", concat(lit("d"), $"id").as("text"))
+    Sharding.writeSharded(df, "id", dir, 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    assert(back.select("shard").distinct().count() == 8L)
+    // membership matches the assignment function
+    val expected = df.select($"id", Sharding.shardId($"id", 8).as("shard"))
+    assert(back.select($"id", $"shard".cast("int").as("shard"))
+      .except(expected).count() == 0L)
+  }
+
+  // ---- Keywords --------------------------------------------------------
+
+  test("Keywords surfaces document-distinctive terms over corpus-common ones") {
+    val df = Seq(
+      (1L, "shared shared words words kernel kernel kernel"),
+      (2L, "shared shared words words photon"),
+      (3L, "shared words filler filler filler filler")).toDF("id", "text")
+    val r = Keywords.tfidfTopK(df, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+    // doc 1: kernel tf=3 df=1 → score 9; shared tf=2 df=3 → 2; words tf=2 df=3 → 2
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1(0).getAs[String]("term") == "kernel" &&
+      d1(0).getAs[Double]("score") == 9.0)
+    val d2 = r.filter(_.getLong(0) == 2L)
+    assert(d2(0).getAs[String]("term") == "photon" &&
+      d2(0).getAs[Double]("score") == 3.0)
+    // ties broken by (df asc, term asc): doc1 rank 2 is "shared" not "words"
+    assert(d1(1).getAs[String]("term") == "shared")
+    // every doc yields at most k rows
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+}
