@@ -299,6 +299,57 @@ object LlmGates {
        |WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** The full trainer handoff: the curation chain of [[llmCleanCorpus]]
+    * composed with concat-and-split block packing ([[graft.llm.Packing]])
+    * — raw documents in, per-(shard, block) occupancy out. One oracle
+    * restates the ENTIRE path (quality → exact dedup → minhash pairs →
+    * closure → survivors → shard/offset/block arithmetic) as a single
+    * chained-CTE statement.
+    */
+  def llmTrainingBlocks(s: SparkSession, dir: String): DataFrame = {
+    val survivors = graft.llm.Curation.cleanCorpus(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      minQuality = 0.6, nearDupThreshold = 0.1, numHashes = 32, bands = 8,
+      shingleN = 2, portable = true)
+    graft.llm.Packing.blocks(survivors, "doc_id", "text",
+        blockSize = 256, nShards = 8, portable = true)
+      .groupBy("shard", "block_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens_in_block")).as("n_tokens"))
+      .orderBy("shard", "block_id")
+  }
+
+  val llmTrainingBlocksSql: String =
+    s"""WITH RECURSIVE ${qualityCtes("documents")},
+       |qdocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM qscored
+       |  WHERE $qualityExpr >= 0.6),
+       |${exactDedupCte("qdocs")},
+       |${minhashCtes("ddocs", 0.1)},
+       |$closureCtes,
+       |surv AS (
+       |  SELECT dd.doc_id, dd.text
+       |  FROM ddocs dd LEFT JOIN comp ON comp.id = dd.doc_id
+       |  WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id),
+       |pnorm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS t,
+       |    CAST(list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |                      for j in range(1, 9)], (a, b) -> a * 16 + b) % 8 AS INT) AS shard
+       |  FROM surv),
+       |poff AS (
+       |  SELECT shard, doc_id, t,
+       |    CAST(coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
+       |  FROM pnorm),
+       |pe AS (
+       |  SELECT shard, doc_id, doc_offset, t,
+       |    unnest(range(doc_offset // 256, (doc_offset + t - 1) // 256 + 1)) AS block_id
+       |  FROM poff)
+       |SELECT shard, block_id, count(*) AS n_docs,
+       |  CAST(sum(least(doc_offset + t, (block_id + 1) * 256)
+       |         - greatest(doc_offset, block_id * 256)) AS BIGINT) AS n_tokens
+       |FROM pe GROUP BY shard, block_id ORDER BY shard, block_id""".stripMargin
+
   // ---- EXACT Jaccard near-dup: ground-truth all-pairs oracle ----------
 
   /** Exact 3-gram Jaccard pairs via the prefix-filtered inverted index.
@@ -708,6 +759,7 @@ object LlmGates {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_clusters"      -> (dedupClusters _),
     "llm_clean_corpus"    -> (llmCleanCorpus _),
+    "llm_training_blocks" -> (llmTrainingBlocks _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -727,6 +779,7 @@ object LlmGates {
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_clusters"      -> dedupClustersSql,
     "llm_clean_corpus"    -> llmCleanCorpusSql,
+    "llm_training_blocks" -> llmTrainingBlocksSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

@@ -145,6 +145,36 @@ object PipelineGates {
        |  FROM documents)
        |GROUP BY sh ORDER BY shard""".stripMargin
 
+  // ---- concat-and-split training-block packing ------------------------
+
+  private val BlockB = 256
+  private val PackShards = 8
+
+  def packBlocks(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Packing.blocks(Tables(s, dir, "documents"), "doc_id", "text",
+        blockSize = BlockB, nShards = PackShards, portable = true)
+      .orderBy("shard", "block_id", "doc_id")
+
+  val packBlocksSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, CAST(len($NormWs) AS BIGINT) AS t,
+       |    CAST(list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |                      for j in range(1, 9)], (a, b) -> a * 16 + b) % $PackShards AS INT) AS shard
+       |  FROM documents),
+       |off AS (
+       |  SELECT shard, doc_id, t,
+       |    CAST(coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
+       |  FROM norm),
+       |e AS (
+       |  SELECT shard, doc_id, doc_offset, t,
+       |    unnest(range(doc_offset // $BlockB, (doc_offset + t - 1) // $BlockB + 1)) AS block_id
+       |  FROM off)
+       |SELECT shard, block_id, doc_id, doc_offset,
+       |  CAST(least(doc_offset + t, (block_id + 1) * $BlockB)
+       |     - greatest(doc_offset, block_id * $BlockB) AS BIGINT) AS tokens_in_block
+       |FROM e ORDER BY shard, block_id, doc_id""".stripMargin
+
   // ---- TF-IDF top-k keywords ------------------------------------------
 
   def tfidfTopK(s: SparkSession, dir: String): DataFrame =
@@ -174,6 +204,7 @@ object PipelineGates {
     "quality_repetition" -> (qualityRepetition _),
     "chunk_documents"    -> (chunkDocuments _),
     "shard_assign"       -> (shardAssign _),
+    "pack_blocks"        -> (packBlocks _),
     "tfidf_topk"         -> (tfidfTopK _))
 
   val oracleSql: Map[String, String] = Map(
@@ -181,5 +212,6 @@ object PipelineGates {
     "quality_repetition" -> qualityRepetitionSql,
     "chunk_documents"    -> chunkDocumentsSql,
     "shard_assign"       -> shardAssignSql,
+    "pack_blocks"        -> packBlocksSql,
     "tfidf_topk"         -> tfidfTopKSql)
 }

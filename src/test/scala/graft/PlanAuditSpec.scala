@@ -89,6 +89,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("chunking and PII scrub are shuffle-free (narrow projections)") {
+    val docs = Tables(spark, dir, "documents")
+    val chunked = graft.llm.Chunking.chunk(docs, "doc_id", "text", 64, 48)
+    assert(!plan(chunked).contains("Exchange"), plan(chunked).take(800))
+    val scrubbed = docs.select(col("doc_id"),
+      graft.llm.Privacy.redact(col("text")).as("clean"))
+    assert(!plan(scrubbed).contains("Exchange"), plan(scrubbed).take(800))
+  }
+
+  test("repetition and keyword aggregations have map-side partial phases") {
+    val docs = Tables(spark, dir, "documents")
+    val rep = plan(graft.llm.Repetition.profile(docs, "doc_id", "text"))
+    assert(rep.contains("partial_"), rep.take(800))
+    val kw = plan(graft.llm.Keywords.tfidfTopK(docs, "doc_id", "text"))
+    assert(kw.contains("partial_"), kw.take(800))
+  }
+
+  test("block packing windows per shard, never globally") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables(spark, dir, "documents")
+    val ws = graft.llm.Packing.blocks(docs, "doc_id", "text", 256, 8)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      ws.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the scalar-function chains") {
     // AQE wraps the plan and reports zero codegen subtrees before
     // execution — disable it for the static inspection only.

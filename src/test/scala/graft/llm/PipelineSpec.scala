@@ -104,6 +104,44 @@ class PipelineSpec extends SparkSpec {
       .except(expected).count() == 0L)
   }
 
+  // ---- Packing ---------------------------------------------------------
+
+  test("Packing lays documents end to end and cuts exact blocks") {
+    // one shard so offsets are easy to reason about
+    val df = Seq(
+      (1L, (1 to 10).map(_ => "a").mkString(" ")),   // 10 tokens, offset 0
+      (2L, (1 to 20).map(_ => "b").mkString(" ")),   // 20 tokens, offset 10
+      (3L, (1 to 7).map(_ => "c").mkString(" "))     // 7 tokens, offset 30
+    ).toDF("id", "text")
+    val r = Packing.blocks(df, "id", "text", blockSize = 16, nShards = 1)
+      .orderBy("block_id", "id").collect()
+    // stream = 37 tokens → blocks 0..2; doc 2 spans blocks 0 and 1
+    assert(r.map(x => (x.getAs[Long]("block_id"), x.getLong(2),
+      x.getAs[Long]("tokens_in_block"))).toSeq == Seq(
+      (0L, 1L, 10L), (0L, 2L, 6L), (1L, 2L, 14L), (1L, 3L, 2L), (2L, 3L, 5L)))
+    // conservation: every token lands in exactly one block
+    assert(r.map(_.getAs[Long]("tokens_in_block")).sum == 37L)
+    // full blocks carry exactly blockSize tokens
+    val perBlock = r.groupBy(_.getAs[Long]("block_id"))
+      .view.mapValues(_.map(_.getAs[Long]("tokens_in_block")).sum).toMap
+    assert(perBlock == Map(0L -> 16L, 1L -> 16L, 2L -> 5L))
+  }
+
+  test("Packing conserves tokens across shards at scale") {
+    val docs = spark.range(0, 300)
+      .select($"id", concat_ws(" ",
+        (0 until 13).map(i => concat(lit("w"), ($"id" * 13 + i))): _*).as("text"))
+    val r = Packing.blocks(docs, "id", "text", blockSize = 64, nShards = 4)
+    assert(r.agg(sum($"tokens_in_block")).head().getLong(0) == 300L * 13)
+    // per-shard blocks are dense from 0 with only the last one short
+    val bad = r.groupBy("shard", "block_id")
+      .agg(sum($"tokens_in_block").as("tok"))
+      .withColumn("max_b", max($"block_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"shard")))
+      .filter($"tok" =!= 64 && $"block_id" =!= $"max_b")
+    assert(bad.count() == 0)
+  }
+
   // ---- Keywords --------------------------------------------------------
 
   test("Keywords surfaces document-distinctive terms over corpus-common ones") {
