@@ -84,7 +84,11 @@ object Bench {
       scaleGen = (System.nanoTime() - g0) / 1e9
       val sweep = Seq("carry_forward", "dedup_priority", "dedup_exact",
         "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embedding",
-        "dedup_clusters")
+        "dedup_clusters",
+        // the text-pipeline family: linear ops whose 10× ratio should
+        // track the data ratio (narrow or doc-keyed partial-agg shapes)
+        "pii_redact", "quality_repetition", "chunk_documents",
+        "pack_blocks", "tfidf_topk")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
