@@ -730,6 +730,23 @@ object LlmGates {
       |WHERE CAST(len(list_intersect(t.shset, e.shset)) AS DOUBLE) / len(e.shset) >= 0.8
       |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---- corpus composition ---------------------------------------------
+
+  /** Per-language corpus rollup through [[graft.llm.CorpusStats]]; the
+    * quality mean goes through an exact decimal(14,4) sum (qualityScore
+    * is 4-decimal by construction) so it is order- and engine-stable.
+    */
+  def corpusComposition(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusStats.composition(Tables(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+
+  val corpusCompositionSql: String =
+    s"""WITH ${qualityCtes("documents")}
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST($qualityExpr AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_quality
+       |FROM qscored GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- stratified sampling --------------------------------------------
 
   /** Deterministic 3-per-language sample: the portable md5(id) order lets
@@ -760,6 +777,7 @@ object LlmGates {
     "dedup_clusters"      -> (dedupClusters _),
     "llm_clean_corpus"    -> (llmCleanCorpus _),
     "llm_training_blocks" -> (llmTrainingBlocks _),
+    "corpus_composition"  -> (corpusComposition _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -780,6 +798,7 @@ object LlmGates {
     "dedup_clusters"      -> dedupClustersSql,
     "llm_clean_corpus"    -> llmCleanCorpusSql,
     "llm_training_blocks" -> llmTrainingBlocksSql,
+    "corpus_composition"  -> corpusCompositionSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

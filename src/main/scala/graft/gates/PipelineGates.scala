@@ -175,6 +175,47 @@ object PipelineGates {
        |     - greatest(doc_offset, block_id * $BlockB) AS BIGINT) AS tokens_in_block
        |FROM e ORDER BY shard, block_id, doc_id""".stripMargin
 
+  // ---- global top-k n-grams -------------------------------------------
+
+  def ngramTopk(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusStats.topNgrams(Tables(s, dir, "documents"), "text",
+      n = 2, k = 50)
+
+  /** The comprehension mirrors [[graft.llm.Dedup.shingles]] exactly:
+    * non-distinct bigrams, whole text as one gram under 2 words.
+    */
+  val ngramTopkSql: String =
+    s"""WITH norm AS (SELECT $NormWs AS ws FROM documents),
+       |g AS (
+       |  SELECT CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+       |    ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] END AS grams
+       |  FROM norm),
+       |e AS (SELECT unnest(grams) AS gram FROM g)
+       |SELECT gram, count(*) AS occurrences FROM e
+       |GROUP BY gram ORDER BY occurrences DESC, gram ASC LIMIT 50""".stripMargin
+
+  // ---- int8 embedding quantization ------------------------------------
+
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Embeddings.quantizeInt8(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("qvec"), q => q.cast("string")), ",").as("qcsv"))
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, dv, CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS scale
+       |  FROM v)
+       |SELECT vec_id, scale,
+       |  array_to_string(list_transform(dv,
+       |    x -> CAST(floor(x * scale + 0.5) AS INT)), ',') AS qcsv
+       |FROM sc ORDER BY vec_id""".stripMargin
+
   // ---- TF-IDF top-k keywords ------------------------------------------
 
   def tfidfTopK(s: SparkSession, dir: String): DataFrame =
@@ -205,6 +246,8 @@ object PipelineGates {
     "chunk_documents"    -> (chunkDocuments _),
     "shard_assign"       -> (shardAssign _),
     "pack_blocks"        -> (packBlocks _),
+    "ngram_topk"         -> (ngramTopk _),
+    "embed_quantize"     -> (embedQuantize _),
     "tfidf_topk"         -> (tfidfTopK _))
 
   val oracleSql: Map[String, String] = Map(
@@ -213,5 +256,7 @@ object PipelineGates {
     "chunk_documents"    -> chunkDocumentsSql,
     "shard_assign"       -> shardAssignSql,
     "pack_blocks"        -> packBlocksSql,
+    "ngram_topk"         -> ngramTopkSql,
+    "embed_quantize"     -> embedQuantizeSql,
     "tfidf_topk"         -> tfidfTopKSql)
 }

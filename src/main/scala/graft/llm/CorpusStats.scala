@@ -1,0 +1,41 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide statistics: the aggregate views over a training corpus
+  * that drive filter design (which boilerplate n-grams to blocklist,
+  * how language/source mass is distributed).
+  */
+object CorpusStats {
+
+  /** Global top-k word n-grams by occurrence count, ties broken by the
+    * gram text. Shape: shingle explode (narrow) → one hash aggregation
+    * with map-side partial counts → `TakeOrderedAndProject` top-k — the
+    * count shuffle carries one row per DISTINCT gram per partition, and
+    * the top-k never globally sorts.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 2,
+                k: Int = 50): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    docs.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Corpus composition by a grouping column (language, source, …):
+    * document count, token volume, mean quality score.
+    *
+    * The quality mean sums EXACT decimals (qualityScore is a 4-decimal
+    * value, so `decimal(14,4)` represents it losslessly and the sum is
+    * order-independent) and divides once in doubles — deterministic
+    * across partitionings and engines, unlike a plain double `avg`.
+    */
+  def composition(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        (sum(TextStats.qualityScore(col(textCol)).cast("decimal(14,4)"))
+          .cast("double") / count(lit(1))).as("avg_quality"))
+}

@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding storage transforms. At 10⁹+ vectors the float32 corpus is
+  * the memory bill; symmetric per-vector int8 quantization cuts it 4×
+  * with ~0.3% cosine error — the standard trade for ANN candidate
+  * generation (exact re-ranking reads the float originals).
+  */
+object Embeddings {
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    * q_i = floor(x_i·scale + 0.5). |q| ≤ 127 by construction (the
+    * +0.5-floor round of a value that cannot reach 127.5); an all-zero
+    * vector gets scale 0 and a zero code vector — no NaN path.
+    *
+    * Every step is a single IEEE operation (max, divide, multiply,
+    * floor), so codes are bitwise-reproducible across engines and
+    * partitionings. Narrow projection: no shuffle.
+    *
+    * Output: the input plus `scale` (double) and `qvec` (array<int>).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val m = array_max(transform(v, x => abs(x)))
+    val scale = when(m === 0.0, 0.0).otherwise(lit(127.0) / m)
+    df.withColumn("scale", scale)
+      .withColumn("qvec",
+        transform(v, x => floor(x * col("scale") + 0.5).cast("int")))
+  }
+
+  /** Dequantize back to doubles: x_i ≈ q_i / scale (zero scale → zeros,
+    * matching the quantizer's zero-vector convention).
+    */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q =>
+      when(scale === 0.0, 0.0).otherwise(q.cast("double") / scale))
+}

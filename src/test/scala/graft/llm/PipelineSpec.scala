@@ -142,6 +142,67 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  // ---- CorpusStats -----------------------------------------------------
+
+  test("topNgrams counts occurrences globally with deterministic ties") {
+    val df = Seq(
+      (1L, "red fox red fox jumps"),
+      (2L, "red fox sleeps"),
+      (3L, "one")).toDF("id", "text")
+    val r = CorpusStats.topNgrams(df, "text", n = 2, k = 3).collect()
+    // "red fox" ×3 (twice in doc 1, once in doc 2); then count-1 grams
+    // tie-broken alphabetically; 1-word doc contributes its whole text
+    assert(r(0).getString(0) == "red fox" && r(0).getLong(1) == 3L)
+    assert(r(1).getString(0) == "fox jumps" && r(1).getLong(1) == 1L)
+    assert(r(2).getString(0) == "fox red")
+    val all = CorpusStats.topNgrams(df, "text", n = 2, k = 100).collect()
+    assert(all.map(_.getString(0)).contains("one"))
+  }
+
+  test("composition aggregates docs, tokens and an exact quality mean") {
+    val df = Seq(
+      (1L, "en", "the cat and the dog sat on the mat for a while"),
+      (2L, "en", "the quick brown fox jumps over it for the win"),
+      (3L, "fr", "le chat est dans la maison pres de la porte")).toDF("id", "lang", "text")
+    val r = CorpusStats.composition(df, "lang", "text").orderBy("lang").collect()
+    assert(r(0).getString(0) == "en" && r(0).getAs[Long]("n_docs") == 2L &&
+      r(0).getAs[Long]("n_tokens") == 22L)
+    assert(r(1).getString(0) == "fr" && r(1).getAs[Long]("n_tokens") == 10L)
+    // both en docs hit stopwords and clean ratios → quality 1.0 each
+    assert(r(0).getAs[Double]("avg_quality") == 1.0)
+  }
+
+  // ---- Embeddings ------------------------------------------------------
+
+  test("quantizeInt8 maps the max magnitude to ±127 and round-trips") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.quantizeInt8(df, "embedding")
+      .withColumn("back", Embeddings.dequantize($"qvec", $"scale"))
+      .orderBy("vec_id").collect()
+    assert(r(0).getAs[scala.collection.Seq[Int]]("qvec").toSeq == Seq(64, -127, 32))
+    assert(r(0).getAs[Double]("scale") == 127.0)
+    // zero vector: scale 0, zero codes, zero dequant — no NaN path
+    assert(r(1).getAs[Double]("scale") == 0.0)
+    assert(r(1).getAs[scala.collection.Seq[Int]]("qvec").toSeq == Seq(0, 0, 0))
+    assert(r(1).getAs[scala.collection.Seq[Double]]("back").toSeq == Seq(0.0, 0.0, 0.0))
+    // round-trip error bounded by half a quantization step
+    val orig = Seq(0.5, -1.0, 0.25)
+    val back = r(0).getAs[scala.collection.Seq[Double]]("back").toSeq
+    orig.zip(back).foreach { case (o, b) => assert(math.abs(o - b) <= 0.5 / 127.0) }
+  }
+
+  test("quantized codes never exceed |127| on random-ish vectors") {
+    val df = spark.range(0, 200).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => sin($"id" * i).cast("float")).as("embedding"))
+    val q = Embeddings.quantizeInt8(df, "embedding")
+      .select(explode($"qvec").as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(q.getInt(0) >= -127 && q.getInt(1) <= 127)
+  }
+
   // ---- Keywords --------------------------------------------------------
 
   test("Keywords surfaces document-distinctive terms over corpus-common ones") {
