@@ -174,6 +174,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packing: tokens conserved, blocks dense per shard, all-but-last block exactly full") {
+    val corpusGen = Gen.listOfN(24,
+      Gen.zip(Gen.choose(0L, 4000L), Gen.choose(1, 40))).map(_.distinctBy(_._1))
+    forAllSeeded(corpusGen, cases = 6) { docs =>
+      val df = docs.map { case (id, nTok) =>
+        (id, (1 to nTok).map(t => s"w$t").mkString(" "))
+      }.toDF("id", "text")
+      val totalTokens = docs.map(_._2.toLong).sum
+      val blocks = graft.llm.Packing.blocks(df, "id", "text",
+        blockSize = 32, nShards = 3).localCheckpoint(true)
+      // conservation: every token lands in exactly one block
+      assert(blocks.agg(sum(col("tokens_in_block"))).head().getLong(0) == totalTokens)
+      // per shard: block ids dense from 0; every block but the last holds
+      // exactly blockSize tokens
+      val perBlock = blocks.groupBy("shard", "block_id")
+        .agg(sum(col("tokens_in_block")).as("tok")).collect()
+      perBlock.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+        val byId = rows.sortBy(_.getLong(1))
+        assert(byId.map(_.getLong(1)).toSeq == byId.indices.map(_.toLong))
+        byId.dropRight(1).foreach(r => assert(r.getLong(2) == 32L))
+        assert(byId.last.getLong(2) <= 32L)
+      }
+    }
+  }
+
+  test("chunking: windows cover every token; adjacent chunks overlap by window - stride") {
+    val docGen = Gen.choose(1, 150)
+    forAllSeeded(docGen, cases = 8) { nTok =>
+      val words = (1 to nTok).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val chunks = graft.llm.Chunking.chunk(df, "id", "text", window = 16, stride = 11)
+        .orderBy("chunk_idx").collect()
+      val texts = chunks.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+      // chunk i is exactly words[i·stride, i·stride + window) — which
+      // entails full coverage and the window − stride overlap
+      texts.zipWithIndex.foreach { case (c, i) =>
+        assert(c == words.slice(i * 11, i * 11 + 16))
+      }
+      // and the last chunk reaches the last token
+      assert(texts.last.last == words.last)
+    }
+  }
+
+  test("quantization: codes bounded, dequant error within half a step, idempotent scale") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-1000, 1000).map(_ / 250.0f))
+    forAllSeeded(Gen.listOfN(12, vecGen), cases = 6) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val q = graft.llm.Embeddings.quantizeInt8(df, "embedding")
+        .withColumn("back", graft.llm.Embeddings.dequantize(col("qvec"), col("scale")))
+        .orderBy("vec_id").collect()
+      q.zip(vecs).foreach { case (row, orig) =>
+        val codes = row.getAs[scala.collection.Seq[Int]]("qvec")
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        val scale = row.getAs[Double]("scale")
+        val back = row.getAs[scala.collection.Seq[Double]]("back")
+        if (scale == 0.0) assert(orig.forall(_ == 0.0f))
+        else orig.map(_.toDouble).zip(back).foreach { case (o, b) =>
+          assert(math.abs(o - b) <= 0.5 / scale + 1e-12)
+        }
+      }
+    }
+  }
+
   test("carry-forward: output keys = today ∪ unexpired yesterday; no dup keys when inputs are keyed") {
     val rowGen = Gen.zip(Gen.choose(1, 12), Gen.choose(0, 1)).map {
       case (k, exp) => (s"j$k", exp == 1)
