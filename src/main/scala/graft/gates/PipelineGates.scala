@@ -80,7 +80,8 @@ object PipelineGates {
     s"""WITH norm AS (
        |  SELECT doc_id, text, $NormWs AS ws FROM documents),
        |per AS (
-       |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0 ELSE CAST(len(ws) AS INT) END AS n_words,
        |    round(CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
        |      ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6) AS uniq_word_frac,
        |    ws FROM norm),

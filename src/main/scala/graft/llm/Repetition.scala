@@ -43,8 +43,12 @@ object Repetition {
     */
   def profile(docs: DataFrame, idCol: String, textCol: String,
               maxTopFrac: Double = 0.2, minUniqFrac: Double = 0.3): DataFrame = {
+    // NOTE: `docs` is scanned twice (per-row profile + bigram explode) —
+    // deliberate: two column-pruned parquet scans are cheaper than
+    // materializing the exploded bigram stream to share one scan.
     val perRow = docs.select(col(idCol),
-      size(split(Dedup.normalize(col(textCol)), " ")).as("n_words"),
+      when(col(textCol).isNull, 0)
+        .otherwise(size(split(Dedup.normalize(col(textCol)), " "))).as("n_words"),
       round(uniqueWordFrac(col(textCol)), 6).as("uniq_word_frac"),
       bigrams(col(textCol)).as("__bg"))
     // mode-of-bigrams: explode → (id, gram) counts → per-id max. Both
