@@ -330,21 +330,7 @@ object LlmGates {
        |  SELECT dd.doc_id, dd.text
        |  FROM ddocs dd LEFT JOIN comp ON comp.id = dd.doc_id
        |  WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id),
-       |pnorm AS (
-       |  SELECT doc_id,
-       |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS t,
-       |    CAST(list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
-       |                      for j in range(1, 9)], (a, b) -> a * 16 + b) % 8 AS INT) AS shard
-       |  FROM surv),
-       |poff AS (
-       |  SELECT shard, doc_id, t,
-       |    CAST(coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
-       |  FROM pnorm),
-       |pe AS (
-       |  SELECT shard, doc_id, doc_offset, t,
-       |    unnest(range(doc_offset // 256, (doc_offset + t - 1) // 256 + 1)) AS block_id
-       |  FROM poff)
+       |${PipelineGates.packCtesSql("surv", 256, 8)}
        |SELECT shard, block_id, count(*) AS n_docs,
        |  CAST(sum(least(doc_offset + t, (block_id + 1) * 256)
        |         - greatest(doc_offset, block_id * 256)) AS BIGINT) AS n_tokens

@@ -18,6 +18,33 @@ object PipelineGates {
   private val NormWs =
     "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
 
+  /** md5-hex-fold shard id over `idExpr` — the SQL restatement of
+    * [[Sharding.shardIdPortable]], shared by every gate that shards
+    * (here and the composed LlmGates trainer-handoff oracle).
+    */
+  private[gates] def shardFoldSql(idExpr: String, nShards: Int): String =
+    s"CAST(list_reduce([strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), j, 1)) - 1 " +
+      s"for j in range(1, 9)], (a, b) -> a * 16 + b) % $nShards AS INT)"
+
+  /** The packing CTE chain over `src(doc_id, text)` ending in
+    * `pe(shard, doc_id, doc_offset, t, block_id)` — the SQL restatement
+    * of [[graft.llm.Packing.blocks]] (empty-doc filter included).
+    */
+  private[gates] def packCtesSql(src: String, blockSize: Int, nShards: Int): String =
+    s"""pnorm AS (
+       |  SELECT doc_id, CAST(len($NormWs) AS BIGINT) AS t,
+       |    ${shardFoldSql("doc_id", nShards)} AS shard
+       |  FROM $src WHERE text IS NOT NULL AND trim(text) <> ''),
+       |poff AS (
+       |  SELECT shard, doc_id, t,
+       |    CAST(coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
+       |  FROM pnorm),
+       |pe AS (
+       |  SELECT shard, doc_id, doc_offset, t,
+       |    unnest(range(doc_offset // $blockSize, (doc_offset + t - 1) // $blockSize + 1)) AS block_id
+       |  FROM poff)""".stripMargin
+
   // ---- PII detect / redact --------------------------------------------
 
   /** The synthetic corpus carries no PII, so the gate PLANTS it
@@ -97,9 +124,10 @@ object PipelineGates {
        |  coalesce(t.top_bigram_cnt, 0) AS top_bigram_cnt,
        |  round(CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
        |    ELSE CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams END, 6) AS top_bigram_frac,
-       |  (round(CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
-       |    ELSE CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams END, 6) > 0.2
-       |   OR p.uniq_word_frac < 0.3) AS repetitive
+       |  (p.n_words >= 2 AND
+       |   (round(CASE WHEN coalesce(t.n_bigrams, 0) = 0 THEN 0.0
+       |      ELSE CAST(t.top_bigram_cnt AS DOUBLE) / t.n_bigrams END, 6) > 0.2
+       |    OR p.uniq_word_frac < 0.3)) AS repetitive
        |FROM per p LEFT JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---- fixed-window chunking ------------------------------------------
@@ -115,7 +143,8 @@ object PipelineGates {
 
   val chunkDocumentsSql: String =
     s"""WITH norm AS (
-       |  SELECT doc_id, $NormWs AS ws FROM documents),
+       |  SELECT doc_id, $NormWs AS ws FROM documents
+       |  WHERE text IS NOT NULL AND trim(text) <> ''),
        |n AS (
        |  SELECT doc_id, ws, CASE WHEN len(ws) <= $ChunkW THEN 1
        |    ELSE CAST(ceil(CAST(len(ws) - $ChunkW AS DOUBLE) / $ChunkS) AS BIGINT) + 1 END AS nc
@@ -136,14 +165,11 @@ object PipelineGates {
       .orderBy("shard")
 
   val shardAssignSql: String =
-    s"""SELECT CAST(sh AS INT) AS shard, count(*) AS n_rows,
+    s"""SELECT sh AS shard, count(*) AS n_rows,
        |  CAST(sum(n_chars) AS BIGINT) AS weight,
        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-       |FROM (
-       |  SELECT doc_id, n_chars,
-       |    list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
-       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) % $NShards AS sh
-       |  FROM documents)
+       |FROM (SELECT doc_id, n_chars, ${shardFoldSql("doc_id", NShards)} AS sh
+       |      FROM documents)
        |GROUP BY sh ORDER BY shard""".stripMargin
 
   // ---- concat-and-split training-block packing ------------------------
@@ -157,24 +183,11 @@ object PipelineGates {
       .orderBy("shard", "block_id", "doc_id")
 
   val packBlocksSql: String =
-    s"""WITH norm AS (
-       |  SELECT doc_id, CAST(len($NormWs) AS BIGINT) AS t,
-       |    CAST(list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
-       |                      for j in range(1, 9)], (a, b) -> a * 16 + b) % $PackShards AS INT) AS shard
-       |  FROM documents),
-       |off AS (
-       |  SELECT shard, doc_id, t,
-       |    CAST(coalesce(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
-       |  FROM norm),
-       |e AS (
-       |  SELECT shard, doc_id, doc_offset, t,
-       |    unnest(range(doc_offset // $BlockB, (doc_offset + t - 1) // $BlockB + 1)) AS block_id
-       |  FROM off)
+    s"""WITH ${packCtesSql("documents", BlockB, PackShards)}
        |SELECT shard, block_id, doc_id, doc_offset,
        |  CAST(least(doc_offset + t, (block_id + 1) * $BlockB)
        |     - greatest(doc_offset, block_id * $BlockB) AS BIGINT) AS tokens_in_block
-       |FROM e ORDER BY shard, block_id, doc_id""".stripMargin
+       |FROM pe ORDER BY shard, block_id, doc_id""".stripMargin
 
   // ---- global top-k n-grams -------------------------------------------
 
@@ -228,7 +241,8 @@ object PipelineGates {
        |  SELECT doc_id, unnest($NormWs) AS term FROM documents),
        |ft AS (SELECT doc_id, term FROM terms WHERE len(term) >= 3),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY doc_id, term),
-       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+       |        HAVING count(*) < (SELECT count(*) FROM documents)),
        |s AS (
        |  SELECT t.doc_id, t.term, t.tf, d.df,
        |    t.tf * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df) AS score

@@ -32,7 +32,10 @@ object Chunking {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val ws = split(Dedup.normalize(col(textCol)), " ")
-    docs.select(col(idCol), ws.as("__ws"))
+    // empty/null docs produce no chunks (tokenCount-consistent: their
+    // token count is 0, not a single empty-string token)
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), ws.as("__ws"))
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0L), numChunks(size(col("__ws")), window, stride) - 1),

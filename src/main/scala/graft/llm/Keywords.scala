@@ -9,29 +9,38 @@ import org.apache.spark.sql.functions._
   * feature for quality classifiers.
   *
   * Scoring is LINEAR inverse document frequency — score = tf · (N / df)
-  * — not the textbook log damping: `tf · (N/df)` is two single IEEE
+  * — not the textbook log damping: the linear form is two single IEEE
   * operations (exact int→double division, exactly-rounded multiply), so
   * every engine computes the bitwise-identical double and the DuckDB
-  * oracle can hash-match without a rounding fudge; `ln` differs in the
-  * last ulp across libm implementations. The RANKING is what the
-  * operator delivers, and log is monotone in N/df, so top-k by the
-  * linear score with the df-then-term tiebreak is the same top-k.
+  * oracle can hash-match without a rounding fudge, while `ln` differs
+  * in the last ulp across libm implementations. The trade-off is real:
+  * linear IDF damps ubiquitous terms LESS than log does, so a frequent
+  * common term can outrank a rarer one that log-weighting would prefer.
+  * Two mitigations are built in: terms appearing in EVERY document are
+  * dropped outright (log idf would weight them exactly zero), and ties
+  * break toward the rarer term. For stricter stopword control, feed a
+  * blocklist from [[CorpusStats.topNgrams]] upstream.
   *
-  * Scale shape: one token-sized shuffle for tf (doc,term), one
+  * Scale shape: one token-sized shuffle for tf (doc, term), one
   * vocabulary-sized agg for df, a broadcast-able df join (vocabulary ≪
   * corpus), and a doc-partitioned window — no global ordering anywhere.
+  * Resolving N runs ONE count job over `docs` when `totalDocs` is not
+  * supplied — for a derived/expensive input, pass the known corpus size
+  * (or cache the input) so the lineage is not executed twice.
   */
 object Keywords {
 
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 3, minTermLen: Int = 3): DataFrame = {
+                k: Int = 3, minTermLen: Int = 3,
+                totalDocs: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val n = docs.count() // one cheap metadata-only action; N is part of the score contract
+    val n = totalDocs.getOrElse(docs.count())
     val terms = docs
       .select(col(idCol), explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) >= minTermLen)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") < n) // df = N carries zero information (log idf = 0)
     val scored = tf.join(dfreq, "term")
       .withColumn("score", col("tf") * (lit(n).cast("double") / col("df")))
     val rank = row_number().over(Window.partitionBy(col(idCol))

@@ -39,6 +39,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(blockSize.toLong)
     val withOffset = docs
+      // empty/null docs have zero tokens under TextStats.tokenCount's
+      // convention — they pack to nothing, not to a phantom token
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(sid.as("shard"), col(idCol), toks.as("__t"))
       .withColumn("doc_offset", coalesce(sum(col("__t")).over(byShard), lit(0L)))
     withOffset

@@ -68,6 +68,9 @@ object Repetition {
           .otherwise(col("top_bigram_cnt").cast("double") / col("n_bigrams")), 6)
           .as("top_bigram_frac"))
       .withColumn("repetitive",
-        col("top_bigram_frac") > maxTopFrac || col("uniq_word_frac") < minUniqFrac)
+        // <2-word (incl. empty) docs have no repetition signal — never
+        // flagged here; a length filter is the right tool for those
+        col("n_words") >= 2 &&
+          (col("top_bigram_frac") > maxTopFrac || col("uniq_word_frac") < minUniqFrac))
   }
 }

@@ -205,23 +205,29 @@ class PipelineSpec extends SparkSpec {
 
   // ---- Keywords --------------------------------------------------------
 
-  test("Keywords surfaces document-distinctive terms over corpus-common ones") {
+  test("Keywords surfaces document-distinctive terms; every-doc terms are dropped") {
     val df = Seq(
-      (1L, "shared shared words words kernel kernel kernel"),
-      (2L, "shared shared words words photon"),
-      (3L, "shared words filler filler filler filler")).toDF("id", "text")
+      (1L, "shared shared words kernel kernel kernel"),
+      (2L, "shared shared words photon"),
+      (3L, "shared filler filler filler filler")).toDF("id", "text")
     val r = Keywords.tfidfTopK(df, "id", "text", k = 2)
       .orderBy("id", "rank").collect()
-    // doc 1: kernel tf=3 df=1 → score 9; shared tf=2 df=3 → 2; words tf=2 df=3 → 2
+    // "shared" appears in every doc (df = N = 3) → zero information, dropped
+    assert(!r.map(_.getAs[String]("term")).contains("shared"))
+    // doc 1: kernel tf=3 df=1 → score 9; words tf=1 df=2 → 1.5
     val d1 = r.filter(_.getLong(0) == 1L)
     assert(d1(0).getAs[String]("term") == "kernel" &&
       d1(0).getAs[Double]("score") == 9.0)
+    assert(d1(1).getAs[String]("term") == "words" &&
+      d1(1).getAs[Double]("score") == 1.5)
     val d2 = r.filter(_.getLong(0) == 2L)
     assert(d2(0).getAs[String]("term") == "photon" &&
       d2(0).getAs[Double]("score") == 3.0)
-    // ties broken by (df asc, term asc): doc1 rank 2 is "shared" not "words"
-    assert(d1(1).getAs[String]("term") == "shared")
     // every doc yields at most k rows
     assert(r.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    // passing totalDocs skips the count job and gives identical output
+    val r2 = Keywords.tfidfTopK(df, "id", "text", k = 2, totalDocs = Some(3L))
+      .orderBy("id", "rank").collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 }
