@@ -716,6 +716,33 @@ object LlmGates {
       |WHERE CAST(len(list_intersect(t.shset, e.shset)) AS DOUBLE) / len(e.shset) >= 0.8
       |ORDER BY train_id, eval_id""".stripMargin
 
+  // ---- incremental exact dedup ----------------------------------------
+
+  /** Splits the fixture into an "existing corpus" (doc_id % 5 = 0) and
+    * an incoming batch, then runs the daily-path operator: batch-local
+    * dedup + digest anti-join against the existing set.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    Dedup.exactDedupIncremental(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        Dedup.digests(d.filter(col("doc_id") % 5 === 0), "text"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |${exactDedupCte("inc")},
+       |ex AS (
+       |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+       |  FROM documents WHERE doc_id % 5 = 0)
+       |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+       |FROM ddocs dd
+       |LEFT JOIN ex ON ex.digest = md5(regexp_replace(trim(lower(dd.text)), '\\s+', ' ', 'g'))
+       |WHERE ex.digest IS NULL
+       |ORDER BY dd.doc_id""".stripMargin
+
   // ---- corpus composition ---------------------------------------------
 
   /** Per-language corpus rollup through [[graft.llm.CorpusStats]]; the
@@ -764,6 +791,7 @@ object LlmGates {
     "llm_clean_corpus"    -> (llmCleanCorpus _),
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -785,6 +813,7 @@ object LlmGates {
     "llm_clean_corpus"    -> llmCleanCorpusSql,
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

@@ -33,6 +33,28 @@ object Dedup {
       df.withColumn("__digest", md5(normalize(col(textCol)))),
       Seq("__digest"), col(idCol)).drop("__digest")
 
+  /** The corpus's digest set — what a pipeline persists between runs so
+    * tomorrow's batch dedups against yesterday's corpus WITHOUT
+    * re-reading it (16 bytes/doc instead of the text).
+    */
+  def digests(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(normalize(col(textCol))).as("digest")).distinct()
+
+  /** Incremental exact dedup — the daily path at corpus scale: dedup
+    * `incoming` within itself (smallest id survives), then drop rows
+    * whose digest already exists in `existingDigests` (a `digest`
+    * column, from [[digests]] or a persisted digest table). One
+    * digest-keyed window + one anti-join; the full corpus text is never
+    * re-read, so cost tracks the BATCH size, not the corpus size.
+    */
+  def exactDedupIncremental(incoming: DataFrame, idCol: String, textCol: String,
+                            existingDigests: DataFrame): DataFrame =
+    exactDedup(incoming, idCol, textCol)
+      .withColumn("__digest", md5(normalize(col(textCol))))
+      .join(existingDigests.select(col("digest").as("__digest")),
+        Seq("__digest"), "left_anti")
+      .drop("__digest")
+
   /** Word n-gram shingles of the normalized text (whole text as a single
     * shingle when shorter than n words).
     *

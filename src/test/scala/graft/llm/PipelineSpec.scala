@@ -142,6 +142,20 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  // ---- incremental dedup -----------------------------------------------
+
+  test("exactDedupIncremental drops batch-internal and corpus-known duplicates") {
+    val existing = Seq((1L, "known doc one"), (2L, "known doc two")).toDF("id", "text")
+    val incoming = Seq(
+      (10L, "fresh doc"),
+      (11L, "Known  Doc ONE"),     // normalizes to an existing digest
+      (12L, "fresh doc"),          // batch-internal dup of 10
+      (13L, "another fresh")).toDF("id", "text")
+    val out = Dedup.exactDedupIncremental(incoming, "id", "text",
+      Dedup.digests(existing, "text")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 13L))
+  }
+
   // ---- CorpusStats -----------------------------------------------------
 
   test("topNgrams counts occurrences globally with deterministic ties") {
