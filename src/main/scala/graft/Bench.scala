@@ -88,7 +88,7 @@ object Bench {
         // the text-pipeline family: linear ops whose 10× ratio should
         // track the data ratio (narrow or doc-keyed partial-agg shapes)
         "pii_redact", "quality_repetition", "chunk_documents",
-        "pack_blocks", "tfidf_topk")
+        "pack_blocks", "tfidf_topk", "dedup_incremental")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
