@@ -189,6 +189,47 @@ object PipelineGates {
        |     - greatest(doc_offset, block_id * $BlockB) AS BIGINT) AS tokens_in_block
        |FROM pe ORDER BY shard, block_id, doc_id""".stripMargin
 
+  // ---- boilerplate line removal ---------------------------------------
+
+  /** The fixture is single-line text, so the gate PLANTS multi-line
+    * boilerplate deterministically (same trick as [[piiRedact]]): a
+    * newsletter line on every even doc, a rights line on every third,
+    * one rare footer — then strips lines shared by ≥ 50 documents and
+    * verifies the cleaned text and kept-line counts.
+    */
+  def boilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val id = col("doc_id")
+    val aug = d.select(id, concat(col("text"),
+      when(id % 2 === 0, lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+      when(id % 3 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+      when(id === 7, lit("\na rare unique footer")).otherwise(lit(""))).as("text"))
+    graft.llm.Boilerplate.removeFrequentLines(aug, "doc_id", "text", minDocs = 50)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_lines_kept"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateLinesSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END
+       |    || CASE WHEN doc_id = 7 THEN chr(10) || 'a rare unique footer' ELSE '' END AS t
+       |  FROM documents),
+       |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+       |li AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos FROM ls),
+       |l AS (SELECT doc_id, pos, ls[pos] AS line FROM li),
+       |freq AS (
+       |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+       |  GROUP BY line HAVING count(*) >= 50),
+       |kept AS (
+       |  SELECT l.doc_id, l.pos, l.line FROM l
+       |  LEFT JOIN freq f ON f.line = l.line WHERE f.line IS NULL)
+       |SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+       |  count(*) AS n_lines_kept
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- global top-k n-grams -------------------------------------------
 
   def ngramTopk(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +303,7 @@ object PipelineGates {
     "shard_assign"       -> (shardAssign _),
     "pack_blocks"        -> (packBlocks _),
     "ngram_topk"         -> (ngramTopk _),
+    "boilerplate_lines"  -> (boilerplateLines _),
     "embed_quantize"     -> (embedQuantize _),
     "tfidf_topk"         -> (tfidfTopK _))
 
@@ -272,6 +314,7 @@ object PipelineGates {
     "shard_assign"       -> shardAssignSql,
     "pack_blocks"        -> packBlocksSql,
     "ngram_topk"         -> ngramTopkSql,
+    "boilerplate_lines"  -> boilerplateLinesSql,
     "embed_quantize"     -> embedQuantizeSql,
     "tfidf_topk"         -> tfidfTopKSql)
 }

@@ -142,6 +142,28 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  // ---- boilerplate removal ---------------------------------------------
+
+  test("removeFrequentLines strips shared lines, keeps order, drops emptied docs") {
+    val boiler = "subscribe now"
+    val df = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"$boiler\nbeta solo"),
+      (3L, s"gamma text\n$boiler"),
+      (4L, boiler)).toDF("id", "text")  // doc 4 is ONLY boilerplate
+    val r = Boilerplate.removeFrequentLines(df, "id", "text", minDocs = 3)
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // doc 4 dropped
+    assert(r(0).getAs[String]("clean_text") == "alpha one\nalpha two")
+    assert(r(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(r(1).getAs[String]("clean_text") == "beta solo")
+    assert(r(2).getAs[String]("clean_text") == "gamma text")
+    // below the threshold nothing is removed
+    val all = Boilerplate.removeFrequentLines(df, "id", "text", minDocs = 5)
+      .orderBy("id").collect()
+    assert(all.map(_.getAs[Long]("n_lines_kept")).sum == 8L)
+  }
+
   // ---- incremental dedup -----------------------------------------------
 
   test("exactDedupIncremental drops batch-internal and corpus-known duplicates") {
