@@ -273,6 +273,29 @@ object QualityGates {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming-ingest dedup driven in batch mode: the events table
+    * unioned with a deterministic "redelivery" subset (every 7th event
+    * arrives twice), deduped by event_id. Duplicate deliveries are
+    * exact copies, so the postcondition — and the oracle — is the
+    * original relation. The watermarked streaming path is exercised in
+    * StreamingSpec (state-expiry semantics need micro-batches).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("event_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val atLeastOnce = e.unionByName(e.filter(col("event_id") % 7 === 0))
+    graft.streaming.StreamingJobs.dedupStream(atLeastOnce, Seq("event_id"), "ts")
+      .orderBy("event_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Batch gap-sessionization over the events table (30-minute gap),
     * mirrored by a lag + running-sum window in the oracle.
     */
@@ -308,6 +331,7 @@ object QualityGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window"    -> (streamWindow _),
+    "stream_dedup"     -> (streamDedup _),
     "sessionize_batch" -> (sessionizeBatch _),
     "quality_crawl"    -> (qualityCrawl _),
     "quality_rules"    -> (qualityRules _),
@@ -318,6 +342,7 @@ object QualityGates {
 
   val oracleSql: Map[String, String] = Map(
     "stream_window"    -> streamWindowSql,
+    "stream_dedup"     -> streamDedupSql,
     "sessionize_batch" -> sessionizeBatchSql,
     "quality_crawl"    -> qualityCrawlSql,
     "quality_rules"    -> qualityRulesSql,

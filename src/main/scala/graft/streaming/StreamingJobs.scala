@@ -117,6 +117,23 @@ object StreamingJobs {
         graft.Exact.dsum(col(valueCol)).as("total_value"))
   }
 
+  /** Streaming ingest dedup — the at-least-once → effectively-once
+    * guard: drop rows whose key was already seen inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark`: per-key state EXPIRES
+    * with the watermark, so memory is bounded by the horizon's key
+    * cardinality, never the stream's). Redelivered rows are exact
+    * copies, so which copy survives is value-irrelevant; the batch form
+    * of the same contract is a plain key dropDuplicates — the streaming
+    * counterpart of [[graft.llm.Dedup.exactDedupIncremental]]. Input-
+    * agnostic like every transform here.
+    */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    if (rows.isStreaming)
+      rows.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else rows.dropDuplicates(keyCols)
+
   /** flatMapGroupsWithState variant: emits ONLY closed sessions (zero or
     * one output per key per trigger), the right shape when downstream
     * consumes completed sessions rather than running aggregates.

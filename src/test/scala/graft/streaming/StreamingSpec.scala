@@ -115,4 +115,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1).getString(1) == "b")
     } finally query.stop()
   }
+
+  test("streaming dedup drops redeliveries across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val rows = input.toDF().toDF("event_id", "ts", "value")
+    val query = StreamingJobs.dedupStream(rows, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0))  // same-batch redelivery
+      query.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 10:01:00"), 2.0),  // cross-batch redelivery
+        (3L, ts("2024-01-01 10:02:00"), 3.0))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("dedupStream is batch/stream agnostic (batch path keys the same dedup)") {
+    import spark.implicits._
+    val batch = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 2.0))
+      .toDF("event_id", "ts", "value")
+    val out = StreamingJobs.dedupStream(batch, Seq("event_id"), "ts")
+    assert(out.count() == 2)
+  }
 }
