@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Contamination, Dedup, Multimodal, TextStats}
+import graft.llm.{Ann, Contamination, Dedup, ImageIoDecoder, Multimodal, TextStats}
 
 /** Correctness gates for the LLM-data-pipeline operators over
   * `documents.parquet` / `embeddings.parquet`.
@@ -648,6 +648,63 @@ object LlmGates {
       |  md5(substr(text, 1, 64)) AS thumb_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode through the production seam: planted checkerboard
+    * PNGs ([[PlantedMedia.checkerPng]], one per doc_id) flow through
+    * `Multimodal.extractFeatures` with the `javax.imageio`-backed
+    * [[ImageIoDecoder]]. The oracle never decodes anything — the planted
+    * geometry/colors are closed-form in doc_id, so dims, channel means
+    * and the luminance histogram are restated as pure arithmetic (same
+    * exact-int sums, one double divide, DOUBLE→REAL narrowing).
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val png = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, PlantedMedia.checkerPng(id)))
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(png, "doc_id", "media", ImageIoDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3).cast("double"), 6).as("mean_r"),
+        round(element_at(col("features"), 4).cast("double"), 6).as("mean_g"),
+        round(element_at(col("features"), 5).cast("double"), 6).as("mean_b"),
+        round(element_at(col("features"), 6).cast("double"), 6).as("lum0"),
+        round(element_at(col("features"), 7).cast("double"), 6).as("lum1"),
+        round(element_at(col("features"), 8).cast("double"), 6).as("lum2"),
+        round(element_at(col("features"), 9).cast("double"), 6).as("lum3"))
+      .orderBy("doc_id")
+  }
+
+  /** na = #cells with (x+y) even = ceil(w/2)·ceil(h/2) + ⌊w/2⌋·⌊h/2⌋;
+    * mean = (na·chanA + (npx−na)·chanB)/npx; each color's luminance bin
+    * is min(3, ⌊((r+g+b)/3)/64⌋) and contributes its cell count to that
+    * bin's fraction.
+    */
+  val multimodalDecodeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h,
+      |    doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+      |    (doc_id*3) % 256 AS rb, (doc_id*11) % 256 AS gb, (doc_id*17) % 256 AS bb
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, ((w+1)//2)*((h+1)//2) + (w//2)*(h//2) AS na, w*h AS npx FROM p),
+      |m AS (
+      |  SELECT *,
+      |    least(3, CAST(floor(((ra+ga+ba)/3.0)/64) AS INT)) AS bina,
+      |    least(3, CAST(floor(((rb+gb+bb)/3.0)/64) AS INT)) AS binb
+      |  FROM c)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  round(CAST(CAST((na*ra + (npx-na)*rb) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS mean_r,
+      |  round(CAST(CAST((na*ga + (npx-na)*gb) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS mean_g,
+      |  round(CAST(CAST((na*ba + (npx-na)*bb) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS mean_b,
+      |  round(CAST(CAST((CASE WHEN bina = 0 THEN na ELSE 0 END + CASE WHEN binb = 0 THEN npx-na ELSE 0 END) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS lum0,
+      |  round(CAST(CAST((CASE WHEN bina = 1 THEN na ELSE 0 END + CASE WHEN binb = 1 THEN npx-na ELSE 0 END) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS lum1,
+      |  round(CAST(CAST((CASE WHEN bina = 2 THEN na ELSE 0 END + CASE WHEN binb = 2 THEN npx-na ELSE 0 END) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS lum2,
+      |  round(CAST(CAST((CASE WHEN bina = 3 THEN na ELSE 0 END + CASE WHEN binb = 3 THEN npx-na ELSE 0 END) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS lum3
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -800,7 +857,8 @@ object LlmGates {
     "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames"   -> (multimodalFrames _),
-    "multimodal_resize"   -> (multimodalResize _))
+    "multimodal_resize"   -> (multimodalResize _),
+    "multimodal_decode"   -> (multimodalDecode _))
 
   val oracleSql: Map[String, String] = Map(
     "contamination"       -> contaminationSql,
@@ -823,5 +881,6 @@ object LlmGates {
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames"   -> multimodalFramesSql,
     "multimodal_resize"   -> multimodalResizeSql,
+    "multimodal_decode"   -> multimodalDecodeSql,
     "dedup_embedding"     -> dedupEmbeddingSql)
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Pluggable media-decode seam: the Spark-side plumbing (schema contract,
   * binary columns, partition-wise batching, fixed-dim `array<float>`
   * features feeding [[Ann]]) is real and gated; the codec itself is
-  * injected. This container has no image/audio codecs, so the default is
-  * [[StubDecoder]] — a deployment with codecs supplies its own
-  * implementation without touching the gated pipeline.
+  * injected. [[ImageIoDecoder]] is a REAL pure-JVM image codec (the
+  * JDK's headless `javax.imageio` — PNG/GIF/BMP); [[StubDecoder]] is the
+  * format-agnostic fallback for media the JDK cannot decode (video,
+  * proprietary codecs) — a deployment with native codec libraries
+  * supplies its own implementation without touching the gated pipeline.
   *
   * Implementations MUST be serializable: instances ship to executors
   * inside the `mapPartitions` closures, and any expensive codec context
@@ -26,10 +28,11 @@ trait MediaDecoder extends Serializable {
   def frames(bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])]
 }
 
-/** STUB decoder — deterministic fakes standing in for real codecs:
-  * features = L1-normalized 16-bin byte histogram; frames = evenly-spaced
-  * byte slices. Honest placeholders (environment-blocked, not lazy): the
-  * signatures and batch shapes are the production contract.
+/** STUB decoder — deterministic fakes for media with no pure-JVM codec
+  * (video containers, proprietary audio): features = L1-normalized
+  * 16-bin byte histogram; frames = evenly-spaced byte slices. The
+  * signatures and batch shapes are the production contract; for images
+  * the real [[ImageIoDecoder]] replaces it.
   */
 object StubDecoder extends MediaDecoder {
 
@@ -54,6 +57,70 @@ object StubDecoder extends MediaDecoder {
         (f, bytes.slice(f * step, math.min(f * step + step, bytes.length)))
       }
     }
+}
+
+/** REAL image decoder over the JDK's headless `javax.imageio` codecs
+  * (PNG/GIF/BMP — pure JVM, no native libraries, works in any container).
+  *
+  * Features (dim 9): `[width, height, meanR, meanG, meanB, lumHist0..3]`
+  * — the luminance histogram bins `(r+g+b)/3` into four 64-wide bins,
+  * each reported as a fraction of the pixel count. Channel sums
+  * accumulate in exact integer arithmetic; each mean/fraction is ONE
+  * double division then a float narrowing, so a SQL oracle that knows
+  * the pixel content can restate every feature bitwise (the
+  * `multimodal_decode` gate does exactly that over planted PNGs).
+  *
+  * Undecodable / empty input → all-zero features, mirroring
+  * [[StubDecoder]]'s null-object convention: a corrupt blob in a 100 TB
+  * corpus must yield a filterable row, not a task failure.
+  */
+object ImageIoDecoder extends MediaDecoder {
+
+  val FeatureDim = 9
+
+  override def features(bytes: Array[Byte]): Array[Float] = {
+    val img = decode(bytes)
+    if (img == null) return new Array[Float](FeatureDim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        // truncation == floor (nonnegative); bin 3 absorbs lum in [192,256)
+        hist(math.min(3, ((r + g + b) / 3.0 / 64.0).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    Array(w.toFloat, h.toFloat,
+      (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      (hist(0) / n).toFloat, (hist(1) / n).toFloat,
+      (hist(2) / n).toFloat, (hist(3) / n).toFloat)
+  }
+
+  /** A still image is its own single frame. Multi-frame video needs
+    * native codecs the JDK does not ship — that media stays on
+    * [[StubDecoder]] or a deployment-supplied decoder.
+    */
+  override def frames(bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] =
+    if (n <= 0 || decode(bytes) == null) Iterator.empty else Iterator((0, bytes))
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try {
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } catch { case _: java.io.IOException => null }
 }
 
 /** Multimodal column handling: image/audio/video as opaque `binary`

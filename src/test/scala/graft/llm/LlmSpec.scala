@@ -292,4 +292,42 @@ class LlmSpec extends SparkSpec {
     assert(frames.length == 4)
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("multimodal: ImageIoDecoder decodes a real PNG to exact pixel features") {
+    // id 9 → 3×5 checkerboard: colorA = (9, 63, 117), colorB = (27, 99, 153);
+    // na = 2*3 + 1*2 = 8 of 15 cells. Features must equal the closed-form
+    // means/histogram bit-for-bit (PNG is lossless; sums are exact ints).
+    val f = ImageIoDecoder.features(graft.gates.PlantedMedia.checkerPng(9L))
+    assert(f.length == ImageIoDecoder.FeatureDim)
+    assert(f(0) == 3.0f && f(1) == 5.0f)
+    val na = 8.0; val nb = 7.0; val n = 15.0
+    assert(f(2) == ((na * 9 + nb * 27) / n).toFloat)
+    assert(f(3) == ((na * 63 + nb * 99) / n).toFloat)
+    assert(f(4) == ((na * 117 + nb * 153) / n).toFloat)
+    // lumA = (9+63+117)/3 = 63 → bin 0; lumB = (27+99+153)/3 = 93 → bin 1
+    assert(f(5) == (na / n).toFloat && f(6) == (nb / n).toFloat)
+    assert(f(7) == 0.0f && f(8) == 0.0f)
+  }
+
+  test("multimodal: ImageIoDecoder null-object path and single-frame contract") {
+    assert(ImageIoDecoder.features(Array[Byte](1, 2, 3)).forall(_ == 0.0f))
+    assert(ImageIoDecoder.features(Array.empty[Byte]).forall(_ == 0.0f))
+    assert(ImageIoDecoder.frames(Array[Byte](1, 2, 3), 4).isEmpty)
+    val png = graft.gates.PlantedMedia.checkerPng(3L)
+    val fs = ImageIoDecoder.frames(png, 4).toSeq
+    assert(fs.map(_._1) == Seq(0) && (fs.head._2 sameElements png))
+  }
+
+  test("multimodal: real decoder flows through the extractFeatures seam") {
+    val d = Seq((1L, graft.gates.PlantedMedia.checkerPng(1L)),
+                (2L, Array[Byte](9, 9, 9))) // corrupt blob → zero features
+      .toDF("doc_id", "media")
+    val out = Multimodal.extractFeatures(d, "doc_id", "media", ImageIoDecoder)
+      .orderBy("doc_id").collect()
+    // id 1 → 2×2, colors A=(1,7,13) B=(3,11,17), na = 2
+    val f1 = out(0).getSeq[Float](1)
+    assert(f1.take(2) == Seq(2.0f, 2.0f))
+    assert(f1(2) == ((2.0 * 1 + 2.0 * 3) / 4.0).toFloat)
+    assert(out(1).getSeq[Float](1).forall(_ == 0.0f))
+  }
 }
