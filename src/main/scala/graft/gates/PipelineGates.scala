@@ -108,7 +108,7 @@ object PipelineGates {
        |  SELECT doc_id, text, $NormWs AS ws FROM documents),
        |per AS (
        |  SELECT doc_id,
-       |    CASE WHEN text IS NULL THEN 0 ELSE CAST(len(ws) AS INT) END AS n_words,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE CAST(len(ws) AS INT) END AS n_words,
        |    round(CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
        |      ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6) AS uniq_word_frac,
        |    ws FROM norm),

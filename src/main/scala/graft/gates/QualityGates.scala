@@ -276,9 +276,14 @@ object QualityGates {
   /** Streaming-ingest dedup driven in batch mode: the events table
     * unioned with a deterministic "redelivery" subset (every 7th event
     * arrives twice), deduped by event_id. Duplicate deliveries are
-    * exact copies, so the postcondition — and the oracle — is the
-    * original relation. The watermarked streaming path is exercised in
-    * StreamingSpec (state-expiry semantics need micro-batches).
+    * exact copies OF UNIQUE-KEYED events, so survivor choice is
+    * value-irrelevant and the postcondition — and the oracle — is the
+    * original relation. The uniqueness precondition is pinned by a
+    * StreamingSpec fixture assertion (a fixture with duplicate
+    * event_ids carrying different payloads would make dropDuplicates'
+    * arbitrary survivor diverge from the oracle). The watermarked
+    * streaming path is exercised in StreamingSpec (state-expiry
+    * semantics need micro-batches).
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

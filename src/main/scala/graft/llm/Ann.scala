@@ -36,9 +36,16 @@ object Ann {
   /** Pair cosine from PRE-COMPUTED norms: identical arithmetic to
     * [[cosine]] (`dot / (na·nb)`), but each row's norm is evaluated once
     * instead of once per pair — ~2/3 less work on the candidate join.
+    *
+    * Zero-norm clamp: a zero-norm side yields cosine −∞, NOT NaN. NaN
+    * orders FIRST under `ORDER BY cosine DESC` in both Spark and DuckDB
+    * (a degenerate vector would outrank every real neighbor) and
+    * inconsistently in the IVF insertion-sort kernel; −∞ orders LAST
+    * everywhere, so all ranking paths agree on any input.
     */
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    when(na * nb === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(dot(a, b) / (na * nb))
 
   /** Exact cosine top-k per query (self-match excluded when ids collide).
     * Ranking uses the cosine rounded to 6 decimals with the neighbor id as
@@ -168,13 +175,12 @@ object Ann {
     * ascending on ties; FP order matches the Column fold, so the SQL
     * oracle mirrors it exactly.
     *
-    * CONTRACT: embeddings and centroids must have NONZERO norm. A
-    * zero-norm vector yields cos = NaN, and NaN ordering differs between
-    * this kernel's insertion sort (never-better → sorts last) and the
-    * ROW_NUMBER/ORDER BY cosine DESC mirror (NaN sorts FIRST in both
-    * Spark and DuckDB) — the documented FP equivalence only holds on
-    * nonzero-norm input. The testdata generator and the embedding gates
-    * satisfy this; normalize or drop zero vectors before calling.
+    * Zero-norm input is safe: cosine against (or from) a zero-norm
+    * vector is CLAMPED to −∞ in both the kernel and the Column scoring
+    * ([[cosinePre]]), so degenerate vectors rank LAST under every
+    * ordering path — kernel insertion sort, Spark window, and a SQL
+    * `ORDER BY cosine DESC` mirror — instead of the NaN-ordering
+    * divergence an unclamped division produces.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroidTarget: Int = 0, nprobe: Int = 3,
@@ -205,7 +211,10 @@ object Ann {
             var i = 0
             while (i < cs.length) {
               val (cid, cv, cn) = cs(i)
-              val cos = dotD(vec, cv) / (n * cn)
+              // same zero-norm clamp as cosinePre: −∞, never NaN
+              val den = n * cn
+              val cos = if (den == 0.0) Double.NegativeInfinity
+                        else dotD(vec, cv) / den
               var pos = filled
               while (pos > 0 && (topCos(pos - 1) < cos ||
                      (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
@@ -245,11 +254,14 @@ object Ann {
     * threshold) via shared LSH buckets — never all-pairs. `maxBucket`
     * guards skew exactly like Dedup.candidatePairs: a degenerate bucket
     * (e.g. all-zero vectors landing in bucket 0) would otherwise self-join
-    * quadratically; oversize buckets are dropped.
+    * quadratically; oversize buckets are dropped, and the drops are
+    * reported through `capStats` ([[CapStats]], eagerly filled) exactly
+    * like Dedup.candidatePairs.
     */
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 12, dim: Int = 64,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000,
+                    capStats: Option[CapStats] = None): DataFrame = {
     val h0 = df.select(col(idCol), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"),
       signBucket(col(vecCol), bits, dim).as("__bucket"))
@@ -260,7 +272,9 @@ object Ann {
     // never count-over-window (no partial agg → the degenerate bucket the
     // cap targets would stall one task; see Dedup.candidatePairs).
     val hc = h0.localCheckpoint(true)
-    val small = hc.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
+    val counts = hc.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
+    capStats.foreach(Dedup.fillCapStats(_, counts, col("__bn"), maxBucket))
+    val small = counts
       .filter(col("__bn") <= maxBucket)
       .select("__bucket")
     val h = hc.join(small, Seq("__bucket"), "left_semi")

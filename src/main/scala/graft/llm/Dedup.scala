@@ -4,6 +4,29 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.Snapshots
 
+/** Skew-cap drop statistics: pass a fresh instance as `capStats` to a
+  * cap site ([[Dedup.candidatePairs]], [[Dedup.nearDupSimhash]],
+  * [[Ann.nearDupCosine]]) and it is filled with how many buckets / rows
+  * the `maxBucket` guard discarded — the recall-decay signal a
+  * production run alerts on when a degenerate corpus concentrates into
+  * capped buckets.
+  *
+  * Filled EAGERLY (one small aggregate job over the bucket counts when
+  * the operator is invoked, before the main pipeline runs). All three
+  * cap sites sit on checkpointed inputs, so the extra pass re-reads a
+  * materialized table, not raw lineage. An `Observation`/observe node
+  * was rejected deliberately: when EVERY bucket is capped the result is
+  * empty, AQE's empty-relation propagation prunes the CollectMetrics
+  * node from the final plan, and the metrics silently vanish — in
+  * precisely the degenerate case the counter exists to expose.
+  */
+final class CapStats extends Serializable {
+  @volatile var droppedBuckets: Long = 0L
+  @volatile var droppedRows: Long = 0L
+  override def toString: String =
+    s"CapStats(droppedBuckets=$droppedBuckets, droppedRows=$droppedRows)"
+}
+
 /** Document deduplication for large-scale training-data pipelines.
   *
   * Three tiers, all banded/bucketed so no step is ever all-pairs — the
@@ -193,11 +216,19 @@ object Dedup {
     * degenerate bucket the cap exists for would itself stall one task with
     * its full row set. The partial count makes the hot bucket nearly free
     * map-side, and the join-back is an equi-join AQE can skew-split.
+    *
+    * Dropping is no longer silent: pass `capStats` (a fresh [[CapStats]])
+    * and it is filled with the dropped bucket/banded-row counts (see
+    * [[CapStats]] for the eager-fill contract and why it is not an
+    * `Observation`). The main pipeline shape is identical either way.
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
-                     maxBucket: Int = 1000): DataFrame = {
-    val small = bandsDf.groupBy(col("__band"), col("__bucket"))
+                     maxBucket: Int = 1000,
+                     capStats: Option[CapStats] = None): DataFrame = {
+    val counts = bandsDf.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
+    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
+    val small = counts
       .filter(col("__n") <= maxBucket)
       .select("__band", "__bucket")
     val sized = bandsDf.join(small, Seq("__band", "__bucket"), "left_semi")
@@ -206,6 +237,18 @@ object Dedup {
     a.join(b, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Shared [[CapStats]] fill: one aggregate job over the bucket-count
+    * relation (null sums on an all-small corpus → 0).
+    */
+  private[llm] def fillCapStats(st: CapStats, counts: DataFrame,
+                                n: Column, maxBucket: Int): Unit = {
+    val r = counts.agg(
+      sum(when(n > maxBucket, 1L).otherwise(0L)),
+      sum(when(n > maxBucket, n).otherwise(0L))).head()
+    st.droppedBuckets = if (r.isNullAt(0)) 0L else r.getLong(0)
+    st.droppedRows = if (r.isNullAt(1)) 0L else r.getLong(1)
   }
 
   /** Exact Jaccard verification of candidate pairs against the true
@@ -229,7 +272,8 @@ object Dedup {
   def nearDupMinhash(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.7, numHashes: Int = 32,
                      bands: Int = 8, shingleN: Int = 3,
-                     portable: Boolean = false): DataFrame = {
+                     portable: Boolean = false, maxBucket: Int = 1000,
+                     capStats: Option[CapStats] = None): DataFrame = {
     // Inline signatures: per-row scalar computation, zero shuffle, and
     // measured 5× faster than the explode+groupBy form (identical
     // output). Materialized once because the band self-join reads it
@@ -241,7 +285,7 @@ object Dedup {
       .localCheckpoint(true)
     val banded = if (portable) lshBandsPortable(sigs, idCol, bands, numHashes / bands)
                  else lshBands(sigs, idCol, bands, numHashes / bands)
-    val cands = candidatePairs(banded, idCol)
+    val cands = candidatePairs(banded, idCol, maxBucket, capStats)
     jaccardVerify(cands, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
@@ -467,7 +511,8 @@ object Dedup {
     */
   def nearDupSimhash(df: DataFrame, idCol: String, textCol: String,
                      maxDistance: Int = 3, maxBucket: Int = 1000,
-                     portable: Boolean = false): DataFrame = {
+                     portable: Boolean = false,
+                     capStats: Option[CapStats] = None): DataFrame = {
     // The inline simhash has no shuffle for downstream plans to reuse, so
     // without materialization the 64-vote fold would re-run for the
     // window AND both join sides.
@@ -479,9 +524,12 @@ object Dedup {
         .as(Seq("__band", "__bucket")))
     // Same skew guard as MinHash: correlated corpora concentrate band
     // buckets; an uncapped bucket joins quadratically. Sizes via partial-
-    // agg count + semi-join, never count-over-window (see candidatePairs).
-    val small = banded.groupBy(col("__band"), col("__bucket"))
+    // agg count + semi-join, never count-over-window; drops reported via
+    // capStats (see candidatePairs / CapStats).
+    val counts = banded.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
+    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
+    val small = counts
       .filter(col("__n") <= maxBucket)
       .select("__band", "__bucket")
     val sized = banded.join(small, Seq("__band", "__bucket"), "left_semi")

@@ -20,8 +20,14 @@ object Embeddings {
     * partitionings. Narrow projection: no shuffle.
     *
     * Output: the input plus `scale` (double) and `qvec` (array<int>).
+    * The input must not already carry columns with those names —
+    * `withColumn` would silently overwrite them (enforced below).
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("scale") && !df.columns.contains("qvec"),
+      "quantizeInt8 adds 'scale' and 'qvec' columns; the input already has " +
+        df.columns.filter(Set("scale", "qvec")).mkString("/") +
+        " — rename or drop it first")
     val v = transform(col(vecCol), x => x.cast("double"))
     val m = array_max(transform(v, x => abs(x)))
     val scale = when(m === 0.0, 0.0).otherwise(lit(127.0) / m)

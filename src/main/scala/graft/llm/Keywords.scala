@@ -22,8 +22,21 @@ import org.apache.spark.sql.functions._
   * blocklist from [[CorpusStats.topNgrams]] upstream.
   *
   * Scale shape: one token-sized shuffle for tf (doc, term), one
-  * vocabulary-sized agg for df, a broadcast-able df join (vocabulary ≪
-  * corpus), and a doc-partitioned window — no global ordering anywhere.
+  * vocabulary-sized agg for df, a BROADCAST df join (vocabulary ≪
+  * corpus — the default; `broadcastDf = false` falls back to a shuffle
+  * join for pathological vocabularies that outgrow executor memory),
+  * and a doc-partitioned window — no global ordering anywhere.
+  * Broadcasting the df side is also the structural fix for Zipf skew:
+  * the tf⋈df join keys on term, and without the broadcast the head
+  * terms ("the", "of") make a handful of shuffle partitions hot; with
+  * it the tf side never re-shuffles at all.
+  *
+  * `stopwords` drops terms before counting — feed it the head of
+  * [[CorpusStats.topNgrams]] (n = 1) to emulate log-IDF's damping of
+  * ubiquitous terms under the linear-IDF scoring. The list is folded in
+  * as a literal predicate (codegen'd), so keep it list-sized (hundreds),
+  * not dictionary-sized.
+  *
   * Resolving N runs ONE count job over `docs` when `totalDocs` is not
   * supplied — for a derived/expensive input, pass the known corpus size
   * (or cache the input) so the lineage is not executed twice.
@@ -32,15 +45,20 @@ object Keywords {
 
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3, minTermLen: Int = 3,
-                totalDocs: Option[Long] = None): DataFrame = {
+                totalDocs: Option[Long] = None,
+                broadcastDf: Boolean = true,
+                stopwords: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val n = totalDocs.getOrElse(docs.count())
-    val terms = docs
+    val raw = docs
       .select(col(idCol), explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) >= minTermLen)
+    val terms = if (stopwords.isEmpty) raw
+                else raw.filter(!col("term").isInCollection(stopwords))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") < n) // df = N carries zero information (log idf = 0)
+    val dfreq = if (broadcastDf) broadcast(dfreq0) else dfreq0
     val scored = tf.join(dfreq, "term")
       .withColumn("score", col("tf") * (lit(n).cast("double") / col("df")))
     val rank = row_number().over(Window.partitionBy(col(idCol))

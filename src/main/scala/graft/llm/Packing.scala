@@ -28,6 +28,14 @@ import graft.operators.Sharding
   */
 object Packing {
 
+  /** CONTRACT: `idCol` must be UNIQUE — it is the per-shard stream order,
+    * and the headline guarantee (bitwise-identical blocks on every rerun
+    * and partitioning) only holds under a total order. Duplicate ids
+    * within a shard would make `doc_offset` (and block membership)
+    * nondeterministic across runs. Uniqueness is not re-verified here
+    * (it would cost an aggregation per call); upstream dedup/minting
+    * owns it.
+    */
   def blocks(docs: DataFrame, idCol: String, textCol: String,
              blockSize: Int = 2048, nShards: Int = 16,
              portable: Boolean = false): DataFrame = {

@@ -47,7 +47,9 @@ object Repetition {
     // deliberate: two column-pruned parquet scans are cheaper than
     // materializing the exploded bigram stream to share one scan.
     val perRow = docs.select(col(idCol),
-      when(col(textCol).isNull, 0)
+      // empty/whitespace-only → 0 words (TextStats.tokenCount convention;
+      // a bare split of "" yields one empty-string token = a phantom word)
+      when(col(textCol).isNull || trim(col(textCol)) === "", 0)
         .otherwise(size(split(Dedup.normalize(col(textCol)), " "))).as("n_words"),
       round(uniqueWordFrac(col(textCol)), 6).as("uniq_word_frac"),
       bigrams(col(textCol)).as("__bg"))

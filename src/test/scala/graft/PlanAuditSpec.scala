@@ -106,6 +106,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(kw.contains("partial_"), kw.take(800))
   }
 
+  test("tfidf joins the df side broadcast (Zipf head terms never shuffle-join)") {
+    val docs = Tables(spark, dir, "documents")
+    val kw = plan(graft.llm.Keywords.tfidfTopK(docs, "doc_id", "text"))
+    assert(kw.contains("BroadcastHashJoin"), kw.take(800))
+    assert(!kw.contains("SortMergeJoin"), kw.take(800))
+    // (broadcastDf = false is the escape hatch for dictionary-busting
+    // vocabularies; not plan-asserted here because at fixture scale the
+    // optimizer's size estimate auto-broadcasts the df agg anyway)
+  }
+
   test("block packing windows per shard, never globally") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = Tables(spark, dir, "documents")

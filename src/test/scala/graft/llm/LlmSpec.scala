@@ -183,6 +183,77 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall too low")
   }
 
+  test("LSH bucket caps report dropped buckets/rows, not silent recall decay") {
+    // 40 identical docs concentrate every band bucket past maxBucket=10 →
+    // all dropped (and counted); the distinct near-dup pair elsewhere
+    // still surfaces. This is the worst case deliberately: every
+    // candidate is capped and the pair output for the hot docs is EMPTY —
+    // the stats must fire precisely then (an Observation-based counter
+    // would vanish here: AQE's empty-relation propagation prunes the
+    // CollectMetrics node once the capped side materializes empty).
+    val degenerate = (0L until 40L).map(i => (i, "spark spark spark spark spark"))
+    val pair = Seq((100L, "a genuinely different document about engines"),
+                   (101L, "a genuinely different document about enginez"))
+    val df = (degenerate ++ pair).toDF("doc_id", "text")
+
+    val mSt = new CapStats
+    val mPairs = Dedup.nearDupMinhash(df, "doc_id", "text", threshold = 0.3,
+      numHashes = 32, bands = 16, shingleN = 2, maxBucket = 10, capStats = Some(mSt))
+    // 40 identical docs share all 16 band buckets → 16 capped buckets,
+    // 640 banded entries dropped
+    assert(mSt.droppedBuckets == 16L, mSt.toString)
+    assert(mSt.droppedRows == 640L, mSt.toString)
+    assert(!mPairs.collect().map(_.getLong(0)).exists(_ < 100L)) // hot docs capped out
+
+    val sSt = new CapStats
+    Dedup.nearDupSimhash(df, "doc_id", "text", maxDistance = 3,
+      maxBucket = 10, capStats = Some(sSt))
+    assert(sSt.droppedBuckets >= 1L, sSt.toString)
+
+    val eSt = new CapStats
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(1f))).toDF("vec_id", "embedding")
+    Ann.nearDupCosine(vecs, "vec_id", "embedding", threshold = 0.9,
+      bits = 6, dim = 8, maxBucket = 10, capStats = Some(eSt))
+    assert(eSt.droppedBuckets >= 1L, eSt.toString)
+    assert(eSt.droppedRows >= 40L, eSt.toString)
+
+    // quiet corpus → zero drops reported
+    val qSt = new CapStats
+    Dedup.nearDupMinhash(pair.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.3, numHashes = 32, bands = 16, shingleN = 2,
+      maxBucket = 10, capStats = Some(qSt))
+    assert(qSt.droppedBuckets == 0L && qSt.droppedRows == 0L, qSt.toString)
+  }
+
+  test("tfidf stopword blocklist drops listed terms from scoring") {
+    val d = Seq((1L, "beta gamma beta delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val terms = Keywords.tfidfTopK(d, "doc_id", "text", k = 10,
+        stopwords = Seq("beta"))
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(!terms.contains("beta"))
+    assert(terms.contains("gamma"))
+  }
+
+  test("zero-norm embedding ranks LAST with cosine -inf in brute-force AND IVF") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f)), // zero-norm: clamped, never NaN
+      (4L, Array(0.8f, 0.2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("query_id"), $"embedding")
+    val c = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    val bf = ranked(Ann.bruteForceTopK(q, c, 4))
+    // nprobe covers every centroid → IVF candidates = whole corpus = brute force
+    val ivf = ranked(Ann.ivfTopK(q, c, 4, nprobe = 3))
+    assert(bf == ivf)
+    assert(bf.last._1 == 3L && bf.last._2 == Double.NegativeInfinity)
+    assert(bf.forall(p => !p._2.isNaN))
+  }
+
   test("IVF centroid budget stays fixed as the corpus grows") {
     // √n up to the cap: 100× more rows must NOT mean 100× more centroids.
     def centroids(n: Long) = math.ceil(

@@ -146,4 +146,19 @@ class StreamingSpec extends SparkSpec {
     val out = StreamingJobs.dedupStream(batch, Seq("event_id"), "ts")
     assert(out.count() == 2)
   }
+
+  test("stream_dedup gate precondition: event_id is unique in the events fixture") {
+    // The gate's plain-SELECT oracle is only valid because duplicate
+    // deliveries are EXACT copies of unique-keyed events: dropDuplicates
+    // picks an arbitrary survivor, so two fixture rows sharing an
+    // event_id with different payloads would diverge nondeterministically.
+    // Pin the precondition so a future fixture regeneration can't silently
+    // invalidate the oracle.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dupes = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+        .groupBy("event_id").count().filter(col("count") > 1).count()
+      assert(dupes == 0L, s"$sf events fixture has $dupes duplicated event_ids")
+    }
+  }
 }
