@@ -44,15 +44,19 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    // ---- scaled sweep: the warehouse day-build + near-dup family re-run
-    // over an on-the-fly SCALE× copy of their input tables, surfacing any
-    // serialization the base scale hides (single-task funnels, quadratic
-    // candidate growth). Replicas are DECORRELATED — letter-rotated text,
-    // hash-sign-flipped embeddings, remapped keys — so per-key/per-bucket
-    // group sizes keep the base data's character and the SCALE× timing
-    // isolates engine scaling, not an artificial duplicate explosion.
+    // ---- scaled sweep: the warehouse day-build + near-dup/text family
+    // re-run over an on-the-fly SCALE× copy of their input tables,
+    // surfacing any serialization the base scale hides (single-task
+    // funnels, quadratic candidate growth). Replicas are DECORRELATED —
+    // letter-rotated text, hash-sign-flipped embeddings, remapped keys —
+    // so per-key/per-bucket group sizes keep the base data's character
+    // and the SCALE× timing isolates engine scaling, not an artificial
+    // duplicate explosion. Each swept query is emitted as
+    // {base, scaled, ratio} so SCALE.md's scaling table is derivable
+    // from this JSON alone (base = the same-run sf timing above).
     val scaleF = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
-    val scaleQs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // name -> (base seconds, scaled seconds)
+    val scaleQs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     var scaleGen = 0.0
     if (scaleF > 1) {
       import org.apache.spark.sql.DataFrame
@@ -81,10 +85,67 @@ object Bench {
       replicate("orders", (d, r) => d
         .withColumn("o_orderkey", col("o_orderkey") * scaleF + r)
         .withColumn("o_custkey", col("o_custkey") * scaleF + r))
+
+      // Synthetic staging batches (orders → Schemas.staging mapping) for
+      // the FULL warehouse day-build — the production Apps.runWarehouseDay
+      // path: partition-pruned staging read, SCD2 dims, fact + bridge
+      // minting (Keys.assignSorted), dwh writes. Day-1 from an empty
+      // warehouse mints EVERY id — the most minting-intensive day, i.e.
+      // the exact shape of the round-4 funnel this sweep guards.
+      def stagingFromOrders(dir: String): DataFrame =
+        spark.read.parquet(s"$dir/orders.parquet").select(
+          concat(lit("job-"), col("o_orderkey")).as("job_id"),
+          concat(lit("Engineer "), col("o_orderpriority")).as("title_clean"),
+          concat(lit("https://jobs.example/"), col("o_orderkey")).as("job_url"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("skills"),
+          concat(lit("Company "), pmod(col("o_custkey"), lit(5000)))
+            .as("company_name_standardized"),
+          lit(null).cast("string").as("company_url"),
+          lit(null).cast("string").as("logo_url"),
+          (pmod(col("o_orderkey"), lit(2)) === 0).as("verified_employer"),
+          element_at(
+            array(lit("Hà Nội"), lit("Hồ Chí Minh"), lit("Đà Nẵng"), lit("Cần Thơ")),
+            (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")).as("location"),
+          col("o_totalprice").cast("decimal(18,2)").as("salary_min"),
+          (col("o_totalprice") * 2).cast("decimal(18,2)").as("salary_max"),
+          lit("range").as("salary_type"),
+          lit("30 days left").as("time_remaining"),
+          lit("2026-01-01 06:00:00").cast("timestamp").as("posted_time"),
+          lit("2026-02-01 00:00:00").cast("timestamp").as("due_date"),
+          lit("2026-01-01 06:00:00").cast("timestamp").as("crawled_at"))
+      def writeStaging(dir: String, root: String): Unit =
+        stagingFromOrders(dir).withColumn("crawl_date", lit("2026-01-01"))
+          .write.partitionBy("crawl_date").mode("overwrite")
+          .parquet(s"$root/staging_jobs")
+      val whBase = "target/bench_wh_base"
+      val whScaled = s"$scaleDir/warehouse"
+      writeStaging(sfDir, whBase)
+      writeStaging(scaleDir, whScaled)
       scaleGen = (System.nanoTime() - g0) / 1e9
+
+      def timeIt(body: => Unit): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { body; Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      try {
+        val tb = timeIt(graft.app.Apps.runWarehouseDay(spark, whBase, "2026-01-01"))
+        val ts = timeIt(graft.app.Apps.runWarehouseDay(spark, whScaled, "2026-01-01"))
+        (tb, ts) match {
+          case (Some(b), Some(s)) => scaleQs("warehouse_day") = (b, s)
+          case _ => errors("scale_warehouse_day") = "warehouse day-build failed"
+        }
+      } catch {
+        case e: Throwable =>
+          errors("scale_warehouse_day") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+
       val sweep = Seq("carry_forward", "dedup_priority", "dedup_exact",
         "dedup_minhash", "dedup_simhash", "dedup_jaccard", "dedup_embedding",
         "dedup_clusters",
+        // the engine-win headliners: inverted-index containment + LSH ANN
+        "contamination", "ann_lsh",
         // the text-pipeline family: linear ops whose 10× ratio should
         // track the data ratio (narrow or doc-keyed partial-agg shapes)
         "pii_redact", "quality_repetition", "chunk_documents",
@@ -93,7 +154,8 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, scaleDir).count()
-          scaleQs(name) = (System.nanoTime() - t0) / 1e9
+          val s = (System.nanoTime() - t0) / 1e9
+          timings.get(name).foreach(b => scaleQs(name) = (b, s))
         } catch {
           case e: Throwable =>
             errors(s"scale_$name") =
@@ -105,7 +167,10 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
-    val sq = scaleQs.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+    val sq = scaleQs.map { case (k, (b, s)) =>
+      val ratio = if (b > 0) s / b else -1.0
+      "\"" + esc(k) + "\":{\"base\":" + b + ",\"scaled\":" + s + ",\"ratio\":" + ratio + "}"
+    }.mkString("{", ",", "}")
     val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"scale":$scale,"sf":"${esc(sfDir)}"}""")
     spark.stop()

@@ -705,6 +705,48 @@ object LlmGates {
       |  round(CAST(CAST((CASE WHEN bina = 3 THEN na ELSE 0 END + CASE WHEN binb = 3 THEN npx-na ELSE 0 END) / CAST(npx AS DOUBLE) AS REAL) AS DOUBLE), 6) AS lum3
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode through the same seam: planted mono PCM-16 WAVs
+    * ([[PlantedMedia.pcmWav]]) flow through `extractFeatures` with the
+    * pure-JVM [[graft.llm.WavDecoder]]. The oracle recomputes every
+    * sample from (doc_id, i) arithmetic and restates mean/RMS with the
+    * same exact-long sums, one double divide (+ sqrt), DOUBLE→REAL
+    * narrowing. Proves the MediaDecoder seam is format-general.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(id => (id, PlantedMedia.pcmWav(id)))
+      .toDF("doc_id", "media")
+    Multimodal.extractFeatures(wav, "doc_id", "media", graft.llm.WavDecoder)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("channels"),
+        element_at(col("features"), 2).cast("int").as("sample_rate"),
+        element_at(col("features"), 3).cast("int").as("bits"),
+        element_at(col("features"), 4).cast("int").as("n_samples"),
+        round(element_at(col("features"), 5).cast("double"), 6).as("mean_amp"),
+        round(element_at(col("features"), 6).cast("double"), 6).as("rms_amp"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, (doc_id*31 + i*7) % 65536 - 32768 AS v
+      |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p)),
+      |a AS (
+      |  SELECT doc_id,
+      |    CAST(sum(v) AS DOUBLE) AS sv, CAST(sum(v*v) AS DOUBLE) AS svv
+      |  FROM s GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(16 AS INT) AS bits, CAST(n AS INT) AS n_samples,
+      |  round(CAST(CAST(sv / n AS REAL) AS DOUBLE), 6) AS mean_amp,
+      |  round(CAST(CAST(sqrt(svv / n) AS REAL) AS DOUBLE), 6) AS rms_amp
+      |FROM p JOIN a ON a.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -858,7 +900,8 @@ object LlmGates {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames"   -> (multimodalFrames _),
     "multimodal_resize"   -> (multimodalResize _),
-    "multimodal_decode"   -> (multimodalDecode _))
+    "multimodal_decode"   -> (multimodalDecode _),
+    "multimodal_audio"    -> (multimodalAudio _))
 
   val oracleSql: Map[String, String] = Map(
     "contamination"       -> contaminationSql,
@@ -882,5 +925,6 @@ object LlmGates {
     "multimodal_frames"   -> multimodalFramesSql,
     "multimodal_resize"   -> multimodalResizeSql,
     "multimodal_decode"   -> multimodalDecodeSql,
+    "multimodal_audio"    -> multimodalAudioSql,
     "dedup_embedding"     -> dedupEmbeddingSql)
 }

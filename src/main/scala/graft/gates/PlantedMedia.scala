@@ -43,4 +43,21 @@ object PlantedMedia {
   }
 
   private def rgb(r: Int, g: Int, b: Int): Int = (r << 16) | (g << 8) | b
+
+  /** Planted mono PCM-16 WAV (8 kHz): n = 16 + id%17 samples with
+    * sample_i = (31·id + 7·i) mod 65536 − 32768 — every sample value is
+    * closed-form in (id, i), so the `multimodal_audio` oracle recomputes
+    * mean/RMS by unnesting `range(n)` with the same arithmetic.
+    */
+  def pcmWav(id: Long): Array[Byte] = {
+    val n = (16 + id % 17).toInt
+    val pcm = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      pcm.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    graft.llm.WavDecoder.wrapPcm(pcm.array(), channels = 1, sampleRate = 8000)
+  }
 }

@@ -123,6 +123,123 @@ object ImageIoDecoder extends MediaDecoder {
       } catch { case _: java.io.IOException => null }
 }
 
+/** REAL audio decoder for RIFF/WAVE PCM — a pure-JVM header+sample
+  * parser (no codec library at all: PCM bytes ARE the samples), proving
+  * the [[MediaDecoder]] seam is format-general, not image-shaped.
+  *
+  * Features (dim 6): `[channels, sampleRate, bitsPerSample, nSamples,
+  * meanAmp, rmsAmp]` over the FIRST channel's 16-bit little-endian
+  * samples. Amplitude sums accumulate exactly in long (|s| ≤ 2^15, s² ≤
+  * 2^30), so mean and RMS are one double division (+ one sqrt) each —
+  * restatable bitwise by a SQL oracle that knows the sample values (the
+  * `multimodal_audio` gate plants exactly such WAVs).
+  *
+  * Non-WAV / non-PCM-16 / truncated input → all-zero features (same
+  * null-object convention as the other decoders).
+  */
+object WavDecoder extends MediaDecoder {
+
+  val FeatureDim = 6
+
+  override def features(bytes: Array[Byte]): Array[Float] = {
+    val parsed = parse(bytes)
+    if (parsed == null) return new Array[Float](FeatureDim)
+    val (channels, sampleRate, bits, dataOff, dataLen) = parsed
+    val frameBytes = channels * 2
+    val n = dataLen / frameBytes
+    if (n == 0) return Array(channels.toFloat, sampleRate.toFloat, bits.toFloat, 0f, 0f, 0f)
+    var sum = 0L
+    var sumSq = 0L
+    var i = 0
+    while (i < n) {
+      val off = dataOff + i * frameBytes // first channel of each frame
+      val s = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toInt
+      sum += s
+      sumSq += s.toLong * s
+      i += 1
+    }
+    val nd = n.toDouble
+    Array(channels.toFloat, sampleRate.toFloat, bits.toFloat, n.toFloat,
+      (sum / nd).toFloat, math.sqrt(sumSq / nd).toFloat)
+  }
+
+  /** Audio frames = up to `n` contiguous equal sample windows, each
+    * re-wrapped as a standalone valid WAV (header + its slice of PCM
+    * data) — the shape a real segmenter hands to downstream per-clip
+    * featurization.
+    */
+  override def frames(bytes: Array[Byte], n: Int): Iterator[(Int, Array[Byte])] = {
+    val parsed = parse(bytes)
+    if (n <= 0 || parsed == null) return Iterator.empty
+    val (channels, sampleRate, _, dataOff, dataLen) = parsed
+    val frameBytes = channels * 2
+    val total = dataLen / frameBytes
+    if (total == 0) return Iterator.empty
+    val per = math.max(total / n, 1)
+    (0 until math.min(n, total)).iterator.map { f =>
+      val from = f * per
+      val cnt = math.min(per, total - from)
+      val pcm = java.util.Arrays.copyOfRange(bytes,
+        dataOff + from * frameBytes, dataOff + (from + cnt) * frameBytes)
+      (f, wrapPcm(pcm, channels, sampleRate))
+    }
+  }
+
+  /** (channels, sampleRate, bits, dataOffset, dataLength), or null when
+    * not a PCM-16 RIFF/WAVE blob. Chunk-walks the container (chunks are
+    * 2-byte aligned), so non-canonical headers with extra chunks parse
+    * too.
+    */
+  private def parse(bytes: Array[Byte]): (Int, Int, Int, Int, Int) =
+    if (bytes == null || bytes.length < 44 ||
+        !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) null
+    else {
+      var channels = 0; var sampleRate = 0; var bits = 0; var fmt = 0
+      var dataOff = -1; var dataLen = 0
+      var p = 12
+      while (p + 8 <= bytes.length) {
+        val size = le32(bytes, p + 4)
+        if (size < 0 || p + 8 + size > bytes.length) return null
+        if (tag(bytes, p, "fmt ") && size >= 16) {
+          fmt = le16(bytes, p + 8)
+          channels = le16(bytes, p + 10)
+          sampleRate = le32(bytes, p + 12)
+          bits = le16(bytes, p + 22)
+        } else if (tag(bytes, p, "data")) {
+          dataOff = p + 8; dataLen = size
+        }
+        p += 8 + size + (size & 1)
+      }
+      if (fmt == 1 && bits == 16 && channels > 0 && dataOff >= 0)
+        (channels, sampleRate, bits, dataOff, dataLen)
+      else null
+    }
+
+  /** Canonical 44-byte PCM-16 header around raw little-endian samples. */
+  def wrapPcm(pcm: Array[Byte], channels: Int, sampleRate: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out.array()
+  }
+
+  private def tag(b: Array[Byte], off: Int, t: String): Boolean =
+    b.length >= off + 4 && (0 until 4).forall(i => (b(off + i) & 0xFF) == t.charAt(i))
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+}
+
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-wise through a
   * [[MediaDecoder]].

@@ -389,6 +389,27 @@ class LlmSpec extends SparkSpec {
     assert(fs.map(_._1) == Seq(0) && (fs.head._2 sameElements png))
   }
 
+  test("multimodal: WavDecoder parses planted PCM to exact sample statistics") {
+    // id 5 → n = 16 + 5 = 21 samples, s_i = (155 + 7i) % 65536 - 32768
+    val f = WavDecoder.features(graft.gates.PlantedMedia.pcmWav(5L))
+    assert(f.length == WavDecoder.FeatureDim)
+    val n = 21
+    val ss = (0 until n).map(i => ((5L * 31 + i * 7) % 65536 - 32768).toDouble)
+    assert(f(0) == 1.0f && f(1) == 8000.0f && f(2) == 16.0f && f(3) == n.toFloat)
+    assert(f(4) == (ss.sum / n).toFloat)
+    assert(f(5) == math.sqrt(ss.map(x => x * x).sum / n).toFloat)
+  }
+
+  test("multimodal: WavDecoder frames are standalone decodable WAVs; junk → zeros") {
+    val wav = graft.gates.PlantedMedia.pcmWav(9L) // 25 samples
+    val fs = WavDecoder.frames(wav, 4).toSeq
+    assert(fs.map(_._1) == Seq(0, 1, 2, 3))
+    val f0 = WavDecoder.features(fs.head._2)
+    assert(f0(0) == 1.0f && f0(3) == 6.0f) // 25/4 → 6 samples per frame
+    assert(WavDecoder.features("not audio at all".getBytes("UTF-8")).forall(_ == 0.0f))
+    assert(WavDecoder.frames(Array[Byte](1, 2), 3).isEmpty)
+  }
+
   test("multimodal: real decoder flows through the extractFeatures seam") {
     val d = Seq((1L, graft.gates.PlantedMedia.checkerPng(1L)),
                 (2L, Array[Byte](9, 9, 9))) // corrupt blob → zero features
