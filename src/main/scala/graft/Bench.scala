@@ -149,7 +149,8 @@ object Bench {
         // the text-pipeline family: linear ops whose 10× ratio should
         // track the data ratio (narrow or doc-keyed partial-agg shapes)
         "pii_redact", "quality_repetition", "chunk_documents",
-        "pack_blocks", "tfidf_topk", "dedup_incremental")
+        "pack_blocks", "tfidf_topk", "dedup_incremental",
+        "dedup_incremental_near")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -747,6 +747,90 @@ object LlmGates {
       |FROM p JOIN a ON a.doc_id = p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Incremental NEAR-dup (the probabilistic sibling of
+    * `dedup_incremental`): batch = every 5th document re-crawled under a
+    * new id (+10^6) with its text verbatim — so every batch doc must
+    * match its corpus original at signature-estimated Jaccard 1.0,
+    * giving planted non-vacuous ground truth at any scale factor. The
+    * oracle restates the whole pipeline (portable md5 signatures over
+    * batch ∪ corpus, banding, combined-occupancy cap, batch-anchored
+    * candidates, match-fraction estimate; src derivable from the id
+    * offset).
+    */
+  def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val corpusSigs = Dedup.signatureTable(d, "doc_id", "text",
+      numHashes = 32, shingleN = 2, portable = true)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.nearDupMinhashIncremental(batch, "doc_id", "text", corpusSigs,
+        threshold = 0.7, numHashes = 32, bands = 8, shingleN = 2,
+        portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalNearSql: String = {
+    val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
+      s"min(($a * h + $b) % 2147483647)"
+    }.mkString("[", ", ", "]")
+    s"""WITH u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+       |${shingleCteN(2, "u")},
+       |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
+       |  FROM ex),
+       |sig AS (SELECT doc_id, $mins AS signature FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |         md5(array_to_string([x::VARCHAR for x in signature[j*4+1:j*4+4]], '|')) AS bucket
+       |  FROM sig, range(8) r(j)),
+       |capped AS (
+       |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id >= 1000000 AND a.doc_id <> b.doc_id
+       |    AND (b.doc_id < 1000000 OR a.doc_id < b.doc_id)),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum([CASE WHEN sa.signature[j] = sb.signature[j] THEN 1 ELSE 0 END
+       |                   for j in range(1, 33)]) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Deterministic hash split: integer-threshold membership on the
+    * 32-bit md5 of the id — the oracle folds the same 8 hex digits and
+    * compares against the same ⌊cum·2^32⌋ literals.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        Tables(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String = {
+    def thr(c: Double): Long =
+      math.min(math.round(c * 4294967296.0), 4294967296L)
+    s"""SELECT doc_id,
+       |  CASE WHEN h < ${thr(0.8)} THEN 'train'
+       |       WHEN h < ${thr(0.9)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -891,6 +975,8 @@ object LlmGates {
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_incremental_near" -> (dedupIncrementalNear _),
+    "split_assign"        -> (splitAssign _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -915,6 +1001,8 @@ object LlmGates {
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,
     "dedup_incremental"   -> dedupIncrementalSql,
+    "dedup_incremental_near" -> dedupIncrementalNearSql,
+    "split_assign"        -> splitAssignSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

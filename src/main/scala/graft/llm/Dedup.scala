@@ -290,6 +290,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persisted NEAR-dup artifact — the probabilistic sibling of
+    * [[digests]]: one (id, signature) row per corpus document
+    * (numHashes longs ≈ 256 bytes/doc at k = 32, vs the text). A
+    * pipeline stores this between runs so tomorrow's batch finds its
+    * near-duplicates against the corpus without re-reading or
+    * re-shingling corpus text.
+    */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 32, shingleN: Int = 3,
+                     portable: Boolean = false): DataFrame =
+    if (portable) minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleN)
+    else minhashSignaturesInline(df, idCol, textCol, numHashes, shingleN)
+
+  /** Incremental MinHash near-dup — the daily corpus-scale path for
+    * NEAR duplicates (what [[exactDedupIncremental]] is for exact ones):
+    * signatures are computed for the BATCH only; the corpus side joins
+    * in as a persisted [[signatureTable]]. Candidates come from shared
+    * LSH band buckets over batch ∪ corpus bands (batch-internal pairs
+    * a < b, plus every batch×corpus collision), capped per bucket like
+    * [[candidatePairs]]; verification is SIGNATURE-estimated Jaccard —
+    * the fraction of agreeing minhash components, an unbiased estimator
+    * of true Jaccard with granularity 1/k — because corpus text is, by
+    * design, not available. Daily cost tracks the batch size plus
+    * collision volume, never the corpus.
+    *
+    * CONTRACT: batch and corpus id spaces must be disjoint (a re-crawl
+    * mints new ids); `corpusSigs` must come from [[signatureTable]] with
+    * the SAME (numHashes, shingleN, portable) parameters — signatures
+    * from different hash families estimate garbage.
+    *
+    * Output: (id_a = batch id, id_b = batch or corpus id, est_jaccard)
+    * with est_jaccard ≥ threshold. The match fraction divides by a
+    * power-of-two k exactly, so the estimate is bitwise-portable.
+    */
+  def nearDupMinhashIncremental(incoming: DataFrame, idCol: String, textCol: String,
+                                corpusSigs: DataFrame, threshold: Double = 0.7,
+                                numHashes: Int = 32, bands: Int = 8,
+                                shingleN: Int = 3, portable: Boolean = false,
+                                maxBucket: Int = 1000,
+                                capStats: Option[CapStats] = None): DataFrame = {
+    val batchSigs = signatureTable(incoming, idCol, textCol, numHashes, shingleN, portable)
+      .localCheckpoint(true)
+    def band(s: DataFrame): DataFrame =
+      if (portable) lshBandsPortable(s, idCol, bands, numHashes / bands)
+      else lshBands(s, idCol, bands, numHashes / bands)
+    // caps apply to the COMBINED bucket occupancy: a bucket degenerate
+    // only in union (half batch, half corpus) still joins quadratically
+    val all = band(batchSigs).withColumn("__src", lit("b"))
+      .unionByName(band(corpusSigs).withColumn("__src", lit("c")))
+    val counts = all.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
+    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
+    val small = counts.filter(col("__n") <= maxBucket).select("__band", "__bucket")
+    val sized = all.join(small, Seq("__band", "__bucket"), "left_semi")
+    val a = sized.filter(col("__src") === "b")
+      .select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = sized.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_b"), col("__src"))
+    val cands = a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("__src") === "c" || col("id_a") < col("id_b")))
+      .select("id_a", "id_b").distinct()
+    val sa = batchSigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
+    val sb = batchSigs.unionByName(corpusSigs)
+      .select(col(idCol).as("id_b"), col("signature").as("__sb"))
+    val matching = aggregate(
+      zip_with(col("__sa"), col("__sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matching.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Near-dup CLUSTER RESOLUTION: pairs → connected components → one
     * canonical id (the component minimum) per document. This is the step
     * a production dedup pipeline runs AFTER pair generation — without it,

@@ -37,4 +37,34 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Deterministic train/val/test assignment: membership is a pure
+    * function of the id — `split` = the first named fraction whose
+    * cumulative threshold exceeds the id's 32-bit md5 value. Stable
+    * across reruns, engines, partitionings and corpus GROWTH (a new
+    * document never moves an old one between splits — the property
+    * `sample(fraction)` and `randomSplit` both lack), which is what
+    * keeps eval sets uncontaminated as a training corpus accretes.
+    *
+    * The comparison is INTEGER (hash < ⌊cum·2^32⌋ on the first 8 md5
+    * hex digits widened to a long), so any engine that can fold 8 hex
+    * digits reproduces the exact membership — no floating-point
+    * boundary rows. Narrow projection: zero shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min(math.round(c * 4294967296.0), 4294967296L))
+    val chain = splits.init.zip(thresholds.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), thr), els) => when(u32 < thr, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", chain)
+  }
 }

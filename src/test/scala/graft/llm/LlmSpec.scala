@@ -225,6 +225,58 @@ class LlmSpec extends SparkSpec {
     assert(qSt.droppedBuckets == 0L && qSt.droppedRows == 0L, qSt.toString)
   }
 
+  test("incremental near-dup: batch matches corpus via signatures, text never re-read") {
+    // corpus = docs 1-4; batch = a verbatim re-crawl of doc 1 (new id 100)
+    // plus an unrelated new doc 101. The corpus side enters ONLY as its
+    // signature table; the re-crawl must match its original at est 1.0.
+    val corpus = docs.filter($"doc_id" =!= 5L)
+    val corpusSigs = Dedup.signatureTable(corpus, "doc_id", "text",
+      numHashes = 32, shingleN = 2)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // = doc 1
+      (101L, "entirely novel content with no duplicate anywhere")).toDF("doc_id", "text")
+    val out = Dedup.nearDupMinhashIncremental(batch, "doc_id", "text", corpusSigs,
+        threshold = 0.7, numHashes = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists(p => p._1 == 100L && p._2 == 1L && p._3 == 1.0), out.mkString(", "))
+    // doc 3 normalizes to doc 1's text → same signature → also est 1.0
+    assert(out.exists(p => p._1 == 100L && p._2 == 3L && p._3 == 1.0), out.mkString(", "))
+    assert(!out.exists(p => p._2 == 101L || p._1 == 101L), "unrelated doc matched")
+  }
+
+  test("incremental near-dup: empty corpus degrades to batch-internal pairs") {
+    val corpus = docs.limit(0)
+    val emptySigs = Dedup.signatureTable(corpus, "doc_id", "text",
+      numHashes = 32, shingleN = 2)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "omicron pi rho sigma tau")).toDF("doc_id", "text")
+    val out = Dedup.nearDupMinhashIncremental(batch, "doc_id", "text", emptySigs,
+        threshold = 0.9, numHashes = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("hash split: deterministic, complete, accretion-stable") {
+    import graft.operators.Sampling
+    val ids = (0L until 1000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 1000 && got.values.toSet.subsetOf(Set("train", "val", "test")))
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 1000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toMap.toString)
+    // accretion stability: splitting a SUBSET assigns identically — new
+    // documents can never move old ones between splits
+    val sub = Sampling.hashSplit(ids.filter($"id" < 500), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => got(k) == v })
+    // plan is narrow: no shuffle
+    val plan = Sampling.hashSplit(ids, "id", splits).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("tfidf stopword blocklist drops listed terms from scoring") {
     val d = Seq((1L, "beta gamma beta delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
     val terms = Keywords.tfidfTopK(d, "doc_id", "text", k = 10,
