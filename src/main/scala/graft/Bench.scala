@@ -121,6 +121,17 @@ object Bench {
       val whScaled = s"$scaleDir/warehouse"
       writeStaging(sfDir, whBase)
       writeStaging(scaleDir, whScaled)
+      // Drop any dwh state a previous bench run left behind: runWarehouseDay
+      // reads prior dims/facts via readOrEmpty, so stale state would turn
+      // the intended mint-everything day-1 build into a light no-op merge
+      // and make timings incomparable across runs.
+      def deleteRecursive(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      deleteRecursive(s"$whBase/dwh")
+      deleteRecursive(s"$whScaled/dwh")
       scaleGen = (System.nanoTime() - g0) / 1e9
 
       def timeIt(body: => Unit): Option[Double] = {
@@ -156,7 +167,9 @@ object Bench {
         try {
           fn(spark, scaleDir).count()
           val s = (System.nanoTime() - t0) / 1e9
-          timings.get(name).foreach(b => scaleQs(name) = (b, s))
+          // base = -1 when the base-scale run errored: keep the scaled
+          // timing visible rather than silently dropping the query
+          scaleQs(name) = (timings.getOrElse(name, -1.0), s)
         } catch {
           case e: Throwable =>
             errors(s"scale_$name") =

@@ -37,6 +37,22 @@ object LlmGates {
 
   private def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
 
+  /** Round-6 cosine with the zero-norm → −∞ clamp [[Ann]]'s cosinePre
+    * applies on the Spark side: an unclamped division would yield NaN,
+    * which sorts FIRST under `ORDER BY cosine DESC` (a degenerate vector
+    * outranking every real neighbor) and differently across engines;
+    * −∞ ranks LAST everywhere, so both sides agree on ANY input — the
+    * fixtures' nonzero norms are no longer load-bearing.
+    */
+  private def cosSql(a: String, b: String, nprod: String): String =
+    s"(CASE WHEN $nprod = 0 THEN CAST('-infinity' AS DOUBLE) " +
+      s"ELSE round(${dotSql(a, b)} / ($nprod), 6) END)"
+
+  /** Unrounded clamped cosine — the IVF centroid-assignment ordering. */
+  private def cosRawSql(a: String, b: String, nprod: String): String =
+    s"(CASE WHEN $nprod = 0 THEN CAST('-infinity' AS DOUBLE) " +
+      s"ELSE ${dotSql(a, b)} / ($nprod) END)"
+
   private def planeLit(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("([", ",", "]::DOUBLE[])")
 
@@ -225,18 +241,18 @@ object LlmGates {
   }
 
   val annTopKSql: String =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-      |scored AS (
-      |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-      |                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-      |ranked AS (
-      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      |  FROM scored)
-      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("qv", "e.embedding", "qn * e.nrm")} AS cosine
+       |  FROM q, e WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- MinHash/LSH near-dup: portable mode + full-pipeline oracle -----
 
@@ -426,7 +442,7 @@ object LlmGates {
        |  FROM e WHERE vec_id < 5),
        |scored AS (
        |  SELECT DISTINCT query_id, e.vec_id AS neighbor_id,
-       |    round(${dotSql("qv", "e.embedding")} / (qn * e.nrm), 6) AS cosine
+       |    ${cosSql("qv", "e.embedding", "qn * e.nrm")} AS cosine
        |  FROM probes p JOIN e ON p.bucket = e.bucket
        |  WHERE query_id <> e.vec_id),
        |ranked AS (
@@ -468,19 +484,19 @@ object LlmGates {
        |  SELECT vec_id, embedding, nrm, cid FROM (
        |    SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
        |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
-       |        ORDER BY ${dotSql("en.embedding", "cents.ce")} / (en.nrm * cents.cn) DESC,
+       |        ORDER BY ${cosRawSql("en.embedding", "cents.ce", "en.nrm * cents.cn")} DESC,
        |                 cents.cid ASC) AS rn
        |    FROM en, cents) WHERE rn <= 1),
        |assignq AS (
        |  SELECT vec_id, embedding, nrm, cid FROM (
        |    SELECT en.vec_id, en.embedding, en.nrm, cents.cid,
        |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
-       |        ORDER BY ${dotSql("en.embedding", "cents.ce")} / (en.nrm * cents.cn) DESC,
+       |        ORDER BY ${cosRawSql("en.embedding", "cents.ce", "en.nrm * cents.cn")} DESC,
        |                 cents.cid ASC) AS rn
        |    FROM en, cents WHERE en.vec_id < 5) WHERE rn <= 4),
        |scored AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cosine
+       |    ${cosSql("q.embedding", "c.embedding", "q.nrm * c.nrm")} AS cosine
        |  FROM assignq q JOIN assignc c ON q.cid = c.cid
        |  WHERE q.vec_id <> c.vec_id),
        |ranked AS (
@@ -759,6 +775,13 @@ object LlmGates {
     */
   def dedupIncrementalNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
+    // The +10^6 batch-id offset is baked into the STATIC oracle SQL (it
+    // derives src from `doc_id >= 1000000`), so a fixture whose corpus
+    // ids reach the offset would silently change what the two sides
+    // compare. Fail loudly instead: one tiny max() agg per gate run.
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"dedup_incremental_near fixture contract: max(doc_id) = $maxId must stay below the 10^6 batch-id offset hardcoded in the oracle SQL")
     val corpusSigs = Dedup.signatureTable(d, "doc_id", "text",
       numHashes = 32, shingleN = 2, portable = true)
     val batch = d.filter(col("doc_id") % 5 === 0)
@@ -851,7 +874,7 @@ object LlmGates {
        |  SELECT * FROM e QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+       |    ${cosSql("a.embedding", "b.embedding", "a.nrm * b.nrm")} AS cosine
        |  FROM capped a JOIN capped b ON a.bucket = b.bucket
        |  WHERE a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM pairs

@@ -272,12 +272,7 @@ object Ann {
     // never count-over-window (no partial agg → the degenerate bucket the
     // cap targets would stall one task; see Dedup.candidatePairs).
     val hc = h0.localCheckpoint(true)
-    val counts = hc.groupBy(col("__bucket")).agg(count(lit(1)).as("__bn"))
-    capStats.foreach(Dedup.fillCapStats(_, counts, col("__bn"), maxBucket))
-    val small = counts
-      .filter(col("__bn") <= maxBucket)
-      .select("__bucket")
-    val h = hc.join(small, Seq("__bucket"), "left_semi")
+    val h = Dedup.capBuckets(hc, Seq("__bucket"), maxBucket, capStats)
     val a = h.select(col("__bucket"), col(idCol).as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = h.select(col("__bucket"), col(idCol).as("id_b"),

@@ -225,18 +225,29 @@ object Dedup {
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = 1000,
                      capStats: Option[CapStats] = None): DataFrame = {
-    val counts = bandsDf.groupBy(col("__band"), col("__bucket"))
-      .agg(count(lit(1)).as("__n"))
-    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
-    val small = counts
-      .filter(col("__n") <= maxBucket)
-      .select("__band", "__bucket")
-    val sized = bandsDf.join(small, Seq("__band", "__bucket"), "left_semi")
+    val sized = capBuckets(bandsDf, Seq("__band", "__bucket"), maxBucket, capStats)
     val a = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
     val b = sized.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Shared skew cap: keep only rows whose `keys`-group has ≤ `maxBucket`
+    * members. Sizes come from a partial-agg `groupBy().count()` + a
+    * left-semi join back — never count-over-window (WindowExec has no
+    * partial aggregation, so the degenerate bucket the cap exists for
+    * would itself stall one task). Drops are reported through `capStats`.
+    * ONE definition so cap semantics cannot silently diverge across the
+    * minhash / simhash / incremental / cosine call sites.
+    */
+  private[llm] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int,
+                              capStats: Option[CapStats]): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cap_n"))
+    capStats.foreach(fillCapStats(_, counts, col("__cap_n"), maxBucket))
+    val small = counts.filter(col("__cap_n") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(small, keys, "left_semi")
   }
 
   /** Shared [[CapStats]] fill: one aggregate job over the bucket-count
@@ -332,17 +343,20 @@ object Dedup {
                                 capStats: Option[CapStats] = None): DataFrame = {
     val batchSigs = signatureTable(incoming, idCol, textCol, numHashes, shingleN, portable)
       .localCheckpoint(true)
+    // The corpus side is consumed twice (banding + the verify join): a
+    // caller passing raw signatureTable lineage would otherwise re-shingle
+    // the whole corpus per consumer. One bounded materialization
+    // (~numHashes longs/doc — the signature table, never the text) keeps
+    // the "daily cost tracks the batch" contract honest for any input.
+    val corpSigs = corpusSigs.localCheckpoint(true)
     def band(s: DataFrame): DataFrame =
       if (portable) lshBandsPortable(s, idCol, bands, numHashes / bands)
       else lshBands(s, idCol, bands, numHashes / bands)
     // caps apply to the COMBINED bucket occupancy: a bucket degenerate
     // only in union (half batch, half corpus) still joins quadratically
     val all = band(batchSigs).withColumn("__src", lit("b"))
-      .unionByName(band(corpusSigs).withColumn("__src", lit("c")))
-    val counts = all.groupBy(col("__band"), col("__bucket")).agg(count(lit(1)).as("__n"))
-    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
-    val small = counts.filter(col("__n") <= maxBucket).select("__band", "__bucket")
-    val sized = all.join(small, Seq("__band", "__bucket"), "left_semi")
+      .unionByName(band(corpSigs).withColumn("__src", lit("c")))
+    val sized = capBuckets(all, Seq("__band", "__bucket"), maxBucket, capStats)
     val a = sized.filter(col("__src") === "b")
       .select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
     val b = sized.select(col("__band"), col("__bucket"),
@@ -352,7 +366,7 @@ object Dedup {
         (col("__src") === "c" || col("id_a") < col("id_b")))
       .select("id_a", "id_b").distinct()
     val sa = batchSigs.select(col(idCol).as("id_a"), col("signature").as("__sa"))
-    val sb = batchSigs.unionByName(corpusSigs)
+    val sb = batchSigs.unionByName(corpSigs)
       .select(col(idCol).as("id_b"), col("signature").as("__sb"))
     val matching = aggregate(
       zip_with(col("__sa"), col("__sb"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -596,16 +610,8 @@ object Dedup {
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band", "__bucket")))
     // Same skew guard as MinHash: correlated corpora concentrate band
-    // buckets; an uncapped bucket joins quadratically. Sizes via partial-
-    // agg count + semi-join, never count-over-window; drops reported via
-    // capStats (see candidatePairs / CapStats).
-    val counts = banded.groupBy(col("__band"), col("__bucket"))
-      .agg(count(lit(1)).as("__n"))
-    capStats.foreach(fillCapStats(_, counts, col("__n"), maxBucket))
-    val small = counts
-      .filter(col("__n") <= maxBucket)
-      .select("__band", "__bucket")
-    val sized = banded.join(small, Seq("__band", "__bucket"), "left_semi")
+    // buckets; an uncapped bucket joins quadratically.
+    val sized = capBuckets(banded, Seq("__band", "__bucket"), maxBucket, capStats)
     val a = sized.select(col("__band"), col("__bucket"),
       col(idCol).as("id_a"), col("simhash").as("__sa"))
     val b = sized.select(col("__band"), col("__bucket"),

@@ -120,7 +120,10 @@ object ImageIoDecoder extends MediaDecoder {
       try {
         javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      } catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: imageio readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds / NegativeArraySize
+        // on malformed headers, and those must not kill the task either
+      } catch { case scala.util.control.NonFatal(_) => null }
 }
 
 /** REAL audio decoder for RIFF/WAVE PCM — a pure-JVM header+sample

@@ -65,6 +65,15 @@ object Sampling {
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), thr), els) => when(u32 < thr, lit(name)).otherwise(els)
       }
-    df.withColumn("split", chain)
+    // A null id has no hash: every `u32 < thr` is null-falsy, so the
+    // fold would silently dump ALL null-id rows into the LAST split —
+    // for (train, val, test) that skews the eval set with exactly the
+    // malformed rows a pipeline least wants there. Membership is a pure
+    // function of the id, so a null id is a contract violation: fail
+    // the row loudly (free on the non-null path — one codegen'd branch).
+    df.withColumn("split",
+      when(col(idCol).isNull, raise_error(lit(
+        s"hashSplit: null $idCol — split membership is a pure function of the id")))
+        .otherwise(chain))
   }
 }

@@ -277,6 +277,18 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("hash split: a null id fails loudly instead of silently joining the last split") {
+    import graft.operators.Sampling
+    val ids = Seq(Some(1L), None).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val e = intercept[Exception] {
+      Sampling.hashSplit(ids, "id", splits).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("hashSplit: null id")), e.toString)
+  }
+
   test("tfidf stopword blocklist drops listed terms from scoring") {
     val d = Seq((1L, "beta gamma beta delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
     val terms = Keywords.tfidfTopK(d, "doc_id", "text", k = 10,
@@ -436,6 +448,15 @@ class LlmSpec extends SparkSpec {
     assert(ImageIoDecoder.features(Array[Byte](1, 2, 3)).forall(_ == 0.0f))
     assert(ImageIoDecoder.features(Array.empty[Byte]).forall(_ == 0.0f))
     assert(ImageIoDecoder.frames(Array[Byte](1, 2, 3), 4).isEmpty)
+    // a TRUNCATED valid image (real magic + header, body cut off) is the
+    // corrupt-blob shape that makes imageio readers throw — including
+    // RuntimeExceptions, not just IOException; it must still yield the
+    // zero null-object row, never a task failure
+    val whole = graft.gates.PlantedMedia.checkerPng(9L)
+    for (cut <- Seq(9, 20, 40, whole.length / 2)) {
+      assert(ImageIoDecoder.features(whole.take(cut)).forall(_ == 0.0f), s"cut=$cut")
+      assert(ImageIoDecoder.frames(whole.take(cut), 2).isEmpty, s"cut=$cut")
+    }
     val png = graft.gates.PlantedMedia.checkerPng(3L)
     val fs = ImageIoDecoder.frames(png, 4).toSeq
     assert(fs.map(_._1) == Seq(0) && (fs.head._2 sameElements png))
