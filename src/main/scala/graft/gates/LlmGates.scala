@@ -966,6 +966,53 @@ object LlmGates {
        |  CAST(sum(CAST($qualityExpr AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_quality
        |FROM qscored GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- duplicate-span profiling ---------------------------------------
+
+  /** Per-doc duplicated-span coverage (8-word spans shared by >= 2 docs,
+    * Lee-et-al-style exact substring dedup) — the fixture's real
+    * cross-document repeats (~45 docs at sf0.01) are the ground truth.
+    * The oracle restates the whole pipeline: positional 8-grams over the
+    * normalized words, md5 span keys, distinct-doc counting, and the
+    * once-per-token union of covered positions.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Spans.dupSpanProfile(Tables(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  val dupSpansSql: String = {
+    val L = 8
+    val gram = (0 until L).map(o => if (o == 0) "ws[i]" else s"ws[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CASE WHEN array_to_string(ws, ' ') = '' THEN 0
+       |    ELSE CAST(len(ws) AS INT) END AS n_tokens, ws FROM norm),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) - ${L - 2})) AS i, ws
+       |  FROM base WHERE n_tokens >= $L),
+       |posting AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, md5($gram) AS g FROM idx),
+       |dupg AS (
+       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM posting)
+       |  GROUP BY g HAVING count(*) >= 2),
+       |cov0 AS (
+       |  SELECT doc_id, unnest(range(pos, pos + $L)) AS t
+       |  FROM posting WHERE g IN (SELECT g FROM dupg)),
+       |cov AS (
+       |  SELECT doc_id, CAST(count(DISTINCT t) AS INT) AS dup_tokens
+       |  FROM cov0 GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tokens,
+       |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |  CASE WHEN b.n_tokens = 0 THEN 0.0
+       |    ELSE round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+       |  END AS dup_frac
+       |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- stratified sampling --------------------------------------------
 
   /** Deterministic 3-per-language sample: the portable md5(id) order lets
@@ -1000,6 +1047,7 @@ object LlmGates {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
+    "dup_spans"           -> (dupSpans _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -1026,6 +1074,7 @@ object LlmGates {
     "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
+    "dup_spans"           -> dupSpansSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

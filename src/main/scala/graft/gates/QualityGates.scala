@@ -301,6 +301,33 @@ object QualityGates {
     """SELECT event_id, ts, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** §2.10 streaming: the stream-static enrichment join run in BATCH
+    * mode (input-agnostic transform) — a two-hop star lookup
+    * events → customer → nation, LEFT so unmatched keys flow through
+    * with null enrichment. The streaming path (MemoryStream micro-
+    * batches, broadcast plan shape) is exercised in StreamingSpec.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val withCust = graft.streaming.StreamingJobs.enrichStream(
+      e, Tables(s, dir, "customer"), "user_id", "c_custkey",
+      Seq("c_name", "c_mktsegment", "c_nationkey"))
+    graft.streaming.StreamingJobs.enrichStream(
+        withCust, Tables(s, dir, "nation"), "c_nationkey", "n_nationkey",
+        Seq("n_name"))
+      .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment", "n_name")
+      .orderBy("event_id")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment, n.n_name
+      |FROM events e
+      |LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY e.event_id""".stripMargin
+
   /** Batch gap-sessionization over the events table (30-minute gap),
     * mirrored by a lag + running-sum window in the oracle.
     */
@@ -337,6 +364,7 @@ object QualityGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window"    -> (streamWindow _),
     "stream_dedup"     -> (streamDedup _),
+    "stream_enrich"    -> (streamEnrich _),
     "sessionize_batch" -> (sessionizeBatch _),
     "quality_crawl"    -> (qualityCrawl _),
     "quality_rules"    -> (qualityRules _),
@@ -348,6 +376,7 @@ object QualityGates {
   val oracleSql: Map[String, String] = Map(
     "stream_window"    -> streamWindowSql,
     "stream_dedup"     -> streamDedupSql,
+    "stream_enrich"    -> streamEnrichSql,
     "sessionize_batch" -> sessionizeBatchSql,
     "quality_crawl"    -> qualityCrawlSql,
     "quality_rules"    -> qualityRulesSql,

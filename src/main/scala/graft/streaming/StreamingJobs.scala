@@ -134,6 +134,26 @@ object StreamingJobs {
         .dropDuplicatesWithinWatermark(keyCols)
     else rows.dropDuplicates(keyCols)
 
+  /** Stream-static ENRICHMENT join — the streaming form of the star
+    * lookups (J2/J3/J11): left-join the unbounded stream to a bounded
+    * dimension snapshot. The dim side is broadcast, so a stream-static
+    * equi-join never shuffles (or keeps state for) the stream side, and
+    * Spark re-plans the static relation each micro-batch — a refreshed
+    * dim snapshot is picked up without restarting the query. LEFT join
+    * keeps unmatched events flowing with null enrichment, the
+    * FK-violation-tolerant shape a monitoring stream wants (the batch
+    * views treat orphans the same way, J6). Stateless: no watermark
+    * required. Input-agnostic like every transform here; chain calls
+    * for multi-hop star lookups.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String,
+                   dimCols: Seq[String]): DataFrame = {
+    val d = dim.select(col(dimKey).as("__dk") +: dimCols.map(col): _*)
+    stream.join(broadcast(d), stream(streamKey) === col("__dk"), "left")
+      .drop("__dk")
+  }
+
   /** flatMapGroupsWithState variant: emits ONLY closed sessions (zero or
     * one output per key per trigger), the right shape when downstream
     * consumes completed sessions rather than running aggregates.

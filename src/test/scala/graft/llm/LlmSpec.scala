@@ -289,6 +289,33 @@ class LlmSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("hashSplit: null id")), e.toString)
   }
 
+  test("dup spans: overlapping shared spans cover tokens once; short/unique/empty docs score 0") {
+    import graft.llm.Spans
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india" // 9 words
+    val d = Seq(
+      (1L, shared + " one two three"),   // 12 words; spans at pos 0,1 shared
+      (2L, "zulu " + shared),            // 10 words; spans at pos 1,2 shared
+      (3L, "unique words only here nothing shared at all whatsoever"),
+      (4L, "tiny doc"),                  // shorter than the span length
+      (5L, "   ")                        // empty after normalization
+    ).toDF("doc_id", "text")
+    val out = Spans.dupSpanProfile(d, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    // the two shared 8-grams overlap: 9 distinct covered tokens, not 16
+    assert(out(1L) == ((12, 9, 0.75)), out(1L).toString)
+    assert(out(2L) == ((10, 9, 0.9)), out(2L).toString)
+    assert(out(3L) == ((9, 0, 0.0)))
+    assert(out(4L) == ((2, 0, 0.0)))
+    assert(out(5L) == ((0, 0, 0.0)))
+    // a span repeated only WITHIN one doc is not a cross-doc duplicate
+    val selfRep = Seq((1L, shared + " " + shared),
+      (2L, "completely different words that never repeat anything from elsewhere")
+    ).toDF("doc_id", "text")
+    val self = Spans.dupSpanProfile(selfRep, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(self(1L) == 0, self.toString)
+  }
+
   test("tfidf stopword blocklist drops listed terms from scoring") {
     val d = Seq((1L, "beta gamma beta delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
     val terms = Keywords.tfidfTopK(d, "doc_id", "text", k = 10,

@@ -147,6 +147,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("stream-static enrich joins each micro-batch to a broadcast dim; unmatched keys pass with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("cust_id", "name")
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "value")
+    val enriched = StreamingJobs.enrichStream(stream, dim, "user_id", "cust_id", Seq("name"))
+    val query = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 1L, 1.0), (11L, 9L, 2.0)) // 9 has no dim row
+      query.processAllAvailable()
+      input.addData((12L, 2L, 3.0))                 // second micro-batch
+      query.processAllAvailable()
+      val out = spark.table("enrich_out").orderBy("event_id").collect()
+      assert(out.map(r => (r.getLong(0), r.getAs[String]("name"))).toSeq ==
+        Seq((10L, "alice"), (11L, null), (12L, "bob")))
+    } finally query.stop()
+  }
+
+  test("enrichStream is batch/stream agnostic and broadcasts the dim side") {
+    import spark.implicits._
+    val dim = Seq((1L, "alice")).toDF("cust_id", "name")
+    val batch = Seq((10L, 1L), (11L, 9L)).toDF("event_id", "user_id")
+    val out = StreamingJobs.enrichStream(batch, dim, "user_id", "cust_id", Seq("name"))
+    assert(out.count() == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("stream_dedup gate precondition: event_id is unique in the events fixture") {
     // The gate's plain-SELECT oracle is only valid because duplicate
     // deliveries are EXACT copies of unique-keyed events: dropDuplicates
@@ -155,6 +185,9 @@ class StreamingSpec extends SparkSpec {
     // Pin the precondition so a future fixture regeneration can't silently
     // invalidate the oracle.
     import org.apache.spark.sql.functions._
+    // the fixture stores nanos timestamps; set the legacy read conf here
+    // so this test does not depend on another suite having set it first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val dupes = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
         .groupBy("event_id").count().filter(col("count") > 1).count()
