@@ -161,7 +161,7 @@ object Bench {
         // track the data ratio (narrow or doc-keyed partial-agg shapes)
         "pii_redact", "quality_repetition", "chunk_documents",
         "pack_blocks", "tfidf_topk", "dedup_incremental",
-        "dedup_incremental_near")
+        "dedup_incremental_near", "dup_spans")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -1013,6 +1013,51 @@ object LlmGates {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** The cut policy over the same span pipeline: normalized text with
+    * every cross-doc duplicated 8-word span removed. The oracle rebuilds
+    * each doc from its non-covered token positions with a filtered list
+    * comprehension.
+    */
+  def spanTrim(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Spans.trimDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8, minDocs = 2)
+      .orderBy("doc_id")
+
+  val spanTrimSql: String = {
+    val L = 8
+    val gram = (0 until L).map(o => if (o == 0) "ws[i]" else s"ws[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CASE WHEN array_to_string(ws, ' ') = '' THEN 0
+       |    ELSE CAST(len(ws) AS INT) END AS n_tokens, ws FROM norm),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) - ${L - 2})) AS i, ws
+       |  FROM base WHERE n_tokens >= $L),
+       |posting AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, md5($gram) AS g FROM idx),
+       |dupg AS (
+       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM posting)
+       |  GROUP BY g HAVING count(*) >= 2),
+       |cov0 AS (
+       |  SELECT doc_id, unnest(range(pos, pos + $L)) AS t
+       |  FROM posting WHERE g IN (SELECT g FROM dupg)),
+       |covl AS (
+       |  SELECT doc_id, list(DISTINCT t) AS cov FROM cov0 GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.n_tokens = 0 THEN ''
+       |    -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+       |    -- array_join([]) is '' (the fully-covered-doc case)
+       |    ELSE coalesce(array_to_string(
+       |      [b.ws[CAST(p AS INT) + 1] FOR p IN range(0, b.n_tokens)
+       |        IF c.cov IS NULL OR NOT list_contains(c.cov, p)], ' '), '')
+       |  END AS text_clean
+       |FROM base b LEFT JOIN covl c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- stratified sampling --------------------------------------------
 
   /** Deterministic 3-per-language sample: the portable md5(id) order lets
@@ -1048,6 +1093,7 @@ object LlmGates {
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
     "dup_spans"           -> (dupSpans _),
+    "span_trim"           -> (spanTrim _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
@@ -1075,6 +1121,7 @@ object LlmGates {
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
     "dup_spans"           -> dupSpansSql,
+    "span_trim"           -> spanTrimSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,

@@ -314,6 +314,22 @@ class LlmSpec extends SparkSpec {
     val self = Spans.dupSpanProfile(selfRep, "doc_id", "text", spanLen = 8, minDocs = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(self(1L) == 0, self.toString)
+    // the cut policy removes exactly the covered tokens, keeps the rest in order
+    val trimmed = Spans.trimDupSpans(d, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trimmed(1L) == "one two three", trimmed(1L))
+    assert(trimmed(2L) == "zulu", trimmed(2L))
+    assert(trimmed(3L) == "unique words only here nothing shared at all whatsoever")
+    assert(trimmed(4L) == "tiny doc")
+    assert(trimmed(5L) == "")
+    // a FULLY covered doc trims to the empty string (doc = exactly the
+    // shared 8-gram, present in two docs)
+    val eightShared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val full = Seq((1L, eightShared), (2L, eightShared))
+      .toDF("doc_id", "text")
+    val ft = Spans.trimDupSpans(full, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ft == Map(1L -> "", 2L -> ""), ft.toString)
   }
 
   test("tfidf stopword blocklist drops listed terms from scoring") {
