@@ -506,6 +506,58 @@ object LlmGates {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF k-means training: full 2-iteration Lloyd oracle ------------
+
+  /** Deterministic Lloyd refinement (2 iterations, 16-centroid budget)
+    * of the IVF centroids. The oracle restates BOTH iterations: stride
+    * init, clamped-cosine nearest-centroid assignment (min-cid ties),
+    * exact decimal(20,10) per-dim mean sums, round-6 double centroids.
+    */
+  def ivfTrain(s: SparkSession, dir: String): DataFrame =
+    Ann.kmeansTrain(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 2, centroidTarget = 16)
+      .orderBy("cid")
+
+  val ivfTrainSql: String = {
+    def dotEC(e: String, c: String) =
+      s"list_reduce([CAST($e[j] AS DOUBLE) * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
+    def normC(c: String) =
+      s"sqrt(list_reduce([$c[j] * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y))"
+    def cosEC(e: String, c: String) =
+      s"(CASE WHEN ${normSql(e)} * ${normC(c)} = 0 THEN CAST('-infinity' AS DOUBLE) " +
+        s"ELSE ${dotEC(e, c)} / (${normSql(e)} * ${normC(c)}) END)"
+    def assignCte(cents: String) =
+      s"""SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosEC("e.embedding", "c.ce")} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, $cents c) WHERE rn = 1""".stripMargin
+    // float→decimal must route through DOUBLE: DuckDB's direct
+    // FLOAT→DECIMAL rounds the float's SHORTEST decimal repr (fewer
+    // digits), while Spark rounds the exact double widening — measured
+    // ~1e-9/element divergence. CAST(CAST(x AS DOUBLE) AS DECIMAL)
+    // matches Spark's cast bitwise (probed on the fixture).
+    def meansCte(a: String) =
+      s"""SELECT cid, j, count(*) AS cnt,
+         |    floor(CAST(sum(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS m
+         |  FROM $a, (SELECT unnest(range(1, ${Dim + 1})) AS j) GROUP BY cid, j""".stripMargin
+    s"""WITH p AS (
+       |  SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 16) AS BIGINT)) AS stride
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |c0 AS (
+       |  SELECT vec_id AS cid,
+       |    [CAST(embedding[j] AS DOUBLE) for j in range(1, ${Dim + 1})] AS ce
+       |  FROM embeddings, p WHERE vec_id % stride = 0),
+       |a1 AS (${assignCte("c0")}),
+       |m1 AS (${meansCte("a1")}),
+       |c1 AS (SELECT cid, list(m ORDER BY j) AS ce FROM m1 GROUP BY cid),
+       |a2 AS (${assignCte("c1")}),
+       |m2 AS (${meansCte("a2")})
+       |SELECT cid, CAST(max(cnt) AS BIGINT) AS n_members,
+       |  list(m ORDER BY j) AS centroid
+       |FROM m2 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   // ---- text quality: direct SQL restatement ---------------------------
 
   /** Language-ID + quality score — the stopword profiles and the argmax
@@ -1098,6 +1150,7 @@ object LlmGates {
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
+    "ivf_train"           -> (ivfTrain _),
     "text_quality"        -> (textQuality _),
     "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -1126,6 +1179,7 @@ object LlmGates {
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,
+    "ivf_train"           -> ivfTrainSql,
     "text_quality"        -> textQualitySql,
     "text_rolling_fp"     -> textRollingFpSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -154,6 +154,18 @@ object Ann {
   }
   private def normD(a: Array[Float]): Double = math.sqrt(dotD(a, a))
 
+  /** Float-vector × double-centroid dot, same ascending fold. */
+  private def dotFD(a: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < a.length) { s += a(j).toDouble * c(j); j += 1 }
+    s
+  }
+  private def normDd(c: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    math.sqrt(s)
+  }
+
   /** IVF-style approximate top-k: a deterministic sample of the corpus
     * serves as centroids (every `stride`-th id — no training step, no
     * stored model); vectors assign to their nearest centroid, queries
@@ -248,6 +260,98 @@ object Ann {
       .orderBy(col("cosine").desc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic Lloyd (k-means) refinement of the IVF centroids —
+    * the TRAIN step [[ivfTopK]]'s stride sample skips. Real IVF indexes
+    * train centroids on the corpus so list occupancy balances; this is
+    * that step, engine-reproducibly:
+    *
+    *   - init = the same stride sample as [[ivfTopK]] ([[centroidStride]]
+    *     budget: √n default, 2^16 cap), centroid id = sampled vec id;
+    *   - assignment = nearest centroid by cosine (zero-norm clamped to
+    *     −∞, min-cid tiebreak), as a broadcast mapPartitions kernel —
+    *     the sanctioned dense-numeric case, same as [[ivfTopK]];
+    *   - update = per-dimension mean through an EXACT `decimal(20,10)`
+    *     sum (one float→decimal cast per element, bitwise-identical
+    *     across engines — verified against DuckDB), one decimal→double
+    *     cast, one IEEE division, then 6-decimal rounding expressed as
+    *     `floor(x·10⁶ + 0.5)/10⁶` — pure IEEE ops, so the result is
+    *     bitwise-identical in any engine. (A library `round(x, 6)` is
+    *     NOT portable here: decimal sums over small counts land means
+    *     exactly on `…5` boundaries, where Spark's BigDecimal HALF_UP
+    *     on the binary expansion and DuckDB's scaled-multiply round
+    *     disagree — measured on this fixture.) Every iteration's
+    *     centroids are therefore engine-reproducible doubles;
+    *   - a cluster that loses all members simply drops out (its group
+    *     produces no rows) — deterministic, no re-seeding RNG.
+    *
+    * Driver loop of `iters` rounds; each round is one corpus pass + one
+    * (cid, dim)-keyed partial-agg shuffle (≤ C·dim rows out), then the
+    * ≤ 2^16 × dim centroid table collects and rebroadcasts — the
+    * standard distributed-k-means shape at any corpus size.
+    *
+    * Output: `(cid, n_members, centroid: array<double>)` — the LAST
+    * round's membership counts and refined centroids.
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding", iters: Int = 2,
+                  centroidTarget: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val stride = centroidStride(corpus.count(), centroidTarget)
+    var cents: Array[(Long, Array[Double])] = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (cid, v) => (cid, v.map(_.toDouble)) }
+    var result: DataFrame = null
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(
+        cents.map { case (cid, cv) => (cid, cv, normDd(cv)) })
+      val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val cs = bc.value
+          rows.map { case (rid, vec) =>
+            val n = normD(vec)
+            var bestCid = 0L
+            var bestCos = Double.NegativeInfinity
+            var first = true
+            var i = 0
+            // cs is cid-ascending, so strict > keeps the SMALLEST cid on
+            // ties — the same rule as the ivfTopK kernel and the SQL
+            // ROW_NUMBER(ORDER BY cos DESC, cid ASC) mirror
+            while (i < cs.length) {
+              val (cid, cv, cn) = cs(i)
+              val den = n * cn
+              val cos = if (den == 0.0) Double.NegativeInfinity
+                        else dotFD(vec, cv) / den
+              if (first || cos > bestCos) { bestCos = cos; bestCid = cid; first = false }
+              i += 1
+            }
+            (rid, vec, bestCid)
+          }
+        }.toDF(idCol, vecCol, "__cid")
+      val means = assigned
+        .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .groupBy(col("__cid"), col("__dim"))
+        .agg(count(lit(1)).as("__c"),
+          sum(col("__v").cast("decimal(20,10)")).as("__s"))
+        .select(col("__cid"), col("__dim"), col("__c"),
+          // floor-based half-toward-+∞ rounding: engine-portable (see scaladoc)
+          (floor(col("__s").cast("double") / col("__c") * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("__m"))
+      result = means.groupBy(col("__cid").as("cid"))
+        .agg(max(col("__c")).as("n_members"), // __c is identical across dims
+          sort_array(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .select(col("cid"), col("n_members"),
+          transform(col("__dm"), s => s.getField("__m")).as("centroid"))
+      cents = result.select(col("cid"), col("centroid"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    }
+    result
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥

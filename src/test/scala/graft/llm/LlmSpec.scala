@@ -341,6 +341,37 @@ class LlmSpec extends SparkSpec {
     assert(terms.contains("gamma"))
   }
 
+  test("kmeans: two planted clusters converge to their means; reruns identical; empty clusters drop") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // stride = ceil(4/2) = 2 → init cids {0, 2}, one seed per cluster
+    val out = Ann.kmeansTrain(vecs, "vec_id", "embedding", iters = 2, centroidTarget = 2)
+      .orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 2L), (2L, 2L)), out.mkString(","))
+    // centroid 0 dim 0 = round-6 mean of 1.0f and 0.9f (decimal-exact:
+    // (1.0000000000 + 0.8999999762) / 2 = 0.9499999881 → 0.95)
+    assert(math.abs(out(0)._3.head - 0.95) < 1e-9, out(0)._3.toString)
+    // deterministic end to end
+    val again = Ann.kmeansTrain(vecs, "vec_id", "embedding", iters = 2, centroidTarget = 2)
+      .orderBy("cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(out.map(_._3.toList).toList == again.map(_._3.toList).toList)
+    // identical seed vectors → every row ties → min cid wins all members
+    // → the other cluster goes empty and drops out
+    val same = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val one = Ann.kmeansTrain(same, "vec_id", "embedding", iters = 2, centroidTarget = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((0L, 4L)), one.mkString(","))
+  }
+
   test("zero-norm embedding ranks LAST with cosine -inf in brute-force AND IVF") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
