@@ -518,30 +518,42 @@ object LlmGates {
         iters = 2, centroidTarget = 16)
       .orderBy("cid")
 
-  val ivfTrainSql: String = {
-    def dotEC(e: String, c: String) =
-      s"list_reduce([CAST($e[j] AS DOUBLE) * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
-    def normC(c: String) =
-      s"sqrt(list_reduce([$c[j] * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y))"
-    def cosEC(e: String, c: String) =
-      s"(CASE WHEN ${normSql(e)} * ${normC(c)} = 0 THEN CAST('-infinity' AS DOUBLE) " +
-        s"ELSE ${dotEC(e, c)} / (${normSql(e)} * ${normC(c)}) END)"
+  /** Float-embedding × double-centroid-list dot / norm / clamped raw
+    * cosine — shared by the `ivf_train` and `ann_ivf_trained` oracles.
+    */
+  private def dotECSql(e: String, c: String) =
+    s"list_reduce([CAST($e[j] AS DOUBLE) * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
+  private def normCSql(c: String) =
+    s"sqrt(list_reduce([$c[j] * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y))"
+  private def cosECRawSql(e: String, c: String) =
+    s"(CASE WHEN ${normSql(e)} * ${normCSql(c)} = 0 THEN CAST('-infinity' AS DOUBLE) " +
+      s"ELSE ${dotECSql(e, c)} / (${normSql(e)} * ${normCSql(c)}) END)"
+
+  /** The full 2-iteration Lloyd CTE chain (stride init → assign → exact
+    * decimal means ×2), ending in `m2(cid, j, cnt, m)` — shared prefix
+    * of the `ivf_train` and `ann_ivf_trained` oracles. Goes right after
+    * WITH.
+    */
+  private val ivfTrainCtes: String = {
     def assignCte(cents: String) =
       s"""SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosEC("e.embedding", "c.ce")} DESC, c.cid ASC) AS rn
+         |        ORDER BY ${cosECRawSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS rn
          |    FROM embeddings e, $cents c) WHERE rn = 1""".stripMargin
     // float→decimal must route through DOUBLE: DuckDB's direct
     // FLOAT→DECIMAL rounds the float's SHORTEST decimal repr (fewer
     // digits), while Spark rounds the exact double widening — measured
     // ~1e-9/element divergence. CAST(CAST(x AS DOUBLE) AS DECIMAL)
-    // matches Spark's cast bitwise (probed on the fixture).
+    // matches Spark's cast bitwise (probed on the fixture). The mean's
+    // 6-decimal rounding is floor(x·10⁶ + 0.5)/10⁶ — pure IEEE ops —
+    // because library round(x, 6) disagrees between engines exactly on
+    // the .5 boundaries decimal-sum/count means land on.
     def meansCte(a: String) =
       s"""SELECT cid, j, count(*) AS cnt,
          |    floor(CAST(sum(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS m
          |  FROM $a, (SELECT unnest(range(1, ${Dim + 1})) AS j) GROUP BY cid, j""".stripMargin
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE) / 16) AS BIGINT)) AS stride
        |  FROM (SELECT count(*) AS n FROM embeddings)),
        |c0 AS (
@@ -552,11 +564,58 @@ object LlmGates {
        |m1 AS (${meansCte("a1")}),
        |c1 AS (SELECT cid, list(m ORDER BY j) AS ce FROM m1 GROUP BY cid),
        |a2 AS (${assignCte("c1")}),
-       |m2 AS (${meansCte("a2")})
+       |m2 AS (${meansCte("a2")})""".stripMargin
+  }
+
+  val ivfTrainSql: String =
+    s"""WITH $ivfTrainCtes
        |SELECT cid, CAST(max(cnt) AS BIGINT) AS n_members,
        |  list(m ORDER BY j) AS centroid
        |FROM m2 GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Train → serve: the same Lloyd chain feeds [[Ann.ivfTopKTrained]]
+    * probing/ranking — list assignment and query probes order by the
+    * clamped raw cosine against the TRAINED double centroids; candidate
+    * scoring is the usual round-6 cosine on the raw vectors.
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding",
+      iters = 2, centroidTarget = 16)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Ann.ivfTopKTrained(queries, corpus, cents, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
   }
+
+  val annIvfTrainedSql: String =
+    s"""WITH $ivfTrainCtes,
+       |ct AS (SELECT cid, list(m ORDER BY j) AS ce FROM m2 GROUP BY cid),
+       |en AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |assignc AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, ct.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${cosECRawSql("en.embedding", "ct.ce")} DESC, ct.cid ASC) AS rn
+       |    FROM en, ct) WHERE rn <= 1),
+       |assignq AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, ct.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${cosECRawSql("en.embedding", "ct.ce")} DESC, ct.cid ASC) AS rn
+       |    FROM en, ct WHERE en.vec_id < 5) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding", "q.nrm * c.nrm")} AS cosine
+       |  FROM assignq q JOIN assignc c ON q.cid = c.cid
+       |  WHERE q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- text quality: direct SQL restatement ---------------------------
 
@@ -1151,6 +1210,7 @@ object LlmGates {
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
     "ivf_train"           -> (ivfTrain _),
+    "ann_ivf_trained"     -> (annIvfTrained _),
     "text_quality"        -> (textQuality _),
     "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -1180,6 +1240,7 @@ object LlmGates {
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,
     "ivf_train"           -> ivfTrainSql,
+    "ann_ivf_trained"     -> annIvfTrainedSql,
     "text_quality"        -> textQualitySql,
     "text_rolling_fp"     -> textRollingFpSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -198,57 +198,97 @@ object Ann {
               centroidTarget: Int = 0, nprobe: Int = 3,
               queryId: String = "query_id", corpusId: String = "neighbor_id",
               vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    import corpus.sparkSession.implicits._
     val stride = centroidStride(corpus.count(), centroidTarget)
-    val cents: Array[(Long, Array[Float], Double)] = corpus
+    val cents: Array[(Long, Array[Double], Double)] = corpus
       .filter(pmod(col(corpusId), lit(stride)) === 0)
       .select(col(corpusId).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (cid, cv) => (cid, cv, normD(cv)) }
+      .map { case (cid, cv) =>
+        // exact float→double widening: the kernel's per-element widening
+        // moved here, bitwise-identical cosines
+        val cd = cv.map(_.toDouble)
+        (cid, cd, normDd(cd))
+      }
+    ivfServe(queries, corpus, cents, k, nprobe, queryId, corpusId, vecCol)
+  }
+
+  /** IVF serve over TRAINED centroids — the [[kmeansTrain]] → query
+    * handoff a real IVF index uses: `centroids` is a `(cid,
+    * centroid: array<double>)` table (exactly [[kmeansTrain]]'s output,
+    * or any persisted centroid model ≤ the 2^16 broadcast budget).
+    * Identical probing/ranking semantics to [[ivfTopK]]; only the
+    * centroid source differs.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                     k: Int, nprobe: Int = 3,
+                     queryId: String = "query_id", corpusId: String = "neighbor_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col("cid").cast("long"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv, normDd(cv)) }
+    ivfServe(queries, corpus, cents, k, nprobe, queryId, corpusId, vecCol)
+  }
+
+  /** Top-`keep` centroids per row by (cosine desc, centroid id asc):
+    * the shared dense assignment kernel ([[ivfTopK]] lists + probes,
+    * [[ivfTopKTrained]], [[kmeansTrain]] with keep = 1). Emits one row
+    * per (vector, kept centroid). `cents` must be cid-ascending.
+    */
+  private def assignTopK(df: DataFrame, id: String, vecCol: String,
+                         cents: Array[(Long, Array[Double], Double)],
+                         keep: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-
-    // top-`keep` centroids per row by (cosine desc, centroid id asc);
-    // emits one row per (vector, probed centroid)
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame =
-      df.select(col(id).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-        .mapPartitions { rows =>
-          val cs = bc.value
-          rows.flatMap { case (rid, vec) =>
-            val n = normD(vec)
-            val topCos = new Array[Double](keep)
-            val topCid = new Array[Long](keep)
-            var filled = 0
-            var i = 0
-            while (i < cs.length) {
-              val (cid, cv, cn) = cs(i)
-              // same zero-norm clamp as cosinePre: −∞, never NaN
-              val den = n * cn
-              val cos = if (den == 0.0) Double.NegativeInfinity
-                        else dotD(vec, cv) / den
-              var pos = filled
-              while (pos > 0 && (topCos(pos - 1) < cos ||
-                     (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
-              if (pos < keep) {
-                val last = math.min(filled, keep - 1)
-                var m = last
-                while (m > pos) {
-                  topCos(m) = topCos(m - 1); topCid(m) = topCid(m - 1); m -= 1
-                }
-                topCos(pos) = cos; topCid(pos) = cid
-                if (filled < keep) filled += 1
+    df.select(col(id).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (rid, vec) =>
+          val n = normD(vec)
+          val topCos = new Array[Double](keep)
+          val topCid = new Array[Long](keep)
+          var filled = 0
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            // same zero-norm clamp as cosinePre: −∞, never NaN
+            val den = n * cn
+            val cos = if (den == 0.0) Double.NegativeInfinity
+                      else dotFD(vec, cv) / den
+            var pos = filled
+            while (pos > 0 && (topCos(pos - 1) < cos ||
+                   (topCos(pos - 1) == cos && topCid(pos - 1) > cid))) pos -= 1
+            if (pos < keep) {
+              val last = math.min(filled, keep - 1)
+              var m = last
+              while (m > pos) {
+                topCos(m) = topCos(m - 1); topCid(m) = topCid(m - 1); m -= 1
               }
-              i += 1
+              topCos(pos) = cos; topCid(pos) = cid
+              if (filled < keep) filled += 1
             }
-            (0 until filled).iterator.map(p => (rid, vec, n, topCid(p)))
+            i += 1
           }
+          (0 until filled).iterator.map(p => (rid, vec, n, topCid(p)))
         }
-        .toDF(id, vecCol, "__n", "__cent")
+      }
+      .toDF(id, vecCol, "__n", "__cent")
+  }
 
-    val c = assign(corpus.select(col(corpusId), col(vecCol)), corpusId, 1)
+  /** Shared IVF serve body: assign corpus to lists (keep = 1), probe
+    * `nprobe` lists per query, exact round-6 cosine within candidates.
+    */
+  private def ivfServe(queries: DataFrame, corpus: DataFrame,
+                       cents: Array[(Long, Array[Double], Double)],
+                       k: Int, nprobe: Int, queryId: String, corpusId: String,
+                       vecCol: String): DataFrame = {
+    val c = assignTopK(corpus.select(col(corpusId), col(vecCol)), corpusId, vecCol, cents, 1)
       .withColumnRenamed(vecCol, "__cvv").withColumnRenamed("__n", "__cn")
-    val q = assign(queries.select(col(queryId), col(vecCol)), queryId, nprobe)
+    val q = assignTopK(queries.select(col(queryId), col(vecCol)), queryId, vecCol, cents, nprobe)
       .withColumnRenamed(vecCol, "__qv").withColumnRenamed("__n", "__qn")
     val scored = q.join(c, Seq("__cent"))
       .filter(col(queryId) =!= col(corpusId))
@@ -308,32 +348,12 @@ object Ann {
       .map { case (cid, v) => (cid, v.map(_.toDouble)) }
     var result: DataFrame = null
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(
-        cents.map { case (cid, cv) => (cid, cv, normDd(cv)) })
-      val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
-        .as[(Long, Array[Float])]
-        .mapPartitions { rows =>
-          val cs = bc.value
-          rows.map { case (rid, vec) =>
-            val n = normD(vec)
-            var bestCid = 0L
-            var bestCos = Double.NegativeInfinity
-            var first = true
-            var i = 0
-            // cs is cid-ascending, so strict > keeps the SMALLEST cid on
-            // ties — the same rule as the ivfTopK kernel and the SQL
-            // ROW_NUMBER(ORDER BY cos DESC, cid ASC) mirror
-            while (i < cs.length) {
-              val (cid, cv, cn) = cs(i)
-              val den = n * cn
-              val cos = if (den == 0.0) Double.NegativeInfinity
-                        else dotFD(vec, cv) / den
-              if (first || cos > bestCos) { bestCos = cos; bestCid = cid; first = false }
-              i += 1
-            }
-            (rid, vec, bestCid)
-          }
-        }.toDF(idCol, vecCol, "__cid")
+      // keep = 1 in the shared kernel = nearest centroid with the
+      // min-cid tie rule (cents are cid-ascending), matching the SQL
+      // ROW_NUMBER(ORDER BY cos DESC, cid ASC) mirror
+      val assigned = assignTopK(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, cents.map { case (cid, cv) => (cid, cv, normDd(cv)) }, 1)
+        .withColumnRenamed("__cent", "__cid")
       val means = assigned
         .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
         .groupBy(col("__cid"), col("__dim"))

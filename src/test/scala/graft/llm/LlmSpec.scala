@@ -372,6 +372,24 @@ class LlmSpec extends SparkSpec {
     assert(one.toSeq == Seq((0L, 4L)), one.mkString(","))
   }
 
+  test("ivf trained serve: kmeansTrain centroids feed ivfTopKTrained lists") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.kmeansTrain(vecs, "vec_id", "embedding", iters = 2, centroidTarget = 2)
+    val queries = vecs.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    // nprobe = 1: query 0 probes only its own trained list {0, 1} →
+    // the single non-self neighbor is vector 1
+    val out = Ann.ivfTopKTrained(queries, corpus, cents, k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((0L, 1L, 1)), out.mkString(","))
+  }
+
   test("zero-norm embedding ranks LAST with cosine -inf in brute-force AND IVF") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
