@@ -617,6 +617,38 @@ object LlmGates {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** SemDeDup over the trained clusters: same Lloyd chain, then a
+    * within-cluster pairwise round-6 cosine threshold with min-id
+    * survivor — the full train → cluster → dedup composition, restated
+    * end-to-end in the oracle.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cents = Ann.kmeansTrain(e, "vec_id", "embedding",
+      iters = 2, centroidTarget = 16)
+    Ann.semanticDedup(e, cents, threshold = 0.3).orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $ivfTrainCtes,
+       |ct AS (SELECT cid, list(m ORDER BY j) AS ce FROM m2 GROUP BY cid),
+       |en AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |assignc AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT en.vec_id, en.embedding, en.nrm, ct.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${cosECRawSql("en.embedding", "ct.ce")} DESC, ct.cid ASC) AS rn
+       |    FROM en, ct) WHERE rn = 1),
+       |capped AS (
+       |  SELECT * FROM assignc QUALIFY count(*) OVER (PARTITION BY cid) <= 1000),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding", "a.nrm * b.nrm")} >= 0.3)
+       |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS keep
+       |FROM assignc a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---- text quality: direct SQL restatement ---------------------------
 
   /** Language-ID + quality score — the stopword profiles and the argmax
@@ -965,6 +997,37 @@ object LlmGates {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic mixture rates over `documents` by source — upsample
+    * (2.5), thin (0.4), exact epochs (1.0), explicit drop (0.0), and the
+    * unlisted-domain default (0.7) all exercised; the oracle restates
+    * the per-(id, epoch) hash selection integer-exactly.
+    */
+  def mixRates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.byRate(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.0, "src3" -> 0.0),
+        defaultRate = 0.7)
+      .orderBy("doc_id", "epoch")
+
+  val mixRatesSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+       |                WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.0
+       |                ELSE 0.7 END AS rate
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, source, rate,
+       |    unnest(range(0, CAST(ceil(rate) AS BIGINT))) AS epoch
+       |  FROM r)
+       |SELECT doc_id, source, CAST(epoch AS INT) AS epoch FROM e
+       |WHERE list_reduce([strpos('0123456789abcdef',
+       |        substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), j, 1)) - 1
+       |      for j in range(1, 9)], (a, b) -> a * 16 + b)
+       |  < floor(least(rate - epoch, 1.0) * 4294967296.0 + 0.5)
+       |ORDER BY doc_id, epoch""".stripMargin
+
   // ---- embedding near-dup: literal planes + full-pipeline oracle ------
 
   /** Embedding-cosine near-dup pairs via shared sign-projection buckets —
@@ -1203,6 +1266,7 @@ object LlmGates {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
+    "mix_rates"           -> (mixRates _),
     "dup_spans"           -> (dupSpans _),
     "span_trim"           -> (spanTrim _),
     "dedup_jaccard"       -> (dedupJaccard _),
@@ -1211,6 +1275,7 @@ object LlmGates {
     "ann_ivf"             -> (annIvf _),
     "ivf_train"           -> (ivfTrain _),
     "ann_ivf_trained"     -> (annIvfTrained _),
+    "dedup_semantic"      -> (dedupSemantic _),
     "text_quality"        -> (textQuality _),
     "text_rolling_fp"     -> (textRollingFp _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -1233,6 +1298,7 @@ object LlmGates {
     "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
+    "mix_rates"           -> mixRatesSql,
     "dup_spans"           -> dupSpansSql,
     "span_trim"           -> spanTrimSql,
     "dedup_jaccard"       -> dedupJaccardSql,
@@ -1241,6 +1307,7 @@ object LlmGates {
     "ann_ivf"             -> annIvfSql,
     "ivf_train"           -> ivfTrainSql,
     "ann_ivf_trained"     -> annIvfTrainedSql,
+    "dedup_semantic"      -> dedupSemanticSql,
     "text_quality"        -> textQualitySql,
     "text_rolling_fp"     -> textRollingFpSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -374,6 +374,56 @@ object Ann {
     result
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus onto TRAINED k-means
+    * centroids ([[kmeansTrain]] output, or any persisted `(cid,
+    * centroid)` model under the 2^16 broadcast budget), then compare
+    * pairs ONLY within a cluster — a vector with a lower-id neighbor at
+    * round-6 cosine ≥ `threshold` in its cluster is a semantic
+    * duplicate; the min-id representative survives (the same keep
+    * policy as the exact/minhash/simhash tiers, so downstream cut
+    * logic composes unchanged).
+    *
+    * Scale shape: the pairwise step never crosses clusters, so
+    * candidate work is bounded by cluster occupancy × clusters — never
+    * all-pairs. Oversize clusters (degenerate corpora piling onto one
+    * centroid) are dropped by `maxCluster` exactly like every bucketed
+    * site, reported via `capStats`; their rows pass through with
+    * `keep = true` (uncompared, never silently deleted).
+    *
+    * Output: one row per input vector — `(idCol, cid, keep)`.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCluster: Int = 1000,
+                    capStats: Option[CapStats] = None): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col("cid").cast("long"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv, normDd(cv)) }
+    // materialized once: the cluster self-join reads both sides plus the
+    // final output, and the dense assignment kernel would otherwise run
+    // three times (same reason nearDupCosine checkpoints its buckets)
+    val assigned = assignTopK(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents, 1)
+      .withColumnRenamed("__cent", "cid")
+      .localCheckpoint(true)
+    val capped = Dedup.capBuckets(assigned, Seq("cid"), maxCluster, capStats)
+    val a = capped.select(col("cid"), col(idCol).as("__ia"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = capped.select(col("cid"), col(idCol).as("__ib"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(round(cosinePre(col("__va"), col("__vb"), col("__na"), col("__nb")), 6)
+        >= threshold)
+      .select(col("__ib").as("__did")).distinct()
+    assigned.select(col(idCol), col("cid"))
+      .join(dups, col(idCol) === col("__did"), "left")
+      .select(col(idCol), col("cid"), col("__did").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) via shared LSH buckets — never all-pairs. `maxBucket`
     * guards skew exactly like Dedup.candidatePairs: a degenerate bucket

@@ -277,6 +277,31 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("mix by rate: epoch counts, fractional thinning, drop, and a narrow plan") {
+    import graft.operators.Mixing
+    val docs = (0L until 400L).map(i => (i, s"d${i % 4}")).toDF("id", "dom")
+    val rates = Map("d0" -> 2.0, "d1" -> 0.5, "d2" -> 0.0)
+    val out = Mixing.byRate(docs, "dom", "id", rates, defaultRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDom = out.groupBy(_._2)
+    // integer rate 2.0: every doc exactly epochs {0, 1}
+    assert(byDom("d0").length == 200 &&
+      byDom("d0").groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(Array(0, 1))))
+    // fractional 0.5: a deterministic ~half, epoch 0 only
+    val d1 = byDom("d1")
+    assert(d1.forall(_._3 == 0) && math.abs(d1.length - 50) < 20, d1.length.toString)
+    // explicit 0.0 drops the domain entirely; unlisted default 1.0 passes through
+    assert(!byDom.contains("d2") && byDom("d3").length == 100)
+    // rerun is bitwise-identical (pure function of (id, epoch))
+    val again = Mixing.byRate(docs, "dom", "id", rates, defaultRate = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.sameElements(again.sorted))
+    // plan is narrow: generator + filter, no shuffle
+    val plan = Mixing.byRate(docs, "dom", "id", rates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("hash split: a null id fails loudly instead of silently joining the last split") {
     import graft.operators.Sampling
     val ids = Seq(Some(1L), None).toDF("id")
@@ -388,6 +413,34 @@ class LlmSpec extends SparkSpec {
     val out = Ann.ivfTopKTrained(queries, corpus, cents, k = 2, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(out.toSeq == Seq((0L, 1L, 1)), out.mkString(","))
+  }
+
+  test("semantic dedup: min-id survives per within-cluster dup group; cross-cluster twins both keep") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // cluster A, representative
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.0f)), // near-twin of 0 → dropped
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // cluster B, representative
+      (3L, Array(0.0f, 1.0f, 0.01f, 0.0f)), // near-twin of 2 → dropped
+      (4L, Array(0.0f, -1.0f, 0.0f, 0.0f))  // B's far side: no dup
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.kmeansTrain(vecs, "vec_id", "embedding", iters = 2, centroidTarget = 2)
+    val out = Ann.semanticDedup(vecs, cents, threshold = 0.95)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSeq == Seq(0L -> true, 1L -> false, 2L -> true, 3L -> false, 4L -> true),
+      out.mkString(","))
+  }
+
+  test("semantic dedup: oversize cluster passes through uncompared with the drop reported") {
+    val vecs = (0L until 8L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.kmeansTrain(vecs, "vec_id", "embedding", iters = 1, centroidTarget = 1)
+    val st = new CapStats
+    val out = Ann.semanticDedup(vecs, cents, threshold = 0.5,
+        maxCluster = 4, capStats = Some(st))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.forall(_._2), out.mkString(","))   // nobody compared → all keep
+    assert(st.droppedBuckets == 1L && st.droppedRows == 8L, st.toString)
   }
 
   test("zero-norm embedding ranks LAST with cosine -inf in brute-force AND IVF") {
