@@ -161,7 +161,11 @@ object Bench {
         // track the data ratio (narrow or doc-keyed partial-agg shapes)
         "pii_redact", "quality_repetition", "chunk_documents",
         "pack_blocks", "tfidf_topk", "dedup_incremental",
-        "dedup_incremental_near", "dup_spans")
+        "dedup_incremental_near", "dup_spans",
+        // round-6 family: k-means train → trained serve → semantic
+        // dedup (iterative passes + cluster self-join), and the narrow
+        // mixing generator
+        "ivf_train", "ann_ivf_trained", "dedup_semantic", "mix_rates")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
