@@ -290,6 +290,38 @@ object LlmGates {
        |FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** [[graft.llm.Dedup.keepBest]] over the same minhash→closure chain as
+    * `dedup_clusters`: the survivor of each cluster is the
+    * highest-n_chars member (ties → min id), not the min id — the
+    * quality-aware canonical-copy policy. The oracle reuses the shared
+    * pair/closure CTEs and restates the survivor window.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+      threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
+    val clusters = Dedup.resolveClusters(pairs, docs, "doc_id")
+    Dedup.keepBest(docs, "doc_id", "n_chars", clusters)
+      .select("doc_id", "canonical_id", "cluster_size", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${minhashCtes("documents", 0.1)},
+       |$closureCtes,
+       |allc AS (
+       |  SELECT d.doc_id, coalesce(comp.canon, d.doc_id) AS canonical_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY canonical_id
+       |      ORDER BY n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |  FROM allc)
+       |SELECT doc_id, canonical_id, cluster_size, n_chars
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** The FULL curation chain (quality ≥ 0.6 → exact dedup → portable
     * minhash pairs → cluster resolution → canonical survivors) against a
     * single composed oracle: the same five stages as chained CTEs. This
@@ -1260,6 +1292,7 @@ object LlmGates {
     "ann_topk"            -> (annTopK _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_keep_best"     -> (dedupKeepBest _),
     "llm_clean_corpus"    -> (llmCleanCorpus _),
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
@@ -1292,6 +1325,7 @@ object LlmGates {
     "ann_topk"            -> annTopKSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "dedup_keep_best"     -> dedupKeepBestSql,
     "llm_clean_corpus"    -> llmCleanCorpusSql,
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,

@@ -294,6 +294,97 @@ object PipelineGates {
        |SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df, score
        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---- unigram LM scoring (perplexity-proxy quality bands) ------------
+
+  /** [[graft.llm.LmScore]] self-trained over the corpus; band thresholds
+    * bracket the corpus's MITF quartiles (~30) so all three bands are
+    * populated at gate scale. The oracle restates the whole chain —
+    * tokenize → tf → unigram counts → quantized-decimal sum → score —
+    * in the same exactly-rounded steps (see LmScore's header for why
+    * every step is engine-portable).
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.band(
+        graft.llm.LmScore.score(Tables(s, dir, "documents"), "doc_id", "text"),
+        lo = 30.0, hi = 31.0)
+      .orderBy("doc_id")
+
+  val lmScoreSql: String =
+    s"""WITH tok2 AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest($NormWs) AS term FROM documents)
+       |  WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+       |model AS (SELECT term, count(*) AS c FROM tok2 GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM tok2),
+       |contrib AS (
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(tf AS DOUBLE) / CAST(c AS DOUBLE) AS DECIMAL(28,15)) AS q
+       |  FROM tf JOIN model USING (term)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(q) AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n)
+       |      / CAST(sum(tf) AS DOUBLE) AS lm_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, p.lm_score,
+       |  CASE WHEN p.lm_score IS NULL THEN 'empty'
+       |       WHEN p.lm_score < 30.0 THEN 'common'
+       |       WHEN p.lm_score > 31.0 THEN 'rare'
+       |       ELSE 'mid' END AS lm_band
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- token-budget selection -----------------------------------------
+
+  /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
+    * prefix under a 15k-token budget (~37% of the gate corpus — the cut
+    * line lands mid-corpus so both kept and dropped sides are
+    * exercised). The oracle IS the single-task window form the operator
+    * exists to avoid — same answer, funnel-free plan on our side.
+    */
+  def selectBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.llm.TextStats.tokenCount(col("text")).cast("long").as("toks"))
+    graft.operators.Selection.byTokenBudget(
+        d, Seq(col("n_chars").desc, col("doc_id").asc), "toks", budget = 15000L)
+      .orderBy("doc_id")
+  }
+
+  val selectBudgetSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(sum(toks) OVER (ORDER BY n_chars DESC, doc_id)
+      |    AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, lang, n_chars, toks, cum_tokens
+      |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
+
+  // ---- quantile length profile ----------------------------------------
+
+  /** [[graft.llm.CorpusStats.quantileProfile]] of n_chars per language.
+    * Quarter quantiles over integer data are EXACT in IEEE arithmetic
+    * (binary-fraction interpolation — see the operator's scaladoc), so
+    * Spark `percentile` and DuckDB `quantile_cont` agree bitwise with no
+    * rounding fudge.
+    */
+  def corpusQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusStats.quantileProfile(
+        Tables(s, dir, "documents"), "lang", "n_chars")
+      .orderBy("lang")
+
+  val corpusQuantilesSql: String =
+    """SELECT lang, count(n_chars) AS n, min(n_chars) AS min_v,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.50) AS p50,
+      |  quantile_cont(n_chars, 0.75) AS p75,
+      |  max(n_chars) AS max_v
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -305,7 +396,10 @@ object PipelineGates {
     "ngram_topk"         -> (ngramTopk _),
     "boilerplate_lines"  -> (boilerplateLines _),
     "embed_quantize"     -> (embedQuantize _),
-    "tfidf_topk"         -> (tfidfTopK _))
+    "tfidf_topk"         -> (tfidfTopK _),
+    "lm_score"           -> (lmScore _),
+    "select_budget"      -> (selectBudget _),
+    "corpus_quantiles"   -> (corpusQuantiles _))
 
   val oracleSql: Map[String, String] = Map(
     "pii_redact"         -> piiRedactSql,
@@ -316,5 +410,8 @@ object PipelineGates {
     "ngram_topk"         -> ngramTopkSql,
     "boilerplate_lines"  -> boilerplateLinesSql,
     "embed_quantize"     -> embedQuantizeSql,
-    "tfidf_topk"         -> tfidfTopKSql)
+    "tfidf_topk"         -> tfidfTopKSql,
+    "lm_score"           -> lmScoreSql,
+    "select_budget"      -> selectBudgetSql,
+    "corpus_quantiles"   -> corpusQuantilesSql)
 }

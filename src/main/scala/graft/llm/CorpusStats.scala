@@ -38,4 +38,27 @@ object CorpusStats {
         sum(TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         (sum(TextStats.qualityScore(col(textCol)).cast("decimal(14,4)"))
           .cast("double") / count(lit(1))).as("avg_quality"))
+
+  /** Per-group EXACT quartiles (plus min/max/count) of an integer
+    * column — the length-distribution profile that picks chunking and
+    * filter thresholds.
+    *
+    * Exact `percentile` (sort-based within each group), not
+    * `approx_percentile`: distribution profiling is a once-per-corpus
+    * job, the per-group sort is the cost of cross-engine determinism,
+    * and quarter quantiles on integer data are EXACT in IEEE arithmetic
+    * — `(n−1)·p` with p ∈ {¼,½,¾} is a binary-fraction product, so the
+    * interpolation `lo + (hi−lo)·frac` is computed without rounding in
+    * any evaluation order and any engine (the same cannot be said of
+    * p = 0.9, which is why the deciles are NOT offered here; a sketch
+    * tier can serve non-binary quantiles where exactness is waived).
+    */
+  def quantileProfile(docs: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"),
+        min(col(valueCol)).as("min_v"),
+        expr(s"percentile($valueCol, 0.25)").as("p25"),
+        expr(s"percentile($valueCol, 0.5)").as("p50"),
+        expr(s"percentile($valueCol, 0.75)").as("p75"),
+        max(col(valueCol)).as("max_v"))
 }

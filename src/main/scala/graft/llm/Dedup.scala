@@ -487,6 +487,33 @@ object Dedup {
         coalesce(col("__label"), col(idCol)).as("canonical_id"))
   }
 
+  /** Quality-aware survivor policy over resolved clusters: instead of
+    * the min-id convention, keep the HIGHEST-`scoreCol` document of each
+    * near-dup cluster (ties → smaller id) — the policy real curation
+    * uses, where the canonical copy should be the best-quality one, not
+    * the first-crawled one.
+    *
+    * `clusters` is [[resolveClusters]] output `(idCol, canonical_id)`.
+    * Output: the full `docs` rows of the winners, plus `canonical_id`
+    * and `cluster_size`. Scale: one id-keyed join (clusters is
+    * id-unique by construction) and one window hash-partitioned by
+    * `canonical_id` — cluster sizes are near-dup groups (small by
+    * nature; a degenerate all-equal corpus degrades to a hot key, the
+    * same exposure `dedupByPriority` documents, with the same
+    * `skewSalts` escape hatch via a pre-aggregation if ever needed).
+    */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+               clusters: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(clusters, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** EXACT n-gram Jaccard near-dup — the third dedup tier the pipeline
     * offers (exact digest, probabilistic MinHash/SimHash, and this:
     * exact similarity with COMPLETE candidates, never all-pairs).

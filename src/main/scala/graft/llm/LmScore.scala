@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the CCNet-style "perplexity filter"
+  * of a training-data pipeline (Wenzek et al. 2020 score documents with
+  * a KenLM model and keep a quality band; the unigram model here is the
+  * engine-native analogue: no external model artifact, trained on the
+  * corpus itself or any reference slice in one aggregation).
+  *
+  * Score = mean inverse token frequency (MITF):
+  * `(1/n_doc) · Σ_tokens N / count(token)` — the linear-space analogue
+  * of mean surprisal. A doc of ubiquitous tokens scores near 1
+  * (boilerplate-ish); a doc of corpus-rare tokens scores near N
+  * (OCR noise, gibberish, wrong-language). Linear space instead of
+  * `log` for the same reason [[Keywords]] uses linear IDF: every step
+  * is a single exactly-rounded IEEE operation, so any engine computes
+  * the bitwise-identical value, while `ln` differs in the last ulp
+  * across libm implementations.
+  *
+  * Order-independent summation: the per-term contribution
+  * `tf/c` (one exact-rounded double division) is quantized to
+  * `decimal(28,15)` and summed EXACTLY — no double-sum order
+  * dependence across partitionings or engines. The quantization error
+  * (≤ 5·10⁻¹⁶ per distinct term, around double's own precision) is the
+  * price of determinism; ties at the decimal midpoint cannot occur
+  * because odd multiples of 5·10⁻¹⁶ are not binary fractions, so both
+  * engines' nearest-rounding casts agree on every input.
+  *
+  * Scale shape: token explode (narrow) → `(doc, term)` tf aggregation
+  * (the token-sized shuffle every bag-of-words operator pays) →
+  * vocabulary-sized count aggregation with map-side partials → BROADCAST
+  * model join (vocabulary ≪ corpus; `broadcastModel = false` falls back
+  * to a shuffle join and leaves Zipf-head skew to AQE) → per-doc decimal
+  * sum with map-side partials. No global ordering anywhere.
+  */
+object LmScore {
+
+  /** The unigram "model": `(term, c)` counts over the normalized corpus
+    * plus the total token mass N — one aggregation, persistable and
+    * reusable as the reference model for scoring OTHER corpora (the
+    * CCNet pattern: score crawl text against a clean reference corpus).
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** Per-document MITF score against `model` (defaults to a model
+    * trained on `docs` itself). Output: `(id, n_tokens, lm_score)` —
+    * `lm_score` ∈ [1, N], null for empty documents (n_tokens 0, the
+    * [[TextStats.tokenCount]] empty→0 convention).
+    *
+    * Tokens absent from the model (scoring a NEW corpus against a
+    * reference model) are treated as hapax (c = 1) — the pessimistic
+    * out-of-vocabulary convention: unknown tokens are maximally
+    * surprising.
+    *
+    * When `model` is supplied, `totalTokens` must be its N (pass what
+    * `unigramCounts` summed over); when both are None, one count job
+    * over the model resolves N.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Option[DataFrame] = None,
+            totalTokens: Option[Long] = None,
+            broadcastModel: Boolean = true): DataFrame = {
+    val m0 = model.getOrElse(unigramCounts(docs, textCol))
+    val n = totalTokens.getOrElse(
+      m0.agg(sum(col("c"))).head().getLong(0))
+    val m = if (broadcastModel) broadcast(m0) else m0
+    val tf = docs
+      .select(col(idCol), explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(m, Seq("term"), "left")
+      // tf/c: ONE exactly-rounded double division, then ONE deterministic
+      // decimal quantization — see the header's midpoint argument
+      .select(col(idCol), col("tf"),
+        (col("tf").cast("double") / coalesce(col("c"), lit(1L)).cast("double"))
+          .cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        // decimal→double conversion, ×N, ÷n: three exactly-rounded ops
+        (col("__s").cast("double") * lit(n).cast("double") /
+          col("n_tokens").cast("double")).as("lm_score"))
+    // keep empty docs: n_tokens 0, score null (filterable, not a crash)
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("lm_score"))
+  }
+
+  /** CCNet-style band label over the score: documents below `lo` are
+    * head-boilerplate, above `hi` tail-noise, between is the band a
+    * perplexity filter keeps. Thresholds compare against the bitwise-
+    * deterministic score, so banding is deterministic too.
+    */
+  def band(scored: DataFrame, lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"need lo <= hi, got lo=$lo hi=$hi")
+    scored.withColumn("lm_band",
+      when(col("lm_score").isNull, "empty")
+        .when(col("lm_score") < lo, "common")
+        .when(col("lm_score") > hi, "rare")
+        .otherwise("mid"))
+  }
+}

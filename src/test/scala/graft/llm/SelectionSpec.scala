@@ -1,0 +1,137 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.operators.Selection
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-6 curation additions: token-budget
+  * selection, unigram LM scoring, keep-best survivors, and the exact
+  * quantile profile. (The DuckDB-oracle gates verify these end-to-end;
+  * these tests pin edge cases and semantics the gate fixture can't.)
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Selection.byTokenBudget ----------------------------------------
+
+  private def docsDf = Seq(
+    (1L, 100L, "a"), (2L, 50L, "b"), (3L, 50L, "c"),
+    (4L, 30L, "d"), (5L, 20L, "e")).toDF("id", "toks", "payload")
+
+  test("token budget keeps the exact rank prefix, inclusive cum sums") {
+    // rank by toks desc, id asc: 1(100) 2(150) 3(200) 4(230) 5(250)
+    val out = Selection.byTokenBudget(docsDf,
+      Seq(col("toks").desc, col("id").asc), "toks", budget = 200L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 100L), (2L, 150L), (3L, 200L)))
+  }
+
+  test("token budget drops the row that would cross the line (whole docs only)") {
+    val out = Selection.byTokenBudget(docsDf,
+      Seq(col("toks").desc, col("id").asc), "toks", budget = 199L)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // doc 3 would reach 200 > 199
+  }
+
+  test("token budget: zero budget → empty; huge budget → everything") {
+    val none = Selection.byTokenBudget(docsDf,
+      Seq(col("toks").desc, col("id").asc), "toks", 0L)
+    assert(none.count() == 0)
+    val all = Selection.byTokenBudget(docsDf,
+      Seq(col("toks").desc, col("id").asc), "toks", 1000000L)
+    assert(all.count() == 5)
+    assert(all.agg(max(col("cum_tokens"))).head().getLong(0) == 250L)
+  }
+
+  test("token budget: null token counts contribute zero, row kept") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "toks")
+    val out = Selection.byTokenBudget(df,
+      Seq(col("id").asc), "toks", budget = 15L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (3L, 15L)))
+  }
+
+  test("token budget matches the single-task window form on a larger input") {
+    val df = (1 to 5000).map(i => (i.toLong, (i * 2654435761L % 97) + 1))
+      .toDF("id", "toks")
+    val budget = 120000L
+    val expected = df
+      .withColumn("cum_tokens", sum(col("toks")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("toks").desc, col("id").asc)))
+      .filter(col("cum_tokens") <= budget)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val got = Selection.byTokenBudget(df.repartition(13),
+      Seq(col("toks").desc, col("id").asc), "toks", budget)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 5000) // the cut line is interior
+  }
+
+  // ---- LmScore --------------------------------------------------------
+
+  test("lm score: empty and null docs get n_tokens 0 and an 'empty' band") {
+    val df = Seq((1L, "the the the"), (2L, ""), (3L, null: String),
+      (4L, "rare unique words")).toDF("id", "text")
+    val out = LmScore.band(LmScore.score(df, "id", "text"), lo = 2.0, hi = 4.0)
+      .select("id", "n_tokens", "lm_band")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out(1) == ((2L, 0L, "empty")))
+    assert(out(2) == ((3L, 0L, "empty")))
+    // N=6; doc 1: tokens 'the'×3, c=3 → score 6/3 = 2 → mid (not < 2)
+    assert(out(0)._3 == "mid")
+    // doc 4: three hapaxes → score 6 → rare
+    assert(out(3)._3 == "rare")
+  }
+
+  test("lm score: scoring against an external model treats OOV as hapax") {
+    val ref = Seq((1L, "common common common common")).toDF("id", "text")
+    val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
+    val df = Seq((10L, "common novel")).toDF("id", "text")
+    val out = LmScore.score(df, "id", "text", model = Some(model),
+      totalTokens = Some(4L))
+      .select("lm_score").as[Double].head()
+    // (N/c_common + N/c_oov)/2 = (4/4 + 4/1)/2 = 2.5
+    assert(math.abs(out - 2.5) < 1e-9)
+  }
+
+  test("lm score is invariant to partitioning (decimal-sum order independence)") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"word${i % 17} word${i % 5} word${i % 29} tail$i")).toDF("id", "text")
+    val a = LmScore.score(docs.repartition(1), "id", "text")
+      .select("id", "lm_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = LmScore.score(docs.repartition(37), "id", "text")
+      .select("id", "lm_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b) // bitwise, not approximate
+  }
+
+  // ---- Dedup.keepBest -------------------------------------------------
+
+  test("keep-best survivor is the max-score member, ties to min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L),   // cluster {1,2,3}: best = 2 (tie 2/3)
+      (4L, 5L),                          // singleton
+      (5L, 1L), (6L, 7L)                 // cluster {5,6}: best = 6
+    ).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "canonical_id")
+    val out = Dedup.keepBest(docs, "doc_id", "score", clusters)
+      .select("doc_id", "canonical_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq((2L, 1L, 3L), (4L, 4L, 1L), (6L, 5L, 2L)))
+  }
+
+  // ---- CorpusStats.quantileProfile ------------------------------------
+
+  test("quantile profile: exact interpolated quartiles per group") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // n=4
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")     // n=3
+    val out = CorpusStats.quantileProfile(df, "g", "v")
+      .select("g", "n", "min_v", "p25", "p50", "p75", "max_v")
+      .as[(String, Long, Long, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    // group a: rank p*(n-1): p25 → 0.75 → 1 + 0.75*(2-1) = 1.75
+    assert(out(0) == (("a", 4L, 1L, 1.75, 2.5, 3.25, 4L)))
+    assert(out(1) == (("b", 3L, 10L, 15.0, 20.0, 25.0, 30L)))
+  }
+}
