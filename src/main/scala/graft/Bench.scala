@@ -165,7 +165,10 @@ object Bench {
         // round-6 family: k-means train → trained serve → semantic
         // dedup (iterative passes + cluster self-join), and the narrow
         // mixing generator
-        "ivf_train", "ann_ivf_trained", "dedup_semantic", "mix_rates")
+        "ivf_train", "ann_ivf_trained", "dedup_semantic", "mix_rates",
+        // round-6 curation additions: the token-shuffle LM scorer, the
+        // range-sort budget cut, and the window-over-clusters survivor
+        "lm_score", "select_budget", "dedup_keep_best")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

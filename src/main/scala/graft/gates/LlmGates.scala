@@ -347,6 +347,49 @@ object LlmGates {
        |WHERE coalesce(comp.canon, dd.doc_id) = dd.doc_id
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** [[graft.llm.Curation.budgetCorpus]]: the curation chain with BOTH
+    * round-6 quality-aware policies composed in — keep-best survivors
+    * (by n_chars) instead of min-id, then the best-first token-budget
+    * cut. One oracle restates all seven stages as chained CTEs; the
+    * budget (12k of the ~26k surviving tokens) puts the cut line
+    * mid-corpus so both sides are exercised.
+    */
+  def llmBudgetCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Curation.budgetCorpus(Tables(s, dir, "documents"), "doc_id", "text",
+        scoreCol = "n_chars", tokenBudget = 12000L,
+        minQuality = 0.6, nearDupThreshold = 0.1, numHashes = 32, bands = 8,
+        shingleN = 2, portable = true)
+      .select("doc_id", "lang", "source", "n_chars", "toks", "cum_tokens")
+      .orderBy("doc_id")
+
+  val llmBudgetCorpusSql: String =
+    s"""WITH RECURSIVE ${qualityCtes("documents")},
+       |qdocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM qscored
+       |  WHERE $qualityExpr >= 0.6),
+       |${exactDedupCte("qdocs")},
+       |${minhashCtes("ddocs", 0.1)},
+       |$closureCtes,
+       |ballc AS (
+       |  SELECT dd.*, coalesce(comp.canon, dd.doc_id) AS canonical_id
+       |  FROM ddocs dd LEFT JOIN comp ON comp.id = dd.doc_id),
+       |bbest AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_id
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM ballc) WHERE rn = 1),
+       |btok AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+       |  FROM bbest),
+       |bcum AS (
+       |  SELECT *, CAST(sum(toks) OVER (ORDER BY n_chars DESC, doc_id)
+       |    AS BIGINT) AS cum_tokens
+       |  FROM btok)
+       |SELECT doc_id, lang, source, n_chars, toks, cum_tokens
+       |FROM bcum WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin
+
   /** The full trainer handoff: the curation chain of [[llmCleanCorpus]]
     * composed with concat-and-split block packing ([[graft.llm.Packing]])
     * — raw documents in, per-(shard, block) occupancy out. One oracle
@@ -1294,6 +1337,7 @@ object LlmGates {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_keep_best"     -> (dedupKeepBest _),
     "llm_clean_corpus"    -> (llmCleanCorpus _),
+    "llm_budget_corpus"   -> (llmBudgetCorpus _),
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
     "dedup_incremental"   -> (dedupIncremental _),
@@ -1327,6 +1371,7 @@ object LlmGates {
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_keep_best"     -> dedupKeepBestSql,
     "llm_clean_corpus"    -> llmCleanCorpusSql,
+    "llm_budget_corpus"   -> llmBudgetCorpusSql,
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,
     "dedup_incremental"   -> dedupIncrementalSql,

@@ -33,4 +33,31 @@ object Curation {
       clusters.filter(col(idCol) === col("canonical_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
   }
+
+  /** The trainer-handoff variant with the two quality-aware round-6
+    * policies swapped in: near-dup survivors are the BEST-`scoreCol`
+    * cluster members (not min-id, [[Dedup.keepBest]]), and the final
+    * corpus is the best-first prefix under a global token budget
+    * ([[graft.operators.Selection.byTokenBudget]] on the same score
+    * order). Output: surviving rows + `toks` + `cum_tokens`.
+    *
+    * Same composition discipline as [[cleanCorpus]]: every stage is the
+    * already-gated operator; this function only wires them.
+    */
+  def budgetCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   scoreCol: String, tokenBudget: Long,
+                   minQuality: Double = 0.6, nearDupThreshold: Double = 0.7,
+                   numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                   portable: Boolean = false): DataFrame = {
+    val quality = docs.filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    val exact = Dedup.exactDedup(quality, idCol, textCol).localCheckpoint(true)
+    val pairs = Dedup.nearDupMinhash(exact, idCol, textCol, nearDupThreshold,
+      numHashes, bands, shingleN, portable)
+    val clusters = Dedup.resolveClusters(pairs, exact, idCol)
+    val best = Dedup.keepBest(exact, idCol, scoreCol, clusters)
+      .drop("canonical_id", "cluster_size")
+      .withColumn("toks", TextStats.tokenCount(col(textCol)).cast("long"))
+    graft.operators.Selection.byTokenBudget(best,
+      Seq(col(scoreCol).desc, col(idCol).asc), "toks", tokenBudget)
+  }
 }
