@@ -385,6 +385,53 @@ object PipelineGates {
       |  max(n_chars) AS max_v
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- snapshot diff ---------------------------------------------------
+
+  /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
+    * "tomorrow" built from it: every 13th doc removed, every 7th
+    * revised, every 11th re-added under a new id — all four statuses
+    * populated deterministically on both sides. The oracle restates the
+    * injective length-prefixed digest and the full-outer
+    * classification.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newer = d.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    graft.operators.Diff.byDigest(d, newer, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDiffSql: String =
+    """WITH newer AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |od AS (
+      |  SELECT doc_id, md5(coalesce(CAST(length(text) AS VARCHAR), 'n')
+      |    || ':' || coalesce(text, '')) AS old_digest
+      |  FROM documents),
+      |nd AS (
+      |  SELECT doc_id, md5(coalesce(CAST(length(text) AS VARCHAR), 'n')
+      |    || ':' || coalesce(text, '')) AS new_digest
+      |  FROM newer)
+      |SELECT doc_id,
+      |  CASE WHEN old_digest IS NULL THEN 'added'
+      |       WHEN new_digest IS NULL THEN 'removed'
+      |       WHEN old_digest = new_digest THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  old_digest, new_digest
+      |FROM od FULL OUTER JOIN nd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,7 +446,8 @@ object PipelineGates {
     "tfidf_topk"         -> (tfidfTopK _),
     "lm_score"           -> (lmScore _),
     "select_budget"      -> (selectBudget _),
-    "corpus_quantiles"   -> (corpusQuantiles _))
+    "corpus_quantiles"   -> (corpusQuantiles _),
+    "corpus_diff"        -> (corpusDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "pii_redact"         -> piiRedactSql,
@@ -413,5 +461,6 @@ object PipelineGates {
     "tfidf_topk"         -> tfidfTopKSql,
     "lm_score"           -> lmScoreSql,
     "select_budget"      -> selectBudgetSql,
-    "corpus_quantiles"   -> corpusQuantilesSql)
+    "corpus_quantiles"   -> corpusQuantilesSql,
+    "corpus_diff"        -> corpusDiffSql)
 }

@@ -61,4 +61,35 @@ object CorpusStats {
         expr(s"percentile($valueCol, 0.5)").as("p50"),
         expr(s"percentile($valueCol, 0.75)").as("p75"),
         max(col(valueCol)).as("max_v"))
+
+  /** The SKETCH tier of [[quantileProfile]]: arbitrary quantiles via
+    * KLL/GK-style `approx_percentile` and distinct counts via HLL++
+    * `approx_count_distinct` — mergeable, bounded-memory aggregates
+    * that never sort a group. This is the right profile at the
+    * 100 TB tier and for non-binary quantiles (p90, p99); the price is
+    * waiving cross-engine exactness, so it is spec-tested against
+    * error bounds rather than oracle-gated (sketch internals differ by
+    * engine, and that is the point of the two tiers).
+    *
+    * `accuracy` is Spark's inverse-epsilon knob: rank error ≤
+    * 1/accuracy (default 1/10000); `rsd` is HLL++ relative standard
+    * deviation.
+    */
+  def quantileSketch(docs: DataFrame, groupCol: String, valueCol: String,
+                     percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                     accuracy: Int = 10000, rsd: Double = 0.05): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $percentiles")
+    val ps = percentiles.mkString("array(", ", ", ")")
+    val qs = percentiles.zipWithIndex.map { case (p, i) =>
+      element_at(col("__qs"), i + 1)
+        .as("p" + math.round(p * 100).toInt)
+    }
+    docs.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"),
+        approx_count_distinct(col(valueCol), rsd).as("approx_distinct"),
+        expr(s"approx_percentile($valueCol, $ps, $accuracy)").as("__qs"))
+      .select(col(groupCol) +: col("n") +: col("approx_distinct") +: qs: _*)
+  }
 }

@@ -41,11 +41,26 @@ object LmScore {
     * plus the total token mass N — one aggregation, persistable and
     * reusable as the reference model for scoring OTHER corpora (the
     * CCNet pattern: score crawl text against a clean reference corpus).
+    *
+    * `pruneHapax` (default on) drops c = 1 rows from the model. This is
+    * LOSSLESS under [[score]]'s OOV-=-hapax convention (an absent term
+    * scores exactly as c = 1 does), and it is what makes the broadcast
+    * model viable at corpus scale: in a Zipf vocabulary roughly half
+    * the DISTINCT terms are hapaxes (typos, ids, OCR noise — the
+    * unbounded tail), so pruning halves the model while changing no
+    * score. N must still be the UNPRUNED token mass, so [[score]] never
+    * sums this model: self-training computes N from its own tf
+    * aggregate (which sees every token), and an external model requires
+    * an explicit `totalTokens`.
     */
-  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+  def unigramCounts(docs: DataFrame, textCol: String,
+                    pruneHapax: Boolean = true): DataFrame = {
+    val counts = docs
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    if (pruneHapax) counts.filter(col("c") > 1L) else counts
+  }
 
   /** Per-document MITF score against `model` (defaults to a model
     * trained on `docs` itself). Output: `(id, n_tokens, lm_score)` —
@@ -66,13 +81,21 @@ object LmScore {
             totalTokens: Option[Long] = None,
             broadcastModel: Boolean = true): DataFrame = {
     val m0 = model.getOrElse(unigramCounts(docs, textCol))
-    val n = totalTokens.getOrElse(
-      m0.agg(sum(col("c"))).head().getLong(0))
-    val m = if (broadcastModel) broadcast(m0) else m0
     val tf = docs
       .select(col(idCol), explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // N from the tf side, never from the model: the model may be
+    // hapax-pruned (a sum over it undercounts), and with an external
+    // model N is the REFERENCE corpus's mass, which only the caller
+    // knows — so it must be passed, not guessed.
+    val n = totalTokens.getOrElse {
+      require(model.isEmpty,
+        "pass totalTokens alongside an external model (its token mass " +
+          "is not derivable from possibly-pruned counts)")
+      tf.agg(sum(col("tf"))).head().getLong(0)
+    }
+    val m = if (broadcastModel) broadcast(m0) else m0
     val contrib = tf.join(m, Seq("term"), "left")
       // tf/c: ONE exactly-rounded double division, then ONE deterministic
       // decimal quantization — see the header's midpoint argument

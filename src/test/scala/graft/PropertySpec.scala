@@ -262,4 +262,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("token budget ≡ single-task window form over generated skewed corpora") {
+    // ids unique by construction; token counts skewed (a few huge docs)
+    val rowsGen = Gen.listOfN(200, Gen.zip(Gen.choose(0, 1), Gen.choose(1L, 40L)))
+      .map(_.zipWithIndex.map { case ((big, t), i) =>
+        (i.toLong, if (big == 1) t * 500 else t)
+      })
+    forAllSeeded(Gen.zip(rowsGen, Gen.choose(1L, 20000L)), cases = 6) {
+      case (rows, budget) =>
+        val df = rows.toDF("id", "toks")
+        val expected = df
+          .withColumn("cum_tokens", sum(col("toks")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("toks").desc, col("id").asc)))
+          .filter(col("cum_tokens") <= budget)
+          .select("id", "cum_tokens").as[(Long, Long)]
+          .collect().sortBy(_._1).toSeq
+        val got = graft.operators.Selection.byTokenBudget(df.repartition(7),
+          Seq(col("toks").desc, col("id").asc), "toks", budget)
+          .select("id", "cum_tokens").as[(Long, Long)]
+          .collect().sortBy(_._1).toSeq
+        assert(got == expected)
+    }
+  }
 }

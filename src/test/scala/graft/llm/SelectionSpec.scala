@@ -95,6 +95,22 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(out - 2.5) < 1e-9)
   }
 
+  test("lm score: hapax-pruned model is bitwise-lossless vs the full model") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"shared word${i % 7} unique_token_$i")).toDF("id", "text")
+    val n = 900L // 3 tokens × 300 docs
+    val full = LmScore.unigramCounts(docs, "text", pruneHapax = false)
+    val pruned = LmScore.unigramCounts(docs, "text")
+    assert(pruned.count() < full.count()) // the hapaxes actually left
+    val a = LmScore.score(docs, "id", "text", Some(full), Some(n))
+      .select("id", "lm_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = LmScore.score(docs, "id", "text", Some(pruned), Some(n))
+      .select("id", "lm_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val c = LmScore.score(docs, "id", "text") // self-train = pruned + tf-side N
+      .select("id", "lm_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && b == c)
+  }
+
   test("lm score is invariant to partitioning (decimal-sum order independence)") {
     val docs = (1 to 400).map(i =>
       (i.toLong, s"word${i % 17} word${i % 5} word${i % 29} tail$i")).toDF("id", "text")
@@ -121,7 +137,55 @@ class SelectionSpec extends SparkSpec {
     assert(out == Seq((2L, 1L, 3L), (4L, 4L, 1L), (6L, 5L, 2L)))
   }
 
+  // ---- Diff.byDigest --------------------------------------------------
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val now = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "text")
+    val out = graft.operators.Diff.byDigest(old, now, "id", Seq("text"))
+      .select("id", "status").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+    val sum = graft.operators.Diff.summary(
+        graft.operators.Diff.byDigest(old, now, "id", Seq("text")))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("diff digest is injective across null/empty and boundary shifts") {
+    // ("a", null) vs ("a", "") and ("ab","c") vs ("a","bc") must differ
+    val old = Seq((1L, Some("a"), None: Option[String]),
+      (2L, Some("ab"), Some("c"))).toDF("id", "x", "y")
+    val now = Seq((1L, Some("a"), Some("")),
+      (2L, Some("a"), Some("bc"))).toDF("id", "x", "y")
+    val out = graft.operators.Diff.byDigest(old, now, "id", Seq("x", "y"))
+      .select("id", "status").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "changed"), (2L, "changed")))
+  }
+
   // ---- CorpusStats.quantileProfile ------------------------------------
+
+  test("quantile sketch: approx values within rank-error bounds of exact") {
+    // 10k skewed values in one group, a small second group
+    val df = ((1 to 10000).map(i => ("big", (i.toLong * i) % 7919)) ++
+      (1 to 50).map(i => ("small", i.toLong))).toDF("g", "v")
+    val out = CorpusStats.quantileSketch(df, "g", "v",
+        percentiles = Seq(0.5, 0.9), accuracy = 10000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (n, dist, p50, p90) = out("big")
+    assert(n == 10000)
+    // HLL++ at rsd 0.05: true distinct of i² mod 7919 is ~3960
+    val exactDistinct = (1 to 10000).map(i => (i.toLong * i) % 7919).distinct.size
+    assert(math.abs(dist - exactDistinct).toDouble / exactDistinct < 0.15)
+    // rank error ≤ n/accuracy = 1 row at this accuracy → compare vs exact ranks
+    val sortedV = (1 to 10000).map(i => (i.toLong * i) % 7919).sorted
+    assert(math.abs(sortedV.indexWhere(_ >= p50) - 5000) <= 20)
+    assert(math.abs(sortedV.indexWhere(_ >= p90) - 9000) <= 20)
+    val (n2, _, sp50, _) = out("small")
+    assert(n2 == 50 && sp50 >= 20 && sp50 <= 30)
+  }
 
   test("quantile profile: exact interpolated quartiles per group") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // n=4
