@@ -1198,6 +1198,36 @@ object LlmGates {
        |WHERE ex.digest IS NULL
        |ORDER BY dd.doc_id""".stripMargin
 
+  /** The Bloom tier of the same daily path (different split — corpus =
+    * doc_id % 4 = 0 — so the two gates cannot share cached results):
+    * corpus digests → serialized Bloom → bloom-miss rows pass narrow,
+    * bloom-hit rows anti-join. The oracle is the PLAIN incremental form:
+    * the bloom only routes, so the result must be identical — which is
+    * exactly the property worth gating cross-engine.
+    */
+  def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val corpus = Dedup.digests(d.filter(col("doc_id") % 4 === 0), "text")
+    val bloom = graft.operators.Bloom.build(
+      corpus, col("digest"), expectedItems = 4096, fpp = 0.01)
+    Dedup.exactDedupIncrementalBloom(
+        d.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", corpus, bloom)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalBloomSql: String =
+    s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+       |${exactDedupCte("inc")},
+       |ex AS (
+       |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+       |  FROM documents WHERE doc_id % 4 = 0)
+       |SELECT dd.doc_id, dd.lang, dd.source, dd.n_chars
+       |FROM ddocs dd
+       |LEFT JOIN ex ON ex.digest = md5(regexp_replace(trim(lower(dd.text)), '\\s+', ' ', 'g'))
+       |WHERE ex.digest IS NULL
+       |ORDER BY dd.doc_id""".stripMargin
+
   // ---- corpus composition ---------------------------------------------
 
   /** Per-language corpus rollup through [[graft.llm.CorpusStats]]; the
@@ -1341,6 +1371,7 @@ object LlmGates {
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
     "mix_rates"           -> (mixRates _),
@@ -1375,6 +1406,7 @@ object LlmGates {
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,
     "dedup_incremental"   -> dedupIncrementalSql,
+    "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
     "mix_rates"           -> mixRatesSql,

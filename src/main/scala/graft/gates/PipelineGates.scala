@@ -385,6 +385,39 @@ object PipelineGates {
       |  max(n_chars) AS max_v
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- corpus overlap sketch -------------------------------------------
+
+  /** [[graft.llm.CorpusStats.overlapSketch]] between two overlapping
+    * slices of the corpus (doc_id % 3 ≠ 0 vs doc_id % 2 ≠ 0 — odd
+    * non-multiples-of-3 land in both). k = 256 on a ~500-doc fixture, so
+    * the sketch is a large sample and the estimate is tight; the oracle
+    * restates the whole KMV pipeline: per-side bottom-k digests, union
+    * bottom-k, both-sides membership fraction.
+    */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    graft.llm.CorpusStats.overlapSketch(
+      d.filter(col("doc_id") % 3 =!= 0),
+      d.filter(col("doc_id") % 2 =!= 0), "text", k = 256)
+  }
+
+  val corpusOverlapSql: String =
+    """WITH sa AS (
+      |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest
+      |  FROM documents WHERE doc_id % 3 <> 0 ORDER BY digest LIMIT 256),
+      |sb AS (
+      |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest
+      |  FROM documents WHERE doc_id % 2 <> 0 ORDER BY digest LIMIT 256),
+      |su AS (
+      |  SELECT digest FROM (SELECT digest FROM sa UNION SELECT digest FROM sb)
+      |  ORDER BY digest LIMIT 256)
+      |SELECT CAST(count(*) AS BIGINT) AS k_used,
+      |  CAST(sum(CASE WHEN a.digest IS NOT NULL AND b.digest IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(sum(CASE WHEN a.digest IS NOT NULL AND b.digest IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS est_jaccard
+      |FROM su LEFT JOIN sa a USING (digest) LEFT JOIN sb b USING (digest)""".stripMargin
+
   // ---- snapshot diff ---------------------------------------------------
 
   /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
@@ -447,7 +480,8 @@ object PipelineGates {
     "lm_score"           -> (lmScore _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
-    "corpus_diff"        -> (corpusDiff _))
+    "corpus_diff"        -> (corpusDiff _),
+    "corpus_overlap"     -> (corpusOverlap _))
 
   val oracleSql: Map[String, String] = Map(
     "pii_redact"         -> piiRedactSql,
@@ -462,5 +496,6 @@ object PipelineGates {
     "lm_score"           -> lmScoreSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
-    "corpus_diff"        -> corpusDiffSql)
+    "corpus_diff"        -> corpusDiffSql,
+    "corpus_overlap"     -> corpusOverlapSql)
 }

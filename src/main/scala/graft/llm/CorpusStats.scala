@@ -75,6 +75,44 @@ object CorpusStats {
     * 1/accuracy (default 1/10000); `rsd` is HLL++ relative standard
     * deviation.
     */
+  /** Bottom-k (KMV) sketch overlap between two corpora: estimated
+    * Jaccard similarity of their distinct normalized-text sets, from k
+    * rows per side instead of a full cross-corpus join.
+    *
+    * Classic k-minimum-values estimator: the k lexicographically
+    * smallest content digests of each corpus are an order-statistics
+    * sample of the digest space; the bottom-k of the UNION is computable
+    * from the two sketches alone (the union's k smallest are necessarily
+    * among each side's k smallest), and the fraction of them present in
+    * BOTH corpora estimates J(A,B) with RMSE ≈ 1/√k. md5 is uniform
+    * enough that lexicographic hex order is a uniform rank.
+    *
+    * Scale shape: each corpus is scanned ONCE (narrow digest projection
+    * → distinct → `TakeOrderedAndProject` k) — no cross-corpus shuffle
+    * at all; everything after is k-row frames the planner broadcasts.
+    * "How much does crawl B overlap corpus A" at 100 TB costs two
+    * corpus scans and O(k) memory. Deterministic and engine-portable:
+    * set membership + ONE IEEE division, no float accumulation.
+    *
+    * Output: one row `(k_used, n_common, est_jaccard)`; `k_used` =
+    * |bottom-k of the union| (< k only when the corpora are tiny).
+    */
+  def overlapSketch(a: DataFrame, b: DataFrame, textCol: String,
+                    k: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sa = Dedup.digests(a, textCol).orderBy("digest").limit(k)
+    val sb = Dedup.digests(b, textCol).orderBy("digest").limit(k)
+    val su = sa.unionByName(sb).distinct().orderBy("digest").limit(k)
+    su.join(sa.select(col("digest"), lit(1).as("__a")), Seq("digest"), "left")
+      .join(sb.select(col("digest"), lit(1).as("__b")), Seq("digest"), "left")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("k_used"), col("n_common"),
+        (col("n_common").cast("double") / col("k_used").cast("double"))
+          .as("est_jaccard"))
+  }
+
   def quantileSketch(docs: DataFrame, groupCol: String, valueCol: String,
                      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                      accuracy: Int = 10000, rsd: Double = 0.05): DataFrame = {

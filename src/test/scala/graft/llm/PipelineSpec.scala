@@ -178,7 +178,54 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(10L, 13L))
   }
 
+  test("bloom: no false negatives; absent keys overwhelmingly miss") {
+    val members = (1 to 2000).map(i => s"digest_$i").toDF("d")
+    val bloom = graft.operators.Bloom.build(members, col("d"), 2000, 0.01)
+    // every member must hit (bloom guarantee: zero false negatives)
+    assert(members.filter(!graft.operators.Bloom.mightContain(bloom, col("d")))
+      .count() == 0L)
+    // absent keys: false-positive rate near fpp, not near 1
+    val absent = (1 to 2000).map(i => s"other_$i").toDF("d")
+    val fp = absent.filter(graft.operators.Bloom.mightContain(bloom, col("d")))
+      .count()
+    assert(fp < 100, s"false-positive count $fp way above the 1% target")
+  }
+
+  test("bloom-tier incremental dedup ≡ plain incremental dedup") {
+    val existing = (1 to 300).map(i => (i.toLong, s"corpus doc $i"))
+      .toDF("id", "text")
+    val incoming = ((301 to 600).map(i => (i.toLong, s"fresh doc $i")) ++
+      (1 to 300 by 3).map(i => (1000L + i, s"Corpus  DOC $i")) ++ // known dups
+      (301 to 600 by 5).map(i => (2000L + i, s"fresh doc $i")))   // batch dups
+      .toDF("id", "text")
+    val digests = Dedup.digests(existing, "text")
+    val bloom = graft.operators.Bloom.build(digests, col("digest"), 300, 0.01)
+    val plain = Dedup.exactDedupIncremental(incoming, "id", "text", digests)
+      .select("id").as[Long].collect().sorted.toSeq
+    val tiered = Dedup.exactDedupIncrementalBloom(
+        incoming, "id", "text", digests, bloom)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(tiered == plain)
+    assert(plain.nonEmpty && !plain.exists(_ > 1000L))
+  }
+
   // ---- CorpusStats -----------------------------------------------------
+
+  test("overlapSketch: exact at small scale, sane on identical/disjoint sets") {
+    val a = (1 to 200).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    val b = (101 to 300).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    // k >= |union| → the sketch IS the full set → estimate is exact
+    val r = CorpusStats.overlapSketch(a, b, "text", k = 1000).head()
+    assert(r.getLong(0) == 300L && r.getLong(1) == 100L)
+    assert(math.abs(r.getDouble(2) - 100.0 / 300.0) < 1e-12)
+    // identical corpora → 1.0; disjoint → 0.0 (small k, still exact here)
+    assert(CorpusStats.overlapSketch(a, a, "text", k = 64).head().getDouble(2) == 1.0)
+    val c = (1000 to 1100).map(i => (i.toLong, s"other $i")).toDF("id", "text")
+    assert(CorpusStats.overlapSketch(a, c, "text", k = 64).head().getDouble(2) == 0.0)
+    // estimator property: k = 64 sample of a 50%-overlap pair lands near 1/3
+    val est = CorpusStats.overlapSketch(a, b, "text", k = 64).head().getDouble(2)
+    assert(est > 0.15 && est < 0.55, s"KMV estimate $est implausibly far from 1/3")
+  }
 
   test("topNgrams counts occurrences globally with deterministic ties") {
     val df = Seq(
