@@ -1,0 +1,104 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: the operational queries a pipeline team
+  * runs over the raw event log — volume anomaly detection for alerting,
+  * and funnel conversion for product analytics. Batch complements of the
+  * streaming jobs in [[graft.streaming.StreamingJobs]].
+  */
+object Events {
+
+  /** Per-(type, day) event counts with a trailing-window baseline and an
+    * anomaly status — "did any event type's daily volume jump or crater
+    * vs its own recent history".
+    *
+    * Semantics: for each event type and calendar day, `baseline` is the
+    * mean daily count over the previous `trailingDays` OBSERVED days
+    * (days with zero events contribute no row and therefore no baseline
+    * mass — documented, and the right bias for alerting: a silent day
+    * should not drag the baseline toward zero). Days with fewer than
+    * `minDays` observed predecessors report `warmup` and a null
+    * baseline; otherwise `high` when n > factor·baseline, `low` when
+    * n·factor < baseline, else `normal`.
+    *
+    * Scale shape: ONE shuffle — the (type, day) count with map-side
+    * partials reduces the raw log to |types|·|days| rows; the trailing
+    * window is partitioned by type over that tiny frame (parallel across
+    * types, never a global sort of events). Arithmetic is engine-stable:
+    * integer sums, one division, one multiply — no float accumulation.
+    */
+  def dailyAnomaly(events: DataFrame, tsCol: String = "ts",
+                   typeCol: String = "event_type", trailingDays: Int = 7,
+                   minDays: Int = 3, factor: Double = 2.0): DataFrame = {
+    require(trailingDays >= 1 && minDays >= 1 && minDays <= trailingDays,
+      s"need 1 <= minDays <= trailingDays, got $minDays/$trailingDays")
+    require(factor > 1.0, s"factor must exceed 1, got $factor")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-trailingDays, -1)
+    val trailingN = count(col("n")).over(win)
+    val baseline = (sum(col("n")).over(win).cast("double") /
+      trailingN.cast("double"))
+    daily.select(col("event_type"), col("day"), col("n"),
+        trailingN.as("trailing_days"),
+        when(trailingN >= minDays, baseline).as("baseline"))
+      .withColumn("status",
+        when(col("trailing_days") < minDays, "warmup")
+          .when(col("n").cast("double") > lit(factor) * col("baseline"), "high")
+          .when(col("n").cast("double") * lit(factor) < col("baseline"), "low")
+          .otherwise("normal"))
+  }
+
+  /** Ordered funnel conversion: of the users who performed `steps.head`,
+    * how many went on to perform each subsequent step STRICTLY AFTER the
+    * previous one, all within `withinHours` of their FIRST first-step
+    * event. Output: one row per step — `(step_idx, step, n_users,
+    * conversion)` with conversion relative to step 1.
+    *
+    * Shape: the classic iterative-semi-join funnel, not a per-user
+    * event-list collect — the event log is filtered to one step at a
+    * time and joined (on the user key) against the shrinking "reached
+    * step i" frame, keeping `min(ts)` per user each round. k−1 joins of
+    * an events subset against a ≤|users| frame; nothing ever holds a
+    * user's full history in memory, so a power user with 10⁹ events
+    * costs the same as anyone else. The final per-step counts are
+    * 1-row aggregates equi-joined (hash, on a constant key) against the
+    * step-1 count — no window, no cartesian.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             withinHours: Int): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    require(withinHours >= 1, s"withinHours must be positive, got $withinHours")
+    val base = events.select(col(userCol).as("__user"), col(tsCol).as("__ts"),
+      col(typeCol).as("__et"))
+    val deadline = expr(s"INTERVAL $withinHours HOURS")
+    val first = base.filter(col("__et") === steps.head)
+      .groupBy(col("__user")).agg(min(col("__ts")).as("__t1"))
+      .withColumn("__t", col("__t1"))
+    val frames = steps.tail.scanLeft(first) { (prev, step) =>
+      base.filter(col("__et") === step)
+        .join(prev.select(col("__user"), col("__t1"), col("__t")), Seq("__user"))
+        .filter(col("__ts") > col("__t") && col("__ts") <= col("__t1") + deadline)
+        .groupBy(col("__user"), col("__t1")).agg(min(col("__ts")).as("__t"))
+    }
+    val counts = frames.zip(steps).zipWithIndex.map { case ((f, step), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_users"), lit(1).as("__k"))
+    }.reduce(_ unionByName _)
+    val firstCount = frames.head.agg(count(lit(1)).as("__n1"))
+      .select(col("__n1"), lit(1).as("__k"))
+    counts.join(broadcast(firstCount), Seq("__k"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        (col("n_users").cast("double") / col("__n1").cast("double"))
+          .as("conversion"))
+      .orderBy("step_idx")
+  }
+}

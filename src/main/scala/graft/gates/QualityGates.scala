@@ -361,7 +361,101 @@ object QualityGates {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
 
+  /** [[graft.analytics.Events.dailyAnomaly]] with PLANTED anomalies (the
+    * synthetic log is uniform): 'click' volume cratered to ~20% on
+    * 2024-01-15 (keep event_id % 5 = 0 only) and 'error' volume tripled
+    * on 2024-01-20 (two extra copies unioned) — so low, high, normal and
+    * warmup statuses all appear. The oracle restates the planting and
+    * the trailing-window classification.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("event_type"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"))
+    val day = col("ts").cast("date")
+    val cratered = e.filter(!(col("event_type") === "click" &&
+      day === lit("2024-01-15").cast("date") && col("event_id") % 5 =!= 0))
+    val spike = e.filter(col("event_type") === "error" &&
+      day === lit("2024-01-20").cast("date"))
+    graft.analytics.Events.dailyAnomaly(
+        cratered.unionByName(spike).unionByName(spike))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |pe AS (
+      |  SELECT event_type, day FROM e
+      |  WHERE NOT (event_type = 'click' AND day = DATE '2024-01-15' AND event_id % 5 <> 0)
+      |  UNION ALL SELECT event_type, day FROM e
+      |  WHERE event_type = 'error' AND day = DATE '2024-01-20'
+      |  UNION ALL SELECT event_type, day FROM e
+      |  WHERE event_type = 'error' AND day = DATE '2024-01-20'),
+      |daily AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      |  FROM pe GROUP BY event_type, day),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    CAST(count(n) OVER win AS BIGINT) AS trailing_days,
+      |    CAST(sum(n) OVER win AS BIGINT) AS tsum
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, n, trailing_days,
+      |  CASE WHEN trailing_days >= 3
+      |    THEN CAST(tsum AS DOUBLE) / CAST(trailing_days AS DOUBLE) END AS baseline,
+      |  CASE WHEN trailing_days < 3 THEN 'warmup'
+      |    WHEN CAST(n AS DOUBLE) > 2.0 * (CAST(tsum AS DOUBLE) / CAST(trailing_days AS DOUBLE)) THEN 'high'
+      |    WHEN CAST(n AS DOUBLE) * 2.0 < (CAST(tsum AS DOUBLE) / CAST(trailing_days AS DOUBLE)) THEN 'low'
+      |    ELSE 'normal' END AS status
+      |FROM w ORDER BY event_type, day""".stripMargin
+
+  /** [[graft.analytics.Events.funnel]] view → click → purchase within
+    * 72 h of the user's first view; the oracle is the iterative
+    * min-after-previous-step chain in CTE form.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("user_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("event_type"))
+    graft.analytics.Events.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), withinHours = 72)
+  }
+
+  val funnelConversionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, s1.t1, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+      |  GROUP BY e.user_id, s1.t1),
+      |s3 AS (
+      |  SELECT e.user_id, s2.t1, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      |    AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+      |  GROUP BY e.user_id, s2.t1),
+      |c AS (
+      |  SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+      |SELECT step_idx, step, n_users,
+      |  CAST(n_users AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM s1) AS conversion
+      |FROM c ORDER BY step_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly"   -> (eventsAnomaly _),
+    "funnel_conversion" -> (funnelConversion _),
     "stream_window"    -> (streamWindow _),
     "stream_dedup"     -> (streamDedup _),
     "stream_enrich"    -> (streamEnrich _),
@@ -374,6 +468,8 @@ object QualityGates {
     "retention_delete" -> (retentionDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly"   -> eventsAnomalySql,
+    "funnel_conversion" -> funnelConversionSql,
     "stream_window"    -> streamWindowSql,
     "stream_dedup"     -> streamDedupSql,
     "stream_enrich"    -> streamEnrichSql,

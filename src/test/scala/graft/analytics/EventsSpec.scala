@@ -1,0 +1,78 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$min%02d:00")
+
+  test("dailyAnomaly: warmup, normal, high and low classification") {
+    // type 'a': 10/day for days 1..5, then 30 on day 6 (high) and 2 on
+    // day 7 (low — baseline now includes the spike)
+    val rows = (1 to 5).flatMap(d => (1 to 10).map(i => ("a", ts(d, i)))) ++
+      (1 to 30).map(i => ("a", ts(6, i % 24, i))) ++
+      (1 to 2).map(i => ("a", ts(7, i))) ++
+      (1 to 4).map(d => (1 to 10).map(i => ("b", ts(d, i)))).flatten
+    val df = rows.toDF("event_type", "ts")
+    val out = Events.dailyAnomaly(df, trailingDays = 7, minDays = 3, factor = 2.0)
+      .orderBy("event_type", "day")
+      .select("event_type", "n", "trailing_days", "status")
+      .as[(String, Long, Long, String)].collect().toSeq
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._4) == Seq("warmup", "warmup", "warmup", "normal",
+      "normal", "high", "low"))
+    // day 6: baseline = 10, n = 30 > 20 → high; day 7: baseline includes
+    // the 30-spike → (10*5+30)/6 = 13.33, n=2 → 4 < 13.33 → low
+    assert(a(5)._2 == 30L && a(6)._2 == 2L)
+    assert(out.filter(_._1 == "b").map(_._4) == Seq("warmup", "warmup",
+      "warmup", "normal"))
+  }
+
+  test("dailyAnomaly: baseline is exact mean of observed trailing days") {
+    val rows = Seq(("x", ts(1)), ("x", ts(1)), ("x", ts(2)),
+      ("x", ts(5)), ("x", ts(5)), ("x", ts(5)), ("x", ts(6)))
+    val out = Events.dailyAnomaly(rows.toDF("event_type", "ts"),
+        trailingDays = 7, minDays = 3)
+      .orderBy("day").select("n", "trailing_days", "baseline")
+      .collect()
+    // day 6 trails days {1,2,5} (observed only): (2+1+3)/3 = 2.0
+    assert(out.last.getLong(1) == 3L && out.last.getDouble(2) == 2.0)
+    assert(out.head.isNullAt(2)) // warmup → null baseline
+  }
+
+  test("funnel: strict ordering within the deadline, per-step conversion") {
+    val rows = Seq(
+      // u1 completes all three in order within 72h
+      (1L, ts(1, 0), "view"), (1L, ts(1, 5), "click"), (1L, ts(2, 0), "purchase"),
+      // u2 clicks BEFORE viewing (out of order) and never again
+      (2L, ts(1, 0), "click"), (2L, ts(1, 5), "view"),
+      // u3 views then clicks, purchase lands after the 72h deadline
+      (3L, ts(1, 0), "view"), (3L, ts(1, 1), "click"), (3L, ts(10, 0), "purchase"),
+      // u4 views only
+      (4L, ts(1, 0), "view"),
+      // u5 purchases without viewing — not in the funnel at all
+      (5L, ts(1, 0), "purchase"))
+    val out = Events.funnel(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinHours = 72)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "view", 4L, 1.0),          // u1 u2 u3 u4
+      (2, "click", 2L, 0.5),         // u1, u3 (u2 clicked before viewing)
+      (3, "purchase", 1L, 0.25)))    // u1 only
+  }
+
+  test("funnel: same-timestamp step events do not count (strictly after)") {
+    val rows = Seq(
+      (1L, ts(1, 0), "view"), (1L, ts(1, 0), "click"),
+      (2L, ts(1, 0), "view"), (2L, ts(1, 1), "click"))
+    val out = Events.funnel(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click"), 72)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out == Seq((1, "view", 2L, 1.0), (2, "click", 1L, 0.5)))
+  }
+}
