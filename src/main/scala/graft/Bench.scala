@@ -80,6 +80,14 @@ object Bench {
         .withColumn("embedding", if (r == 0) col("embedding")
           else transform(col("embedding"), (x, i) =>
             when(pmod(xxhash64(col("vec_id"), i, lit(r)), lit(2)) === 0, x).otherwise(-x))))
+      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos (the
+      // gates cast it themselves). New user ids per replica keep
+      // per-user history size CONSTANT as the corpus grows — the right
+      // scaling for sessionize/funnel (more users, not deeper users).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      replicate("events", (d, r) => d
+        .withColumn("event_id", col("event_id") * scaleF + r)
+        .withColumn("user_id", col("user_id") * scaleF + r))
       replicate("lineitem", (d, r) =>
         d.withColumn("l_orderkey", col("l_orderkey") * scaleF + r))
       replicate("orders", (d, r) => d
@@ -168,7 +176,13 @@ object Bench {
         "ivf_train", "ann_ivf_trained", "dedup_semantic", "mix_rates",
         // round-6 curation additions: the token-shuffle LM scorer, the
         // range-sort budget cut, and the window-over-clusters survivor
-        "lm_score", "select_budget", "dedup_keep_best")
+        "lm_score", "select_budget", "dedup_keep_best",
+        // round-6 ops tail: digest diff (full-outer id join), Bloom-tier
+        // incremental dedup (narrow route + residual anti-join), KMV
+        // overlap (two TakeOrdered scans), and the event-log analytics
+        // (partial-agg + tiny window; iterative semi-join funnel)
+        "corpus_diff", "dedup_incremental_bloom", "corpus_overlap",
+        "events_anomaly", "funnel_conversion")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
