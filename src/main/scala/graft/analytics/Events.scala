@@ -54,6 +54,52 @@ object Events {
           .otherwise("normal"))
   }
 
+  /** Cohort retention matrix: users grouped by the calendar day of
+    * their FIRST event (their cohort), then counted per
+    * (cohort_day, offset bucket) where the bucket is
+    * `floor(days_since_first / bucketDays)` — the classic
+    * "day-0 / week-1 / week-2 retention" table, generalized.
+    *
+    * Output: `(cohort_day, bucket, n_active, cohort_size, retention)`
+    * with retention = n_active / cohort_size (bucket 0 is 1.0 by
+    * construction — the first event itself). Buckets ≥ `maxBuckets`
+    * are dropped.
+    *
+    * Scale shape: three user-keyed hash operations — min-day per user,
+    * distinct (user, day) activity, and a user-keyed join between them
+    * (co-partitioned, AQE folds the exchanges) — then a final count
+    * aggregation over |cohorts|·|buckets| groups. The distinct
+    * pre-collapse means the count is over (user, cohort, bucket) rows,
+    * never raw events; nothing holds per-user history. Retention is
+    * integer counts + ONE IEEE division — engine-stable.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      bucketDays: Int = 7, maxBuckets: Int = 5): DataFrame = {
+    require(bucketDays >= 1 && maxBuckets >= 1,
+      s"need bucketDays >= 1 and maxBuckets >= 1, got $bucketDays/$maxBuckets")
+    val act = events
+      .select(col(userCol).as("__user"), col(tsCol).cast("date").as("__day"))
+      .distinct()
+    val cohorts = act.groupBy(col("__user"))
+      .agg(min(col("__day")).as("cohort_day"))
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(cohorts, Seq("__user"))
+      .select(col("cohort_day"),
+        floor(datediff(col("__day"), col("cohort_day")) / bucketDays)
+          .cast("int").as("bucket"),
+        col("__user"))
+      .filter(col("bucket") < maxBuckets)
+      .distinct()
+      .groupBy(col("cohort_day"), col("bucket"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("bucket"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
   /** Ordered funnel conversion: of the users who performed `steps.head`,
     * how many went on to perform each subsequent step STRICTLY AFTER the
     * previous one, all within `withinHours` of their FIRST first-step

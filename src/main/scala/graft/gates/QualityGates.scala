@@ -453,8 +453,46 @@ object QualityGates {
       |  CAST(n_users AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM s1) AS conversion
       |FROM c ORDER BY step_idx""".stripMargin
 
+  /** [[graft.analytics.Events.cohortRetention]] at weekly buckets over
+    * the 30-day event log; the oracle restates the
+    * distinct-activity → min-day cohort → bucket → count chain.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("user_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"))
+    graft.analytics.Events.cohortRetention(e, "user_id", "ts",
+        bucketDays = 7, maxBuckets = 5)
+      .orderBy("cohort_day", "bucket")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |coh AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u),
+      |sizes AS (
+      |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM coh GROUP BY cohort_day),
+      |buck AS (
+      |  SELECT DISTINCT c.cohort_day,
+      |    CAST(floor(date_diff('day', c.cohort_day, a.day) / 7) AS INT) AS bucket,
+      |    a.u
+      |  FROM act a JOIN coh c USING (u)
+      |  WHERE floor(date_diff('day', c.cohort_day, a.day) / 7) < 5),
+      |n AS (
+      |  SELECT cohort_day, bucket, CAST(count(*) AS BIGINT) AS n_active
+      |  FROM buck GROUP BY cohort_day, bucket)
+      |SELECT n.cohort_day, n.bucket, n.n_active, s.cohort_size,
+      |  CAST(n.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM n JOIN sizes s USING (cohort_day)
+      |ORDER BY cohort_day, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly"   -> (eventsAnomaly _),
+    "cohort_retention" -> (cohortRetention _),
     "funnel_conversion" -> (funnelConversion _),
     "stream_window"    -> (streamWindow _),
     "stream_dedup"     -> (streamDedup _),
@@ -469,6 +507,7 @@ object QualityGates {
 
   val oracleSql: Map[String, String] = Map(
     "events_anomaly"   -> eventsAnomalySql,
+    "cohort_retention" -> cohortRetentionSql,
     "funnel_conversion" -> funnelConversionSql,
     "stream_window"    -> streamWindowSql,
     "stream_dedup"     -> streamDedupSql,

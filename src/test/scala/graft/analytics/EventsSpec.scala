@@ -44,6 +44,39 @@ class EventsSpec extends SparkSpec {
     assert(out.head.isNullAt(2)) // warmup → null baseline
   }
 
+  test("cohortRetention: buckets from first-event day, exact rates") {
+    val rows = Seq(
+      // cohort 2024-01-01: u1 active days 1,2,9 (buckets 0,0,1); u2 day 1 only
+      (1L, ts(1)), (1L, ts(2, 5)), (1L, ts(9)),
+      (2L, ts(1, 3)),
+      // cohort 2024-01-03: u3 active days 3 and 17 (buckets 0, 2)
+      (3L, ts(3)), (3L, ts(17)),
+      // u4: first event far out — bucket 0 only
+      (4L, ts(20)))
+    val out = Events.cohortRetention(rows.toDF("user_id", "ts"), "user_id", "ts",
+        bucketDays = 7, maxBuckets = 5)
+      .orderBy("cohort_day", "bucket")
+      .select("cohort_day", "bucket", "n_active", "cohort_size", "retention")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-03", 0, 1L, 1L, 1.0),
+      ("2024-01-03", 2, 1L, 1L, 1.0),
+      ("2024-01-20", 0, 1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention: multiple same-day events count a user once") {
+    val rows = Seq((1L, ts(1, 1)), (1L, ts(1, 2)), (1L, ts(1, 3)),
+      (1L, ts(8, 1)), (1L, ts(8, 2)))
+    val out = Events.cohortRetention(rows.toDF("user_id", "ts"),
+        "user_id", "ts", bucketDays = 7, maxBuckets = 5)
+      .orderBy("bucket").select("bucket", "n_active")
+      .as[(Int, Long)].collect().toSeq
+    assert(out == Seq((0, 1L), (1, 1L)))
+  }
+
   test("funnel: strict ordering within the deadline, per-step conversion") {
     val rows = Seq(
       // u1 completes all three in order within 72h
