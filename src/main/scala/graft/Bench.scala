@@ -182,7 +182,9 @@ object Bench {
         // overlap (two TakeOrdered scans), and the event-log analytics
         // (partial-agg + tiny window; iterative semi-join funnel)
         "corpus_diff", "dedup_incremental_bloom", "corpus_overlap",
-        "events_anomaly", "funnel_conversion", "cohort_retention")
+        "events_anomaly", "funnel_conversion", "cohort_retention",
+        // as-of join: one shuffle per side + key-partitioned window
+        "asof_join")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -490,9 +490,48 @@ object QualityGates {
       |FROM n JOIN sizes s USING (cohort_day)
       |ORDER BY cohort_day, bucket""".stripMargin
 
+  /** [[graft.operators.AsOf.join]]: each click event looks up the same
+    * user's most recent purchase at-or-before it — the point-in-time
+    * quote pattern, both sides large. Purchases at identical instants
+    * are collapsed to max(value) first, so the operator's uniqueness
+    * contract (one right row per (user_id, ts)) holds by construction on
+    * any regeneration of the data, and the same collapse appears in the
+    * oracle. The oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("event_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val quotes = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("quote_value"))
+    graft.operators.AsOf.join(clicks, quotes, Seq("user_id"), "ts", "ts",
+        Seq("quote_value"), matchedTsCol = "quote_ts")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events),
+      |c AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'),
+      |q AS (
+      |  SELECT user_id, ts AS quote_ts, max(value) AS quote_value
+      |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id, c.ts, c.value, q.quote_ts, q.quote_value
+      |FROM c ASOF LEFT JOIN q
+      |  ON c.user_id = q.user_id AND c.ts >= q.quote_ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
+    "asof_join"        -> (asofJoin _),
     "funnel_conversion" -> (funnelConversion _),
     "stream_window"    -> (streamWindow _),
     "stream_dedup"     -> (streamDedup _),
@@ -508,6 +547,7 @@ object QualityGates {
   val oracleSql: Map[String, String] = Map(
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,
+    "asof_join"        -> asofJoinSql,
     "funnel_conversion" -> funnelConversionSql,
     "stream_window"    -> streamWindowSql,
     "stream_dedup"     -> streamDedupSql,
