@@ -184,7 +184,9 @@ object Bench {
         "corpus_diff", "dedup_incremental_bloom", "corpus_overlap",
         "events_anomaly", "funnel_conversion", "cohort_retention",
         // as-of join: one shuffle per side + key-partitioned window
-        "asof_join")
+        "asof_join",
+        // BM25: one stats agg + a narrow scoring scan + TakeOrdered
+        "bm25_topk")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -294,6 +294,53 @@ object PipelineGates {
        |SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df, score
        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---- BM25 top-k retrieval -------------------------------------------
+
+  private val Bm25Terms = Seq("join", "window", "shuffle") // "shuffle" is
+  // absent from the corpus vocabulary — exercises the df = 0 path
+
+  /** [[graft.llm.Search.bm25TopK]] over documents; the oracle restates
+    * the rational-idf BM25 arithmetic with the same parenthesization so
+    * the double scores match bitwise (all inputs reach the expression as
+    * integer counts — see Search's header).
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Search.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, k = 25)
+
+  val bm25TopKSql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        s"ELSE len(list_filter($NormWs, x -> x = '$t')) END AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    // per-term contribution, parenthesized exactly as the Spark tree:
+    // (idf) * ((tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl))))
+    val contribs = Bm25Terms.indices.map { i =>
+      s"(CAST(s.n AS DOUBLE) - CAST(s.df$i AS DOUBLE) + 0.5) / (CAST(s.df$i AS DOUBLE) + 0.5)" +
+        s" * ((CAST(t.tf$i AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf$i AS DOUBLE)" +
+        s" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(t.dl AS DOUBLE) / (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))"
+    }.mkString("\n    + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len($NormWs) END AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+       |    $dfCols
+       |  FROM tok),
+       |sc AS (
+       |  SELECT t.doc_id, CAST(t.dl AS BIGINT) AS dl,
+       |    $contribs AS score
+       |  FROM tok t CROSS JOIN st s)
+       |SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   // ---- unigram LM scoring (perplexity-proxy quality bands) ------------
 
   /** [[graft.llm.LmScore]] self-trained over the corpus; band thresholds
@@ -477,6 +524,7 @@ object PipelineGates {
     "boilerplate_lines"  -> (boilerplateLines _),
     "embed_quantize"     -> (embedQuantize _),
     "tfidf_topk"         -> (tfidfTopK _),
+    "bm25_topk"          -> (bm25TopK _),
     "lm_score"           -> (lmScore _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
@@ -493,6 +541,7 @@ object PipelineGates {
     "boilerplate_lines"  -> boilerplateLinesSql,
     "embed_quantize"     -> embedQuantizeSql,
     "tfidf_topk"         -> tfidfTopKSql,
+    "bm25_topk"          -> bm25TopKSql,
     "lm_score"           -> lmScoreSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
