@@ -186,7 +186,10 @@ object Bench {
         // as-of join: one shuffle per side + key-partitioned window
         "asof_join",
         // BM25: one stats agg + a narrow scoring scan + TakeOrdered
-        "bm25_topk")
+        "bm25_topk",
+        // trailing-window analytics: user-keyed RANGE window; DAU/WAU
+        // interval sweep (two passes over the activity set, tiny tail)
+        "rolling_activity", "active_users")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -116,6 +116,99 @@ object Events {
     * 1-row aggregates equi-joined (hash, on a constant key) against the
     * step-1 count — no window, no cartesian.
     */
+  /** Per-user trailing-window activity: for each user's active day, the
+    * event count that day plus the count of events and of active days
+    * over the trailing `windowDays` calendar days (RANGE frame on the
+    * epoch-day number, so calendar gaps are respected — a ROWS frame
+    * would silently span them).
+    *
+    * Scale shape: ONE shuffle — the (user, day) count with map-side
+    * partials collapses the raw log to active-user-days — then a window
+    * PARTITIONED BY user over each user's own day rows. Integer sums
+    * only; engine-stable at any partitioning.
+    */
+  def rollingActivity(events: DataFrame, userCol: String, tsCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val daily = events
+      .select(col(userCol).as("user_id"), col(tsCol).cast("date").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__di", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val win = Window.partitionBy(col("user_id")).orderBy(col("__di"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily.select(col("user_id"), col("day"), col("n_events"),
+      sum(col("n_events")).over(win).as("window_events"),
+      count(lit(1)).over(win).as("window_days"))
+  }
+
+  /** Daily and trailing-window active users (DAU / WAU-style) for every
+    * calendar day between the first and last observed activity:
+    * `(day, dau, wau)` where `dau` is the count of users active that day
+    * and `wau` the count of DISTINCT users active in the trailing
+    * `windowDays` days.
+    *
+    * The naive form re-scans the activity set once per day (a range join
+    * + COUNT DISTINCT — what the oracle does); this is the sweep form:
+    * each user's activity days become non-overlapping coverage intervals
+    * `[start, day + W)` via a lag window (a user covered by the previous
+    * interval starts contributing where it ended), intervals become
+    * ±1 deltas, and one running sum over the per-day delta frame yields
+    * the distinct-user count for every day — the activity set is
+    * touched exactly twice, never per-day.
+    *
+    * Scale shape: the distinct and the lag window are user-keyed (one
+    * hash shuffle each); a single narrow explode then emits each row's
+    * coverage deltas AND its DAU tick together, so the activity set is
+    * read ONCE — the per-day aggregation collapses it to a
+    * CALENDAR-BOUNDED frame (one row per touched day — thousands of
+    * rows no matter how many events), which is `localCheckpoint`ed so
+    * the spine/cumsum tail never re-runs the big upstream (the same
+    * cut-the-lineage pattern as `Selection.byTokenBudget`; calling this
+    * operator therefore eagerly runs the upstream job). The frame's
+    * running-sum window is unpartitioned BY DESIGN — its input is
+    * day-count-bounded — and is allowlisted in the plan guard. All
+    * counts are integers — engine-stable.
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val epoch = lit("1970-01-01").cast("date")
+    val ud = events
+      .select(col(userCol).as("__user"),
+        datediff(col(tsCol).cast("date"), epoch).as("__di"))
+      .distinct()
+    val byUser = Window.partitionBy(col("__user")).orderBy(col("__di"))
+    val prev = lag(col("__di"), 1).over(byUser)
+    // marginal new coverage [start, day + W): a day already covered by
+    // the previous activity day's interval starts contributing where
+    // that interval ends, so per-user intervals never overlap
+    val withStart = ud.select(col("__di"),
+      when(prev.isNull, col("__di"))
+        .otherwise(greatest(col("__di"), prev + windowDays)).as("__start"))
+    val marks = withStart.select(explode(array(
+        struct(col("__start").as("__di"), lit(1L).as("__d"), lit(0L).as("__a")),
+        struct((col("__di") + windowDays).as("__di"), lit(-1L).as("__d"),
+          lit(0L).as("__a")),
+        struct(col("__di").as("__di"), lit(0L).as("__d"), lit(1L).as("__a"))))
+        .as("__m"))
+      .select(col("__m.__di").as("__di"), col("__m.__d").as("__d"),
+        col("__m.__a").as("__a"))
+    val perDay = marks.groupBy(col("__di"))
+      .agg(sum(col("__d")).as("__d"), sum(col("__a")).as("dau"))
+      .localCheckpoint() // calendar-bounded: one row per touched day
+    val bounds = perDay.filter(col("dau") > 0)
+      .agg(min(col("__di")).as("__lo"), max(col("__di")).as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__di"))
+    val cum = spine.join(perDay, Seq("__di"), "left")
+      .withColumn("wau",
+        sum(coalesce(col("__d"), lit(0L))).over(Window.orderBy(col("__di"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.select(date_add(epoch, col("__di")).as("day"),
+      coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              withinHours: Int): DataFrame = {

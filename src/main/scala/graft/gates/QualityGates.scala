@@ -528,10 +528,78 @@ object QualityGates {
       |  ON c.user_id = q.user_id AND c.ts >= q.quote_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** [[graft.analytics.Events.rollingActivity]] at a 7-day trailing
+    * RANGE frame; the oracle's window frames on the same epoch-day
+    * integer, so calendar gaps behave identically.
+    */
+  def rollingActivity(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("user_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"))
+    graft.analytics.Events.rollingActivity(e, "user_id", "ts", windowDays = 7)
+      .orderBy("user_id", "day")
+  }
+
+  val rollingActivitySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY user_id, day),
+      |d2 AS (
+      |  SELECT user_id, day, n_events,
+      |    date_diff('day', DATE '1970-01-01', day) AS di
+      |  FROM daily)
+      |SELECT user_id, day, n_events,
+      |  CAST(sum(n_events) OVER win AS BIGINT) AS window_events,
+      |  CAST(count(*) OVER win AS BIGINT) AS window_days
+      |FROM d2
+      |WINDOW win AS (PARTITION BY user_id ORDER BY di
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
+  /** [[graft.analytics.Events.activeUsers]]: DAU/WAU for every day of
+    * the observed span. The operator is the interval-sweep form (the
+    * activity set is scanned twice); the oracle is the naive definition
+    * itself — a day-spine range join with COUNT(DISTINCT) — so the gate
+    * proves the sweep computes exactly the trailing-window semantics.
+    */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("user_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"))
+    graft.analytics.Events.activeUsers(e, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |wau AS (
+      |  SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      |  FROM spine s LEFT JOIN ud u
+      |    ON u.day <= s.day AND u.day >= s.day - 6
+      |  GROUP BY s.day)
+      |SELECT s.day, COALESCE(d.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau
+      |FROM spine s
+      |LEFT JOIN dau d USING (day) LEFT JOIN wau w USING (day)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
     "asof_join"        -> (asofJoin _),
+    "rolling_activity" -> (rollingActivity _),
+    "active_users"     -> (activeUsers _),
     "funnel_conversion" -> (funnelConversion _),
     "stream_window"    -> (streamWindow _),
     "stream_dedup"     -> (streamDedup _),
@@ -548,6 +616,8 @@ object QualityGates {
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join"        -> asofJoinSql,
+    "rolling_activity" -> rollingActivitySql,
+    "active_users"     -> activeUsersSql,
     "funnel_conversion" -> funnelConversionSql,
     "stream_window"    -> streamWindowSql,
     "stream_dedup"     -> streamDedupSql,

@@ -108,4 +108,63 @@ class EventsSpec extends SparkSpec {
       .as[(Int, String, Long, Double)].collect().toSeq
     assert(out == Seq((1, "view", 2L, 1.0), (2, "click", 1L, 0.5)))
   }
+
+  test("rollingActivity: RANGE frame respects calendar gaps") {
+    val rows = Seq(
+      (1L, ts(1, 1)), (1L, ts(1, 2)),          // day 1: 2 events
+      (1L, ts(3)),                              // day 3
+      (1L, ts(10)),                             // day 10 — outside day 3's 7-day window
+      (2L, ts(2)))
+    val out = Events.rollingActivity(rows.toDF("user_id", "ts"),
+        "user_id", "ts", windowDays = 7)
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 2L, 2L, 1L),
+      (1L, "2024-01-03", 1L, 3L, 2L),   // trailing window spans days 1 and 3
+      (1L, "2024-01-10", 1L, 1L, 1L),   // day 3 is 7 days back — out of range
+      (2L, "2024-01-02", 1L, 1L, 1L)))
+  }
+
+  test("activeUsers: sweep WAU matches the trailing-window definition") {
+    val rows = Seq(
+      (1L, ts(1)), (1L, ts(1, 5)), (1L, ts(3)), // u1 active days 1, 3
+      (2L, ts(2)),                              // u2 active day 2
+      (3L, ts(15)))                             // u3 far out — coverage gap
+    val out = Events.activeUsers(rows.toDF("user_id", "ts"),
+        "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString.takeRight(2).toInt,
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size == 15) // full spine, days 1..15, zero-activity days kept
+    val byDay = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDay(1) == ((1L, 1L)))
+    assert(byDay(2) == ((1L, 2L)))   // u1 (day 1) still in window + u2
+    assert(byDay(3) == ((1L, 2L)))
+    assert(byDay(8) == ((0L, 2L)))   // u1 day-3 and u2 day-2 activity linger
+    assert(byDay(9) == ((0L, 1L)))   // u2's day 2 is now 7 days back
+    assert(byDay(10) == ((0L, 0L)))  // nobody active in [4, 10]
+    assert(byDay(14) == ((0L, 0L)))
+    assert(byDay(15) == ((1L, 1L)))
+  }
+
+  test("activeUsers: sweep ≡ brute-force distinct count per day") {
+    // pseudo-random-ish activity across 3 weeks, then compare against a
+    // literal "count distinct users in [d-6, d]" evaluation
+    val rows = for (u <- 1L to 9L; d <- 1 to 21
+                    if (u * 31 + d * 17) % 5 == 0) yield (u, ts(d))
+    val df = rows.toDF("user_id", "ts")
+    val out = Events.activeUsers(df, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSeq
+    val act = rows.map { case (u, t) => (u, t.toLocalDateTime.toLocalDate) }.distinct
+    for ((day, dau, wau) <- out) {
+      val d = day.toLocalDate
+      assert(dau == act.count(_._2 == d).toLong)
+      val expect = act.filter { case (_, a) =>
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6)) }.map(_._1).distinct.size
+      assert(wau == expect.toLong, s"day $d")
+    }
+  }
 }
