@@ -47,6 +47,14 @@ object Functions {
       exprs => RollingHashMin(exprs.head,
         exprs.lift(1).map(windowArg).getOrElse(16)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_nfc",
+      exprs => UnicodeNormalize(exprs.head, strip = false),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents",
+      exprs => UnicodeNormalize(exprs.head, strip = true),
+      "scala_udf")
 
     // scalar cleaners for SQL parity (clean_title stays a native chain
     // when used via the Column API; the SQL surface wraps it as a UDF)

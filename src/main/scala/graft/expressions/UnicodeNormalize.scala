@@ -1,0 +1,95 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text normalization as a native codegen'd Catalyst expression:
+  * NFC composition (`strip = false`) or accent stripping (`strip = true`
+  * — NFD-decompose, drop combining marks, NFC-recompose), the standard
+  * canonicalization step before tokenizing / hashing / deduplicating a
+  * multilingual corpus (the same document crawled twice can arrive in
+  * composed and decomposed forms and would otherwise hash differently).
+  *
+  * A pure-ASCII input (the common case in an English-heavy corpus) is
+  * returned untouched after a byte scan — no decode, no `Normalizer`
+  * call, no allocation — so the expression costs one branchy pass where
+  * it can and the full ICU-free `java.text.Normalizer` path only where
+  * non-ASCII bytes actually appear. Both the interpreted and generated
+  * paths call the same static kernel, asserted equal in
+  * UnicodeNormalizeSpec.
+  *
+  * Accent stripping drops NON_SPACING_MARK characters after canonical
+  * decomposition — 'á'→'a', 'ç'→'c', 'ñ'→'n'. Characters whose accent is
+  * not a combining mark under NFD (e.g. 'ø', 'đ') are left as-is; that
+  * is the Unicode-faithful behavior and callers wanting locale-style
+  * transliteration need a mapping table, not normalization.
+  */
+case class UnicodeNormalize(child: Expression, strip: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string child, got ${child.dataType}")
+
+  override def prettyName: String =
+    if (strip) "strip_accents" else "unicode_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], strip)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.UnicodeNormalize.normalize($c, $strip);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+
+  /** Shared kernel for the interpreted and generated paths. */
+  def normalize(u: UTF8String, strip: Boolean): UTF8String = {
+    // ASCII fast path: ASCII is NFC-normalized and accent-free already
+    var i = 0
+    val n = u.numBytes()
+    var ascii = true
+    while (ascii && i < n) { if (u.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return u
+    val s = u.toString
+    val out =
+      if (strip) {
+        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(nfd.length)
+        var j = 0
+        while (j < nfd.length) {
+          val ch = nfd.charAt(j)
+          if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+          j += 1
+        }
+        java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC)
+      } else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    UTF8String.fromString(out)
+  }
+
+  /** NFC-compose (via the spark-package shim — Spark 4's converters are
+    * private[sql]).
+    */
+  def unicode_nfc(c: Column): Column = {
+    val shim = org.apache.spark.sql.GraftColumnShim
+    shim.column(UnicodeNormalize(shim.expression(c), strip = false))
+  }
+
+  /** NFD-decompose, drop combining marks, NFC-recompose. */
+  def strip_accents(c: Column): Column = {
+    val shim = org.apache.spark.sql.GraftColumnShim
+    shim.column(UnicodeNormalize(shim.expression(c), strip = true))
+  }
+}

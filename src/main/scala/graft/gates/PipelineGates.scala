@@ -341,6 +341,41 @@ object PipelineGates {
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
   }
 
+  // ---- Unicode normalization (custom codegen'd expression) ------------
+
+  /** [[graft.expressions.UnicodeNormalize]] against DuckDB's native
+    * `strip_accents`/`nfc_normalize`. The fixture corpus is ASCII, so the
+    * gate PLANTS accents deterministically: text is reduced to a
+    * controlled [a-z space] alphabet, then vowels/c are translated to
+    * precomposed accented forms; a decomposed "Café|" prefix
+    * exercises NFC composition. The alphabet is restricted on purpose —
+    * for characters whose accent is not an NFD combining mark (ø, đ)
+    * DuckDB's lookup-table `strip_accents` and Unicode-faithful
+    * mark-stripping legitimately differ, and the operator's scaladoc
+    * owns that boundary.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val src = translate(
+      lower(regexp_replace(substring(col("text"), 1, 40), "[^a-zA-Z ]", "")),
+      "aeiouc", "áèîõüç")
+    Tables(s, dir, "documents").select(
+      col("doc_id"), src.as("src"),
+      graft.expressions.UnicodeNormalize.strip_accents(src).as("stripped"),
+      graft.expressions.UnicodeNormalize.unicode_nfc(
+        concat(lit("Café|"), src)).as("composed"))
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    translate(lower(regexp_replace(substr(text, 1, 40), '[^a-zA-Z ]', '', 'g')),
+      |      'aeiouc', 'áèîõüç') AS src
+      |  FROM documents)
+      |SELECT doc_id, src, strip_accents(src) AS stripped,
+      |  nfc_normalize('Cafe' || chr(769) || '|' || src) AS composed
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ---- unigram LM scoring (perplexity-proxy quality bands) ------------
 
   /** [[graft.llm.LmScore]] self-trained over the corpus; band thresholds
@@ -525,6 +560,7 @@ object PipelineGates {
     "embed_quantize"     -> (embedQuantize _),
     "tfidf_topk"         -> (tfidfTopK _),
     "bm25_topk"          -> (bm25TopK _),
+    "text_normalize"     -> (textNormalize _),
     "lm_score"           -> (lmScore _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
@@ -542,6 +578,7 @@ object PipelineGates {
     "embed_quantize"     -> embedQuantizeSql,
     "tfidf_topk"         -> tfidfTopKSql,
     "bm25_topk"          -> bm25TopKSql,
+    "text_normalize"     -> textNormalizeSql,
     "lm_score"           -> lmScoreSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
