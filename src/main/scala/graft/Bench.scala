@@ -185,8 +185,8 @@ object Bench {
         "events_anomaly", "funnel_conversion", "cohort_retention",
         // as-of join: one shuffle per side + key-partitioned window
         "asof_join",
-        // BM25: one stats agg + a narrow scoring scan + TakeOrdered
-        "bm25_topk",
+        // BM25 + RRF hybrid: stats agg + narrow scoring scans + TakeOrdered
+        "bm25_topk", "hybrid_search",
         // trailing-window analytics: user-keyed RANGE window; DAU/WAU
         // interval sweep (two passes over the activity set, tiny tail)
         "rolling_activity", "active_users")

@@ -32,10 +32,10 @@ object LlmGates {
   // ---- shared SQL fragments -------------------------------------------
 
   /** Sequential-fold dot product of two DOUBLE-cast list columns. */
-  private def dotSql(a: String, b: String): String =
+  private[gates] def dotSql(a: String, b: String): String =
     s"list_reduce([CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE) for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
 
-  private def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
+  private[gates] def normSql(e: String): String = s"sqrt(${dotSql(e, e)})"
 
   /** Round-6 cosine with the zero-norm → −∞ clamp [[Ann]]'s cosinePre
     * applies on the Spark side: an unclamped division would yield NaN,
@@ -44,7 +44,7 @@ object LlmGates {
     * −∞ ranks LAST everywhere, so both sides agree on ANY input — the
     * fixtures' nonzero norms are no longer load-bearing.
     */
-  private def cosSql(a: String, b: String, nprod: String): String =
+  private[gates] def cosSql(a: String, b: String, nprod: String): String =
     s"(CASE WHEN $nprod = 0 THEN CAST('-infinity' AS DOUBLE) " +
       s"ELSE round(${dotSql(a, b)} / ($nprod), 6) END)"
 

@@ -341,6 +341,82 @@ object PipelineGates {
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
   }
 
+  // ---- hybrid retrieval (RRF over BM25 + cosine arms) -----------------
+
+  /** Deterministic literal query embedding (exact-decimal components, so
+    * the text literal parses to the identical double in both engines). */
+  private val HybridQueryVec: Seq[Double] =
+    Seq.tabulate(64)(i => ((i * 37) % 19 - 9) / 10.0)
+
+  /** [[graft.llm.Search.hybridTopK]]: BM25 over `documents` fused with
+    * cosine over `embeddings` (vec_id ≡ doc_id in the testdata contract)
+    * by reciprocal-rank fusion. The oracle restates both arms — the
+    * shared BM25 CTE arithmetic and [[LlmGates]]' round-6 clamped cosine
+    * — ranks them identically, and fuses with the same
+    * lexical-then-vector addition order.
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Search.hybridTopK(
+      Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
+      "doc_id", "text", "vec_id", "embedding",
+      Bm25Terms, HybridQueryVec, k = 25, kEach = 50)
+
+  val hybridSearchSql: String = {
+    val qvLit = HybridQueryVec
+      .map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        s"ELSE len(list_filter($NormWs, x -> x = '$t')) END AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val contribs = Bm25Terms.indices.map { i =>
+      s"(CAST(s.n AS DOUBLE) - CAST(s.df$i AS DOUBLE) + 0.5) / (CAST(s.df$i AS DOUBLE) + 0.5)" +
+        s" * ((CAST(t.tf$i AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf$i AS DOUBLE)" +
+        s" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(t.dl AS DOUBLE) / (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))"
+    }.mkString("\n    + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len($NormWs) END AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+       |    $dfCols
+       |  FROM tok),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    $contribs AS score
+       |  FROM tok t CROSS JOIN st s),
+       |lex0 AS (
+       |  SELECT doc_id, score FROM sc WHERE score > 0.0
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |  FROM lex0),
+       |vq AS (SELECT $qvLit AS qv),
+       |vec0 AS (
+       |  SELECT e.vec_id,
+       |    ${LlmGates.cosSql("e.embedding", "qv",
+             s"${LlmGates.normSql("e.embedding")} * ${LlmGates.normSql("qv")}")} AS cosine
+       |  FROM embeddings e CROSS JOIN vq
+       |  ORDER BY cosine DESC, vec_id LIMIT 50),
+       |vec AS (
+       |  SELECT vec_id, CAST(row_number() OVER (
+       |    ORDER BY cosine DESC, vec_id) AS INT) AS vec_rank
+       |  FROM vec0),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id)
+       |SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   // ---- Unicode normalization (custom codegen'd expression) ------------
 
   /** [[graft.expressions.UnicodeNormalize]] against DuckDB's native
@@ -560,6 +636,7 @@ object PipelineGates {
     "embed_quantize"     -> (embedQuantize _),
     "tfidf_topk"         -> (tfidfTopK _),
     "bm25_topk"          -> (bm25TopK _),
+    "hybrid_search"      -> (hybridSearch _),
     "text_normalize"     -> (textNormalize _),
     "lm_score"           -> (lmScore _),
     "select_budget"      -> (selectBudget _),
@@ -578,6 +655,7 @@ object PipelineGates {
     "embed_quantize"     -> embedQuantizeSql,
     "tfidf_topk"         -> tfidfTopKSql,
     "bm25_topk"          -> bm25TopKSql,
+    "hybrid_search"      -> hybridSearchSql,
     "text_normalize"     -> textNormalizeSql,
     "lm_score"           -> lmScoreSql,
     "select_budget"      -> selectBudgetSql,

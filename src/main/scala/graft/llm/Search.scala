@@ -80,6 +80,62 @@ object Search {
       }.toMap)
   }
 
+  /** Reciprocal-rank-fusion hybrid retrieval: the standard way to combine
+    * a lexical ranking (BM25) with a vector ranking (cosine vs a literal
+    * query embedding) without calibrating their incomparable score
+    * scales — each arm contributes `1/(kRrf + rank)` and only the RANKS
+    * matter, which is also what makes the fusion engine-portable: the
+    * two divisions and one addition (fixed lexical-then-vector order)
+    * are exactly-rounded IEEE ops on small integers.
+    *
+    * Output: `(idCol, lex_rank, vec_rank, rrf)` — top `k` by fused
+    * score, ranks null where a document appears in only one arm (its
+    * missing arm contributes 0, the textbook convention).
+    *
+    * Scale shape: both arms end in `TakeOrderedAndProject` (the BM25
+    * scan is narrow per [[bm25TopK]]; the vector arm is one narrow
+    * cosine scan against literal query planes — no index needed at
+    * corpus scale because each arm touches every row exactly once and
+    * keeps `kEach`). Everything after the two top-k's operates on
+    * ≤ 2·kEach rows: the rank windows and the full-outer fuse join are
+    * bounded by construction, not by data volume.
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+                 idCol: String, textCol: String,
+                 vecIdCol: String, vecCol: String,
+                 query: Seq[String], queryVec: Seq[Double],
+                 k: Int = 10, kEach: Int = 50, kRrf: Int = 60,
+                 stats: Option[CorpusSearchStats] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(kEach >= k, s"kEach ($kEach) must be >= k ($k)")
+    require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    require(queryVec.nonEmpty, "queryVec must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, idCol, textCol, query, kEach, stats = stats)
+      .select(col(idCol).as("__id"), col("score"))
+      .select(col("__id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("__id").asc))
+        .as("lex_rank"))
+    val qv = typedLit(queryVec)
+    val qn = Ann.norm(qv)
+    val cn = Ann.norm(col(vecCol))
+    val cos = when(cn * qn === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(round(Ann.dot(col(vecCol), qv) / (cn * qn), 6))
+    val vec = embeddings
+      .select(col(vecIdCol).as("__id"), cos.as("__cos"))
+      .orderBy(col("__cos").desc, col("__id").asc).limit(kEach)
+      .select(col("__id"), row_number()
+        .over(Window.orderBy(col("__cos").desc, col("__id").asc))
+        .as("vec_rank"))
+    val arm = (r: Column) =>
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + r.cast("double")), lit(0.0))
+    lex.join(vec, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol), col("lex_rank"), col("vec_rank"),
+        (arm(col("lex_rank")) + arm(col("vec_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Top-k documents by BM25 against `query`. Output:
     * `(idCol, dl, score)`, highest score first, ties broken by id. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,

@@ -77,14 +77,16 @@ class PlanAuditSpec extends SparkSpec {
     // VERDICT r4 guard: `WindowExec` with an empty partitionSpec moves its
     // whole input through ONE task — fatal on anything bigger than a
     // dimension delta. Allowlist: sk_assign (the dim-delta Keys.assign
-    // case, thousands of rows by contract) and active_users (its running
+    // case, thousands of rows by contract), active_users (its running
     // sum windows over the per-DAY delta frame — one row per calendar
-    // day in the observed span, bounded regardless of event volume); the
-    // driver-loop gates are skipped for the same plan-construction
-    // reason as the cartesian test.
+    // day in the observed span, bounded regardless of event volume), and
+    // hybrid_search (rank windows over each arm's ALREADY-LIMITED top-k
+    // frame, <= kEach rows by construction); the driver-loop gates are
+    // skipped for the same plan-construction reason as the cartesian
+    // test.
     import org.apache.spark.sql.execution.window.WindowExec
-    val skip = Set("sk_assign", "active_users", "dedup_clusters",
-      "llm_clean_corpus")
+    val skip = Set("sk_assign", "active_users", "hybrid_search",
+      "dedup_clusters", "llm_clean_corpus")
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val bad = fn(spark, dir).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w

@@ -65,6 +65,31 @@ class SearchSpec extends SparkSpec {
       Seq("join", "window"))
   }
 
+  test("hybridTopK: RRF fuses ranks; single-arm docs get a null rank") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)),   // aligned with the query vector → vec rank 1
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)),   // orthogonal — worst nonneg cosine
+      (6L, Array(0.9f, 0.1f)))   // no text counterpart: vector-only arm
+    val out = Search.hybridTopK(corpus, embs.toDF("vec_id", "embedding"),
+        "doc_id", "text", "vec_id", "embedding",
+        terms, Seq(1.0, 0.0), k = 10, kEach = 10)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        r.getDouble(3))).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // lexical arm ranks (from the bm25 test): 2, 4, 1; vector arm ranks:
+    // 1 -> 1, 6 -> 2, 2 -> 3, 3 -> 4
+    assert(byId(1L) == ((1L, 3, 1, 1.0 / 63 + 1.0 / 61)))
+    assert(byId(2L) == ((2L, 1, 3, 1.0 / 61 + 1.0 / 63)))
+    assert(byId(4L) == ((4L, 2, -1, 1.0 / 62 + 0.0)))   // lexical only
+    assert(byId(6L) == ((6L, -1, 2, 0.0 + 1.0 / 62)))   // vector only
+    assert(byId(3L) == ((3L, -1, 4, 0.0 + 1.0 / 64)))   // zero-score text dropped
+    // fused order: ties impossible here; ranks 1+1 beats everything
+    assert(out.map(_._1).take(2).toSet == Set(1L, 2L))
+  }
+
   test("plan: scoring is narrow — TakeOrdered with no exchange") {
     // k must stay BELOW the post-filter row count: on a LocalRelation the
     // optimizer pre-evaluates the filter (3 scored docs survive) and
