@@ -95,6 +95,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("keep-one-per-key window pushes a partial group limit below the shuffle") {
+    // Spark's InferWindowGroupLimit rewrites `row_number() <= k` filters
+    // into a map-side WindowGroupLimit(Partial) BEFORE the hash
+    // exchange: each task ships at most k rows per key instead of the
+    // whole table — the map-side-combine analogue for window dedup, and
+    // the property that keeps dedupByPriority's shuffle proportional to
+    // candidate survivors rather than input size at 100 TB. Pin it so a
+    // refactor (e.g. selecting the rank column into the output, which
+    // defeats the rewrite) cannot silently regress it.
+    val p = SparkEntry.queries("dedup_priority")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val iPartial = p.indexOf("row_number(), 1, Partial")
+    val iFinal = p.indexOf("row_number(), 1, Final")
+    assert(iPartial >= 0 && iFinal >= 0, s"WindowGroupLimit missing:\n${p.take(1200)}")
+    // tree prints top-down: Final above the exchange, Partial below it
+    assert(iPartial > iFinal, "partial limit is not below the final one")
+  }
+
   test("chunking and PII scrub are shuffle-free (narrow projections)") {
     val docs = Tables(spark, dir, "documents")
     val chunked = graft.llm.Chunking.chunk(docs, "doc_id", "text", 64, 48)
