@@ -183,6 +183,7 @@ object Bench {
         // (partial-agg + tiny window; iterative semi-join funnel)
         "corpus_diff", "dedup_incremental_bloom", "corpus_overlap",
         "events_anomaly", "funnel_conversion", "cohort_retention",
+        "event_transitions",
         // as-of join: one shuffle per side + key-partitioned window
         "asof_join",
         // BM25 + RRF hybrid: stats agg + narrow scoring scans + TakeOrdered

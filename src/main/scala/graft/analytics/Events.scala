@@ -209,6 +209,39 @@ object Events {
       coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each ordered pair of event types, how often does `to_type`
+    * immediately follow `from_type` in some user's stream, and what
+    * fraction of `from_type`'s outgoing transitions does that represent
+    * — the "what do users do next" table behind flow diagrams and
+    * next-action baselines. A user's LAST event has no successor and
+    * contributes no transition.
+    *
+    * `tieCols` must make (ts, tieCols) a total order within a user —
+    * with equal timestamps and no tiebreak, `lead` would pick a
+    * partition-order-dependent successor (same contract as
+    * [[graft.operators.AsOf]]'s uniqueness requirement).
+    *
+    * Scale shape: ONE user-keyed shuffle for the lead window (each
+    * user's stream sorts within its own partition), then a partial-agg'd
+    * count down to |types|² rows; the share division runs on that tiny
+    * frame, partitioned by from_type. Integer counts + one IEEE
+    * division — engine-stable.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+    val counts = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              withinHours: Int): DataFrame = {

@@ -594,7 +594,40 @@ object QualityGates {
       |LEFT JOIN dau d USING (day) LEFT JOIN wau w USING (day)
       |ORDER BY day""".stripMargin
 
+  /** [[graft.analytics.Events.transitions]] with event_id as the
+    * same-timestamp tiebreak; the oracle restates the lead window,
+    * pair counts, and the per-from_type share division.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables(s, dir, "events").select(
+      col("event_id"),
+      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
+        .cast("long")).as("ts"),
+      col("user_id"), col("event_type"))
+    graft.analytics.Events.transitions(e, "user_id", "ts", "event_type",
+        tieCols = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events),
+      |nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
     "asof_join"        -> (asofJoin _),
@@ -613,6 +646,7 @@ object QualityGates {
     "retention_delete" -> (retentionDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "event_transitions" -> eventTransitionsSql,
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join"        -> asofJoinSql,

@@ -149,6 +149,26 @@ class EventsSpec extends SparkSpec {
     assert(byDay(15) == ((1L, 1L)))
   }
 
+  test("transitions: lead pairs per user, share of from_type outgoing") {
+    val rows = Seq(
+      // u1: view -> click -> view -> purchase
+      (1L, ts(1, 1), 10L, "view"), (1L, ts(1, 2), 11L, "click"),
+      (1L, ts(1, 3), 12L, "view"), (1L, ts(1, 4), 13L, "purchase"),
+      // u2: view -> view; same-ts pair ordered by event_id tiebreak
+      (2L, ts(1, 1), 20L, "view"), (2L, ts(1, 1), 21L, "view"),
+      // u3: single event — no transition
+      (3L, ts(1, 1), 30L, "click"))
+    val out = Events.transitions(rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("click", "view", 1L, 1.0),           // u1's click -> view
+      ("view", "click", 1L, 1.0 / 3.0),     // 3 outgoing view transitions
+      ("view", "purchase", 1L, 1.0 / 3.0),
+      ("view", "view", 1L, 1.0 / 3.0)))
+  }
+
   test("activeUsers: sweep ≡ brute-force distinct count per day") {
     // pseudo-random-ish activity across 3 weeks, then compare against a
     // literal "count distinct users in [d-6, d]" evaluation
