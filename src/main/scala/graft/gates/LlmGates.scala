@@ -587,11 +587,18 @@ object LlmGates {
     * of the IVF centroids. The oracle restates BOTH iterations: stride
     * init, clamped-cosine nearest-centroid assignment (min-cid ties),
     * exact decimal(20,10) per-dim mean sums, round-6 double centroids.
+    * The gate flattens the centroid array to one `(cid, j, m)` row per
+    * dimension: the diff harness compares scalar cells, and a raw
+    * array<double> column is not hashable/sortable on the oracle side.
     */
   def ivfTrain(s: SparkSession, dir: String): DataFrame =
     Ann.kmeansTrain(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         iters = 2, centroidTarget = 16)
-      .orderBy("cid")
+      .select(col("cid"), col("n_members"),
+        posexplode(col("centroid")).as(Seq("j0", "m")))
+      .select(col("cid"), col("n_members"),
+        (col("j0") + 1).cast("int").as("j"), col("m"))
+      .orderBy("cid", "j")
 
   /** Float-embedding × double-centroid-list dot / norm / clamped raw
     * cosine — shared by the `ivf_train` and `ann_ivf_trained` oracles.
@@ -644,9 +651,8 @@ object LlmGates {
 
   val ivfTrainSql: String =
     s"""WITH $ivfTrainCtes
-       |SELECT cid, CAST(max(cnt) AS BIGINT) AS n_members,
-       |  list(m ORDER BY j) AS centroid
-       |FROM m2 GROUP BY cid ORDER BY cid""".stripMargin
+       |SELECT cid, CAST(cnt AS BIGINT) AS n_members, CAST(j AS INT) AS j, m
+       |FROM m2 ORDER BY cid, j""".stripMargin
 
   /** Train → serve: the same Lloyd chain feeds [[Ann.ivfTopKTrained]]
     * probing/ranking — list assignment and query probes order by the

@@ -140,17 +140,13 @@ object QualityGates {
     * events stream table.
     */
   def monitorHealth(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read it as long nanos and truncate to micros.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is parquet timestamp[us] (no tz) → TIMESTAMP_NTZ; cast
+    // to the session-tz (UTC) instant type the metrics pipeline uses.
     val e = Tables(s, dir, "events")
     val metrics = e.select(
       col("event_type").as("dag_id"),
       concat(lit("task_"), (col("event_id") % 3)).as("task_id"),
-      // exact ns→µs truncation: long/long would go through double and
-      // lose precision at 1.7e18; decimal floor-divide is exact
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("started_at"),
+      col("ts").cast("timestamp").as("started_at"),
       col("value").as("duration_seconds"),
       col("user_id").as("rows_out"),
       when(col("value") > 1.0, "success").otherwise("failed").as("status"))
@@ -251,10 +247,8 @@ object QualityGates {
     * approx-distinct column is excluded (engine-specific sketches).
     */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables(s, dir, "events").select(
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("user_id"), col("event_type"),
       col("value").cast("decimal(18,2)").as("value"))
     graft.streaming.StreamingJobs.windowedEventStats(events, "10 minutes", "1 hour")
@@ -286,11 +280,9 @@ object QualityGates {
     * semantics need micro-batches).
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("event_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("user_id"), col("event_type"), col("value"))
     val atLeastOnce = e.unionByName(e.filter(col("event_id") % 7 === 0))
     graft.streaming.StreamingJobs.dedupStream(atLeastOnce, Seq("event_id"), "ts")
@@ -308,7 +300,6 @@ object QualityGates {
     * batches, broadcast plan shape) is exercised in StreamingSpec.
     */
   def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
     val withCust = graft.streaming.StreamingJobs.enrichStream(
@@ -332,11 +323,9 @@ object QualityGates {
     * mirrored by a lag + running-sum window in the oracle.
     */
   def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = Tables(s, dir, "events").select(
       col("event_id"), col("user_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("value"))
     graft.streaming.StreamingJobs.sessionizeBatch(events, gapMinutes = 30)
       .orderBy("user_id", "session_id")
@@ -369,11 +358,9 @@ object QualityGates {
     * the trailing-window classification.
     */
   def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("event_id"), col("event_type"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"))
+      col("ts").cast("timestamp").as("ts"))
     val day = col("ts").cast("date")
     val cratered = e.filter(!(col("event_type") === "click" &&
       day === lit("2024-01-15").cast("date") && col("event_id") % 5 =!= 0))
@@ -419,11 +406,9 @@ object QualityGates {
     * min-after-previous-step chain in CTE form.
     */
   def funnelConversion(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("user_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("event_type"))
     graft.analytics.Events.funnel(e, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"), withinHours = 72)
@@ -458,11 +443,9 @@ object QualityGates {
     * distinct-activity → min-day cohort → bucket → count chain.
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("user_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"))
+      col("ts").cast("timestamp").as("ts"))
     graft.analytics.Events.cohortRetention(e, "user_id", "ts",
         bucketDays = 7, maxBuckets = 5)
       .orderBy("cohort_day", "bucket")
@@ -499,11 +482,9 @@ object QualityGates {
     * oracle. The oracle is DuckDB's native ASOF LEFT JOIN.
     */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("event_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("user_id"), col("event_type"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts", "value")
@@ -533,11 +514,9 @@ object QualityGates {
     * integer, so calendar gaps behave identically.
     */
   def rollingActivity(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("user_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"))
+      col("ts").cast("timestamp").as("ts"))
     graft.analytics.Events.rollingActivity(e, "user_id", "ts", windowDays = 7)
       .orderBy("user_id", "day")
   }
@@ -566,11 +545,9 @@ object QualityGates {
     * proves the sweep computes exactly the trailing-window semantics.
     */
   def activeUsers(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("user_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"))
+      col("ts").cast("timestamp").as("ts"))
     graft.analytics.Events.activeUsers(e, "user_id", "ts", windowDays = 7)
       .orderBy("day")
   }
@@ -599,11 +576,9 @@ object QualityGates {
     * pair counts, and the per-from_type share division.
     */
   def eventTransitions(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val e = Tables(s, dir, "events").select(
       col("event_id"),
-      timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000)
-        .cast("long")).as("ts"),
+      col("ts").cast("timestamp").as("ts"),
       col("user_id"), col("event_type"))
     graft.analytics.Events.transitions(e, "user_id", "ts", "event_type",
         tieCols = Seq("event_id"))

@@ -185,9 +185,6 @@ class StreamingSpec extends SparkSpec {
     // Pin the precondition so a future fixture regeneration can't silently
     // invalidate the oracle.
     import org.apache.spark.sql.functions._
-    // the fixture stores nanos timestamps; set the legacy read conf here
-    // so this test does not depend on another suite having set it first
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val dupes = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
         .groupBy("event_id").count().filter(col("count") > 1).count()
