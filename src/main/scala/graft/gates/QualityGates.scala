@@ -509,6 +509,43 @@ object QualityGates {
       |  ON c.user_id = q.user_id AND c.ts >= q.quote_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** [[graft.operators.RangeJoin.pointInInterval]]: each click event
+    * against every same-user 2-hour window opened by a purchase — the
+    * binned range join (1-hour buckets ⇒ ≤ 3 replicas per window) with
+    * the exact BETWEEN post-filter. The oracle is the naive BETWEEN
+    * theta join, so the gate proves the binning loses and invents
+    * nothing.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val windows = e.filter(col("event_type") === "purchase").select(
+      col("event_id").as("window_id"), col("user_id"),
+      col("ts").as("w_start"),
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(clicks, windows,
+        Seq("user_id"), "ts", "w_start", "w_end",
+        bucketWidth = 3600L * 1000000L)
+      .orderBy("event_id", "window_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |w AS (
+      |  SELECT event_id AS window_id, user_id, ts AS w_start,
+      |         ts + INTERVAL 2 HOUR AS w_end
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts, w.window_id, w.w_start, w.w_end
+      |FROM c JOIN w ON c.user_id = w.user_id
+      |  AND c.ts BETWEEN w.w_start AND w.w_end
+      |ORDER BY c.event_id, w.window_id""".stripMargin
+
   /** [[graft.analytics.Events.rollingActivity]] at a 7-day trailing
     * RANGE frame; the oracle's window frames on the same epoch-day
     * integer, so calendar gaps behave identically.
@@ -606,6 +643,7 @@ object QualityGates {
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
     "asof_join"        -> (asofJoin _),
+    "range_join"       -> (rangeJoin _),
     "rolling_activity" -> (rollingActivity _),
     "active_users"     -> (activeUsers _),
     "funnel_conversion" -> (funnelConversion _),
@@ -625,6 +663,7 @@ object QualityGates {
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join"        -> asofJoinSql,
+    "range_join"       -> rangeJoinSql,
     "rolling_activity" -> rollingActivitySql,
     "active_users"     -> activeUsersSql,
     "funnel_conversion" -> funnelConversionSql,

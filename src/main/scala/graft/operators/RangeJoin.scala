@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Binned point-in-interval range join: every `points` row whose axis
+  * value lands inside a `intervals` row's `[start, end]` (inclusive both
+  * ends), optionally under equality keys — the "event inside maintenance
+  * window", "reading during experiment", "trade during halt" pattern.
+  *
+  * Spark has no range-join optimization: the naive `a.ts BETWEEN b.lo
+  * AND b.hi` plan is a broadcast nested loop (or worse, a cartesian)
+  * that touches |points|·|intervals| pairs per key. This is the binned
+  * form instead: pick a bucket width `w`, map each point to bucket
+  * `floor(axis / w)`, explode each interval onto every bucket its span
+  * overlaps, and equi-join on (keys, bucket) with an exact BETWEEN
+  * post-filter. A matching pair meets in exactly one bucket (the
+  * point's), so no dedup pass is needed.
+  *
+  * Scale shape: one hash shuffle per side on (keys, bucket) — work is
+  * |points| + Σ(span/w) interval replicas, linear when interval lengths
+  * are bounded by a few buckets. Pick `bucketWidth` near the TYPICAL
+  * interval length: much smaller multiplies interval replicas, much
+  * larger piles unrelated points into each bucket pair. Both failure
+  * modes degrade throughput, never correctness.
+  *
+  * Degenerate spans (an interval covering the whole axis would explode
+  * into millions of replicas) are governed by `maxIntervalBuckets`:
+  *  - `oversizeBroadcast = false` (default): any oversize interval
+  *    raises a runtime error naming the span — the plan stays pure
+  *    equi-join (no nested-loop arm), which keeps the no-cartesian plan
+  *    audit true for every caller on this path.
+  *  - `oversizeBroadcast = true`: oversize intervals are routed to a
+  *    broadcast nested-loop arm and unioned back in. Sound for the
+  *    handful-of-giant-windows shape (a global outage window over a
+  *    year of points); the arm's cost is |points|·|oversize|, so the
+  *    caller is asserting that population is tiny.
+  *
+  * Axis types: integral, date (day number), or timestamp (epoch micros;
+  * NTZ is interpreted in the session time zone — consistent on both
+  * sides, so bucketing is unaffected). Point and interval axes may mix
+  * timestamp flavors but not families. Null axis values never match:
+  * a null-axis point joins nothing, a null-span interval catches
+  * nothing, mirroring SQL BETWEEN.
+  *
+  * CONTRACT: non-key output column names must be disjoint between the
+  * two inputs (rename upstream); `end >= start` is not required — an
+  * inverted interval simply matches nothing, like SQL BETWEEN.
+  */
+object RangeJoin {
+
+  private def axis(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case DateType                         => c.cast(IntegerType).cast(LongType)
+    case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"range join axis must be integral, date, or timestamp — got $other")
+  }
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], pointCol: String,
+                      startCol: String, endCol: String,
+                      bucketWidth: Long,
+                      maxIntervalBuckets: Int = 4096,
+                      oversizeBroadcast: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
+    val clash = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys.toSet
+    require(clash.isEmpty,
+      s"non-key columns ${clash.mkString(", ")} appear on both sides — rename")
+
+    val pAxis = axis(points.schema(pointCol).dataType, col(pointCol))
+    val sAxis = axis(intervals.schema(startCol).dataType, col(startCol))
+    val eAxis = axis(intervals.schema(endCol).dataType, col(endCol))
+    // floor() rides through DOUBLE: exact for |axis/width| < 2^52, which
+    // epoch micros (~2^50) and day numbers satisfy with headroom
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__rb", floor(pAxis / w).cast(LongType))
+    val sb = floor(sAxis / w).cast(LongType)
+    val eb = floor(eAxis / w).cast(LongType)
+    val nb = eb - sb + lit(1L)
+
+    // inverted spans (end < start) match nothing under BETWEEN; drop them
+    // before exploding — sequence() would otherwise generate a DESCENDING
+    // bucket list for them, i.e. unbounded junk replicas
+    val forward = sb <= eb
+    // The oversize guard lives inside the sequence's end bound — an
+    // expression the plan actually consumes — because a guard parked in a
+    // dropped side column would be erased by column pruning before it
+    // could ever fire. raise_error is NullType; the cast keeps both
+    // branches long.
+    val boundedEnd =
+      if (oversizeBroadcast) eb
+      else when(nb > maxIntervalBuckets,
+        raise_error(concat(lit(s"range join interval spans more than " +
+          s"$maxIntervalBuckets buckets of width $bucketWidth at "),
+          col(startCol).cast(StringType))).cast(LongType))
+        .otherwise(eb)
+    val within =
+      if (oversizeBroadcast) intervals.filter(nb <= maxIntervalBuckets && forward)
+      else intervals.filter(forward)
+    val exploded = within.withColumn("__rb", explode(sequence(sb, boundedEnd)))
+    val between = col(pointCol).between(col(startCol), col(endCol))
+    val main = p.join(exploded, keys :+ "__rb", "inner")
+      .filter(between).drop("__rb")
+
+    if (!oversizeBroadcast) main
+    else {
+      val oversize = intervals.filter(nb > maxIntervalBuckets)
+      val keyEq = keys.map(k => p(k) === oversize(k))
+        .foldLeft(lit(true))(_ && _)
+      val ov = p.drop("__rb")
+        .join(broadcast(oversize), keyEq && between, "inner")
+      // drop the duplicated key columns the theta join keeps from the
+      // interval side, restoring the usingColumns shape of the main arm
+      val ovAligned = keys.foldLeft(ov)((df, k) => df.drop(oversize(k)))
+      main.unionByName(ovAligned.select(main.columns.map(col): _*))
+    }
+  }
+}
