@@ -179,13 +179,102 @@ object CoreGates {
       |       'Q' || CAST(quarter(date_id) AS VARCHAR) AS quarter_name
       |FROM d ORDER BY date_id""".stripMargin
 
+  /** Hierarchical subtotals via ROLLUP (year → status → grand total) —
+    * Spark's rollup relational operator against DuckDB's GROUP BY
+    * ROLLUP. The grouping-indicator `gid` disambiguates a genuine NULL
+    * group value from a subtotal row, and the ORDER BY pins NULLS FIRST
+    * explicitly because DuckDB's ascending default is NULLS LAST where
+    * Spark's is NULLS FIRST.
+    */
+  def factRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      year(col("o_orderdate")).as("yr"),
+      col("o_orderstatus").as("status"), col("o_totalprice"))
+    o.rollup(col("yr"), col("status"))
+      .agg((grouping(col("yr")) * 2 + grouping(col("status"))).cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        graft.Exact.dsum(col("o_totalprice")).as("total"))
+      .select("yr", "status", "gid", "n", "total")
+      .orderBy("gid", "yr", "status")
+  }
+
+  val factRollupSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS status,
+       |         o_totalprice
+       |  FROM orders)
+       |SELECT yr, status,
+       |       CAST(GROUPING(yr) * 2 + GROUPING(status) AS INT) AS gid,
+       |       COUNT(*) AS n,
+       |       ${graft.Exact.sqlSum("o_totalprice")} AS total
+       |FROM o GROUP BY ROLLUP (yr, status)
+       |ORDER BY gid, yr NULLS FIRST, status NULLS FIRST""".stripMargin
+
+  /** Wide pivot: order counts per year × status, statuses as columns —
+    * Spark's pivot with an EXPLICIT value list (the implicit form runs a
+    * distinct-collect pre-pass on the driver; at warehouse scale the
+    * value domain is declared, not discovered). The oracle is the
+    * conditional-count restatement.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("yr")
+
+  val pivotStatusSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+      |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+      |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** [[graft.operators.Checksum.grouped]] over lineitem keyed by
+    * l_returnflag: the order-independent multiset digest both engines
+    * reproduce bit-for-bit from the same rows. The double price column
+    * rides through an explicit decimal cast (raw Double→string rendering
+    * is engine-specific and rejected by the operator).
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").withColumn("price",
+      col("l_extendedprice").cast("decimal(12,2)"))
+    graft.operators.Checksum.grouped(l, Seq("l_returnflag"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "price"))
+      .orderBy("l_returnflag")
+  }
+
+  val tableChecksumSql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |    list_reduce([strpos('0123456789abcdef', substr(md5(
+      |      concat_ws(chr(1),
+      |        COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(l_partkey AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(l_suppkey AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(l_linenumber AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(l_returnflag AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(l_linestatus AS VARCHAR), chr(0)),
+      |        COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), chr(0)))
+      |      ), j, 1)) - 1 for j in range(1, 16)],
+      |      (a, x) -> a * 16 + x) AS fp
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |       CAST(SUM(fp) % 1000000000000000000 AS BIGINT) AS checksum
+      |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
     "upsert_merge"   -> (upsertMerge _),
     "sk_assign"      -> (skAssign _),
     "dedup_priority" -> (dedupPriority _),
-    "dim_date"       -> (dimDate _))
+    "dim_date"       -> (dimDate _),
+    "fact_rollup"    -> (factRollup _),
+    "pivot_status"   -> (pivotStatus _),
+    "table_checksum" -> (tableChecksum _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -193,5 +282,8 @@ object CoreGates {
     "upsert_merge"   -> upsertMergeSql,
     "sk_assign"      -> skAssignSql,
     "dedup_priority" -> dedupPrioritySql,
-    "dim_date"       -> dimDateSql)
+    "dim_date"       -> dimDateSql,
+    "fact_rollup"    -> factRollupSql,
+    "pivot_status"   -> pivotStatusSql,
+    "table_checksum" -> tableChecksumSql)
 }
