@@ -265,6 +265,32 @@ object CoreGates {
       |       CAST(SUM(fp) % 1000000000000000000 AS BIGINT) AS checksum
       |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** [[graft.storage.Layout.interleaveBits]]: the Morton (z-order) key
+    * over (l_partkey, l_suppkey) cells mod 256, per lineitem row — the
+    * bit-interleave the z-ordered writer sorts on, restated in the
+    * oracle as DuckDB bit arithmetic. Even output bits come from
+    * partkey (column 0), odd bits from suppkey.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    l.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        graft.storage.Layout.interleaveBits(
+          Seq(pmod(col("l_partkey"), lit(256)),
+            pmod(col("l_suppkey"), lit(256))), bits = 8).as("zkey"))
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  }
+
+  val zorderKeySql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |  list_reduce(
+      |    [(((l_partkey % 256) >> j) & 1) * (1::BIGINT << (2 * j))
+      |     + (((l_suppkey % 256) >> j) & 1) * (1::BIGINT << (2 * j + 1))
+      |     for j in range(0, 8)],
+      |    (a, b) -> a + b) AS zkey
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -274,7 +300,8 @@ object CoreGates {
     "dim_date"       -> (dimDate _),
     "fact_rollup"    -> (factRollup _),
     "pivot_status"   -> (pivotStatus _),
-    "table_checksum" -> (tableChecksum _))
+    "table_checksum" -> (tableChecksum _),
+    "zorder_key"     -> (zorderKey _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -285,5 +312,6 @@ object CoreGates {
     "dim_date"       -> dimDateSql,
     "fact_rollup"    -> factRollupSql,
     "pivot_status"   -> pivotStatusSql,
-    "table_checksum" -> tableChecksumSql)
+    "table_checksum" -> tableChecksumSql,
+    "zorder_key"     -> zorderKeySql)
 }
