@@ -291,6 +291,50 @@ object CoreGates {
       |FROM lineitem
       |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin
 
+  /** The ranking-window family in one gate: row_number / ntile over a
+    * UNIQUE ordering (engine-deterministic by construction) and rank /
+    * dense_rank / percent_rank / cume_dist over a TIED ordering (price
+    * decile buckets), where peer-group semantics actually differ from
+    * row numbering. Both engines compute percent_rank=(r-1)/(n-1) and
+    * cume_dist=peers≤/n as double divisions of exact integers, so the
+    * hash compare is bitwise-safe.
+    */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+    val tied = Window.partitionBy("o_orderstatus")
+      .orderBy(col("bucket").desc)
+    val uniq = Window.partitionBy("o_orderstatus")
+      .orderBy(col("bucket").desc, col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderstatus"), col("bucket"),
+        row_number().over(uniq).as("rn"),
+        ntile(4).over(uniq).as("quartile"),
+        rank().over(tied).as("rnk"),
+        dense_rank().over(tied).as("drnk"),
+        percent_rank().over(tied).as("prnk"),
+        cume_dist().over(tied).as("cdist"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val windowRanksSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderstatus, bucket,
+      |  CAST(row_number() OVER uniq AS INT) AS rn,
+      |  CAST(ntile(4) OVER uniq AS INT) AS quartile,
+      |  CAST(rank() OVER tied AS INT) AS rnk,
+      |  CAST(dense_rank() OVER tied AS INT) AS drnk,
+      |  percent_rank() OVER tied AS prnk,
+      |  cume_dist() OVER tied AS cdist
+      |FROM o
+      |WINDOW tied AS (PARTITION BY o_orderstatus ORDER BY bucket DESC),
+      |       uniq AS (PARTITION BY o_orderstatus ORDER BY bucket DESC, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -301,7 +345,8 @@ object CoreGates {
     "fact_rollup"    -> (factRollup _),
     "pivot_status"   -> (pivotStatus _),
     "table_checksum" -> (tableChecksum _),
-    "zorder_key"     -> (zorderKey _))
+    "zorder_key"     -> (zorderKey _),
+    "window_ranks"   -> (windowRanks _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -313,5 +358,6 @@ object CoreGates {
     "fact_rollup"    -> factRollupSql,
     "pivot_status"   -> pivotStatusSql,
     "table_checksum" -> tableChecksumSql,
-    "zorder_key"     -> zorderKeySql)
+    "zorder_key"     -> zorderKeySql,
+    "window_ranks"   -> windowRanksSql)
 }

@@ -546,6 +546,45 @@ object QualityGates {
       |  AND c.ts BETWEEN w.w_start AND w.w_end
       |ORDER BY c.event_id, w.window_id""".stripMargin
 
+  /** [[graft.analytics.Series.gapFillDaily]]: densify the per-priority
+    * daily order series onto each priority's full day spine and
+    * forward-fill the day's count/total — gap repair for rolling
+    * metrics. The oracle restates the per-key spine and the
+    * IGNORE NULLS carry.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), graft.Exact.dsum(col("o_totalprice")).as("total"))
+    graft.analytics.Series.gapFillDaily(daily, Seq("prio"), "day", Seq("n", "total"))
+      .orderBy("prio", "day")
+  }
+
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+       |         COUNT(*) AS n, ${graft.Exact.sqlSum("o_totalprice")} AS total
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT prio, min(day) AS lo, max(day) AS hi FROM daily GROUP BY prio),
+       |spine AS (
+       |  SELECT prio, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+       |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b),
+       |j AS (
+       |  SELECT spine.prio, spine.day, d.n, d.total,
+       |         d.n IS NOT NULL AS is_observed
+       |  FROM spine LEFT JOIN daily d
+       |    ON spine.prio = d.prio AND spine.day = d.day)
+       |SELECT prio, day,
+       |  last_value(n IGNORE NULLS) OVER w AS n,
+       |  last_value(total IGNORE NULLS) OVER w AS total,
+       |  is_observed
+       |FROM j
+       |WINDOW w AS (PARTITION BY prio ORDER BY day
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY prio, day""".stripMargin
+
   /** [[graft.analytics.Events.rollingActivity]] at a 7-day trailing
     * RANGE frame; the oracle's window frames on the same epoch-day
     * integer, so calendar gaps behave identically.
@@ -644,6 +683,7 @@ object QualityGates {
     "cohort_retention" -> (cohortRetention _),
     "asof_join"        -> (asofJoin _),
     "range_join"       -> (rangeJoin _),
+    "gap_fill"         -> (gapFill _),
     "rolling_activity" -> (rollingActivity _),
     "active_users"     -> (activeUsers _),
     "funnel_conversion" -> (funnelConversion _),
@@ -664,6 +704,7 @@ object QualityGates {
     "cohort_retention" -> cohortRetentionSql,
     "asof_join"        -> asofJoinSql,
     "range_join"       -> rangeJoinSql,
+    "gap_fill"         -> gapFillSql,
     "rolling_activity" -> rollingActivitySql,
     "active_users"     -> activeUsersSql,
     "funnel_conversion" -> funnelConversionSql,
