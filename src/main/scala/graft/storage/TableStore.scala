@@ -64,6 +64,27 @@ object TableStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet table into
+    * `ceil(bytes / targetFileBytes)` files (temp-dir + swap, same crash
+    * safety as [[writeSnapshot]]). Incremental writers — streaming
+    * micro-batches, per-day appends, dynamic partition replaces — leave
+    * thousands of KB-sized files whose open/footer overhead eventually
+    * dominates scan time and floods the driver's file listing; periodic
+    * compaction is the standard maintenance pass. Sizing uses the
+    * CURRENT on-disk bytes (already compressed), so output files land
+    * near the target without a decompression-ratio guess. `coalesce`
+    * merges partitions without a shuffle.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    writeSnapshot(spark.read.parquet(path).coalesce(files.toInt), path)
+    files
+  }
+
   /** S8: HTML blob sink — raw page text to `html/<name>` under the store
     * root (`minio.py:75-94`'s `html/it_p{page}_{ts}.html` layout).
     */

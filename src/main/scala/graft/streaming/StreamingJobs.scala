@@ -187,6 +187,38 @@ object StreamingJobs {
       }
   }
 
+  /** Watermarked stream-stream inner join: pair rows of two unbounded
+    * streams on an equality key when the right timestamp falls within
+    * `[leftTs - before, leftTs + after]` — clicks↔impressions,
+    * orders↔payments, request↔response correlation. The time-band
+    * predicate plus a watermark on BOTH sides is what makes this
+    * feasible unbounded: Spark derives a state watermark from the band,
+    * so each side buffers only rows still joinable against the other
+    * side's future — state is bounded by rate × (band + delay), never
+    * by stream length. Without the band the state would grow forever;
+    * this operator makes the band part of the signature so the bounded
+    * shape is the only expressible one.
+    *
+    * Key columns may be named differently per side; all other column
+    * names must be disjoint (Spark rejects ambiguous output columns).
+    * Input-agnostic: on batch frames the watermark is a no-op and the
+    * same code is the plain band join, which is how the gate-style
+    * tests pin semantics while MemoryStream tests pin the streaming
+    * state behavior.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTs: String, rightTs: String,
+                  before: String = "1 hour", after: String = "1 hour",
+                  watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+  }
+
   /** Streaming ingest into the batch raw-merge: each micro-batch runs the
     * same upsert the daily pipeline uses (S5/M8), giving exactly-once
     * table contents under the sink's snapshot-replace + checkpointing.

@@ -177,6 +177,48 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("stream-stream join: band matches across micro-batches, bounds respected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingJobs.joinStreams(
+      clicks.toDF().toDF("click_id", "cuser", "cts"),
+      buys.toDF().toDF("buy_id", "buser", "bts"),
+      "cuser", "buser", "cts", "bts",
+      before = "0 seconds", after = "30 minutes",
+      watermarkDelay = "5 minutes")
+    val query = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+        (2L, 7L, ts("2024-01-01 09:00:00")),
+        (3L, 8L, ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // purchase arrives a BATCH LATER but inside the band of click 1:
+      // stream-stream state must still pair them
+      buys.addData((100L, 7L, ts("2024-01-01 10:20:00")),
+        (101L, 8L, ts("2024-01-01 10:31:00")),  // 31 min after click 3 → out of band
+        (102L, 7L, ts("2024-01-01 09:59:00")))  // before click 1 → out of band
+      query.processAllAvailable()
+      val pairs = spark.table("ss_join")
+        .select("click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L)))
+    } finally query.stop()
+  }
+
+  test("stream-stream join transform doubles as the batch band join") {
+    import spark.implicits._
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("click_id", "cuser", "cts")
+    val r = Seq((100L, 7L, ts("2024-01-01 10:20:00")),
+      (101L, 7L, ts("2024-01-01 11:20:00")))
+      .toDF("buy_id", "buser", "bts")
+    val out = StreamingJobs.joinStreams(l, r, "cuser", "buser", "cts", "bts",
+      before = "0 seconds", after = "30 minutes").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("buy_id") == 100L)
+  }
+
   test("stream_dedup gate precondition: event_id is unique in the events fixture") {
     // The gate's plain-SELECT oracle is only valid because duplicate
     // deliveries are EXACT copies of unique-keyed events: dropDuplicates
