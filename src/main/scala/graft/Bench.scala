@@ -204,7 +204,12 @@ object Bench {
         "bm25_topk", "hybrid_search",
         // trailing-window analytics: user-keyed RANGE window; DAU/WAU
         // interval sweep (two passes over the activity set, tiny tail)
-        "rolling_activity", "active_users")
+        "rolling_activity", "active_users",
+        // round-7 operators: binned range join (replica users never
+        // cross-match, so pair volume scales with users); per-key spine
+        // gap fill; rank-window family; checksum + z-key narrow scans
+        "range_join", "gap_fill", "window_ranks",
+        "table_checksum", "zorder_key", "fact_rollup", "pivot_status")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
