@@ -335,6 +335,53 @@ object CoreGates {
       |       uniq AS (PARTITION BY o_orderstatus ORDER BY bucket DESC, o_orderkey)
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM as the join
+    * key): a nulled dimension key still matches its null group instead
+    * of silently dropping — the semantics a plain equi-join can't
+    * express. Left = customers with every 7th segment nulled; right =
+    * the per-segment (incl. the null segment) member counts of that
+    * same relation, so every left row matches exactly one right row.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    val segStats = c.groupBy(col("seg").as("r_seg"))
+      .agg(count(lit(1)).as("seg_n"))
+    c.join(segStats, col("seg") <=> col("r_seg"), "inner")
+      .select("c_custkey", "seg", "seg_n")
+      .orderBy("c_custkey")
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      |  FROM customer),
+      |st AS (SELECT seg AS r_seg, COUNT(*) AS seg_n FROM c GROUP BY 1)
+      |SELECT c.c_custkey, c.seg, st.seg_n
+      |FROM c JOIN st ON c.seg IS NOT DISTINCT FROM st.r_seg
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** [[graft.analytics.Profile.equiWidthHistogram]] over order totals:
+    * 20 equi-width buckets, identical IEEE arithmetic restated in the
+    * oracle with the same parenthesization.
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.equiWidthHistogram(
+        Tables(s, dir, "orders"), "o_totalprice", buckets = 20)
+      .orderBy("bucket")
+
+  val valueHistogramSql: String =
+    """WITH b AS (
+      |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT CAST(least(floor(((o_totalprice - lo) / (hi - lo)) * 20), 19) AS INT)
+      |         AS bucket,
+      |       COUNT(*) AS n
+      |FROM orders, b
+      |WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -346,7 +393,9 @@ object CoreGates {
     "pivot_status"   -> (pivotStatus _),
     "table_checksum" -> (tableChecksum _),
     "zorder_key"     -> (zorderKey _),
-    "window_ranks"   -> (windowRanks _))
+    "window_ranks"   -> (windowRanks _),
+    "null_safe_join" -> (nullSafeJoin _),
+    "value_histogram" -> (valueHistogram _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -359,5 +408,7 @@ object CoreGates {
     "pivot_status"   -> pivotStatusSql,
     "table_checksum" -> tableChecksumSql,
     "zorder_key"     -> zorderKeySql,
-    "window_ranks"   -> windowRanksSql)
+    "window_ranks"   -> windowRanksSql,
+    "null_safe_join" -> nullSafeJoinSql,
+    "value_histogram" -> valueHistogramSql)
 }
