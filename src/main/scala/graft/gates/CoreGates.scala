@@ -382,6 +382,40 @@ object CoreGates {
       |WHERE o_totalprice IS NOT NULL
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Multiset set operations — `intersectAll` / `exceptAll` keep
+    * DUPLICATE multiplicity (min / left-minus-right per key), which the
+    * distinct forms destroy; the surviving multiplicities are counted
+    * per key so the gate output is deterministic. Spark plans both as
+    * aggregate-rewrites, not joins.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 2 === 0).select("o_custkey")
+    val b = o.filter(col("o_orderkey") % 3 === 0).select("o_custkey")
+    val inter = a.intersectAll(b).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_inter"))
+    val exc = a.exceptAll(b).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_except"))
+    inter.join(exc, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+      .orderBy("o_custkey")
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+      |i AS (SELECT o_custkey, COUNT(*) AS n_inter
+      |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+      |e AS (SELECT o_custkey, COUNT(*) AS n_except
+      |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+      |SELECT COALESCE(i.o_custkey, e.o_custkey) AS o_custkey,
+      |       COALESCE(n_inter, 0) AS n_inter,
+      |       COALESCE(n_except, 0) AS n_except
+      |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -395,7 +429,8 @@ object CoreGates {
     "zorder_key"     -> (zorderKey _),
     "window_ranks"   -> (windowRanks _),
     "null_safe_join" -> (nullSafeJoin _),
-    "value_histogram" -> (valueHistogram _))
+    "value_histogram" -> (valueHistogram _),
+    "set_ops"        -> (setOps _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -410,5 +445,6 @@ object CoreGates {
     "zorder_key"     -> zorderKeySql,
     "window_ranks"   -> windowRanksSql,
     "null_safe_join" -> nullSafeJoinSql,
-    "value_histogram" -> valueHistogramSql)
+    "value_histogram" -> valueHistogramSql,
+    "set_ops"        -> setOpsSql)
 }

@@ -546,6 +546,28 @@ object QualityGates {
       |  AND c.ts BETWEEN w.w_start AND w.w_end
       |ORDER BY c.event_id, w.window_id""".stripMargin
 
+  /** Semi-structured extraction from the events.props JSON column, both
+    * ways Spark offers it: path-based `get_json_object` (schemaless,
+    * per-field) and schema-based `from_json` (typed struct, the bulk
+    * form) — both codegen'd row-local projections, no shuffle. The
+    * oracle extracts the same path with DuckDB's JSON operator.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    e.select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_schema"))
+      .orderBy("event_id")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_id, event_type,
+      |  CAST(props->>'k' AS BIGINT) AS k_path,
+      |  CAST(props->>'k' AS BIGINT) AS k_schema
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** [[graft.analytics.Series.gapFillDaily]]: densify the per-priority
     * daily order series onto each priority's full day spine and
     * forward-fill the day's count/total — gap repair for rolling
@@ -684,6 +706,7 @@ object QualityGates {
     "asof_join"        -> (asofJoin _),
     "range_join"       -> (rangeJoin _),
     "gap_fill"         -> (gapFill _),
+    "json_extract"     -> (jsonExtract _),
     "rolling_activity" -> (rollingActivity _),
     "active_users"     -> (activeUsers _),
     "funnel_conversion" -> (funnelConversion _),
@@ -705,6 +728,7 @@ object QualityGates {
     "asof_join"        -> asofJoinSql,
     "range_join"       -> rangeJoinSql,
     "gap_fill"         -> gapFillSql,
+    "json_extract"     -> jsonExtractSql,
     "rolling_activity" -> rollingActivitySql,
     "active_users"     -> activeUsersSql,
     "funnel_conversion" -> funnelConversionSql,

@@ -286,4 +286,30 @@ class PropertySpec extends SparkSpec {
         assert(got == expected)
     }
   }
+
+  test("range join: binned form ≡ naive theta join for random data and widths") {
+    // points, intervals (possibly inverted or null-span), keys 1-3,
+    // random bucket width — the binning must neither lose nor invent a
+    // single pair vs the BETWEEN cross-check
+    val pointGen = Gen.listOfN(18, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 200L)))
+    val ivGen = Gen.listOfN(10, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 200L), Gen.choose(-30L, 80L)))
+    val caseGen = Gen.zip(pointGen, ivGen, Gen.oneOf(1L, 7L, 64L, 500L))
+    forAllSeeded(caseGen, cases = 8) { case (ps, ivs, width) =>
+      val points = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val intervals = ivs.zipWithIndex.map { case ((k, lo, span), i) =>
+        (i.toLong, k, lo, lo + span) }.toDF("iid", "k", "lo", "hi")
+      val got = graft.operators.RangeJoin.pointInInterval(
+          points.repartition(5), intervals.repartition(3), Seq("k"),
+          "t", "lo", "hi", bucketWidth = width)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val naive = points.as("p").join(intervals.as("i"),
+          col("p.k") === col("i.k") &&
+            col("p.t").between(col("i.lo"), col("i.hi")))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"width $width: ${got.diff(naive)} extra, ${naive.diff(got)} missing")
+    }
+  }
 }
