@@ -104,6 +104,8 @@ object Bench {
         .withColumn("user_id", col("user_id") * scaleF + r))
       replicate("lineitem", (d, r) =>
         d.withColumn("l_orderkey", col("l_orderkey") * scaleF + r))
+      replicate("customer", (d, r) =>
+        d.withColumn("c_custkey", col("c_custkey") * scaleF + r))
       replicate("orders", (d, r) => d
         .withColumn("o_orderkey", col("o_orderkey") * scaleF + r)
         .withColumn("o_custkey", col("o_custkey") * scaleF + r))
@@ -209,7 +211,9 @@ object Bench {
         // cross-match, so pair volume scales with users); per-key spine
         // gap fill; rank-window family; checksum + z-key narrow scans
         "range_join", "gap_fill", "window_ranks",
-        "table_checksum", "zorder_key", "fact_rollup", "pivot_status")
+        "table_checksum", "zorder_key", "fact_rollup", "pivot_status",
+        "sessionize_batch", "json_extract", "set_ops", "null_safe_join",
+        "value_histogram")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
