@@ -40,21 +40,23 @@ object Functions {
         "functionName" -> "`rolling_hash_min`",
         "invalidValue" -> e.sql))
 
+  /** The one builder table both registration surfaces share: the
+    * session-level [[register]] and the `spark.sql.extensions` hook
+    * ([[GraftExtensions]]) — so the SQL surface cannot drift between a
+    * programmatic session and a spark-submit-configured cluster.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash_min" -> (exprs => RollingHashMin(exprs.head,
+      exprs.lift(1).map(windowArg).getOrElse(16))),
+    "unicode_nfc"   -> (exprs => UnicodeNormalize(exprs.head, strip = false)),
+    "strip_accents" -> (exprs => UnicodeNormalize(exprs.head, strip = true)))
+
   def register(spark: SparkSession): Unit = {
-    // native expression → FunctionRegistry (expression-level, codegen'd)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash_min",
-      exprs => RollingHashMin(exprs.head,
-        exprs.lift(1).map(windowArg).getOrElse(16)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_nfc",
-      exprs => UnicodeNormalize(exprs.head, strip = false),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "strip_accents",
-      exprs => UnicodeNormalize(exprs.head, strip = true),
-      "scala_udf")
+    // native expressions → FunctionRegistry (expression-level, codegen'd)
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 
     // scalar cleaners for SQL parity (clean_title stays a native chain
     // when used via the Column API; the SQL surface wraps it as a UDF)

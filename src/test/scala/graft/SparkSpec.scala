@@ -22,6 +22,10 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // static conf, honored only at FIRST session construction in the
+      // JVM — building it into the fixture is what proves the
+      // spark-submit deployment hook works (GraftExtensionsSpec)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
