@@ -416,6 +416,34 @@ object CoreGates {
       |FROM i FULL OUTER JOIN e ON i.o_custkey = e.o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** Top-3-per-group — the general-k form of the keep-one dedup: the
+    * `row_number() <= k` filter WITHOUT the rank in the output lets
+    * Spark's InferWindowGroupLimit insert a map-side partial group
+    * limit below the shuffle (each task ships ≤ k rows per key, the
+    * window analogue of map-side combine — plan-pinned at k=3 in
+    * PlanAuditSpec). The oracle uses the same subquery-filter shape.
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .drop("__rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -430,7 +458,8 @@ object CoreGates {
     "window_ranks"   -> (windowRanks _),
     "null_safe_join" -> (nullSafeJoin _),
     "value_histogram" -> (valueHistogram _),
-    "set_ops"        -> (setOps _))
+    "set_ops"        -> (setOps _),
+    "topk_per_group" -> (topkPerGroup _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -446,5 +475,6 @@ object CoreGates {
     "window_ranks"   -> windowRanksSql,
     "null_safe_join" -> nullSafeJoinSql,
     "value_histogram" -> valueHistogramSql,
-    "set_ops"        -> setOpsSql)
+    "set_ops"        -> setOpsSql,
+    "topk_per_group" -> topkPerGroupSql)
 }

@@ -113,6 +113,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(iPartial > iFinal, "partial limit is not below the final one")
   }
 
+  test("top-3-per-group pushes a partial group limit below the shuffle") {
+    // the general-k InferWindowGroupLimit shape (k = 1 pinned above)
+    val p = SparkEntry.queries("topk_per_group")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val iPartial = p.indexOf("row_number(), 3, Partial")
+    val iFinal = p.indexOf("row_number(), 3, Final")
+    assert(iPartial >= 0 && iFinal >= 0, s"WindowGroupLimit(3) missing:\n${p.take(1200)}")
+    assert(iPartial > iFinal, "partial limit is not below the final one")
+  }
+
   test("chunking and PII scrub are shuffle-free (narrow projections)") {
     val docs = Tables(spark, dir, "documents")
     val chunked = graft.llm.Chunking.chunk(docs, "doc_id", "text", 64, 48)
