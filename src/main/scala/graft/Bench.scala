@@ -213,7 +213,7 @@ object Bench {
         "range_join", "gap_fill", "window_ranks",
         "table_checksum", "zorder_key", "fact_rollup", "pivot_status",
         "sessionize_batch", "json_extract", "set_ops", "null_safe_join",
-        "value_histogram")
+        "value_histogram", "topk_per_group")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -1362,7 +1362,49 @@ object LlmGates {
       |  FROM documents)
       |WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin
 
+  // ---- count-min sketch ------------------------------------------------
+
+  /** [[graft.llm.Sketches.cmsEstimate]] over the document tokens: the
+    * 3×256 counter grid, probed for three present tokens and one absent
+    * one; the oracle rebuilds the identical sketch (portable md5 row
+    * hashes) and must agree on every estimate.
+    */
+  def cmsFrequency(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sketches.cmsEstimate(Tables(s, dir, "documents"), "text",
+      probes = Seq("table", "spark", "window", "zzz_absent"),
+      depth = 3, width = 256)
+
+  val cmsFrequencySql: String = {
+    val hash = (src: String) =>
+      s"list_reduce([strpos('0123456789abcdef', substr(md5($src), j, 1)) - 1 " +
+        s"for j in range(1, 9)], (a, x) -> a * 16 + x) % 256"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents),
+       |t2 AS (SELECT tok FROM toks WHERE tok <> ''),
+       |rows_(i) AS (SELECT unnest(range(0, 3))),
+       |cells AS (
+       |  SELECT i AS row, ${hash("CAST(i AS VARCHAR) || ':' || tok")} AS bucket,
+       |         COUNT(*) AS n
+       |  FROM t2, rows_ GROUP BY 1, 2),
+       |probes(probe) AS (VALUES ('table'), ('spark'), ('window'), ('zzz_absent')),
+       |pb AS (
+       |  SELECT probe, i AS row,
+       |         ${hash("CAST(i AS VARCHAR) || ':' || probe")} AS bucket
+       |  FROM probes, rows_),
+       |est AS (
+       |  SELECT probe, MIN(COALESCE(c.n, 0)) AS est_n
+       |  FROM pb LEFT JOIN cells c ON pb.row = c.row AND pb.bucket = c.bucket
+       |  GROUP BY probe),
+       |truth AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok)
+       |SELECT e.probe, COALESCE(t.cnt, 0) AS true_n, e.est_n
+       |FROM est e LEFT JOIN truth t ON e.probe = t.tok
+       |ORDER BY probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_frequency"       -> (cmsFrequency _),
     "contamination"       -> (contamination _),
     "sample_stratified"   -> (sampleStratified _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1399,6 +1441,7 @@ object LlmGates {
     "multimodal_audio"    -> (multimodalAudio _))
 
   val oracleSql: Map[String, String] = Map(
+    "cms_frequency"       -> cmsFrequencySql,
     "contamination"       -> contaminationSql,
     "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,
