@@ -1403,8 +1403,39 @@ object LlmGates {
        |ORDER BY probe""".stripMargin
   }
 
+  /** [[graft.operators.Sampling.weightedSystematic]]: 16 PPS draws over
+    * documents weighted by length — the deterministic mixture-sampling
+    * primitive. The oracle lays the same md5-ordered weight line with a
+    * window cumsum (fine single-node; the Spark side uses the two-phase
+    * offset form) and applies the identical integer odd-multiple copy
+    * count, so the draw matches bit-for-bit including multiplicities.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSystematic(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 16)
+      .orderBy("doc_id")
+
+  val sampleWeightedSql: String =
+    """WITH o AS (
+      |  SELECT doc_id, n_chars,
+      |         SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents),
+      |t AS (SELECT MAX(cum) AS total FROM o),
+      |c AS (
+      |  SELECT doc_id, n_chars, cum, cum - n_chars AS prev, total
+      |  FROM o, t)
+      |SELECT doc_id, n_chars, copies FROM (
+      |  SELECT doc_id, n_chars,
+      |    (least((32 * cum) // total, 31) + 1) // 2
+      |      - (least((32 * prev) // total, 31) + 1) // 2 AS copies
+      |  FROM c)
+      |WHERE copies > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_frequency"       -> (cmsFrequency _),
+    "sample_weighted"     -> (sampleWeighted _),
     "contamination"       -> (contamination _),
     "sample_stratified"   -> (sampleStratified _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1442,6 +1473,7 @@ object LlmGates {
 
   val oracleSql: Map[String, String] = Map(
     "cms_frequency"       -> cmsFrequencySql,
+    "sample_weighted"     -> sampleWeightedSql,
     "contamination"       -> contaminationSql,
     "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,

@@ -76,4 +76,71 @@ object Sampling {
         s"hashSplit: null $idCol — split membership is a pure function of the id")))
         .otherwise(chain))
   }
+
+  /** Weighted (probability-proportional-to-size) SYSTEMATIC sampling of
+    * exactly `n` draws: rows are laid along a line in portable-hash
+    * order, each occupying a segment of its weight; `n` pick points sit
+    * at the midpoints of a regular grid over the total weight `T`
+    * (positions `T·(2k+1)/(2n)`), and a row is drawn once per pick
+    * point inside its segment — the classic survey-sampling PPS design,
+    * here fully deterministic (the md5 order replaces the random start)
+    * and rerun/engine-stable. Σcopies = n ALWAYS (every pick point
+    * lands in exactly one segment); a row heavier than `T/n` is drawn
+    * multiple times (`copies` > 1), which is exactly the multiplicity a
+    * mixture builder should honor.
+    *
+    * All arithmetic is INTEGER: a pick hits a segment iff an odd
+    * multiple `m·T` (m < 2n) lies in `(2n·prev, 2n·cum]`, and the copy
+    * count is a closed-form difference of odd-counts — no floating
+    * point anywhere, so a SQL oracle reproduces the draw bit-for-bit.
+    * Requires `2·n·T < 2^63` (checked).
+    *
+    * Scale shape: same two-phase range-sorted cumulative sum as
+    * [[Selection.byTokenBudget]] — no global-window funnel; the copies
+    * projection and filter are narrow.
+    *
+    * Output: input columns + `copies` (≥ 1) for drawn rows only.
+    */
+  def weightedSystematic(df: DataFrame, idCol: String, weightCol: String,
+                         n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(df.schema(weightCol).dataType == LongType,
+      s"$weightCol must be LongType (cast upstream), got " +
+        df.schema(weightCol).dataType)
+    val sorted = df
+      .sort(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .localCheckpoint(true)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    def w(r: Row): Long = {
+      val v = if (r.isNullAt(wIdx)) 0L else r.getLong(wIdx)
+      require(v >= 0, s"negative weight $v in $weightCol")
+      v
+    }
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(w).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    require(total > 0, "total weight must be positive")
+    require(total <= Long.MaxValue / (2L * n),
+      s"2*n*total overflows: n=$n total=$total — reduce n or rescale weights")
+    val grid = 2L * n
+    val schema = StructType(sorted.schema.fields :+
+      StructField("copies", LongType, nullable = false))
+    def oddsUpTo(x: Long): Long = (math.min(x, grid - 1) + 1) / 2
+    val picked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.flatMap { r =>
+        val prev = cum
+        cum += w(r)
+        val copies = oddsUpTo((grid * cum) / total) - oddsUpTo((grid * prev) / total)
+        if (copies > 0) Iterator(Row.fromSeq(r.toSeq :+ copies))
+        else Iterator.empty
+      }
+    }
+    sorted.sparkSession.createDataFrame(picked, schema)
+  }
 }

@@ -312,4 +312,26 @@ class PropertySpec extends SparkSpec {
       assert(got == naive, s"width $width: ${got.diff(naive)} extra, ${naive.diff(got)} missing")
     }
   }
+
+  test("weighted systematic sampling: exactly n draws, PPS multiplicity") {
+    // random positive weights with occasional giants; for every n the
+    // total draw count is exactly n and each row's copy count brackets
+    // its proportional share floor(w·n/T) … ceil(w·n/T)+1 (midpoint
+    // systematic sampling's deterministic bound)
+    val wGen = Gen.listOfN(12, Gen.oneOf(Gen.choose(1L, 20L), Gen.choose(200L, 500L)))
+    forAllSeeded(Gen.zip(wGen, Gen.oneOf(1, 3, 7, 16)), cases = 8) {
+      case (ws, n) =>
+        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+        val out = graft.operators.Sampling
+          .weightedSystematic(df.repartition(5), "id", "w", n)
+          .select("id", "w", "copies").as[(Long, Long, Long)].collect()
+        val total = ws.sum.toDouble
+        assert(out.map(_._3).sum == n, s"n=$n ws=$ws got=${out.toSeq}")
+        out.foreach { case (id, w, c) =>
+          val share = w * n / total
+          assert(c >= math.floor(share).toLong - 1 && c <= math.ceil(share).toLong + 1,
+            s"id=$id w=$w copies=$c share=$share")
+        }
+    }
+  }
 }
