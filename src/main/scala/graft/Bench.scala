@@ -213,7 +213,8 @@ object Bench {
         "range_join", "gap_fill", "window_ranks",
         "table_checksum", "zorder_key", "fact_rollup", "pivot_status",
         "sessionize_batch", "json_extract", "set_ops", "null_safe_join",
-        "value_histogram", "topk_per_group")
+        "value_histogram", "topk_per_group", "cms_frequency",
+        "sample_weighted")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
