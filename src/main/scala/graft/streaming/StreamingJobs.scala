@@ -206,17 +206,27 @@ object StreamingJobs {
     * tests pin semantics while MemoryStream tests pin the streaming
     * state behavior.
     */
+  /** `joinType`: "inner" (default) or "left_outer" — the outer form
+    * emits an unmatched left row with null right columns once the
+    * watermark proves no in-band right row can still arrive (so outer
+    * results are delayed by band + watermark, the price of a correct
+    * negative).
+    */
   def joinStreams(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTs: String, rightTs: String,
                   before: String = "1 hour", after: String = "1 hour",
-                  watermarkDelay: String = "10 minutes"): DataFrame = {
+                  watermarkDelay: String = "10 minutes",
+                  joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay) else right
     l.join(r,
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"),
+      joinType)
   }
 
   /** Streaming ingest into the batch raw-merge: each micro-batch runs the

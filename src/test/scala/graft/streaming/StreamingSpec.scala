@@ -208,6 +208,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER: unmatched rows emit nulls after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingJobs.joinStreams(
+      clicks.toDF().toDF("click_id", "cuser", "cts"),
+      buys.toDF().toDF("buy_id", "buser", "bts"),
+      "cuser", "buser", "cts", "bts",
+      before = "0 seconds", after = "10 minutes",
+      watermarkDelay = "1 minute", joinType = "left_outer")
+    val query = out.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")),  // will match
+        (2L, 8L, ts("2024-01-01 10:00:00")))               // never matches
+      buys.addData((100L, 7L, ts("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // advance BOTH watermarks far past click 2's band so the engine
+      // can prove no matching purchase can still arrive
+      clicks.addData((3L, 9L, ts("2024-01-01 12:00:00")))
+      buys.addData((101L, 9L, ts("2024-01-01 12:30:00")))
+      query.processAllAvailable()
+      clicks.addData((4L, 9L, ts("2024-01-01 13:00:00")))
+      buys.addData((102L, 9L, ts("2024-01-01 13:30:00")))
+      query.processAllAvailable()
+      val rows = spark.table("ss_outer")
+        .select("click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(rows.contains((1L, Some(100L))), rows.toString)   // matched pair
+      assert(rows.contains((2L, None)), rows.toString)         // watermark-proven miss
+    } finally query.stop()
+  }
+
   test("stream-stream join transform doubles as the batch band join") {
     import spark.implicits._
     val l = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("click_id", "cuser", "cts")
