@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Key-skew report: the `k` heaviest join/group keys with their share
+    * of all rows and their ratio to the mean key load — the diagnostic
+    * behind "will this key melt a task at 100 TB" and the input to a
+    * `skewSalts`/AQE-threshold decision. One partial-agg'd count per
+    * key, one bounded stats row, a `TakeOrderedAndProject` top-k —
+    * never a global sort. Both ratios are single IEEE divisions of
+    * exact integers, so an oracle reproduces them bitwise.
+    */
+  def keySkew(df: DataFrame, keys: Seq[String], k: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "keySkew needs at least one key column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val r = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("groups")).head()
+    val (total, groups) = (r.getLong(0), r.getLong(1))
+    counts
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .withColumn("skew_vs_avg",
+        col("n").cast("double") / (lit(total.toDouble) / lit(groups.toDouble)))
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

@@ -444,6 +444,25 @@ object CoreGates {
       |WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** [[graft.analytics.Profile.keySkew]] over lineitem supplier keys:
+    * the top-10 heaviest keys with share-of-rows and ratio-to-mean-load
+    * — the "will this key melt a task" diagnostic. Ratios are single
+    * IEEE divisions of exact integers with the same parenthesization in
+    * the oracle.
+    */
+  def keySkew(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.keySkew(
+      Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
+
+  val keySkewSql: String =
+    """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(n) AS total, COUNT(*) AS groups FROM c)
+      |SELECT l_suppkey, n,
+      |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |       CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(groups AS DOUBLE))
+      |         AS skew_vs_avg
+      |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_merge"     -> (scd2Merge _),
     "carry_forward"  -> (carryForward _),
@@ -459,7 +478,8 @@ object CoreGates {
     "null_safe_join" -> (nullSafeJoin _),
     "value_histogram" -> (valueHistogram _),
     "set_ops"        -> (setOps _),
-    "topk_per_group" -> (topkPerGroup _))
+    "topk_per_group" -> (topkPerGroup _),
+    "key_skew"       -> (keySkew _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -476,5 +496,6 @@ object CoreGates {
     "null_safe_join" -> nullSafeJoinSql,
     "value_histogram" -> valueHistogramSql,
     "set_ops"        -> setOpsSql,
-    "topk_per_group" -> topkPerGroupSql)
+    "topk_per_group" -> topkPerGroupSql,
+    "key_skew"       -> keySkewSql)
 }
