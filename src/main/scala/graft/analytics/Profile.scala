@@ -35,6 +35,8 @@ object Profile {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
     val r = counts.agg(sum(col("n")).as("total"),
       count(lit(1)).as("groups")).head()
+    require(!r.isNullAt(0),
+      s"no rows to profile for keys ${keys.mkString(", ")}")
     val (total, groups) = (r.getLong(0), r.getLong(1))
     counts
       .withColumn("share", col("n").cast("double") / lit(total.toDouble))

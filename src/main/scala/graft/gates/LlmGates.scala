@@ -1426,7 +1426,9 @@ object LlmGates {
       |c AS (
       |  SELECT doc_id, n_chars, cum, cum - n_chars AS prev, total
       |  FROM o, t)
-      |SELECT doc_id, n_chars, copies FROM (
+      |-- CAST pins the published type: DuckDB widens windowed SUM to
+      |-- HUGEINT and the wideness propagates through // to `copies`.
+      |SELECT doc_id, n_chars, CAST(copies AS BIGINT) AS copies FROM (
       |  SELECT doc_id, n_chars,
       |    (least((32 * cum) // total, 31) + 1) // 2
       |      - (least((32 * prev) // total, 31) + 1) // 2 AS copies

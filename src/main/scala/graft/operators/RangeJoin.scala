@@ -70,16 +70,28 @@ object RangeJoin {
       .intersect(intervals.columns.toSet) -- keys.toSet
     require(clash.isEmpty,
       s"non-key columns ${clash.mkString(", ")} appear on both sides — rename")
+    val reserved = Set("__rb", "__pa", "__sa", "__ea")
+      .intersect(points.columns.toSet ++ intervals.columns.toSet)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with range-join internals — rename")
 
     val pAxis = axis(points.schema(pointCol).dataType, col(pointCol))
     val sAxis = axis(intervals.schema(startCol).dataType, col(startCol))
     val eAxis = axis(intervals.schema(endCol).dataType, col(endCol))
-    // floor() rides through DOUBLE: exact for |axis/width| < 2^52, which
-    // epoch micros (~2^50) and day numbers satisfy with headroom
-    val w = lit(bucketWidth)
-    val p = points.withColumn("__rb", floor(pAxis / w).cast(LongType))
-    val sb = floor(sAxis / w).cast(LongType)
-    val eb = floor(eAxis / w).cast(LongType)
+    // Buckets in pure long arithmetic: (a - pmod(a, w)) is the greatest
+    // multiple of w <= a (floor semantics for negative axes too), and the
+    // truncating `div` of an exact multiple is exact over the whole long
+    // range — no DOUBLE round-trip, so a large integral axis with a small
+    // width can never land in the wrong bucket. (Only axis values within
+    // w of Long.MinValue could underflow — unreachable for every axis
+    // family `axis()` admits.)
+    def floorDiv(named: String): Column =
+      expr(s"(`$named` - pmod(`$named`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val p = points.withColumn("__pa", pAxis)
+      .withColumn("__rb", floorDiv("__pa")).drop("__pa")
+    val ivals = intervals.withColumn("__sa", sAxis).withColumn("__ea", eAxis)
+    val sb = floorDiv("__sa")
+    val eb = floorDiv("__ea")
     val nb = eb - sb + lit(1L)
 
     // inverted spans (end < start) match nothing under BETWEEN; drop them
@@ -99,16 +111,17 @@ object RangeJoin {
           col(startCol).cast(StringType))).cast(LongType))
         .otherwise(eb)
     val within =
-      if (oversizeBroadcast) intervals.filter(nb <= maxIntervalBuckets && forward)
-      else intervals.filter(forward)
+      if (oversizeBroadcast) ivals.filter(nb <= maxIntervalBuckets && forward)
+      else ivals.filter(forward)
     val exploded = within.withColumn("__rb", explode(sequence(sb, boundedEnd)))
+      .drop("__sa", "__ea")
     val between = col(pointCol).between(col(startCol), col(endCol))
     val main = p.join(exploded, keys :+ "__rb", "inner")
       .filter(between).drop("__rb")
 
     if (!oversizeBroadcast) main
     else {
-      val oversize = intervals.filter(nb > maxIntervalBuckets)
+      val oversize = ivals.filter(nb > maxIntervalBuckets).drop("__sa", "__ea")
       val keyEq = keys.map(k => p(k) === oversize(k))
         .foldLeft(lit(true))(_ && _)
       val ov = p.drop("__rb")

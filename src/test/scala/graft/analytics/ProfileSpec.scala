@@ -29,4 +29,12 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no non-null"))
   }
+
+  test("keySkew on an empty frame is rejected with a clear message") {
+    val df = Seq.empty[(Long, Long)].toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.keySkew(df, Seq("k"))
+    }
+    assert(e.getMessage.contains("no rows to profile"))
+  }
 }

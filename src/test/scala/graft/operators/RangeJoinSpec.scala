@@ -73,6 +73,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs(out) == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("huge integral axis with tiny width buckets exactly (no DOUBLE loss)") {
+    // 2^61-adjacent axis values: floor(axis / w) computed through DOUBLE
+    // collapses adjacent buckets (2^61 ≫ 2^52 mantissa), silently losing
+    // pairs. The long-arithmetic form must keep them exact.
+    val base = 1L << 61
+    val p = Seq((1L, base + 3L), (2L, base + 12L), (3L, base - 5L))
+      .toDF("pid", "x")
+    val i = Seq((10L, base + 0L, base + 9L), (11L, base + 10L, base + 19L),
+      (12L, base - 9L, base - 1L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, i, Seq.empty,
+      "x", "lo", "hi", bucketWidth = 10L)
+    assert(pairs(out) == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("negative integral axis uses floor (not truncate-toward-zero) buckets") {
+    val p = Seq((1L, -5L), (2L, -14L)).toDF("pid", "x")
+    val i = Seq((10L, -10L, -1L), (11L, -20L, -11L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, i, Seq.empty,
+      "x", "lo", "hi", bucketWidth = 10L)
+    assert(pairs(out) == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("oversize interval raises by default (guard survives optimization)") {
     val p = Seq((1L, ts(2))).toDF("pid", "t")
     val i = Seq((10L, ts(1), ts(30))).toDF("iid", "lo", "hi")
