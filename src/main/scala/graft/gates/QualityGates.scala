@@ -509,6 +509,45 @@ object QualityGates {
       |  ON c.user_id = q.user_id AND c.ts >= q.quote_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** [[graft.streaming.StreamingJobs.joinStreams]] exercised on batch
+    * frames: the stream-stream band join is input-agnostic (watermarks
+    * no-op on bounded frames), so the SAME code path the MemoryStream
+    * specs drive is gated here against the plain BETWEEN theta join the
+    * band predicate denotes — views paired with same-user purchases in
+    * [view_ts - 1h, view_ts + 4h]. Closes the one §2 family that had
+    * only spec coverage with an oracle row.
+    */
+  def bandJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buyer_id"),
+        col("ts").as("buy_ts"))
+    graft.streaming.StreamingJobs.joinStreams(views, buys,
+        "user_id", "buyer_id", "view_ts", "buy_ts",
+        before = "1 hour", after = "4 hours")
+      .select("view_id", "user_id", "view_ts", "buy_id", "buy_ts")
+      .orderBy("view_id", "buy_id")
+  }
+
+  val bandJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events),
+      |v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      |      FROM e WHERE event_type = 'view'),
+      |b AS (SELECT event_id AS buy_id, user_id AS buyer_id, ts AS buy_ts
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT view_id, v.user_id, view_ts, buy_id, buy_ts
+      |FROM v JOIN b ON v.user_id = b.buyer_id
+      |  AND b.buy_ts >= v.view_ts - INTERVAL 1 HOUR
+      |  AND b.buy_ts <= v.view_ts + INTERVAL 4 HOUR
+      |ORDER BY view_id, buy_id""".stripMargin
+
   /** [[graft.operators.RangeJoin.pointInInterval]]: each click event
     * against every same-user 2-hour window opened by a purchase — the
     * binned range join (1-hour buckets ⇒ ≤ 3 replicas per window) with
@@ -704,6 +743,7 @@ object QualityGates {
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
     "asof_join"        -> (asofJoin _),
+    "band_join"        -> (bandJoin _),
     "range_join"       -> (rangeJoin _),
     "gap_fill"         -> (gapFill _),
     "json_extract"     -> (jsonExtract _),
@@ -726,6 +766,7 @@ object QualityGates {
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join"        -> asofJoinSql,
+    "band_join"        -> bandJoinSql,
     "range_join"       -> rangeJoinSql,
     "gap_fill"         -> gapFillSql,
     "json_extract"     -> jsonExtractSql,
