@@ -37,7 +37,8 @@ object WarehouseJob {
     * [[Schemas.staging]]. Frames are localCheckpoint'd so multi-day runs
     * don't stack lineage (the on-disk table layer plays this role in
     * production). `skewSalts > 1` routes the fact dedup through the
-    * salted two-phase variant (identical output; for skewed day slices).
+    * salted two-phase variant (identical output; for skewed day slices);
+    * [[FactDaily.AutoSalts]] profiles the slice and decides per day.
     */
   def runDay(spark: SparkSession, state: State, staging: DataFrame,
              runDate: String, checkpoint: Boolean = true,
