@@ -68,5 +68,29 @@ class LayoutSpec extends SparkSpec {
       .write.mode("overwrite").parquet(lexPath)
     val lexExt = extents(spark.read.parquet(lexPath))
     assert(lexExt.count(_ <= 34) == 0, s"lex baseline unexpectedly tiled: $lexExt")
+
+    // READ-SIDE payoff, measured: filter on the SECOND sort column only
+    // (y ∈ [8, 15] — the case a lexicographic layout cannot prune). Each
+    // 256-row file is one parquet row group, so pushed min/max filters
+    // skip whole groups; the scan's numOutputRows counts rows decoded
+    // from SURVIVING groups. Z-order tiles put y∈[8,15] in a handful of
+    // files; every lex slab spans all y, so nothing is skipped.
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString.take(500))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRead = spark.read.parquet(path).filter(col("y").between(8, 15))
+    val lexRead = spark.read.parquet(lexPath).filter(col("y").between(8, 15))
+    assert(zRead.select("x", "y", "payload").except(lexRead.select("x", "y", "payload")).isEmpty &&
+      lexRead.count() == n.toLong * 8, "filtered reads disagree")
+    val (zRows, lexRows) = (scannedRows(zRead), scannedRows(lexRead))
+    assert(lexRows == n.toLong * n,
+      s"lex baseline should decode every row group, decoded $lexRows")
+    assert(zRows <= lexRows / 2,
+      s"z-order should skip most row groups: decoded $zRows of $lexRows")
   }
 }
