@@ -28,6 +28,18 @@ object Views {
   private val rnd1 = (x: Column) => round(x, 1)
   private val rnd2 = (x: Column) => round(x, 2)
 
+  /** Hard bound on the A6 STRING_AGG city list. Real groups hold a few
+    * cities (bounded by DimLocation's city cardinality); the slice is a
+    * defense against a pathological input assembling an unbounded
+    * aggregation buffer in one group (SCALE.md "what breaks first" #2).
+    * Sorted BEFORE slicing, so a capped list is the deterministic
+    * alphabetical prefix, not an arbitrary subset.
+    */
+  private val MaxCitiesPerGroup = 1000
+  private def cityAgg: Column =
+    array_join(slice(sort_array(collect_set(col("l.city"))),
+      1, MaxCitiesPerGroup), ", ")
+
   /** vw_current_jobs (base_views.sql:10-33). */
   def currentJobs(s: Star): DataFrame =
     s.fact.as("f")
@@ -100,7 +112,7 @@ object Views {
         col("f.salary_max"), col("f.salary_type"), col("f.due_date"),
         col("f.time_remaining"), col("f.posted_time"), col("j.skills"),
         col("j.job_url"), col("c.company_url"), col("f.load_month"))
-      .agg(array_join(sort_array(collect_set(col("l.city"))), ", ").as("locations"))
+      .agg(cityAgg.as("locations"))
       .select(col("job_id"), col("title"), col("company_name"),
         col("verified_employer"), col("date_id"), col("salary_min"),
         col("salary_max"), col("salary_type"), col("due_date"),
@@ -118,7 +130,7 @@ object Views {
         col("c.verified_employer"), col("f.salary_min"), col("f.salary_max"),
         col("f.salary_type"), col("f.due_date"), col("f.time_remaining"),
         col("j.skills"), col("j.job_url"), col("f.posted_time"))
-      .agg(array_join(sort_array(collect_set(col("l.city"))), ", ").as("locations"))
+      .agg(cityAgg.as("locations"))
       .orderBy(col("due_date").asc_nulls_last)
 
   private def cityFiltered(s: Star, runDate: Column, cityPred: Column): DataFrame =
@@ -157,7 +169,7 @@ object Views {
       .groupBy(col("j.job_id"), col("j.title"), col("c.company_name"),
         col("c.verified_employer"), col("f.salary_min"), col("f.salary_max"),
         col("f.due_date"), col("f.time_remaining"), col("j.job_url"))
-      .agg(array_join(sort_array(collect_set(col("l.city"))), ", ").as("locations"))
+      .agg(cityAgg.as("locations"))
       .withColumn("days_left", datediff(to_date(col("due_date")), today))
       .orderBy(col("due_date").asc_nulls_last)
   }
@@ -201,7 +213,7 @@ object Views {
       .join(l(s).as("l"), col("b.location_sk") === col("l.location_sk"), "left")
       .groupBy(col("j.job_id"), col("j.title"), col("c.company_name"),
         col("f.salary_min"), col("f.salary_max"), col("f.due_date"), col("j.job_url"))
-      .agg(array_join(sort_array(collect_set(col("l.city"))), ", ").as("locations"))
+      .agg(cityAgg.as("locations"))
       .orderBy(col("due_date").asc_nulls_last)
 
   /** vw_location_stats (business_views.sql:188-203). */
