@@ -137,10 +137,25 @@ object Bench {
           lit("2026-01-01 06:00:00").cast("timestamp").as("posted_time"),
           lit("2026-02-01 00:00:00").cast("timestamp").as("due_date"),
           lit("2026-01-01 06:00:00").cast("timestamp").as("crawled_at"))
-      def writeStaging(dir: String, root: String): Unit =
-        stagingFromOrders(dir).withColumn("crawl_date", lit("2026-01-01"))
+      // Day 1 = the full batch (every id minted). Day 2 = the
+      // steady-state incremental shape: ~5% of jobs re-crawled with a
+      // revised title + salary (SCD2 new version + fact overwrite), the
+      // other 95% of the fact slice carried forward from day 1.
+      def writeStaging(dir: String, root: String): Unit = {
+        val day1 = stagingFromOrders(dir)
+          .withColumn("crawl_date", lit("2026-01-01"))
+        val day2 = stagingFromOrders(dir)
+          .filter(pmod(xxhash64(col("job_id")), lit(20)) === 0)
+          .withColumn("title_clean", concat(col("title_clean"), lit(" (rev)")))
+          .withColumn("salary_min",
+            (col("salary_min") * 1.1).cast("decimal(18,2)"))
+          .withColumn("posted_time", lit("2026-01-02 06:00:00").cast("timestamp"))
+          .withColumn("crawled_at", lit("2026-01-02 06:00:00").cast("timestamp"))
+          .withColumn("crawl_date", lit("2026-01-02"))
+        day1.unionByName(day2)
           .write.partitionBy("crawl_date").mode("overwrite")
           .parquet(s"$root/staging_jobs")
+      }
       val whBase = "target/bench_wh_base"
       val whScaled = s"$scaleDir/warehouse"
       writeStaging(sfDir, whBase)
@@ -169,6 +184,14 @@ object Bench {
         (tb, ts) match {
           case (Some(b), Some(s)) => scaleQs("warehouse_day") = (b, s)
           case _ => errors("scale_warehouse_day") = "warehouse day-build failed"
+        }
+        // Day 2 on the day-1 state: carry-forward dominant, only the 5%
+        // revision slice mints new ids — the every-day production path.
+        val tb2 = timeIt(graft.app.Apps.runWarehouseDay(spark, whBase, "2026-01-02"))
+        val ts2 = timeIt(graft.app.Apps.runWarehouseDay(spark, whScaled, "2026-01-02"))
+        (tb2, ts2) match {
+          case (Some(b), Some(s)) => scaleQs("warehouse_day2") = (b, s)
+          case _ => errors("scale_warehouse_day2") = "warehouse day-2 build failed"
         }
       } catch {
         case e: Throwable =>
