@@ -237,7 +237,11 @@ object Bench {
         "table_checksum", "zorder_key", "fact_rollup", "pivot_status",
         "sessionize_batch", "json_extract", "set_ops", "null_safe_join",
         "value_histogram", "topk_per_group", "cms_frequency",
-        "sample_weighted")
+        "sample_weighted",
+        // round-8 operators: batch band join (replica users never
+        // cross-match → linear pair volume), KMV cardinality (narrow
+        // scan + top-k), hash-rank uniform draw
+        "band_join", "corpus_cardinality", "sample_uniform")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -1410,6 +1410,22 @@ object LlmGates {
     * offset form) and applies the identical integer odd-multiple copy
     * count, so the draw matches bit-for-bit including multiplicities.
     */
+  /** [[graft.operators.Sampling.uniformByHash]]: 32 docs by smallest
+    * md5(doc_id) rank — the reproducible uniform carve-out. The oracle
+    * replays the same hash ordering.
+    */
+  def sampleUniform(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.uniformByHash(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", n = 32)
+      .orderBy("doc_id")
+
+  val sampleUniformSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 32)
+      |ORDER BY doc_id""".stripMargin
+
   def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.weightedSystematic(
         Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
@@ -1438,6 +1454,7 @@ object LlmGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_frequency"       -> (cmsFrequency _),
     "sample_weighted"     -> (sampleWeighted _),
+    "sample_uniform"      -> (sampleUniform _),
     "contamination"       -> (contamination _),
     "sample_stratified"   -> (sampleStratified _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -1476,6 +1493,7 @@ object LlmGates {
   val oracleSql: Map[String, String] = Map(
     "cms_frequency"       -> cmsFrequencySql,
     "sample_weighted"     -> sampleWeightedSql,
+    "sample_uniform"      -> sampleUniformSql,
     "contamination"       -> contaminationSql,
     "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,

@@ -576,6 +576,32 @@ object PipelineGates {
       |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS est_jaccard
       |FROM su LEFT JOIN sa a USING (digest) LEFT JOIN sb b USING (digest)""".stripMargin
 
+  /** [[graft.llm.CorpusStats.cardinalitySketch]] at k=256 over 500
+    * distinct documents — the estimator path (k-th digest rank), not
+    * the exact-count degenerate. The oracle restates the bottom-k, the
+    * 48-bit rank integer, and both IEEE divisions.
+    */
+  def corpusCardinality(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusStats.cardinalitySketch(
+      Tables(s, dir, "documents"), "text", k = 256)
+
+  val corpusCardinalitySql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest
+      |  FROM documents),
+      |bk AS (SELECT digest FROM d ORDER BY digest LIMIT 256),
+      |agg AS (SELECT COUNT(*) AS k_used, MAX(digest) AS kth FROM bk),
+      |t AS (SELECT COUNT(*) AS true_distinct FROM d)
+      |SELECT CAST(k_used AS BIGINT) AS k_used,
+      |  CAST(true_distinct AS BIGINT) AS true_distinct,
+      |  CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |    ELSE 255.0 / (CAST(list_reduce(
+      |      [strpos('0123456789abcdef', substr(kth, j, 1)) - 1
+      |        for j in range(1, 13)], (a, x) -> a * 16 + x) AS DOUBLE)
+      |      / 281474976710656.0)
+      |  END AS est_distinct
+      |FROM agg, t""".stripMargin
+
   // ---- snapshot diff ---------------------------------------------------
 
   /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
@@ -642,7 +668,8 @@ object PipelineGates {
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
-    "corpus_overlap"     -> (corpusOverlap _))
+    "corpus_overlap"     -> (corpusOverlap _),
+    "corpus_cardinality" -> (corpusCardinality _))
 
   val oracleSql: Map[String, String] = Map(
     "pii_redact"         -> piiRedactSql,
@@ -661,5 +688,6 @@ object PipelineGates {
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,
-    "corpus_overlap"     -> corpusOverlapSql)
+    "corpus_overlap"     -> corpusOverlapSql,
+    "corpus_cardinality" -> corpusCardinalitySql)
 }

@@ -113,6 +113,41 @@ object CorpusStats {
           .as("est_jaccard"))
   }
 
+  /** KMV distinct-cardinality estimate of a corpus's normalized-text
+    * set — "how many unique documents" at 100 TB without a full
+    * distinct aggregation shuffle. Same bottom-k order statistics as
+    * [[overlapSketch]]: if the k-th smallest of n uniform digests sits
+    * at fraction f of the hash space, then n ≈ (k−1)/f (the classic
+    * KMV estimator, Bar-Yossef et al. 2002; RMSE ≈ 1/√k). Fewer than k
+    * distinct digests means the sketch IS the distinct set — the
+    * estimate degrades to the exact count.
+    *
+    * Scale shape: one narrow digest scan → distinct (partial-agg'd) →
+    * `TakeOrderedAndProject` k; the estimate itself is arithmetic on a
+    * k-row frame. Deterministic and engine-portable: the digest rank
+    * is the first 12 hex digits as an exact 48-bit integer, and the
+    * estimate is two IEEE divisions of exact values.
+    *
+    * Output: one row `(k_used, true_distinct, est_distinct)` —
+    * `true_distinct` is the exact count, computed for gate
+    * verification; skip it in production (it is the full shuffle the
+    * sketch exists to avoid).
+    */
+  def cardinalitySketch(docs: DataFrame, textCol: String,
+                        k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val d = Dedup.digests(docs, textCol)
+    val bk = d.orderBy("digest").limit(k)
+    val kthFrac = conv(substring(max(col("digest")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12 = 2^48
+    val agg = bk.agg(count(lit(1)).as("k_used"),
+      when(count(lit(1)) < k, count(lit(1)).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / kthFrac).as("est_distinct"))
+    val truth = d.agg(count(lit(1)).as("true_distinct"))
+    agg.crossJoin(truth)
+      .select(col("k_used"), col("true_distinct"), col("est_distinct"))
+  }
+
   def quantileSketch(docs: DataFrame, groupCol: String, valueCol: String,
                      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                      accuracy: Int = 10000, rsd: Double = 0.05): DataFrame = {

@@ -101,6 +101,24 @@ object Sampling {
     *
     * Output: input columns + `copies` (≥ 1) for drawn rows only.
     */
+  /** Deterministic uniform sample WITHOUT replacement: the `n` rows
+    * whose `md5(id)` ranks smallest (id as tiebreak). The hash rank is
+    * a uniform permutation of the ids, so this is an unbiased uniform
+    * draw that is reproducible across runs, engines, and partitionings
+    * — the property `df.sample()` lacks (seed × partitioning
+    * dependent), and the one a training-data pipeline needs for
+    * auditable eval carve-outs.
+    *
+    * Scale shape: `TakeOrderedAndProject` — per-partition top-n, no
+    * shuffle; driver holds n × partitions candidates transiently.
+    * Keep `n` sample-sized (≤ ~10⁵); for giant draws prefer
+    * [[hashSplit]]'s rate-based carve.
+    */
+  def uniformByHash(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc).limit(n)
+  }
+
   def weightedSystematic(df: DataFrame, idCol: String, weightCol: String,
                          n: Int): DataFrame = {
     import org.apache.spark.sql.Row

@@ -227,6 +227,37 @@ class PipelineSpec extends SparkSpec {
     assert(est > 0.15 && est < 0.55, s"KMV estimate $est implausibly far from 1/3")
   }
 
+  test("cardinalitySketch: exact below k, plausible and partition-invariant above") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"unique doc $i")).toDF("id", "text")
+    // distinct < k → the sketch is the set → exact
+    val small = CorpusStats.cardinalitySketch(docs.limit(100), "text", k = 256).head()
+    assert(small.getLong(0) == 100L && small.getLong(1) == 100L &&
+      small.getDouble(2) == 100.0)
+    // estimator path: 2000 distinct at k=256 → within ±25% (RMSE ~ 1/16)
+    val est = CorpusStats.cardinalitySketch(docs, "text", k = 256).head()
+    assert(est.getLong(0) == 256L && est.getLong(1) == 2000L)
+    assert(est.getDouble(2) > 1500 && est.getDouble(2) < 2500, est.toString)
+    // deterministic across partitioning (the bottom-k is a total order)
+    val re = CorpusStats.cardinalitySketch(docs.repartition(7), "text", k = 256).head()
+    assert(re.getDouble(2) == est.getDouble(2))
+    // duplicated texts collapse before sketching
+    val dup = docs.unionByName(docs)
+    assert(CorpusStats.cardinalitySketch(dup.limit(100), "text", k = 256)
+      .head().getLong(1) <= 100L)
+  }
+
+  test("uniformByHash: deterministic n-row draw, partition-invariant") {
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    val a = graft.operators.Sampling.uniformByHash(df, "id", 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a.length == 20 && a.distinct.length == 20)
+    val b = graft.operators.Sampling.uniformByHash(df.repartition(9), "id", 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "draw changed under repartitioning")
+    // n >= |df| returns everything
+    assert(graft.operators.Sampling.uniformByHash(df, "id", 1000).count() == 500L)
+  }
+
   test("topNgrams counts occurrences globally with deterministic ties") {
     val df = Seq(
       (1L, "red fox red fox jumps"),
