@@ -241,7 +241,13 @@ object Bench {
         // round-8 operators: batch band join (replica users never
         // cross-match → linear pair volume), KMV cardinality (narrow
         // scan + top-k), hash-rank uniform draw
-        "band_join", "corpus_cardinality", "sample_uniform")
+        "band_join", "corpus_cardinality", "sample_uniform",
+        // round-8 batch 2: symmetric-delete fuzzy join (signature
+        // equi-join, pair volume tracks true matches), narrow per-row
+        // URL ops, two partial-agg text/moment pipelines, and the
+        // integer-weight decay rollup
+        "fuzzy_join", "url_canonicalize", "bigram_lm", "decayed_counts",
+        "outlier_zscore")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

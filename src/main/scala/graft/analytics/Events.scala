@@ -242,6 +242,42 @@ object Events {
       col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
   }
 
+  /** Time-decayed popularity: per key, `Σ 2^(−halvings(age))` over its
+    * events — the "trending now" score where yesterday counts double
+    * tomorrow's view of today. Ages are bucketed to whole half-lives
+    * (`age_days div halfLifeDays`, clamped to `maxHalvings`), so every
+    * weight is a power of two and the score accumulates as an EXACT
+    * integer `Σ 2^(maxHalvings − halvings)` — no floating-point sum, no
+    * partitioning sensitivity; the published `score` divides that
+    * integer by `2^maxHalvings` once (cast + one IEEE division, both
+    * deterministic).
+    *
+    * Scale shape: one tiny max(ts) aggregate (broadcast back), a narrow
+    * weight projection, one partial-agg'd sum shuffle to |keys| rows.
+    * Overflow headroom: `count_per_key · 2^maxHalvings < 2^63`, so the
+    * default 30 halvings supports ~8.5e9 events per key; raise
+    * resolution only with known key cardinalities. Events newer than
+    * `asOf` clamp to age 0 (full weight).
+    */
+  def decayedCounts(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                    halfLifeDays: Int, maxHalvings: Int = 30): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(maxHalvings >= 1 && maxHalvings <= 62,
+      s"maxHalvings must be in 1..62, got $maxHalvings")
+    val asOf = events.agg(max(to_date(col(tsCol))).as("__asof"))
+    val aged = events.crossJoin(broadcast(asOf))
+      .withColumn("__age", greatest(
+        datediff(col("__asof"), to_date(col(tsCol))), lit(0)))
+      .withColumn("__halv", least(
+        expr(s"CAST(__age AS BIGINT) div $halfLifeDays"),
+        lit(maxHalvings.toLong)))
+      .withColumn("__w", expr(s"shiftleft(1L, CAST($maxHalvings - __halv AS INT))"))
+    aged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("__w")).as("score_scaled"))
+      .withColumn("score", col("score_scaled").cast("double") /
+        lit((1L << maxHalvings).toDouble))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              withinHours: Int): DataFrame = {

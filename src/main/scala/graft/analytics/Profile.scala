@@ -46,6 +46,60 @@ object Profile {
       .limit(k)
   }
 
+  /** Per-group z-score outlier report: n, mean, population stddev, and
+    * how many rows sit beyond `z` deviations — the data-quality screen
+    * for "which segment's totals have garbage in them".
+    *
+    * Determinism: a plain double `avg`/`stddev` is partition-order
+    * sensitive, so the moments are built from EXACT decimal sums
+    * instead — each value quantizes to a decimal ONCE at `quantScale`
+    * (callers pick a scale that represents the data exactly — 2 for
+    * prices — so the cast is engine-convention-free), the square is
+    * computed IN decimal (exact), the sums are exact, and mean/std
+    * derive from them in a fixed double expression order (textbook
+    * `E[x²] − mean²`, clamped at 0 for the cancellation edge). Same
+    * exact-decimal-accumulation convention as LmScore; squaring the
+    * quantized decimal rather than quantizing the double `x·x` matters
+    * because a 53-bit product needs ~23 digits at a wide scale and
+    * engines round the excess differently.
+    *
+    * Scale shape: one partial-agg'd shuffle to |groups| stats rows,
+    * broadcast back, then a narrow comparison and one more partial-agg'd
+    * count — two linear scans, no window. Cancellation caveat: with
+    * values of magnitude ~1e6, `E[x²] − mean²` keeps ~8 significant
+    * digits of variance — plenty for a z-screen; callers needing exact
+    * tiny variances over huge offsets should center first.
+    */
+  def zScoreOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                     z: Double = 2.0, quantScale: Int = 2): DataFrame = {
+    require(keys.nonEmpty, "zScoreOutliers needs at least one key column")
+    require(z > 0.0, s"z must be positive, got $z")
+    require(quantScale >= 0 && quantScale <= 6,
+      s"quantScale must be in 0..6, got $quantScale")
+    val x = col(valueCol).cast("double")
+    val rows = df.filter(x.isNotNull)
+      .select(keys.map(col) :+ x.as("__x"): _*)
+    // decimal(12,s): values up to 10^(12-s) quantize exactly; the square
+    // is decimal(25,2s) — still exact, still inside Spark's 38-digit cap
+    val xd = col("__x").cast(s"decimal(12,$quantScale)")
+    val stats = rows.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xd).as("__sx"),
+      sum(xd * xd).as("__sx2"))
+    val mean = col("__sx").cast("double") / col("n").cast("double")
+    val ex2 = col("__sx2").cast("double") / col("n").cast("double")
+    val withMoments = stats
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(greatest(ex2 - col("mean") * col("mean"), lit(0.0))))
+      .select((keys.map(col) :+ col("n") :+ col("mean") :+ col("std")): _*)
+    rows.join(broadcast(withMoments), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+        first(col("std")).as("std"),
+        sum(when(abs(col("__x") - col("mean")) > lit(z) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

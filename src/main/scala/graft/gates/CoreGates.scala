@@ -450,6 +450,47 @@ object CoreGates {
     * IEEE divisions of exact integers with the same parenthesization in
     * the oracle.
     */
+  /** [[graft.analytics.Profile.zScoreOutliers]] on order totals per
+    * priority at z = 2. The oracle rebuilds the exact-decimal moment
+    * sums with the same quantization (x and x·x each cast to decimal
+    * once, summed exactly) and the same fixed double expression order —
+    * so mean, std, and the per-row outlier comparison are bitwise.
+    */
+  def outlierZscore(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.zScoreOutliers(
+        Tables(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice")
+      .orderBy("o_orderpriority")
+
+  val outlierZscoreSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |s AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))) AS sx2
+      |  FROM r GROUP BY o_orderpriority),
+      |m AS (
+      |  -- decimal -> double via VARCHAR: DuckDB's direct wide-decimal
+      |  -- cast is not correctly rounded (off by ulps on int128-backed
+      |  -- sums); the string round-trip is, matching the JVM's
+      |  -- BigDecimal.doubleValue on the Spark side
+      |  SELECT o_orderpriority, n,
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(greatest(
+      |      CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)),
+      |      0.0)) AS std
+      |  FROM s)
+      |SELECT r.o_orderpriority, n, mean, std,
+      |  CAST(sum(CASE WHEN abs(x - mean) > 2.0 * std THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM r JOIN m ON r.o_orderpriority = m.o_orderpriority
+      |GROUP BY r.o_orderpriority, n, mean, std
+      |ORDER BY r.o_orderpriority""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -479,7 +520,8 @@ object CoreGates {
     "value_histogram" -> (valueHistogram _),
     "set_ops"        -> (setOps _),
     "topk_per_group" -> (topkPerGroup _),
-    "key_skew"       -> (keySkew _))
+    "key_skew"       -> (keySkew _),
+    "outlier_zscore" -> (outlierZscore _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -497,5 +539,6 @@ object CoreGates {
     "value_histogram" -> valueHistogramSql,
     "set_ops"        -> setOpsSql,
     "topk_per_group" -> topkPerGroupSql,
-    "key_skew"       -> keySkewSql)
+    "key_skew"       -> keySkewSql,
+    "outlier_zscore" -> outlierZscoreSql)
 }

@@ -183,7 +183,79 @@ object FunctionGates {
       |    ELSE 0 END AS BIGINT) AS last_update_secs
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** [[graft.functions.Urls]]: parse + canonicalize over URLs
+    * synthesized with every mess a crawl frontier sees — uppercase
+    * scheme/host, explicit default port, shuffled query params,
+    * tracking params, fragments — keyed off doc_id so each variant mix
+    * is deterministic. The oracle restates extraction with regexps and
+    * the param sort with list ops; rows that differ only in mess must
+    * collapse to the same `canonical` string on both engines.
+    */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("https")).otherwise(lit("HTTPS")), lit("://"),
+      when(id % 3 === 0, lit("Jobs")).otherwise(lit("jobs")),
+      (id % 4).cast("string"), lit(".Example.com"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/postings/item"), (id % 7).cast("string"), lit("?"),
+      when(id % 2 === 0, lit("page=2&q=spark")).otherwise(lit("q=spark&page=2")),
+      when(id % 3 === 0, lit("&utm_source=feed&gclid=xyz")).otherwise(lit("")),
+      when(id % 6 === 0, lit("#sec")).otherwise(lit("")))
+    d.select(id, url.as("url"))
+      .select(col("doc_id"), col("url"),
+        Urls.host(col("url")).as("host"),
+        Urls.path(col("url")).as("path"),
+        Urls.port(col("url")).as("port"),
+        Urls.param(col("url"), "q").as("q_param"),
+        Urls.canonicalize(col("url")).as("canonical"))
+      .orderBy("doc_id")
+  }
+
+  val urlCanonicalizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'Jobs' ELSE 'jobs' END) ||
+      |    CAST(doc_id % 4 AS VARCHAR) || '.Example.com' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/postings/item' || CAST(doc_id % 7 AS VARCHAR) || '?' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'page=2&q=spark'
+      |          ELSE 'q=spark&page=2' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&gclid=xyz'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([^:]+)://', 1)) AS proto,
+      |    regexp_extract(url, '^[^:]+://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(url, '^[^:]+://[^/?#]*(/[^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, url, proto, path,
+      |    lower(CASE WHEN hostport LIKE '%:%'
+      |               THEN regexp_extract(hostport, '^(.*):', 1)
+      |               ELSE hostport END) AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid)=')
+      |           AND x <> '')), '&') AS sq,
+      |    regexp_extract(rawq, '(^|&)q=([^&]*)', 2) AS q_param
+      |  FROM p)
+      |SELECT doc_id, url, host, path, port, q_param,
+      |  proto || '://' || host ||
+      |  (CASE WHEN port <> '' AND NOT (proto = 'https' AND port = '443')
+      |             AND NOT (proto = 'http' AND port = '80')
+      |        THEN ':' || port ELSE '' END) ||
+      |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |  (CASE WHEN sq <> '' THEN '?' || sq ELSE '' END) AS canonical
+      |FROM q ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_canonicalize" -> (urlCanonicalize _),
     "func_clean_title" -> (funcCleanTitle _),
     "func_company"     -> (funcCompany _),
     "func_salary"      -> (funcSalary _),
@@ -192,6 +264,7 @@ object FunctionGates {
     "func_last_update" -> (funcLastUpdate _))
 
   val oracleSql: Map[String, String] = Map(
+    "url_canonicalize" -> urlCanonicalizeSql,
     "func_clean_title" -> funcCleanTitleSql,
     "func_company"     -> funcCompanySql,
     "func_salary"      -> funcSalarySql,

@@ -649,9 +649,39 @@ object PipelineGates {
       |FROM od FULL OUTER JOIN nd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** [[graft.llm.CorpusStats.bigramLm]] over the documents corpus at
+    * minPair = 3: the full conditional model — pair counts, context
+    * totals, and the one-division probability — restated in the oracle
+    * with 1-based list indexing; `sum(n_pair)` is pinned to BIGINT
+    * (DuckDB widens aggregate SUM to HUGEINT silently).
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.llm.CorpusStats.bigramLm(docs, "text", minPair = 3L)
+      .orderBy("w1", "w2")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toks AS (SELECT $NormWs AS ws FROM documents),
+       |pairs AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+       |pc AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM pairs GROUP BY w1, w2),
+       |cc AS (
+       |  SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx
+       |  FROM pc GROUP BY w1)
+       |SELECT pc.w1 AS w1, w2, n_pair, n_ctx,
+       |  CAST(n_pair AS DOUBLE) / CAST(n_ctx AS DOUBLE) AS p
+       |FROM pc JOIN cc ON pc.w1 = cc.w1
+       |WHERE n_pair >= 3
+       |ORDER BY w1, w2""".stripMargin
+
   // ----------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bigram_lm"          -> (bigramLm _),
     "pii_redact"         -> (piiRedact _),
     "quality_repetition" -> (qualityRepetition _),
     "chunk_documents"    -> (chunkDocuments _),
@@ -672,6 +702,7 @@ object PipelineGates {
     "corpus_cardinality" -> (corpusCardinality _))
 
   val oracleSql: Map[String, String] = Map(
+    "bigram_lm"          -> bigramLmSql,
     "pii_redact"         -> piiRedactSql,
     "quality_repetition" -> qualityRepetitionSql,
     "chunk_documents"    -> chunkDocumentsSql,

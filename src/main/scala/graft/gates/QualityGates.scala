@@ -738,7 +738,86 @@ object QualityGates {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** [[graft.analytics.Events.decayedCounts]] per event type at a
+    * 7-day half-life: the exact power-of-two weight sum restated with
+    * DuckDB's shift/floor-div operators; `sum` pinned to BIGINT, the
+    * published `score` is the one division of that exact integer.
+    */
+  def decayedCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+    graft.analytics.Events.decayedCounts(e, Seq("event_type"), "ts",
+        halfLifeDays = 7)
+      .orderBy("event_type")
+  }
+
+  val decayedCountsSql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |mx AS (SELECT CAST(max(ts) AS DATE) AS as_of FROM e),
+      |w AS (
+      |  SELECT event_type,
+      |    (CAST(1 AS BIGINT) << CAST(30 - least(
+      |       greatest(date_diff('day', CAST(ts AS DATE), as_of), 0) // 7,
+      |       30) AS INTEGER)) AS w
+      |  FROM e, mx)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(w) AS BIGINT) AS score_scaled,
+      |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / CAST(1073741824 AS DOUBLE)
+      |    AS score
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** [[graft.operators.Fuzzy.editJoin]]: every synthesized "dirty" part
+    * name (one deterministic char deletion / substitution keyed off
+    * p_partkey) matched against the canonical distinct-name catalog at
+    * Levenshtein ≤ 2 — the record-linkage shape behind fuzzy
+    * company-name resolution. The oracle is the brute-force all-pairs
+    * levenshtein scan, so the gate proves the symmetric-delete
+    * candidate scheme loses nothing.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val canon = p.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("name_id"))
+    val pos = ((col("p_partkey") % length(col("p_name"))) + 1).cast("int")
+    val head = col("p_name").substr(lit(1), pos - 1)
+    val tail = col("p_name").substr(pos + 1, length(col("p_name")))
+    val dirty = p.select(col("p_partkey").as("dirty_id"),
+      when(col("p_partkey") % 3 === 0, concat(head, tail))
+        .when(col("p_partkey") % 3 === 1, concat(head, lit("x"), tail))
+        .otherwise(col("p_name")).as("dirty_name"))
+    graft.operators.Fuzzy.editJoin(dirty, "dirty_id", "dirty_name",
+        canon, "name_id", "p_name", d = 2)
+      .orderBy("dirty_id", "name_id")
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH canon AS (
+      |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS name_id
+      |  FROM part GROUP BY p_name),
+      |pp AS (
+      |  SELECT p_partkey, p_name,
+      |    CAST(p_partkey % length(p_name) AS INTEGER) + 1 AS pos
+      |  FROM part),
+      |dirty AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS dirty_id,
+      |    CASE WHEN p_partkey % 3 = 0 THEN
+      |           substr(p_name, 1, pos - 1) ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         WHEN p_partkey % 3 = 1 THEN
+      |           substr(p_name, 1, pos - 1) || 'x' ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         ELSE p_name END AS dirty_name
+      |  FROM pp)
+      |SELECT dirty_id, dirty_name, name_id, p_name,
+      |  CAST(levenshtein(dirty_name, p_name) AS INTEGER) AS dist
+      |FROM dirty JOIN canon
+      |  ON abs(length(dirty_name) - length(p_name)) <= 2
+      | AND levenshtein(dirty_name, p_name) <= 2
+      |ORDER BY dirty_id, name_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join"       -> (fuzzyJoin _),
+    "decayed_counts"   -> (decayedCounts _),
     "event_transitions" -> (eventTransitions _),
     "events_anomaly"   -> (eventsAnomaly _),
     "cohort_retention" -> (cohortRetention _),
@@ -762,6 +841,8 @@ object QualityGates {
     "retention_delete" -> (retentionDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "fuzzy_join"       -> fuzzyJoinSql,
+    "decayed_counts"   -> decayedCountsSql,
     "event_transitions" -> eventTransitionsSql,
     "events_anomaly"   -> eventsAnomalySql,
     "cohort_retention" -> cohortRetentionSql,

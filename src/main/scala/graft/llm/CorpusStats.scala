@@ -24,6 +24,37 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Bigram conditional next-token model: `P(w2 | w1)` over normalized
+    * whitespace tokens — the blocklist/autocomplete/perplexity-feature
+    * companion to [[topNgrams]], but conditioned per context instead of
+    * globally ranked.
+    *
+    * Shape: one narrow `zip_with` pairs each token with its successor
+    * (no shingle strings re-split), one partial-agg'd count shuffle to
+    * |vocab|² pair rows, and the context totals DERIVE from the pair
+    * counts (`n_ctx = Σ_w2 n_pair` — every non-final token is in exactly
+    * one pair), so the corpus text is read once. The probability is one
+    * integer-count IEEE division — order/partitioning/engine stable.
+    * `minPair` prunes the hapax tail (at web scale most pairs are seen
+    * once; the model table stays bounded by the kept head).
+    */
+  def bigramLm(docs: DataFrame, textCol: String, minPair: Long = 1L): DataFrame = {
+    require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val pairs = docs.select(explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull) // zip_with pads the final token with null
+    val pairCounts = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+    val ctx = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))
+    pairCounts.join(ctx, "w1")
+      .where(col("n_pair") >= minPair)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_ctx"),
+        (col("n_pair").cast("double") / col("n_ctx").cast("double")).as("p"))
+  }
+
   /** Corpus composition by a grouping column (language, source, …):
     * document count, token volume, mean quality score.
     *

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.llm.CapStats
+
+/** Fuzzy string join: all pairs within Levenshtein distance ≤ `d`
+  * (d ∈ {1, 2}) — the record-linkage / entity-resolution primitive
+  * behind "does this scraped company name match a canonical one?"
+  * (the reference cleans company names, `etl/utils.py` clean_company_name,
+  * but matches them only exactly; this is the fuzzy upgrade).
+  *
+  * Candidates come from symmetric-delete signatures (the SymSpell
+  * scheme): if ed(s, t) ≤ d then an optimal alignment deletes ≤ d chars
+  * from EACH side to reach a common subsequence, so every true pair
+  * shares at least one of the O(len^d) deletion variants. Signature
+  * equality is an equi-join — one hash shuffle per side — and recall is
+  * exactly 1 by the alignment argument; the exact `levenshtein`
+  * post-filter (threshold form: banded DP, O(d·len) per pair) removes
+  * false candidates, so the result is identical to the all-pairs scan
+  * that would be |L|·|R| at scale.
+  *
+  * Scale shape: Σ O(len²) signature rows per side at d = 2 (names and
+  * titles, not documents — callers fuzzy-match SHORT key strings), one
+  * equi-join on the signature, a distinct on candidate id pairs, then
+  * per-candidate verification. Hot signatures (a variant shared by many
+  * strings — single-character strings all produce "") are governed by
+  * `maxBucket`, counted through the same [[graft.llm.CapStats]] channel
+  * as the LSH cap sites; the default keeps recall 1 and is sized so one
+  * bucket's pair block stays a single task's work.
+  */
+object Fuzzy {
+
+  /** All strings reachable from `s` by at most `d` character deletions,
+    * `s` itself included, distinct. Pure builtin higher-order functions
+    * (codegen'd) — no UDF: position sequences + `substr` splicing.
+    */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d >= 0 && d <= 2, s"deletion depth must be 0..2, got $d")
+    def del1(v: Column): Column =
+      when(length(v) <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(v)), i =>
+          concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v)))))
+    val base = array(s)
+    val out = d match {
+      case 0 => base
+      case 1 => concat(base, del1(s))
+      case _ =>
+        val one = del1(s)
+        concat(base, one, flatten(transform(one, v => del1(v))))
+    }
+    array_distinct(out)
+  }
+
+  /** Pairs `(left, right)` with `levenshtein(lStr, rStr) ≤ d`, published
+    * as (lId, lStr, rId, rStr, dist). Ids must be non-null and unique
+    * per side; null strings never match (SQL comparison semantics).
+    *
+    * `selfPairs = true` treats the two inputs as the same relation and
+    * keeps each unordered pair once (`lId < rId`), dropping the trivial
+    * diagonal — the "find near-duplicate names within one table" form.
+    */
+  def editJoin(left: DataFrame, lId: String, lStr: String,
+               right: DataFrame, rId: String, rStr: String,
+               d: Int, selfPairs: Boolean = false,
+               maxBucket: Int = 10000,
+               capStats: Option[CapStats] = None): DataFrame = {
+    require(d >= 1 && d <= 2, s"edit distance bound must be 1 or 2, got $d")
+    require(lId != rId && lStr != rStr,
+      s"output columns collide ($lId/$rId, $lStr/$rStr) — rename one side " +
+        "(df.toDF(...)) first; for selfPairs pass a renamed copy of the same frame")
+    val l = left.select(col(lId).as("__lid"), col(lStr).as("__ls"))
+      .where(col("__ls").isNotNull)
+      .withColumn("__sig", explode(deletionVariants(col("__ls"), d)))
+    val r = right.select(col(rId).as("__rid"), col(rStr).as("__rs"))
+      .where(col("__rs").isNotNull)
+      .withColumn("__sig", explode(deletionVariants(col("__rs"), d)))
+    // combined-occupancy cap, same contract as the LSH cap sites: a
+    // signature whose total fan-in (both sides) exceeds `maxBucket` is
+    // dropped everywhere, its loss counted — never silently stalled on
+    val occ = l.groupBy("__sig").agg(count(lit(1)).as("__nl"))
+      .join(r.groupBy("__sig").agg(count(lit(1)).as("__nr")),
+        Seq("__sig"), "full_outer")
+      .select(col("__sig"),
+        (coalesce(col("__nl"), lit(0L)) + coalesce(col("__nr"), lit(0L)))
+          .as("__n"))
+    val hot = occ.filter(col("__n") > maxBucket)
+    capStats.foreach { cs =>
+      val row = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head()
+      cs.droppedBuckets = row.getLong(0)
+      cs.droppedRows = row.getLong(1)
+    }
+    val lc = l.join(hot.select("__sig"), Seq("__sig"), "left_anti")
+    val rc = r.join(hot.select("__sig"), Seq("__sig"), "left_anti")
+    // the |len(s) − len(t)| ≤ d bound is free and prunes hopeless pairs
+    // before the distinct; the self form additionally keeps each
+    // unordered pair once
+    val lengthBound = abs(length(col("__ls")) - length(col("__rs"))) <= d
+    val pairFilter =
+      if (selfPairs) col("__lid") < col("__rid") && lengthBound
+      else lengthBound
+    val cand = lc.join(rc, Seq("__sig"))
+      .where(pairFilter)
+      .select("__lid", "__ls", "__rid", "__rs").distinct()
+    cand
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), d))
+      .where(col("dist") >= 0)
+      .select(col("__lid").as(lId), col("__ls").as(lStr),
+        col("__rid").as(rId), col("__rs").as(rStr), col("dist"))
+  }
+}

@@ -187,4 +187,26 @@ class EventsSpec extends SparkSpec {
       assert(wau == expect.toLong, s"day $d")
     }
   }
+  test("decayedCounts: exact power-of-two weights, newest day full weight") {
+    // asOf resolves to day 21 (the max); ages 0, 7, 14 days
+    val df = Seq(
+      ("a", ts(21)), ("a", ts(21)), ("a", ts(14)), ("a", ts(7)),
+      ("b", ts(21))).toDF("k", "ts")
+    val out = Events.decayedCounts(df, Seq("k"), "ts", halfLifeDays = 7)
+      .orderBy("k").collect()
+    // a: 2*2^30 + 2^29 + 2^28 ; b: 2^30
+    assert(out(0).getLong(1) == 4L)
+    assert(out(0).getLong(2) == 2L * (1L << 30) + (1L << 29) + (1L << 28))
+    assert(out(0).getDouble(3) == 2.0 + 0.5 + 0.25)
+    assert(out(1).getLong(2) == (1L << 30))
+    assert(out(1).getDouble(3) == 1.0)
+  }
+
+  test("decayedCounts: ages clamp at maxHalvings, future events at 0") {
+    val df = Seq(("k", ts(1)), ("k", ts(21))).toDF("k", "ts")
+    val out = Events.decayedCounts(df, Seq("k"), "ts",
+      halfLifeDays = 1, maxHalvings = 10).collect()
+    // day 1 is 20 halvings ago but clamps to 10; day 21 is age 0
+    assert(out(0).getLong(2) == (1L << 10) + 1L)
+  }
 }

@@ -37,4 +37,26 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no rows to profile"))
   }
+  test("zScoreOutliers: moments match the textbook formula, outliers counted") {
+    // group g: nine 10.0s and one 110.0 -> mean 20, var = E[x^2]-400
+    val vals = Seq.fill(9)(10.0) :+ 110.0
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val out = Profile.zScoreOutliers(df, Seq("k"), "v", z = 2.0).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val mean = vals.sum / 10.0
+    val varp = vals.map(x => x * x).sum / 10.0 - mean * mean
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getDouble(2) - mean) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(varp)) < 1e-9)
+    // only 110 lies beyond 2 sigma (|110-20| = 90 > 2*30)
+    assert(r.getLong(4) == 1L)
+  }
+
+  test("zScoreOutliers: constant group has zero std and no outliers") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("k", "v")
+    val r = Profile.zScoreOutliers(df, Seq("k"), "v").collect()(0)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getLong(4) == 0L)
+  }
 }

@@ -344,4 +344,33 @@ class PipelineSpec extends SparkSpec {
       .orderBy("id", "rank").collect()
     assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
+  test("bigramLm: conditional probabilities sum to 1 per context") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramLm(docs, "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "the" is followed by cat(2) and dog(1)
+    assert(out(("the", "cat")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(out(("the", "dog")) == ((1L, 3L, 1.0 / 3.0)))
+    // "cat" by sat(1) ran(1)
+    assert(out(("cat", "sat"))._3 == 0.5)
+    // final tokens open no context
+    assert(!out.keySet.exists(_._1 == "sat"))
+    // per-context probabilities sum to 1
+    out.keySet.map(_._1).foreach { w1 =>
+      val tot = out.collect { case ((a, _), (_, _, p)) if a == w1 => p }.sum
+      assert(math.abs(tot - 1.0) < 1e-12, s"context $w1")
+    }
+  }
+
+  test("bigramLm: minPair prunes pairs but keeps full context totals") {
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramLm(docs, "text", minPair = 2L).collect()
+    // pairs: a->b x2, b->a x2, a->c x1 ; a-c pruned but n_ctx(a) stays 3
+    val ab = out.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L)
+    assert(!out.exists(r => r.getString(0) == "a" && r.getString(1) == "c"))
+  }
 }
