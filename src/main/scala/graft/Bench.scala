@@ -247,7 +247,10 @@ object Bench {
         // URL ops, two partial-agg text/moment pipelines, and the
         // integer-weight decay rollup
         "fuzzy_join", "url_canonicalize", "bigram_lm", "decayed_counts",
-        "outlier_zscore")
+        "outlier_zscore",
+        // interval × interval binned overlap join; presence self-join
+        // basket rules
+        "interval_join", "assoc_rules")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -738,6 +738,88 @@ object QualityGates {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** [[graft.operators.RangeJoin.intervalOverlap]]: every view's 2-hour
+    * attention window × every same-user purchase's ±1-hour window that
+    * overlaps it — interval × interval, where [[rangeJoin]] is point ×
+    * interval. The oracle is the naive overlap theta join, so the gate
+    * proves the max-start meeting-bucket dedup keeps each true pair
+    * exactly once.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"))
+    val views = e.filter(col("event_type") === "view").select(
+      col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("v_start"),
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("v_end"))
+    val buys = e.filter(col("event_type") === "purchase").select(
+      col("event_id").as("buy_id"), col("user_id"),
+      (col("ts") - expr("INTERVAL 1 HOURS")).as("b_start"),
+      (col("ts") + expr("INTERVAL 1 HOURS")).as("b_end"))
+    graft.operators.RangeJoin.intervalOverlap(views, buys, Seq("user_id"),
+        "v_start", "v_end", "b_start", "b_end",
+        bucketWidth = 3600L * 1000000L)
+      .select("view_id", "user_id", "buy_id", "v_start", "b_start")
+      .orderBy("view_id", "buy_id")
+  }
+
+  val intervalJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events),
+      |v AS (SELECT event_id AS view_id, user_id, ts AS v_start,
+      |             ts + INTERVAL 2 HOUR AS v_end
+      |      FROM e WHERE event_type = 'view'),
+      |b AS (SELECT event_id AS buy_id, user_id AS b_user,
+      |             ts - INTERVAL 1 HOUR AS b_start,
+      |             ts + INTERVAL 1 HOUR AS b_end
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT view_id, user_id, buy_id, v_start, b_start
+      |FROM v JOIN b ON v.user_id = b.b_user
+      |  AND v_start <= b_end AND b_start <= v_end
+      |ORDER BY view_id, buy_id""".stripMargin
+
+  /** [[graft.analytics.Assoc.associationRules]] with users as baskets
+    * and event types as items, minCount 5 — the full support /
+    * directional confidence / lift surface restated as one presence
+    * CTE, a keyed self-join, and the marginal joins; every division
+    * identical on both engines.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    graft.analytics.Assoc.associationRules(e, "user_id", "event_type",
+        minCount = 5L)
+      .orderBy("item_a", "item_b")
+  }
+
+  val assocRulesSql: String =
+    """WITH items AS (SELECT DISTINCT user_id, event_type FROM events
+      |               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_baskets
+      |       FROM items),
+      |ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+      |       FROM items GROUP BY event_type),
+      |pc AS (
+      |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |         CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, ia.n_item AS n_a, ib.n_item AS n_b, n_ab,
+      |  n_baskets,
+      |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+      |  CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_a_to_b,
+      |  CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_b_to_a,
+      |  CAST(n_ab * n_baskets AS DOUBLE) /
+      |    CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      |FROM pc
+      |JOIN ic ia ON pc.item_a = ia.event_type
+      |JOIN ic ib ON pc.item_b = ib.event_type
+      |CROSS JOIN nb
+      |WHERE n_ab >= 5
+      |ORDER BY item_a, item_b""".stripMargin
+
   /** [[graft.analytics.Events.decayedCounts]] per event type at a
     * 7-day half-life: the exact power-of-two weight sum restated with
     * DuckDB's shift/floor-div operators; `sum` pinned to BIGINT, the
@@ -817,6 +899,8 @@ object QualityGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fuzzy_join"       -> (fuzzyJoin _),
+    "interval_join"    -> (intervalJoin _),
+    "assoc_rules"      -> (assocRules _),
     "decayed_counts"   -> (decayedCounts _),
     "event_transitions" -> (eventTransitions _),
     "events_anomaly"   -> (eventsAnomaly _),
@@ -842,6 +926,8 @@ object QualityGates {
 
   val oracleSql: Map[String, String] = Map(
     "fuzzy_join"       -> fuzzyJoinSql,
+    "interval_join"    -> intervalJoinSql,
+    "assoc_rules"      -> assocRulesSql,
     "decayed_counts"   -> decayedCountsSql,
     "event_transitions" -> eventTransitionsSql,
     "events_anomaly"   -> eventsAnomalySql,

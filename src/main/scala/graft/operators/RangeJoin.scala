@@ -132,4 +132,78 @@ object RangeJoin {
       main.unionByName(ovAligned.select(main.columns.map(col): _*))
     }
   }
+
+  /** Binned interval-overlap join: every `left` interval paired with
+    * every `right` interval it overlaps (`lStart ≤ rEnd ∧ rStart ≤
+    * lEnd`, all bounds inclusive), optionally under equality keys — the
+    * "which maintenance windows hit which experiment runs", "session ×
+    * outage", "shift × incident" pattern, again a nested-loop plan in
+    * naive Spark.
+    *
+    * Both sides explode onto the buckets their span covers and
+    * equi-join on (keys, bucket). A true pair meets in EVERY common
+    * bucket, so the dedup is structural, not a distinct pass: only the
+    * meeting in the bucket of `max(lStart, rStart)` is kept — when two
+    * intervals overlap, the later start lies inside both spans, so that
+    * bucket is always common, and it is unique. An exact overlap
+    * post-filter removes same-bucket non-overlaps.
+    *
+    * Scale shape mirrors [[pointInInterval]]: one hash shuffle per
+    * side, Σ(span/w) replicas each, `maxIntervalBuckets` raising on
+    * degenerate spans on EITHER side (no broadcast arm here — split
+    * giant intervals upstream or route them through a dedicated
+    * broadcast join). Inverted spans (end < start) match nothing.
+    *
+    * CONTRACT: as in [[pointInInterval]] — non-key output columns must
+    * be disjoint between the sides; both axes one family (integral /
+    * date / timestamp).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      keys: Seq[String],
+                      lStartCol: String, lEndCol: String,
+                      rStartCol: String, rEndCol: String,
+                      bucketWidth: Long,
+                      maxIntervalBuckets: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxIntervalBuckets > 0, "maxIntervalBuckets must be positive")
+    val clash = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys.toSet
+    require(clash.isEmpty,
+      s"non-key columns ${clash.mkString(", ")} appear on both sides — rename")
+    val reserved = Set("__rb", "__lsb", "__rsb")
+      .intersect(left.columns.toSet ++ right.columns.toSet)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with range-join internals — rename")
+
+    def explodeSide(df: DataFrame, startCol: String, endCol: String,
+                    startBucketName: String): DataFrame = {
+      val sA = axis(df.schema(startCol).dataType, col(startCol))
+      val eA = axis(df.schema(endCol).dataType, col(endCol))
+      val withAxes = df.withColumn("__sa", sA).withColumn("__ea", eA)
+      def floorDiv(named: String): Column =
+        expr(s"(`$named` - pmod(`$named`, ${bucketWidth}L)) div ${bucketWidth}L")
+      val sb = floorDiv("__sa")
+      val eb = floorDiv("__ea")
+      val nb = eb - sb + lit(1L)
+      // same pruning-proof guard as pointInInterval: the bound lives in
+      // the sequence the plan consumes
+      val boundedEnd = when(nb > maxIntervalBuckets,
+        raise_error(concat(lit(s"interval overlap join: span exceeds " +
+          s"$maxIntervalBuckets buckets of width $bucketWidth at "),
+          col(startCol).cast(StringType))).cast(LongType))
+        .otherwise(eb)
+      withAxes.filter(sb <= eb)
+        .withColumn(startBucketName, sb)
+        .withColumn("__rb", explode(sequence(sb, boundedEnd)))
+        .drop("__sa", "__ea")
+    }
+
+    val l = explodeSide(left, lStartCol, lEndCol, "__lsb")
+    val r = explodeSide(right, rStartCol, rEndCol, "__rsb")
+    val overlap = col(lStartCol) <= col(rEndCol) &&
+      col(rStartCol) <= col(lEndCol)
+    l.join(r, keys :+ "__rb", "inner")
+      .filter(col("__rb") === greatest(col("__lsb"), col("__rsb")) && overlap)
+      .drop("__rb", "__lsb", "__rsb")
+  }
 }

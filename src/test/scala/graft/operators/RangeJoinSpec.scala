@@ -129,4 +129,42 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(800))
   }
+  private val lIvals = Seq(
+    (1L, 1L, ts(2), ts(5)), (2L, 1L, ts(10), ts(12)),
+    (3L, 2L, ts(1), ts(2))).toDF("lid", "k", "ls", "le")
+  private val rIvals = Seq(
+    (10L, 1L, ts(4), ts(11)),   // overlaps 1 and 2
+    (11L, 1L, ts(6), ts(9)),    // between them, overlaps neither
+    (12L, 2L, ts(2), ts(3)),    // touches 3 at the bound (inclusive)
+    (13L, 3L, ts(1), ts(30)))   // key with no left rows
+    .toDF("rid", "k", "rs", "re")
+
+  test("intervalOverlap equals the naive overlap theta join at every width") {
+    val naive = lIvals.as("l").join(rIvals.as("r"),
+      col("l.k") === col("r.k") &&
+        col("l.ls") <= col("r.re") && col("r.rs") <= col("l.le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == Set((1L, 10L), (2L, 10L), (3L, 12L)))
+    for (w <- Seq(3600L * 1000000L, dayUs, 40L * dayUs)) {
+      val out = RangeJoin.intervalOverlap(lIvals, rIvals, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = w)
+      val got = out.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w diverges")
+      // each pair exactly once — the meeting-bucket dedup is structural
+      assert(out.count() == naive.size.toLong, s"width $w duplicates")
+    }
+  }
+
+  test("intervalOverlap: inverted spans match nothing, oversize raises") {
+    val inv = Seq((9L, 1L, ts(9), ts(2))).toDF("lid", "k", "ls", "le")
+    assert(RangeJoin.intervalOverlap(inv, rIvals, Seq("k"),
+      "ls", "le", "rs", "re", bucketWidth = dayUs).count() == 0L)
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(lIvals, rIvals, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 3600L * 1000000L,
+        maxIntervalBuckets = 4).count()
+    }
+    assert(e.getMessage != null)
+  }
 }
