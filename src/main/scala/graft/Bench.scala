@@ -104,6 +104,12 @@ object Bench {
         .withColumn("user_id", col("user_id") * scaleF + r))
       replicate("lineitem", (d, r) =>
         d.withColumn("l_orderkey", col("l_orderkey") * scaleF + r))
+      // letter-rotated names per replica: distinct-name volume grows
+      // with the data but replicas never fuzzy-match each other
+      replicate("part", (d, r) => d
+        .withColumn("p_partkey", col("p_partkey") * scaleF + r)
+        .withColumn("p_name", if (r == 0) col("p_name")
+          else translate(col("p_name"), lo, rot(lo, 1 + r % 25))))
       replicate("customer", (d, r) =>
         d.withColumn("c_custkey", col("c_custkey") * scaleF + r))
       replicate("orders", (d, r) => d
