@@ -256,7 +256,10 @@ object Bench {
         "outlier_zscore",
         // interval × interval binned overlap join; presence self-join
         // basket rules
-        "interval_join", "assoc_rules")
+        "interval_join", "assoc_rules",
+        // iterative power method (3 join+agg rounds on a tiny matrix
+        // after one event-log window); two-scan min-max projection
+        "markov_stationary", "feature_scale")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -278,6 +278,50 @@ object Events {
         lit((1L << maxHalvings).toDouble))
   }
 
+  /** Stationary distribution of a Markov transition matrix by power
+    * iteration — where does the event flow settle; the PageRank-shaped
+    * fixed point over [[transitions]] output (or any edge frame whose
+    * `pCol` rows sum to 1 per source).
+    *
+    * Distributed iterate: each step is one hash join (edges × current
+    * vector on the source state) and one partial-agg'd sum per target
+    * state — the state space never gathers on the driver, so the same
+    * code runs the 5-type event chain and a million-page click graph.
+    * Per-term products quantize to `decimal(28,15)` before summing
+    * (LmScore's exact-accumulation convention: magnitude ≤ 1 keeps two
+    * guard digits over the double's 17, so both engines round
+    * identically and the grouped sum is partition-order-free).
+    *
+    * Semantics: plain power iteration, no teleport damping — a state
+    * with no outgoing edges loses its mass (callers wanting PageRank
+    * semantics add the damping row upstream); a state with no incoming
+    * edges leaves the support after one step. Lineage is checkpointed
+    * every 10 iterations so deep iterates don't stack plans.
+    */
+  def stationaryDistribution(edges: DataFrame, fromCol: String,
+                             toCol: String, pCol: String,
+                             iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val states = edges.select(col(fromCol).as("state"))
+      .union(edges.select(col(toCol).as("state"))).distinct()
+    val n = states.count()
+    require(n > 0, "no states in the edge frame")
+    // the vector's column is kept under an internal name so an edge
+    // frame whose pCol is literally "p" (Events.transitions output)
+    // never collides with it
+    var v = states.withColumn("__vp", lit(1.0 / n.toDouble))
+    for (i <- 1 to iterations) {
+      v = edges.join(v, edges(fromCol) === v("state"))
+        .select(col(toCol).as("state"),
+          (col(pCol) * col("__vp")).cast("decimal(28,15)").as("__term"))
+        .groupBy(col("state"))
+        .agg(sum(col("__term")).as("__mass"))
+        .select(col("state"), col("__mass").cast("double").as("__vp"))
+      if (i % 10 == 0 && i < iterations) v = v.localCheckpoint()
+    }
+    v.select(col("state"), col("__vp").as("p"))
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
              withinHours: Int): DataFrame = {

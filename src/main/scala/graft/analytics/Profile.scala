@@ -100,6 +100,33 @@ object Profile {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Min-max feature scaling: each listed numeric column rescaled to
+    * [0, 1] — the feature-prep pass before distance-based models. One
+    * bounded stats row (min/max per column, a single partial-agg'd
+    * job), then a narrow projection `(x − lo) / (hi − lo)` — every
+    * step one exactly-rounded IEEE op on values both engines read
+    * identically, so an oracle restating the parenthesization is
+    * bitwise. A constant column (hi = lo) scales to 0.0; nulls stay
+    * null. Scaled columns are appended as `<name>_scaled`.
+    */
+  def minMaxScale(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "minMaxScale needs at least one column")
+    val aggs = valueCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__lo_$c"),
+      max(col(c)).cast("double").as(s"__hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    valueCols.zipWithIndex.foreach { case (c, i) =>
+      require(!r.isNullAt(2 * i), s"$c has no non-null values to scale")
+    }
+    valueCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      val scaled =
+        if (hi == lo) when(col(c).isNotNull, lit(0.0))
+        else (col(c).cast("double") - lit(lo)) / (lit(hi) - lit(lo))
+      acc.withColumn(s"${c}_scaled", scaled)
+    }
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

@@ -491,6 +491,39 @@ object CoreGates {
       |GROUP BY r.o_orderpriority, n, mean, std
       |ORDER BY r.o_orderpriority""".stripMargin
 
+  /** [[graft.analytics.Profile.minMaxScale]] on lineitem quantity and
+    * extended price: one bounded min/max row, then the narrow
+    * `(x − lo) / (hi − lo)` projection — the oracle restates the same
+    * parenthesization, so the scaled doubles are bitwise. Ordered by
+    * the full unique lineitem key (the (orderkey, linenumber) pair is
+    * NOT unique in the synthetic data).
+    */
+  def featureScale(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.minMaxScale(
+        Tables(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_quantity_scaled"), col("l_extendedprice_scaled"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice")
+
+  val featureScaleSql: String =
+    """WITH s AS (
+      |  SELECT min(CAST(l_quantity AS DOUBLE)) AS qlo,
+      |         max(CAST(l_quantity AS DOUBLE)) AS qhi,
+      |         min(CAST(l_extendedprice AS DOUBLE)) AS elo,
+      |         max(CAST(l_extendedprice AS DOUBLE)) AS ehi
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  l_quantity, l_extendedprice,
+      |  (CAST(l_quantity AS DOUBLE) - qlo) / (qhi - qlo)
+      |    AS l_quantity_scaled,
+      |  (CAST(l_extendedprice AS DOUBLE) - elo) / (ehi - elo)
+      |    AS l_extendedprice_scaled
+      |FROM lineitem, s
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  l_extendedprice""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -521,7 +554,8 @@ object CoreGates {
     "set_ops"        -> (setOps _),
     "topk_per_group" -> (topkPerGroup _),
     "key_skew"       -> (keySkew _),
-    "outlier_zscore" -> (outlierZscore _))
+    "outlier_zscore" -> (outlierZscore _),
+    "feature_scale"  -> (featureScale _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -540,5 +574,6 @@ object CoreGates {
     "set_ops"        -> setOpsSql,
     "topk_per_group" -> topkPerGroupSql,
     "key_skew"       -> keySkewSql,
-    "outlier_zscore" -> outlierZscoreSql)
+    "outlier_zscore" -> outlierZscoreSql,
+    "feature_scale"  -> featureScaleSql)
 }

@@ -820,6 +820,60 @@ object QualityGates {
       |WHERE n_ab >= 5
       |ORDER BY item_a, item_b""".stripMargin
 
+  /** [[graft.analytics.Events.stationaryDistribution]]: 3 power
+    * iterations over the [[eventTransitions]] matrix from a uniform
+    * start — the oracle unrolls the same three join+sum steps with the
+    * decimal(28,15) term quantization and publishes each mass through
+    * the VARCHAR double conversion (wide-decimal cast convention).
+    */
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(
+      col("event_id"), col("ts").cast("timestamp").as("ts"),
+      col("user_id"), col("event_type"))
+    val trans = graft.analytics.Events.transitions(e, "user_id", "ts",
+      "event_type", tieCols = Seq("event_id"))
+    graft.analytics.Events.stationaryDistribution(trans,
+        "from_type", "to_type", "p", iterations = 3)
+      .orderBy("state")
+  }
+
+  val markovStationarySql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      |  FROM events),
+      |nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |t AS (
+      |  SELECT from_type, to_type,
+      |    CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+      |      AS DOUBLE) AS p
+      |  FROM c),
+      |st AS (SELECT from_type AS state FROM t
+      |       UNION SELECT to_type FROM t),
+      |nstat AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM st),
+      |v0 AS (SELECT state,
+      |         CAST(1 AS DOUBLE) / CAST(n_states AS DOUBLE) AS p
+      |       FROM st, nstat),
+      |v1 AS (SELECT t.to_type AS state,
+      |         CAST(CAST(sum(CAST(t.p * v.p AS DECIMAL(28,15))) AS VARCHAR)
+      |           AS DOUBLE) AS p
+      |       FROM t JOIN v0 v ON t.from_type = v.state GROUP BY t.to_type),
+      |v2 AS (SELECT t.to_type AS state,
+      |         CAST(CAST(sum(CAST(t.p * v.p AS DECIMAL(28,15))) AS VARCHAR)
+      |           AS DOUBLE) AS p
+      |       FROM t JOIN v1 v ON t.from_type = v.state GROUP BY t.to_type),
+      |v3 AS (SELECT t.to_type AS state,
+      |         CAST(CAST(sum(CAST(t.p * v.p AS DECIMAL(28,15))) AS VARCHAR)
+      |           AS DOUBLE) AS p
+      |       FROM t JOIN v2 v ON t.from_type = v.state GROUP BY t.to_type)
+      |SELECT state, p FROM v3 ORDER BY state""".stripMargin
+
   /** [[graft.analytics.Events.decayedCounts]] per event type at a
     * 7-day half-life: the exact power-of-two weight sum restated with
     * DuckDB's shift/floor-div operators; `sum` pinned to BIGINT, the
@@ -901,6 +955,7 @@ object QualityGates {
     "fuzzy_join"       -> (fuzzyJoin _),
     "interval_join"    -> (intervalJoin _),
     "assoc_rules"      -> (assocRules _),
+    "markov_stationary" -> (markovStationary _),
     "decayed_counts"   -> (decayedCounts _),
     "event_transitions" -> (eventTransitions _),
     "events_anomaly"   -> (eventsAnomaly _),
@@ -928,6 +983,7 @@ object QualityGates {
     "fuzzy_join"       -> fuzzyJoinSql,
     "interval_join"    -> intervalJoinSql,
     "assoc_rules"      -> assocRulesSql,
+    "markov_stationary" -> markovStationarySql,
     "decayed_counts"   -> decayedCountsSql,
     "event_transitions" -> eventTransitionsSql,
     "events_anomaly"   -> eventsAnomalySql,

@@ -209,4 +209,26 @@ class EventsSpec extends SparkSpec {
     // day 1 is 20 halvings ago but clamps to 10; day 21 is age 0
     assert(out(0).getLong(2) == (1L << 10) + 1L)
   }
+  test("stationaryDistribution converges to the chain's fixed point") {
+    // two-state chain: A->B 1.0; B->A 0.5, B->B 0.5 -> stationary (1/3, 2/3)
+    val edges = Seq(
+      ("A", "B", 1.0), ("B", "A", 0.5), ("B", "B", 0.5))
+      .toDF("f", "t", "p")
+    val out = Events.stationaryDistribution(edges, "f", "t", "p",
+      iterations = 40).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("A") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(out("B") - 2.0 / 3.0) < 1e-6)
+    // mass conserved (row-stochastic chain, no dangling states)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
+  test("stationaryDistribution: dangling states lose mass, one step drops sources") {
+    // A->B only; B dangles -> after 1 iteration all mass sits on B
+    val edges = Seq(("A", "B", 1.0)).toDF("f", "t", "p")
+    val out = Events.stationaryDistribution(edges, "f", "t", "p",
+      iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("B" -> 0.5)) // A's half of the uniform start moved
+  }
 }

@@ -59,4 +59,25 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
     assert(r.getLong(4) == 0L)
   }
+  test("minMaxScale maps to [0,1], constant columns to 0, nulls stay null") {
+    val df = Seq(
+      (1L, Some(10.0), 5.0), (2L, Some(20.0), 5.0),
+      (3L, Some(40.0), 5.0), (4L, Option.empty[Double], 5.0))
+      .toDF("id", "v", "c")
+    val out = Profile.minMaxScale(df, Seq("v", "c")).orderBy("id").collect()
+    assert(out(0).getDouble(3) == 0.0)
+    assert(out(1).getDouble(3) == (20.0 - 10.0) / 30.0)
+    assert(out(2).getDouble(3) == 1.0)
+    assert(out(3).isNullAt(3))
+    assert(out.take(3).forall(_.getDouble(4) == 0.0)) // constant col
+    assert(out(3).getDouble(4) == 0.0)
+  }
+
+  test("minMaxScale rejects an all-null column with a clear message") {
+    val df = Seq(Option.empty[Double], None).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.minMaxScale(df, Seq("v"))
+    }
+    assert(e.getMessage.contains("no non-null"))
+  }
 }
