@@ -259,7 +259,9 @@ object Bench {
         "interval_join", "assoc_rules",
         // iterative power method (3 join+agg rounds on a tiny matrix
         // after one event-log window); two-scan min-max projection
-        "markov_stationary", "feature_scale")
+        "markov_stationary", "feature_scale",
+        // rank-1 CDC window (map-side group limit); JSONL export+re-read
+        "cdc_apply", "jsonl_roundtrip")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -524,6 +524,41 @@ object CoreGates {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |  l_extendedprice""".stripMargin
 
+  /** [[graft.operators.Cdc.applyChanges]]: a change log synthesized
+    * from orders (op keyed off o_orderkey: every 11th a delete, evens
+    * updates, rest inserts; o_custkey the business key, o_orderkey the
+    * total tiebreak) collapsed to final state — last writer wins,
+    * deletes erase the key. Oracle restates the rank-1 window.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val log = o.select(
+      col("o_custkey").as("key"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 11 === 0, lit("D"))
+        .when(col("o_orderkey") % 2 === 0, lit("U"))
+        .otherwise(lit("I")).as("op"),
+      col("o_totalprice").as("amount"),
+      col("o_orderstatus").as("status"))
+    graft.operators.Cdc.applyChanges(log, Seq("key"), "ts", "op",
+        tieCols = Seq("seq"))
+      .orderBy("key")
+  }
+
+  val cdcApplySql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+      |         WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    o_totalprice AS amount, o_orderstatus AS status
+      |  FROM orders),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+      |        ORDER BY ts DESC, seq DESC) AS rn FROM log)
+      |SELECT key, ts, seq, amount, status
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY key""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -555,7 +590,8 @@ object CoreGates {
     "topk_per_group" -> (topkPerGroup _),
     "key_skew"       -> (keySkew _),
     "outlier_zscore" -> (outlierZscore _),
-    "feature_scale"  -> (featureScale _))
+    "feature_scale"  -> (featureScale _),
+    "cdc_apply"      -> (cdcApply _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -575,5 +611,6 @@ object CoreGates {
     "topk_per_group" -> topkPerGroupSql,
     "key_skew"       -> keySkewSql,
     "outlier_zscore" -> outlierZscoreSql,
-    "feature_scale"  -> featureScaleSql)
+    "feature_scale"  -> featureScaleSql,
+    "cdc_apply"      -> cdcApplySql)
 }

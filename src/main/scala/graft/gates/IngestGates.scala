@@ -81,13 +81,46 @@ object IngestGates {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice""".stripMargin
 
+  /** [[graft.storage.Jsonl]] interchange boundary: the documents table
+    * exported as JSONL (temp-and-swap), read back with the PINNED
+    * schema, and rolled up per language — the oracle computes the same
+    * rollup from the parquet table directly, so the gate is green only
+    * if the JSON round trip preserved every row, every text byte
+    * (distinct-md5 count), and every numeric exactly.
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .resolve("docs.jsonl").toString
+    graft.storage.Jsonl.write(docs, path)
+    val back = graft.storage.Jsonl.read(s, path, docs.schema)
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_parse"   -> (ingestParse _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "view_ilike"     -> (viewIlike _),
     "view_semi_join" -> (viewSemiJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "ingest_parse"   -> ingestParseSql,
+    "jsonl_roundtrip" -> jsonlRoundtripSql,
     "view_ilike"     -> viewIlikeSql,
     "view_semi_join" -> viewSemiJoinSql)
 }

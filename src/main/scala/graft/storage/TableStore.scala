@@ -146,7 +146,7 @@ object TableStore {
     removed
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[storage] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Regenerate SCALE.md's 10x sweep table from BENCH_FULL.json.
+
+Replaces the markdown table between the '| Query | base s |' header and
+the first non-table line after it, and rewrites the '"All N swept
+queries"' lead-in sentence count + worst-query line. Run after any
+bench: python3 tools/render_scale.py
+"""
+import json
+import re
+
+bench = json.load(open("BENCH_FULL.json"))
+sq = bench["scale"]["queries"]
+
+LABELS = {
+    "warehouse_day": "`warehouse_day` (full `Apps.runWarehouseDay`, day 1 from empty dwh)",
+    "warehouse_day2": "`warehouse_day2` (day 2 on day-1 state: carry-forward dominant, 5% revisions)",
+}
+
+rows = []
+worst = (None, 0.0)
+for name, v in sq.items():
+    base, scaled, ratio = v["base"], v["scaled"], v["ratio"]
+    label = LABELS.get(name, f"`{name}`")
+    rows.append(f"| {label} | {base:.2f} | {scaled:.2f} | {ratio:.2f} |")
+    # ignore the composite warehouse builds for the 'worst' callout: their
+    # ratio narrative is handled separately in the trailing paragraph
+    if not name.startswith("warehouse") and ratio > worst[1]:
+        worst = (name, ratio)
+
+table = ("| Query | base s | ×10 s | ratio |\n|---|---|---|---|\n"
+         + "\n".join(rows))
+
+s = open("SCALE.md").read()
+pat = re.compile(
+    r"\| Query \| base s \| ×10 s \| ratio \|\n(?:\|[^\n]*\n)+")
+assert pat.search(s), "sweep table header not found in SCALE.md"
+s = pat.sub(table + "\n", s, count=1)
+
+# update the count + worst-query sentence that follows the table
+s = re.sub(r"All \d+ swept queries \(round-\d+ builder run\)",
+           f"All {len(sq)} swept queries (round-8 builder run)", s)
+wq, wr = worst
+s = re.sub(r"worst is `[^`]+` at [\d.]+×",
+           f"worst is `{wq}` at {wr:.1f}×", s)
+
+open("SCALE.md", "w").write(s)
+print(f"rendered {len(sq)} sweep rows; worst non-warehouse: {wq} {wr:.2f}x")
