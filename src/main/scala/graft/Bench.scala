@@ -260,8 +260,10 @@ object Bench {
         // iterative power method (3 join+agg rounds on a tiny matrix
         // after one event-log window); two-scan min-max projection
         "markov_stationary", "feature_scale",
-        // rank-1 CDC window (map-side group limit); JSONL export+re-read
-        "cdc_apply", "jsonl_roundtrip")
+        // rank-1 CDC window (map-side group limit); JSONL/CSV export+re-read
+        "cdc_apply", "jsonl_roundtrip", "csv_roundtrip",
+        // per-entity shared-partitioning rank+count windows
+        "split_temporal")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {
@@ -275,6 +277,28 @@ object Bench {
             errors(s"scale_$name") =
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
+      }
+
+      // dedup_embedding's GATE pins bits=8 (the oracle restates 256
+      // buckets), so its sweep ratio is quadratic-in-bucket by
+      // construction; the production configuration scales buckets with
+      // n (Ann.autoBits). Time that configuration at BOTH scales so the
+      // artifact shows the at-scale shape, not just the pinned-oracle
+      // one.
+      try {
+        def timeAuto(dir: String): Double = {
+          val t0 = System.nanoTime()
+          val emb = Tables(spark, dir, "embeddings")
+          val bits = graft.llm.Ann.autoBits(emb.count())
+          graft.llm.Ann.nearDupCosine(emb, "vec_id", "embedding",
+            threshold = 0.3, bits = bits).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        scaleQs("dedup_embedding_autobits") = (timeAuto(sfDir), timeAuto(scaleDir))
+      } catch {
+        case e: Throwable =>
+          errors("scale_dedup_embedding_autobits") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
 

@@ -112,15 +112,47 @@ object IngestGates {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** [[graft.storage.Csv]] interchange boundary, same contract as the
+    * JSONL gate: export documents as RFC-4180 CSV (temp-and-swap), read
+    * back with the PINNED schema, roll up per source — green only if
+    * quoting preserved every text byte and every numeric exactly
+    * against the parquet-direct oracle.
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_csv")
+      .resolve("docs.csv").toString
+    graft.storage.Csv.write(docs, path)
+    val back = graft.storage.Csv.read(s, path, docs.schema)
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("lang"))).as("sum_lang_len"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(lang)) AS BIGINT) AS sum_lang_len,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_parse"   -> (ingestParse _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "csv_roundtrip"  -> (csvRoundtrip _),
     "view_ilike"     -> (viewIlike _),
     "view_semi_join" -> (viewSemiJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "ingest_parse"   -> ingestParseSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
+    "csv_roundtrip"  -> csvRoundtripSql,
     "view_ilike"     -> viewIlikeSql,
     "view_semi_join" -> viewSemiJoinSql)
 }

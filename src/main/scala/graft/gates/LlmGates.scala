@@ -1078,6 +1078,31 @@ object LlmGates {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[graft.operators.Sampling.temporalSplit]]: per-user temporal
+    * holdout over events — first ceil(80% · n) events by (ts, event_id)
+    * train, the rest holdout. The oracle restates the rank/count
+    * windows and the integer ceil `(n·80 + 99) // 100`.
+    */
+  def splitTemporal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temporalSplit(
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", tieCols = Seq("event_id"), trainPct = 80)
+      .select(col("user_id"), col("event_id"), col("split"))
+      .orderBy("user_id", "event_id")
+
+  val splitTemporalSql: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CASE WHEN rn <= (n * 80 + 99) // 100
+      |       THEN 'train' ELSE 'holdout' END AS split
+      |FROM w ORDER BY user_id, event_id""".stripMargin
+
   /** Deterministic mixture rates over `documents` by source — upsample
     * (2.5), thin (0.4), exact epochs (1.0), explicit drop (0.0), and the
     * unlisted-domain default (0.7) all exercised; the oracle restates
@@ -1472,6 +1497,7 @@ object LlmGates {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
+    "split_temporal"      -> (splitTemporal _),
     "mix_rates"           -> (mixRates _),
     "dup_spans"           -> (dupSpans _),
     "span_trim"           -> (spanTrim _),
@@ -1510,6 +1536,7 @@ object LlmGates {
     "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
+    "split_temporal"      -> splitTemporalSql,
     "mix_rates"           -> mixRatesSql,
     "dup_spans"           -> dupSpansSql,
     "span_trim"           -> spanTrimSql,

@@ -432,6 +432,22 @@ object Ann {
     * reported through `capStats` ([[CapStats]], eagerly filled) exactly
     * like Dedup.candidatePairs.
     */
+  /** Bucket-count sizing for [[nearDupCosine]]: pick `bits` so the
+    * EXPECTED bucket occupancy stays ~`targetBucket` as the corpus
+    * grows — buckets must scale WITH n (2^bits ≈ n / target) or
+    * in-bucket pair work grows quadratically at fixed bits (the 10×
+    * sweep shows exactly this on the pinned-bits gate). Clamped to
+    * [4, 24]: below 4 the buckets stop discriminating, above 24 the
+    * projection cost dominates. Deterministic in n, so reruns at the
+    * same scale draw identical buckets.
+    */
+  def autoBits(n: Long, targetBucket: Int = 32): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, bits: Int = 12, dim: Int = 64,
                     maxBucket: Int = 1000,

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Change-data-capture apply: collapse an ordered change log
   * (insert / update / delete rows per business key) into the final
@@ -37,5 +39,74 @@ object Cdc {
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
       .drop("__rn", opCol)
+  }
+
+  /** Streaming form of [[applyChanges]]: consume a CDC feed with
+    * `flatMapGroupsWithState` and emit a CHANGELOG of the materialized
+    * view — one row per key per micro-batch in which that key's winner
+    * changed, carrying the payload plus a `_change` column
+    * (`upsert` | `delete`). Downstream sinks apply it idempotently
+    * (last `_change` per key wins), so replays are safe.
+    *
+    * Out-of-order safety: state keeps the winning change INCLUDING
+    * deletes (a tombstone must out-rank a late update that precedes
+    * it), so a stale row arriving after a newer one emits nothing.
+    * State is one row per live key — the materialized view itself, the
+    * floor for any exactly-merged CDC consumer; keys never expire here
+    * (a snapshot-and-restart compacts, same as any changelog consumer).
+    *
+    * Schema-generic: runs on any frame via `Encoders.row`, identical
+    * code path for batch frames (Spark executes the same operator with
+    * transient per-group state), which is what the batch-parity spec
+    * pins: streamed changelog, folded, equals [[applyChanges]].
+    */
+  def applyChangesStream(log: DataFrame, keys: Seq[String], tsCol: String,
+                         opCol: String, tieCols: Seq[String] = Nil,
+                         deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty, "applyChangesStream needs at least one key column")
+    val schema = log.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val ordIdx = ((tsCol +: tieCols).map(schema.fieldIndex)).toArray
+    val opIdx = schema.fieldIndex(opCol)
+    val outIdx = schema.fields.indices.filterNot(_ == opIdx).toArray
+    val outSchema = StructType(
+      schema.fields.filterNot(_.name == opCol) :+
+        StructField("_change", StringType, nullable = false))
+
+    // total order on (ts, ties): nulls first, natural Comparable after
+    def newer(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < ordIdx.length) {
+        val x = a.get(ordIdx(i)); val y = b.get(ordIdx(i))
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        if (c != 0) return c > 0
+        i += 1
+      }
+      false
+    }
+
+    val fold = (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
+      val prev = state.getOption.orNull
+      var best = prev
+      rows.foreach { r => if (best == null || newer(r, best)) best = r }
+      if (best eq prev) Iterator.empty
+      else {
+        state.update(best)
+        val change =
+          if (String.valueOf(best.get(opIdx)) == deleteOp) "delete"
+          else "upsert"
+        Iterator(Row.fromSeq(outIdx.toIndexedSeq.map(best.get) :+ change))
+      }
+    }
+    log
+      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i)))
+        .mkString("\u0000"))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](
+          OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)(
+        Encoders.row(schema), Encoders.row(outSchema))
   }
 }

@@ -161,4 +161,47 @@ object Sampling {
     }
     sorted.sparkSession.createDataFrame(picked, schema)
   }
+
+  /** Per-entity TEMPORAL holdout: within each key group, order rows by
+    * `(tsCol, tieCols…)` and label the first `ceil(n · trainPct / 100)`
+    * rows `names._1`, the rest `names._2` — the leakage-free split for
+    * sequence models (every entity's holdout is strictly LATER than its
+    * training data, so no future information crosses the boundary,
+    * which a [[hashSplit]] over events cannot guarantee). A singleton
+    * group goes entirely to train (ceil rounds up) — holdout rows exist
+    * only where there is history to train on.
+    *
+    * The fraction is an integer PERCENT and the threshold is pure
+    * integer arithmetic (`(n·pct + 99) div 100`): a double `ceil(0.8·n)`
+    * crosses integer boundaries on FP dust (IEEE `0.8·5` is
+    * `4.0000000000000002`, so ceil says 5) and engines disagree on
+    * decimal-vs-double literal typing — integer math is portable and
+    * exact, same reasoning as [[hashSplit]]'s integer thresholds.
+    *
+    * Scale shape: one window shuffle partitioned BY ENTITY — group
+    * sizes are per-entity event counts, naturally bounded (no
+    * corpus-share skew the way a per-language split has), so no salting
+    * is needed. Both windows (rank + group count) share one
+    * partitioning: a single Exchange, two frames over the same sort.
+    */
+  def temporalSplit(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCols: Seq[String] = Nil, trainPct: Int = 80,
+                    names: (String, String) = ("train", "holdout")): DataFrame = {
+    require(keys.nonEmpty, "temporalSplit needs at least one key column")
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct must be in (0,100), got $trainPct")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol).asc +: tieCols.map(col(_).asc)): _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    // ceil(n·pct/100) as (n·pct+99) div 100; the double division is
+    // correctly rounded for these magnitudes so the cast-truncate is
+    // exact floor — no FP boundary rows
+    val thr = ((col("__n") * lit(trainPct.toLong) + lit(99L)) / lit(100L))
+      .cast("long")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("__rn") <= thr, lit(names._1)).otherwise(lit(names._2)))
+      .drop("__rn", "__n")
+  }
 }

@@ -49,6 +49,17 @@ object TableStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Schema-evolution read: unions the footer schemas of EVERY file so
+    * a table whose writer gained columns over time reads as one frame
+    * (old files yield null for the new columns). `mergeSchema` costs a
+    * footer read per file at planning — fine for a table's worth of
+    * files, which is why it is an explicit opt-in here rather than the
+    * default on [[read]] (on a 100 TB lake, pay it only on tables that
+    * actually evolved). Column RENAMES and type changes are not
+    * evolution — those need a rewrite. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed + sorted catalog table: both sides of a keyed merge written
     * this way join WITHOUT a shuffle (the SortMergeJoin reads co-located
     * buckets — no Exchange in the plan, asserted in BucketedMergeSpec).

@@ -37,4 +37,49 @@ class CdcSpec extends SparkSpec {
       tieCols = Seq("seq"))
     assert(out.columns.toSeq == Seq("key", "ts", "seq", "amount"))
   }
+
+  test("applyChangesStream: changelog over micro-batches, stale rows silent, " +
+      "folded state equals batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val feed = input.toDF().toDF("key", "ts", "seq", "op", "amount")
+    val query = Cdc.applyChangesStream(feed, Seq("key"), "ts", "op",
+        tieCols = Seq("seq"))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts(1), 1L, "I", 10.0), (2L, ts(1), 3L, "I", 30.0))
+      query.processAllAvailable()
+      assert(spark.table("cdc_stream").count() == 2) // two upserts
+
+      input.addData(
+        (1L, ts(2), 2L, "U", 20.0),  // newer update -> upsert
+        (2L, ts(3), 4L, "D", 0.0),   // tombstone -> delete
+        (3L, ts(4), 6L, "I", 44.0),  // new key -> upsert
+        (1L, ts(1), 0L, "U", 99.0))  // STALE (older than key 1's winner)
+      query.processAllAvailable()
+      val rows = spark.table("cdc_stream").collect()
+      assert(rows.length == 5) // the stale row emitted nothing
+
+      // fold the changelog: latest (ts, seq) change per key wins
+      val folded = rows.groupBy(_.getLong(0)).map { case (k, rs) =>
+        val last = rs.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        k -> (last.getAs[String]("_change"), last.getLong(2),
+          last.getDouble(3))
+      }
+      assert(folded(2L)._1 == "delete")
+      val live = folded.collect {
+        case (k, ("upsert", seq, amt)) => (k, seq, amt)
+      }.toSet
+      val batchLog = log.union(Seq((1L, ts(1), 0L, "U", 99.0))
+        .toDF("key", "ts", "seq", "op", "amount"))
+        .filter($"key" <= 3) // keys the stream saw
+      val batch = Cdc.applyChanges(batchLog, Seq("key"), "ts", "op",
+          tieCols = Seq("seq"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(live == batch)
+    } finally query.stop()
+  }
 }

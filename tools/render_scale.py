@@ -15,6 +15,8 @@ sq = bench["scale"]["queries"]
 LABELS = {
     "warehouse_day": "`warehouse_day` (full `Apps.runWarehouseDay`, day 1 from empty dwh)",
     "warehouse_day2": "`warehouse_day2` (day 2 on day-1 state: carry-forward dominant, 5% revisions)",
+    "dedup_embedding": "`dedup_embedding` (gate config: bits PINNED at 8 for the oracle — fixed 256 buckets go quadratic at 10×; see the autobits row for the production shape)",
+    "dedup_embedding_autobits": "`dedup_embedding_autobits` (production config: `Ann.autoBits` scales buckets with n)",
 }
 
 rows = []
