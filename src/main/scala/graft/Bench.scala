@@ -263,7 +263,10 @@ object Bench {
         // rank-1 CDC window (map-side group limit); JSONL/CSV export+re-read
         "cdc_apply", "jsonl_roundtrip", "csv_roundtrip",
         // per-entity shared-partitioning rank+count windows
-        "split_temporal")
+        "split_temporal",
+        // two slice states + union re-agg merge (no join); two bottom-k
+        // synopses + k-row merge
+        "rollup_incremental", "cardinality_merge")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

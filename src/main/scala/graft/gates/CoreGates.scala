@@ -559,6 +559,37 @@ object CoreGates {
       |FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY key""".stripMargin
 
+  /** [[graft.operators.IncrementalAgg]]: per-customer order rollup
+    * maintained INCREMENTALLY — state from the pre-2000 history, state
+    * from the 2000+ slice, merged and finished. The oracle computes the
+    * same rollup from scratch over ALL orders, so the gate is green only
+    * if merge(state(A), state(B)) ≡ state(A ∪ B) — the algebraic
+    * identity the decimal sums exist to guarantee.
+    */
+  def rollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = Tables(s, dir, "orders")
+    val spec = IncrementalAgg.Spec(
+      sumCols = Seq("o_totalprice"),
+      minCols = Seq("o_orderdate"), maxCols = Seq("o_orderdate"),
+      avgOf = Seq("o_totalprice"))
+    val cut = lit("2000-01-01").cast("timestamp")
+    val keys = Seq("o_custkey")
+    val base = IncrementalAgg.state(o.filter(col("o_orderdate") < cut), keys, spec)
+    val delta = IncrementalAgg.state(o.filter(col("o_orderdate") >= cut), keys, spec)
+    IncrementalAgg.finish(IncrementalAgg.merge(Seq(base, delta), keys, spec),
+        keys, spec)
+      .orderBy("o_custkey")
+  }
+
+  val rollupIncrementalSql: String =
+    s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+       |  ${graft.Exact.sqlSum("o_totalprice")} AS sum_o_totalprice,
+       |  min(o_orderdate) AS min_o_orderdate,
+       |  max(o_orderdate) AS max_o_orderdate,
+       |  ${graft.Exact.sqlSum("o_totalprice")} / COUNT(*) AS avg_o_totalprice
+       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -591,7 +622,8 @@ object CoreGates {
     "key_skew"       -> (keySkew _),
     "outlier_zscore" -> (outlierZscore _),
     "feature_scale"  -> (featureScale _),
-    "cdc_apply"      -> (cdcApply _))
+    "cdc_apply"      -> (cdcApply _),
+    "rollup_incremental" -> (rollupIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -612,5 +644,6 @@ object CoreGates {
     "key_skew"       -> keySkewSql,
     "outlier_zscore" -> outlierZscoreSql,
     "feature_scale"  -> featureScaleSql,
-    "cdc_apply"      -> cdcApplySql)
+    "cdc_apply"      -> cdcApplySql,
+    "rollup_incremental" -> rollupIncrementalSql)
 }

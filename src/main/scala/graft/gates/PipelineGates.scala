@@ -602,6 +602,39 @@ object PipelineGates {
       |  END AS est_distinct
       |FROM agg, t""".stripMargin
 
+  /** [[graft.llm.CorpusStats.kmvMerge]] losslessness, oracle-proven:
+    * the corpus split by doc_id parity into two slices, each reduced to
+    * its own bottom-256 synopsis, merged, estimated — against an oracle
+    * that computes the WHOLE-corpus bottom-256 estimate directly. Green
+    * only if bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)),
+    * i.e. per-day synopses really do maintain the corpus distinct-count
+    * without history.
+    */
+  def cardinalityMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.CorpusStats
+    val docs = Tables(s, dir, "documents")
+    val synA = CorpusStats.kmvSynopsis(
+      docs.filter(col("doc_id") % 2 === 0), "text", k = 256)
+    val synB = CorpusStats.kmvSynopsis(
+      docs.filter(col("doc_id") % 2 =!= 0), "text", k = 256)
+    CorpusStats.kmvEstimate(CorpusStats.kmvMerge(Seq(synA, synB), 256), 256)
+  }
+
+  val cardinalityMergeSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest
+      |  FROM documents),
+      |bk AS (SELECT digest FROM d ORDER BY digest LIMIT 256),
+      |agg AS (SELECT COUNT(*) AS k_used, MAX(digest) AS kth FROM bk)
+      |SELECT CAST(k_used AS BIGINT) AS k_used,
+      |  CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |    ELSE 255.0 / (CAST(list_reduce(
+      |      [strpos('0123456789abcdef', substr(kth, j, 1)) - 1
+      |        for j in range(1, 13)], (a, x) -> a * 16 + x) AS DOUBLE)
+      |      / 281474976710656.0)
+      |  END AS est_distinct
+      |FROM agg""".stripMargin
+
   // ---- snapshot diff ---------------------------------------------------
 
   /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
@@ -699,7 +732,8 @@ object PipelineGates {
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
     "corpus_overlap"     -> (corpusOverlap _),
-    "corpus_cardinality" -> (corpusCardinality _))
+    "corpus_cardinality" -> (corpusCardinality _),
+    "cardinality_merge"  -> (cardinalityMerge _))
 
   val oracleSql: Map[String, String] = Map(
     "bigram_lm"          -> bigramLmSql,
@@ -720,5 +754,6 @@ object PipelineGates {
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,
     "corpus_overlap"     -> corpusOverlapSql,
-    "corpus_cardinality" -> corpusCardinalitySql)
+    "corpus_cardinality" -> corpusCardinalitySql,
+    "cardinality_merge"  -> cardinalityMergeSql)
 }

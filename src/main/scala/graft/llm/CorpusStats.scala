@@ -168,15 +168,42 @@ object CorpusStats {
                         k: Int = 1024): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val d = Dedup.digests(docs, textCol)
-    val bk = d.orderBy("digest").limit(k)
-    val kthFrac = conv(substring(max(col("digest")), 1, 12), 16, 10)
-      .cast("double") / lit(281474976710656.0) // 16^12 = 2^48
-    val agg = bk.agg(count(lit(1)).as("k_used"),
-      when(count(lit(1)) < k, count(lit(1)).cast("double"))
-        .otherwise(lit((k - 1).toDouble) / kthFrac).as("est_distinct"))
+    val agg = kmvEstimate(d.orderBy("digest").limit(k), k)
     val truth = d.agg(count(lit(1)).as("true_distinct"))
     agg.crossJoin(truth)
       .select(col("k_used"), col("true_distinct"), col("est_distinct"))
+  }
+
+  /** Mergeable KMV SYNOPSIS: the k smallest distinct digests of a
+    * slice's `textCol` — persistable per load as k rows. Because
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), the merge
+    * ([[kmvMerge]]) is LOSSLESS: a corpus's distinct-count stays
+    * maintainable from per-day synopses without re-reading history —
+    * the sketch-tier counterpart of
+    * [[graft.operators.IncrementalAgg]]'s algebraic state (COUNT
+    * DISTINCT is not algebraic; its mergeable state is this synopsis).
+    */
+  def kmvSynopsis(docs: DataFrame, textCol: String, k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    Dedup.digests(docs, textCol).orderBy("digest").limit(k)
+  }
+
+  /** Fold synopses: union, re-distinct (the same text can appear in
+    * many slices), keep the k smallest. Cost is |slices|·k rows. */
+  def kmvMerge(synopses: Seq[DataFrame], k: Int): DataFrame = {
+    require(synopses.nonEmpty, "kmvMerge needs at least one synopsis")
+    synopses.reduce(_ unionByName _).distinct().orderBy("digest").limit(k)
+  }
+
+  /** The KMV estimator over a synopsis: `(k−1)/frac(kth digest)`, exact
+    * count when the synopsis holds fewer than k digests. Arithmetic on
+    * a k-row frame — free. */
+  def kmvEstimate(synopsis: DataFrame, k: Int): DataFrame = {
+    val kthFrac = conv(substring(max(col("digest")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12 = 2^48
+    synopsis.agg(count(lit(1)).as("k_used"),
+      when(count(lit(1)) < k, count(lit(1)).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / kthFrac).as("est_distinct"))
   }
 
   def quantileSketch(docs: DataFrame, groupCol: String, valueCol: String,

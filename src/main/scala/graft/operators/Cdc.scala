@@ -59,10 +59,18 @@ object Cdc {
     * code path for batch frames (Spark executes the same operator with
     * transient per-group state), which is what the batch-parity spec
     * pins: streamed changelog, folded, equals [[applyChanges]].
+    *
+    * `emitRetractions = true` switches to VIEW-DELTA form for
+    * aggregate consumers ([[IncrementalAgg.applyChangelog]]): when a
+    * key's winner changes, first `retract` the displaced live row
+    * (so a downstream sum/count can subtract it), then `upsert` the
+    * new one; a winning tombstone emits only the retraction. Stale
+    * rows still emit nothing in either mode.
     */
   def applyChangesStream(log: DataFrame, keys: Seq[String], tsCol: String,
                          opCol: String, tieCols: Seq[String] = Nil,
-                         deleteOp: String = "D"): DataFrame = {
+                         deleteOp: String = "D",
+                         emitRetractions: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "applyChangesStream needs at least one key column")
     val schema = log.schema
     val keyIdx = keys.map(schema.fieldIndex)
@@ -89,6 +97,9 @@ object Cdc {
       false
     }
 
+    def isDelete(r: Row) = String.valueOf(r.get(opIdx)) == deleteOp
+    def out(r: Row, change: String): Row =
+      Row.fromSeq(outIdx.toIndexedSeq.map(r.get) :+ change)
     val fold = (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
       val prev = state.getOption.orNull
       var best = prev
@@ -96,10 +107,19 @@ object Cdc {
       if (best eq prev) Iterator.empty
       else {
         state.update(best)
-        val change =
-          if (String.valueOf(best.get(opIdx)) == deleteOp) "delete"
-          else "upsert"
-        Iterator(Row.fromSeq(outIdx.toIndexedSeq.map(best.get) :+ change))
+        if (!emitRetractions) {
+          Iterator(out(best, if (isDelete(best)) "delete" else "upsert"))
+        } else {
+          // view-delta form: retract the DISPLACED live row (so an
+          // aggregate consumer can subtract it), then assert the new one
+          val retract =
+            if (prev != null && !isDelete(prev)) Iterator(out(prev, "retract"))
+            else Iterator.empty
+          val assert_ =
+            if (isDelete(best)) Iterator.empty
+            else Iterator(out(best, "upsert"))
+          (retract ++ assert_).toVector.iterator
+        }
       }
     }
     log

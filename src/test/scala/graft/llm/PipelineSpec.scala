@@ -246,6 +246,21 @@ class PipelineSpec extends SparkSpec {
       .head().getLong(1) <= 100L)
   }
 
+  test("kmv synopsis merge is lossless: merged slices equal the whole corpus") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"unique doc $i")).toDF("id", "text")
+    val whole = CorpusStats.kmvEstimate(
+      CorpusStats.kmvSynopsis(docs, "text", k = 128), 128).head()
+    // three arbitrary overlapping slices covering the corpus
+    val syns = Seq(
+      docs.filter($"id" % 3 === 0), docs.filter($"id" % 3 === 1),
+      docs.filter($"id" % 3 === 2), docs.limit(500) /* overlap */ )
+      .map(s => CorpusStats.kmvSynopsis(s, "text", k = 128))
+    val merged = CorpusStats.kmvEstimate(
+      CorpusStats.kmvMerge(syns, 128), 128).head()
+    assert(merged.getLong(0) == whole.getLong(0))
+    assert(merged.getDouble(1) == whole.getDouble(1))
+  }
+
   test("uniformByHash: deterministic n-row draw, partition-invariant") {
     val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
     val a = graft.operators.Sampling.uniformByHash(df, "id", 20)

@@ -82,4 +82,35 @@ class CdcSpec extends SparkSpec {
       assert(live == batch)
     } finally query.stop()
   }
+
+  test("applyChangesStream retraction mode emits view deltas") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val feed = input.toDF().toDF("key", "ts", "seq", "op", "amount")
+    val query = Cdc.applyChangesStream(feed, Seq("key"), "ts", "op",
+        tieCols = Seq("seq"), emitRetractions = true)
+      .writeStream.format("memory").queryName("cdc_retract")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, ts(1), 1L, "I", 10.0), (2L, ts(1), 2L, "I", 30.0))
+      query.processAllAvailable()
+      // first sight of each key: upsert only, nothing to retract
+      assert(spark.table("cdc_retract").collect()
+        .map(_.getAs[String]("_change")).toSeq == Seq("upsert", "upsert"))
+
+      input.addData(
+        (1L, ts(2), 3L, "U", 20.0),  // update -> retract 10.0, upsert 20.0
+        (2L, ts(3), 4L, "D", 0.0))   // delete -> retract 30.0 only
+      query.processAllAvailable()
+      val deltas = spark.table("cdc_retract").collect()
+        .map(r => (r.getLong(0), r.getDouble(3), r.getAs[String]("_change")))
+      assert(deltas.count(_ == ((1L, 10.0, "retract"))) == 1)
+      assert(deltas.count(_ == ((1L, 20.0, "upsert"))) == 1)
+      assert(deltas.count(_ == ((2L, 30.0, "retract"))) == 1)
+      // the tombstone itself is never asserted as a row
+      assert(!deltas.contains((2L, 0.0, "upsert")))
+      assert(deltas.length == 5)
+    } finally query.stop()
+  }
 }
