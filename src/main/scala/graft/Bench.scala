@@ -266,7 +266,9 @@ object Bench {
         "split_temporal",
         // two slice states + union re-agg merge (no join); two bottom-k
         // synopses + k-row merge
-        "rollup_incremental", "cardinality_merge")
+        "rollup_incremental", "cardinality_merge",
+        // shard + JSONL write + manifest checksum in one pass
+        "export_manifest")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -1,0 +1,70 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.operators.{Checksum, Sharding}
+import graft.storage.TableStore
+
+/** Training-corpus EXPORT — the last mile of the curation pipeline:
+  * shard deterministically ([[Sharding.shardIdPortable]], so any
+  * engine re-derives the same membership), write one JSONL directory
+  * per shard (temp-and-swap: a half-written corpus is never visible),
+  * and emit a MANIFEST `(shard, n_docs, checksum)` whose order-free
+  * checksum ([[Checksum]]) lets the consumer — a trainer, or
+  * [[verify]] here — prove integrity without trusting the transport.
+  *
+  * Scale shape: one narrow shard projection, one repartition ON the
+  * shard id (each output task owns whole shards → one file per shard,
+  * no small-file spray), and the manifest is a partial-agg'd grouped
+  * checksum over the same frame — no second read of the corpus.
+  */
+object CorpusExport {
+
+  /** Shard, write under `root/shard=K/`, and return the manifest. */
+  def export(docs: DataFrame, idCol: String, valueCols: Seq[String],
+             root: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val sharded = docs.withColumn("shard",
+      Sharding.shardIdPortable(col(idCol), nShards))
+    val tmp = root.stripSuffix("/") + ".__tmp"
+    sharded.repartition(nShards, col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(tmp)
+    import java.nio.file.{Files, Paths}
+    TableStore.deleteRecursively(Paths.get(root))
+    Files.move(Paths.get(tmp), Paths.get(root))
+    manifestOf(sharded, valueCols)
+  }
+
+  /** Per-shard manifest of any sharded frame: `(shard, n_docs,
+    * checksum)`, checksum order-free over `valueCols`. */
+  def manifestOf(sharded: DataFrame, valueCols: Seq[String]): DataFrame =
+    Checksum.grouped(sharded, Seq("shard"), valueCols)
+      .withColumnRenamed("n_rows", "n_docs")
+      .orderBy("shard")
+
+  /** Re-read an export with the PINNED schema, recompute its manifest,
+    * and diff against the stored one: one row per shard with `status` ∈
+    * `ok | mismatch | missing | unexpected` — the receiving side's
+    * acceptance check. */
+  def verify(spark: SparkSession, root: String, docSchema: StructType,
+             idCol: String, valueCols: Seq[String],
+             manifest: DataFrame): DataFrame = {
+    val withShard = StructType(
+      docSchema.fields :+ StructField("shard", IntegerType, nullable = true))
+    val back = spark.read.schema(withShard)
+      .option("mode", "FAILFAST").json(root)
+    val actual = manifestOf(back, valueCols)
+      .select(col("shard"), col("n_docs").as("__n"),
+        col("checksum").as("__ck"))
+    manifest.join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("n_docs").isNull, lit("unexpected"))
+          .when(col("__n").isNull, lit("missing"))
+          .when(col("n_docs") === col("__n") &&
+            col("checksum") === col("__ck"), lit("ok"))
+          .otherwise(lit("mismatch")).as("status"),
+        col("n_docs").as("expected_docs"), col("__n").as("actual_docs"))
+      .orderBy("shard")
+  }
+}

@@ -142,10 +142,48 @@ object IngestGates {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** [[graft.app.CorpusExport]]: shard documents 8 ways (portable md5
+    * shard id), write the JSONL shards, publish the manifest. The
+    * oracle re-derives shard membership and the order-free checksum
+    * from the parquet table directly — green only if sharding AND the
+    * per-shard digests are engine-reproducible (what lets a receiver
+    * verify a shipped corpus without this library).
+    */
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_export")
+      .resolve("corpus").toString
+    graft.app.CorpusExport.export(docs, "doc_id",
+      Seq("doc_id", "text", "lang", "source", "n_chars"), root, nShards = 8)
+  }
+
+  val exportManifestSql: String =
+    """WITH s AS (
+      |  SELECT *, CAST(list_reduce(
+      |    [strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+      |     for j in range(1, 9)], (a, x) -> a * 16 + x) % 8 AS INT) AS shard
+      |  FROM documents),
+      |f AS (
+      |  SELECT shard,
+      |    list_reduce([strpos('0123456789abcdef', substr(md5(
+      |      concat_ws(chr(1),
+      |        COALESCE(CAST(doc_id AS VARCHAR), chr(0)),
+      |        COALESCE(text, chr(0)),
+      |        COALESCE(lang, chr(0)),
+      |        COALESCE(source, chr(0)),
+      |        COALESCE(CAST(n_chars AS VARCHAR), chr(0)))
+      |      ), j, 1)) - 1 for j in range(1, 16)],
+      |      (a, x) -> a * 16 + x) AS fp
+      |  FROM s)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |       CAST(SUM(fp) % 1000000000000000000 AS BIGINT) AS checksum
+      |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_parse"   -> (ingestParse _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "csv_roundtrip"  -> (csvRoundtrip _),
+    "export_manifest" -> (exportManifest _),
     "view_ilike"     -> (viewIlike _),
     "view_semi_join" -> (viewSemiJoin _))
 
@@ -153,6 +191,7 @@ object IngestGates {
     "ingest_parse"   -> ingestParseSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
     "csv_roundtrip"  -> csvRoundtripSql,
+    "export_manifest" -> exportManifestSql,
     "view_ilike"     -> viewIlikeSql,
     "view_semi_join" -> viewSemiJoinSql)
 }
