@@ -267,8 +267,9 @@ object Bench {
         // two slice states + union re-agg merge (no join); two bottom-k
         // synopses + k-row merge
         "rollup_incremental", "cardinality_merge",
-        // shard + JSONL write + manifest checksum in one pass
-        "export_manifest")
+        // shard + JSONL write + manifest checksum in one pass; exact
+        // multi-distinct profiler (one Expand)
+        "export_manifest", "profile_table")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** ANALYZE-style per-column table statistics — the planner-feeding
+    * pass (broadcast decisions, skew thresholds, dashboard freshness):
+    * one row per profiled column with `n_rows`, `n_nulls`, `ndv`, and
+    * min/max rendered as strings (one schema fits every column type).
+    *
+    * Two modes. `exact = false` (the 100 TB default) computes every
+    * column's stats in ONE pass — `approx_count_distinct` (HLL) plus
+    * null-counts and min/max are all partial-agg'd into a single
+    * stats row, then unpivoted driver-side (a |cols|-row literal
+    * frame). `exact = true` swaps HLL for `count(distinct col)`
+    * (Spark plans the multi-distinct via one Expand — |cols|× the scan
+    * rows shuffled; affordable on a slice, wrong as the default) — the
+    * mode the DuckDB oracle can restate, and the cross-check for the
+    * approx mode's error.
+    */
+  def tableStats(df: DataFrame, cols: Seq[String],
+                 exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    val out = cols.map { c =>
+      (c, n, n - row.getAs[Long](s"__nn_$c"), row.getAs[Long](s"__ndv_$c"),
+        row.getAs[String](s"__min_$c"), row.getAs[String](s"__max_$c"))
+    }
+    import df.sparkSession.implicits._
+    out.toDF("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value")
+  }
+
   /** Key-skew report: the `k` heaviest join/group keys with their share
     * of all rows and their ratio to the mean key load — the diagnostic
     * behind "will this key melt a task at 100 TB" and the input to a

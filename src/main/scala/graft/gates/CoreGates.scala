@@ -590,6 +590,29 @@ object CoreGates {
        |  ${graft.Exact.sqlSum("o_totalprice")} / COUNT(*) AS avg_o_totalprice
        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** [[graft.analytics.Profile.tableStats]] in exact mode over the
+    * documents table — the oracle restates each column's row as a
+    * UNION ALL branch. The approx (HLL) production mode is
+    * spec-checked against this exact mode instead (not SQL-restatable).
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.tableStats(
+        Tables(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"), exact = true)
+      .orderBy("col_name")
+
+  val profileTableSql: String = {
+    def branch(c: String): String =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "n_chars", "source", "text").map(branch)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -623,7 +646,8 @@ object CoreGates {
     "outlier_zscore" -> (outlierZscore _),
     "feature_scale"  -> (featureScale _),
     "cdc_apply"      -> (cdcApply _),
-    "rollup_incremental" -> (rollupIncremental _))
+    "rollup_incremental" -> (rollupIncremental _),
+    "profile_table"  -> (profileTable _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -645,5 +669,6 @@ object CoreGates {
     "outlier_zscore" -> outlierZscoreSql,
     "feature_scale"  -> featureScaleSql,
     "cdc_apply"      -> cdcApplySql,
-    "rollup_incremental" -> rollupIncrementalSql)
+    "rollup_incremental" -> rollupIncrementalSql,
+    "profile_table"  -> profileTableSql)
 }

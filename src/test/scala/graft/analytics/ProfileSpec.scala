@@ -30,6 +30,29 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-null"))
   }
 
+  test("tableStats: nulls, ndv, min/max per column; approx tracks exact") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some("alpha"), 10L), (2L, Some("beta"), 10L),
+      (3L, None, 20L), (4L, Some("alpha"), 30L))
+      .toDF("id", "name", "v")
+    val ex = Profile.tableStats(df, Seq("id", "name", "v"), exact = true)
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(ex(0) == (("id", 4L, 0L, 4L, "1", "4")))
+    assert(ex(1) == (("name", 4L, 1L, 2L, "alpha", "beta")))
+    assert(ex(2) == (("v", 4L, 0L, 3L, "10", "30")))
+    // HLL mode: same shape, ndv within its documented error at tiny n
+    val ap = Profile.tableStats(df, Seq("id", "name", "v"))
+      .orderBy("col_name").collect()
+    for ((e, a) <- ex.zip(ap)) {
+      assert(a.getString(0) == e._1 && a.getLong(1) == e._2 &&
+        a.getLong(2) == e._3)
+      assert(math.abs(a.getLong(3) - e._4) <= math.max(1L, e._4 / 10))
+    }
+  }
+
   test("keySkew on an empty frame is rejected with a clear message") {
     val df = Seq.empty[(Long, Long)].toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
