@@ -46,6 +46,23 @@ object Jsonl {
     (good, corrupt)
   }
 
+  /** Streaming read of a JSONL landing directory — the continuous form
+    * of [[read]]: new files appearing under `path` become micro-batches
+    * (the standard object-store landing-zone ingest; upstream must move
+    * files in atomically, e.g. rename-into-place, or a batch can see a
+    * half-copied file). Schema-pinned and FAILFAST like the batch
+    * reader. `maxFilesPerTrigger > 0` bounds each micro-batch — the
+    * backpressure knob that keeps a backlog of thousands of landed
+    * files from becoming one giant first batch.
+    */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema).option("mode", "FAILFAST")
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r).json(path)
+  }
+
   /** Write as JSONL with the same temp-and-swap crash safety as the
     * parquet snapshot writer — a half-written corpus export is never
     * visible under the target path. */

@@ -24,6 +24,27 @@ class JsonlSpec extends SparkSpec {
     assert(Jsonl.read(spark, path, docs.schema).count() == 1L)
   }
 
+  test("readStream ingests a landing dir incrementally, file by file") {
+    val dir = Files.createTempDirectory("jsonl_stream")
+    Files.writeString(dir.resolve("f1.jsonl"),
+      """{"doc_id": 1, "text": "first", "lang": "en"}""" + "\n")
+    val q = Jsonl.readStream(spark, dir.toString, docs.schema,
+        maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("jsonl_in")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_in").count() == 1L)
+      // a file landing later becomes a later micro-batch
+      Files.writeString(dir.resolve("f2.jsonl"),
+        """{"doc_id": 2, "text": "second", "lang": "vi"}""" + "\n" +
+          """{"doc_id": 3, "text": "third", "lang": "en"}""" + "\n")
+      q.processAllAvailable()
+      assert(spark.table("jsonl_in").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("quarantine read separates malformed lines and loses nothing") {
     val dir = Files.createTempDirectory("jsonl_spec_q")
     val f = dir.resolve("feed.jsonl")
