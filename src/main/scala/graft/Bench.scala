@@ -105,7 +105,13 @@ object Bench {
       replicate("lineitem", (d, r) =>
         d.withColumn("l_orderkey", col("l_orderkey") * scaleF + r))
       // letter-rotated names per replica: distinct-name volume grows
-      // with the data but replicas never fuzzy-match each other
+      // with the data but replicas never fuzzy-match each other. Only
+      // 25 distinct non-identity rotations exist, so replicas r and
+      // r+25 would collide byte-for-byte and send candidate volume
+      // quadratic — bound the sweep factor below that cliff loudly.
+      require(scaleF <= 25,
+        s"scale sweep factor $scaleF exceeds the 25 distinct p_name " +
+          "rotations — widen the rotation scheme before raising it")
       replicate("part", (d, r) => d
         .withColumn("p_partkey", col("p_partkey") * scaleF + r)
         .withColumn("p_name", if (r == 0) col("p_name")

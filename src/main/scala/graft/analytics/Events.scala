@@ -265,9 +265,15 @@ object Events {
     require(maxHalvings >= 1 && maxHalvings <= 62,
       s"maxHalvings must be in 1..62, got $maxHalvings")
     val asOf = events.agg(max(to_date(col(tsCol))).as("__asof"))
+    // a null timestamp has no age: greatest(null, 0) skips the null and
+    // would hand the row FULL weight — the opposite of what a decay
+    // score means. Malformed feed → fail loudly (hashSplit convention).
     val aged = events.crossJoin(broadcast(asOf))
-      .withColumn("__age", greatest(
-        datediff(col("__asof"), to_date(col(tsCol))), lit(0)))
+      .withColumn("__age",
+        when(col(tsCol).isNull, raise_error(lit(
+          s"decayedCounts: null $tsCol — age undefined")).cast("int"))
+          .otherwise(greatest(
+            datediff(col("__asof"), to_date(col(tsCol))), lit(0))))
       .withColumn("__halv", least(
         expr(s"CAST(__age AS BIGINT) div $halfLifeDays"),
         lit(maxHalvings.toLong)))

@@ -128,7 +128,15 @@ object Profile {
       .withColumn("mean", mean)
       .withColumn("std", sqrt(greatest(ex2 - col("mean") * col("mean"), lit(0.0))))
       .select((keys.map(col) :+ col("n") :+ col("mean") :+ col("std")): _*)
-    rows.join(broadcast(withMoments), keys)
+    // null-SAFE re-join: a null key is a real segment (often the very
+    // garbage slice a quality screen exists to surface) — groupBy keeps
+    // it, so a null-unsafe equi-join here would silently drop the whole
+    // group from the report (keySkew in this file keeps null keys too)
+    val m = withMoments.select(
+      (keys.map(k => col(k).as(s"__m_$k")) :+ col("n") :+ col("mean")
+        :+ col("std")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__m_$k")).reduce(_ && _)
+    rows.join(broadcast(m), cond)
       .groupBy(keys.map(col): _*)
       .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
         first(col("std")).as("std"),

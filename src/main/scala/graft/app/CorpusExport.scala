@@ -17,7 +17,8 @@ import graft.storage.TableStore
   * Scale shape: one narrow shard projection, one repartition ON the
   * shard id (each output task owns whole shards → one file per shard,
   * no small-file spray), and the manifest is a partial-agg'd grouped
-  * checksum over the same frame — no second read of the corpus.
+  * checksum over a read-back of the written shards — so it describes
+  * the bytes on disk by construction.
   */
 object CorpusExport {
 
@@ -33,7 +34,17 @@ object CorpusExport {
     import java.nio.file.{Files, Paths}
     TableStore.deleteRecursively(Paths.get(root))
     Files.move(Paths.get(tmp), Paths.get(root))
-    manifestOf(sharded, valueCols)
+    // manifest from a READ-BACK of the written shards, not from a
+    // re-execution of the source plan: the published checksums describe
+    // the bytes on disk BY CONSTRUCTION (a source that changed between
+    // the two jobs, or a torn write, surfaces here at export time, not
+    // at the receiver). Cost: one read of the just-written export —
+    // cheaper and safer at corpus scale than checkpointing the frame.
+    val withShard = StructType(
+      docs.schema.fields :+ StructField("shard", IntegerType, nullable = true))
+    val back = docs.sparkSession.read.schema(withShard)
+      .option("mode", "FAILFAST").json(root)
+    manifestOf(back, valueCols)
   }
 
   /** Per-shard manifest of any sharded frame: `(shard, n_docs,

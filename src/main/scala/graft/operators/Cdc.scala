@@ -36,8 +36,15 @@ object Cdc {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(tsCol).desc +: tieCols.map(col(_).desc)): _*)
+    // a null op on the winning row is a contract violation: the =!=
+    // filter would otherwise null out and silently DELETE the key
+    // (while the streaming form would upsert it — parity broken two
+    // ways). Fail loudly instead, same convention as hashSplit.
     log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .filter(col("__rn") === 1)
+      .filter(when(col(opCol).isNull, raise_error(lit(
+          s"applyChanges: null $opCol on a winning row — malformed feed")))
+        .otherwise(col(opCol) =!= deleteOp))
       .drop("__rn", opCol)
   }
 
@@ -97,9 +104,23 @@ object Cdc {
       false
     }
 
-    def isDelete(r: Row) = String.valueOf(r.get(opIdx)) == deleteOp
+    // null op on a winner = malformed feed, same loud contract as the
+    // batch form (which raise_errors) — anything else diverges parity
+    def isDelete(r: Row) = {
+      val op = r.get(opIdx)
+      if (op == null) throw new IllegalArgumentException(
+        s"applyChangesStream: null $opCol on a winning row — malformed feed")
+      String.valueOf(op) == deleteOp
+    }
     def out(r: Row, change: String): Row =
       Row.fromSeq(outIdx.toIndexedSeq.map(r.get) :+ change)
+    // collision-proof group key: nulls get their own tag (a null key
+    // and the string "null" must not share state) and string parts are
+    // length-prefixed (a separator byte inside a value cannot fake a boundary)
+    def groupKey(r: Row): String = keyIdx.map { i =>
+      val v = r.get(i)
+      if (v == null) "\u0001" else { val s = String.valueOf(v); s"${s.length}#$s" }
+    }.mkString("\u0000")
     val fold = (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
       val prev = state.getOption.orNull
       var best = prev
@@ -123,8 +144,7 @@ object Cdc {
       }
     }
     log
-      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i)))
-        .mkString("\u0000"))(Encoders.STRING)
+      .groupByKey(groupKey _)(Encoders.STRING)
       .flatMapGroupsWithState[Row, Row](
           OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)(
         Encoders.row(schema), Encoders.row(outSchema))

@@ -170,7 +170,7 @@ object RangeJoin {
       .intersect(right.columns.toSet) -- keys.toSet
     require(clash.isEmpty,
       s"non-key columns ${clash.mkString(", ")} appear on both sides — rename")
-    val reserved = Set("__rb", "__lsb", "__rsb")
+    val reserved = Set("__rb", "__lsb", "__rsb", "__sa", "__ea")
       .intersect(left.columns.toSet ++ right.columns.toSet)
     require(reserved.isEmpty,
       s"columns ${reserved.mkString(", ")} collide with range-join internals — rename")

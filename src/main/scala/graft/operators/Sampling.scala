@@ -171,12 +171,15 @@ object Sampling {
     * group goes entirely to train (ceil rounds up) — holdout rows exist
     * only where there is history to train on.
     *
-    * The fraction is an integer PERCENT and the threshold is pure
-    * integer arithmetic (`(n·pct + 99) div 100`): a double `ceil(0.8·n)`
-    * crosses integer boundaries on FP dust (IEEE `0.8·5` is
+    * The fraction is an integer PERCENT and the threshold is
+    * `(n·pct + 99) div 100` on integers: a double `ceil(0.8·n)` crosses
+    * integer boundaries on FP dust (IEEE `0.8·5` is
     * `4.0000000000000002`, so ceil says 5) and engines disagree on
-    * decimal-vs-double literal typing — integer math is portable and
-    * exact, same reasoning as [[hashSplit]]'s integer thresholds.
+    * decimal-vs-double literal typing — the div form is portable and
+    * exact, same reasoning as [[hashSplit]]'s integer thresholds. (The
+    * implementation computes the div as one correctly-rounded IEEE
+    * division + truncate — exact floor while `n·pct < 2^52`, i.e. any
+    * real per-entity group; the oracle restates true integer `//`.)
     *
     * Scale shape: one window shuffle partitioned BY ENTITY — group
     * sizes are per-entity event counts, naturally bounded (no
@@ -190,6 +193,10 @@ object Sampling {
     require(keys.nonEmpty, "temporalSplit needs at least one key column")
     require(trainPct > 0 && trainPct < 100,
       s"trainPct must be in (0,100), got $trainPct")
+    val reserved = Set("__rn", "__n", "split").intersect(df.columns.toSet)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with temporalSplit " +
+        "internals/output — rename")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(tsCol).asc +: tieCols.map(col(_).asc)): _*)
     val wAll = Window.partitionBy(keys.map(col): _*)

@@ -58,10 +58,16 @@ object IdempotentSink {
     val root = Paths.get(path)
     val dirs =
       if (!Files.exists(root)) Nil
-      else Files.list(root).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("batch=") &&
-          Files.exists(p.resolve(Marker)))
-        .map(_.toString).toSeq
+      else {
+        // Files.list holds a directory handle — close it (a poller
+        // calls this in a loop; leaked fds eventually starve the JVM)
+        val s = Files.list(root)
+        try s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("batch=") &&
+            Files.exists(p.resolve(Marker)))
+          .map(_.toString).toList
+        finally s.close()
+      }
     if (dirs.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)

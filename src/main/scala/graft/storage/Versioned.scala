@@ -32,14 +32,19 @@ object Versioned {
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
   }
 
+  // Files.list holds a directory handle; close it deterministically
+  private def listDir(r: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(r)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** All COMMITTED versions (≤ the pointer), ascending. */
   def versions(root: String): Seq[Long] = {
     val committed = latestVersion(root).getOrElse(return Nil)
-    val r = Paths.get(root)
-    Files.list(r).iterator().asScala
+    listDir(Paths.get(root))
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-      .filter(_ <= committed).toSeq.sorted
+      .filter(_ <= committed).sorted
   }
 
   /** Write the next version and commit the pointer; returns the new
@@ -49,7 +54,7 @@ object Versioned {
     Files.createDirectories(r)
     val committed = latestVersion(root).getOrElse(0L)
     // sweep torn dirs a crashed writer left above the commit pointer
-    Files.list(r).iterator().asScala
+    listDir(r)
       .filter(p => p.getFileName.toString.startsWith("v=") &&
         p.getFileName.toString.stripPrefix("v=").toLong > committed)
       .foreach(TableStore.deleteRecursively)

@@ -28,12 +28,15 @@ object Views {
   private val rnd1 = (x: Column) => round(x, 1)
   private val rnd2 = (x: Column) => round(x, 2)
 
-  /** Hard bound on the A6 STRING_AGG city list. Real groups hold a few
-    * cities (bounded by DimLocation's city cardinality); the slice is a
-    * defense against a pathological input assembling an unbounded
-    * aggregation buffer in one group (SCALE.md "what breaks first" #2).
-    * Sorted BEFORE slicing, so a capped list is the deterministic
-    * alphabetical prefix, not an arbitrary subset.
+  /** Hard bound on the A6 STRING_AGG city list — a bound on the OUTPUT
+    * (row width, driver transfer on collect), not on the aggregation
+    * buffer: `collect_set` dedupes in-buffer, so the buffer is already
+    * bounded by the DISTINCT-city domain of the group (a dimension
+    * attribute — thousands, policed by the DimLocation quality gates;
+    * a million-distinct-"city" corruption is caught there, upstream of
+    * this view). Sorted BEFORE slicing, so a capped list is the
+    * deterministic alphabetical prefix, not an arbitrary subset
+    * (SCALE.md "what breaks first" #2).
     */
   private val MaxCitiesPerGroup = 1000
   private def cityAgg: Column =

@@ -76,6 +76,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(4) == 1L)
   }
 
+  test("zScoreOutliers keeps the null-key segment in the report") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None, 5.0), (None, 100.0)).toDF("seg", "v")
+    val out = Profile.zScoreOutliers(df, Seq("seg"), "v", z = 1.0)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null segment is present with both its rows, not silently dropped
+    assert(out(None) == 2L)
+    assert(out(Some("a")) == 2L)
+  }
+
   test("zScoreOutliers: constant group has zero std and no outliers") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("k", "v")
     val r = Profile.zScoreOutliers(df, Seq("k"), "v").collect()(0)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{lit, when}
 import java.sql.Timestamp
 
 class CdcSpec extends SparkSpec {
@@ -81,6 +82,39 @@ class CdcSpec extends SparkSpec {
         .toSet
       assert(live == batch)
     } finally query.stop()
+  }
+
+  test("a null op on the winning row fails loudly, not as a silent delete") {
+    val bad = Seq((1L, ts(1), 1L, "I", 10.0))
+      .toDF("key", "ts", "seq", "op", "amount")
+      .union(Seq((1L, ts(2), 2L, null.asInstanceOf[String], 20.0))
+        .toDF("key", "ts", "seq", "op", "amount"))
+    val e = intercept[Exception] {
+      Cdc.applyChanges(bad, Seq("key"), "ts", "op", tieCols = Seq("seq"))
+        .collect()
+    }
+    assert(e.getMessage.contains("malformed feed"), e.getMessage)
+  }
+
+  test("null keys and embedded separators keep distinct stream state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String, Double)]
+    val feed = input.toDF().toDF("key", "ts", "seq", "op", "amount")
+      .withColumn("key", when($"key" === "__NULL__",
+        lit(null).cast("string")).otherwise($"key"))
+    val q = Cdc.applyChangesStream(feed, Seq("key"), "ts", "op",
+        tieCols = Seq("seq"))
+      .writeStream.format("memory").queryName("cdc_keys")
+      .outputMode("update").start()
+    try {
+      // a NULL key and the literal string "null" must not share state
+      input.addData(
+        ("__NULL__", ts(1), 1L, "I", 1.0),
+        ("null", ts(1), 2L, "I", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("cdc_keys").count() == 2)
+    } finally q.stop()
   }
 
   test("applyChangesStream retraction mode emits view deltas") {
