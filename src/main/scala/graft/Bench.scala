@@ -275,7 +275,10 @@ object Bench {
         "rollup_incremental", "cardinality_merge",
         // shard + JSONL write + manifest checksum in one pass; exact
         // multi-distinct profiler (one Expand)
-        "export_manifest", "profile_table")
+        "export_manifest", "profile_table",
+        // one rank window + partial-agg quantile pick; + broadcast-back
+        // scaled projection
+        "group_quantiles", "feature_robust")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

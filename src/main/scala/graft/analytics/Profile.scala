@@ -171,6 +171,66 @@ object Profile {
     }
   }
 
+  /** Per-group DISCRETE quantiles (nearest-rank, the value AT rank
+    * `ceil(p·n)`) — chosen over interpolated quantiles deliberately:
+    * selection of an existing element involves NO arithmetic, so any
+    * engine that sorts the same multiset returns byte-identical
+    * results (interpolated definitions differ in formula association
+    * across engines and drift in the last ulp). Ranks use the same
+    * integer-percent `(n·pct + 99) div 100` trick as
+    * `Sampling.temporalSplit`.
+    *
+    * One key-partitioned rank window + one partial-agg'd groupBy — no
+    * joins, one shuffle reused. Group sizes bound the window: fine for
+    * entity-keyed groups; for a handful of corpus-share segments at
+    * 100 TB prefer `quantileSketch` (approx, no sort) and keep this
+    * exact form for slices and verification.
+    */
+  def groupQuantilesDisc(df: DataFrame, keys: Seq[String], valueCol: String,
+                         pcts: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "groupQuantilesDisc needs at least one key")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in 1..100, got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol).asc)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def thr(pct: Int) =
+      ((col("__n") * lit(pct.toLong) + lit(99L)) / lit(100L)).cast("long")
+    ranked
+      .filter(pcts.map(p => col("__rn") === thr(p)).reduce(_ || _))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__rn") === thr(pcts.head), col(valueCol)))
+          .as(s"p${pcts.head}"),
+        pcts.tail.map(p =>
+          max(when(col("__rn") === thr(p), col(valueCol))).as(s"p$p")): _*)
+  }
+
+  /** Robust (median/IQR) scaling per group — the outlier-resistant
+    * feature normalization (`(x − p50) / (p75 − p25)`): one heavy tail
+    * barely moves the median where it drags a mean/min-max scale. Uses
+    * [[groupQuantilesDisc]] (exact, engine-portable) + one broadcast
+    * join back + a narrow projection; a zero-IQR group (over half the
+    * mass on one value) scales to 0.0, nulls stay null. Appended as
+    * `<valueCol>_robust`.
+    */
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val q = groupQuantilesDisc(df, keys, valueCol, Seq(25, 50, 75))
+      .select(keys.map(k => col(k).as(s"__q_$k")) :+ col("p25") :+
+        col("p50") :+ col("p75"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__q_$k")).reduce(_ && _)
+    val x = col(valueCol).cast("double")
+    df.join(broadcast(q), cond, "left")
+      .withColumn(s"${valueCol}_robust",
+        when(x.isNull, lit(null).cast("double"))
+          .when(col("p75") === col("p25"), lit(0.0))
+          .otherwise((x - col("p50")) / (col("p75") - col("p25"))))
+      .drop((keys.map(k => s"__q_$k") ++ Seq("p25", "p50", "p75")): _*)
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

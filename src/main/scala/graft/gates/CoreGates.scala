@@ -613,6 +613,61 @@ object CoreGates {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** [[graft.analytics.Profile.groupQuantilesDisc]]: nearest-rank
+    * p25/p50/p75/p90 of event value per type. Discrete quantiles are
+    * element SELECTION (no interpolation arithmetic), so the oracle's
+    * restated rank windows return byte-identical doubles.
+    */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.groupQuantilesDisc(
+        Tables(s, dir, "events"), Seq("event_type"), "value",
+        Seq(25, 50, 75, 90))
+      .orderBy("event_type")
+
+  val groupQuantilesSql: String = {
+    def p(pct: Int) =
+      s"MAX(CASE WHEN rn = (n * $pct + 99) // 100 THEN value END) AS p$pct"
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL)
+       |SELECT event_type, ${p(25)}, ${p(50)}, ${p(75)}, ${p(90)}
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** [[graft.analytics.Profile.robustScale]]: per-type median/IQR
+    * scaling of event values — the oracle restates the same discrete
+    * quantiles and the identical `(x − p50) / (p75 − p25)`
+    * parenthesization (each step one exactly-rounded IEEE op).
+    */
+  def featureRobust(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.robustScale(
+        Tables(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      .select(col("event_id"), col("value_robust"))
+      .orderBy("event_id")
+
+  val featureRobustSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL),
+      |q AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+      |    MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |    MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN value END) AS p75
+      |  FROM r GROUP BY event_type)
+      |SELECT e.event_id,
+      |  CASE WHEN e.value IS NULL THEN NULL
+      |       WHEN q.p75 = q.p25 THEN 0.0
+      |       ELSE (e.value - q.p50) / (q.p75 - q.p25) END AS value_robust
+      |FROM events e LEFT JOIN q ON e.event_type = q.event_type
+      |ORDER BY e.event_id""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -647,7 +702,9 @@ object CoreGates {
     "feature_scale"  -> (featureScale _),
     "cdc_apply"      -> (cdcApply _),
     "rollup_incremental" -> (rollupIncremental _),
-    "profile_table"  -> (profileTable _))
+    "profile_table"  -> (profileTable _),
+    "group_quantiles" -> (groupQuantiles _),
+    "feature_robust" -> (featureRobust _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -670,5 +727,7 @@ object CoreGates {
     "feature_scale"  -> featureScaleSql,
     "cdc_apply"      -> cdcApplySql,
     "rollup_incremental" -> rollupIncrementalSql,
-    "profile_table"  -> profileTableSql)
+    "profile_table"  -> profileTableSql,
+    "group_quantiles" -> groupQuantilesSql,
+    "feature_robust" -> featureRobustSql)
 }

@@ -93,6 +93,31 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
     assert(r.getLong(4) == 0L)
   }
+  test("groupQuantilesDisc picks the nearest-rank element exactly") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 7.0)).toDF("g", "v")
+    val out = Profile.groupQuantilesDisc(df, Seq("g"), "v", Seq(25, 50, 75))
+      .orderBy("g").collect()
+    // n=5: ranks ceil(1.25)=2, ceil(2.5)=3, ceil(3.75)=4 -> 2.0, 3.0, 4.0
+    assert(out(0).getDouble(1) == 2.0 && out(0).getDouble(2) == 3.0 &&
+      out(0).getDouble(3) == 4.0)
+    // singleton group: every quantile IS the element
+    assert(out(1).getDouble(1) == 7.0 && out(1).getDouble(3) == 7.0)
+  }
+
+  test("robustScale is outlier-resistant and zero-IQR groups scale to 0") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 1e9), // the outlier barely moves median/IQR
+      ("c", 6L, 5.0), ("c", 7L, 5.0)).toDF("g", "id", "v")
+    val out = Profile.robustScale(df, Seq("g"), "v")
+      .orderBy("id").collect().map(_.getDouble(3))
+    // group a: p25=2, p50=3, p75=4 -> (v-3)/2
+    assert(out.take(4).toSeq == Seq(-1.0, -0.5, 0.0, 0.5))
+    assert(out(4) == (1e9 - 3.0) / 2.0)
+    // constant group: IQR 0 -> 0.0
+    assert(out(5) == 0.0 && out(6) == 0.0)
+  }
+
   test("minMaxScale maps to [0,1], constant columns to 0, nulls stay null") {
     val df = Seq(
       (1L, Some(10.0), 5.0), (2L, Some(20.0), 5.0),
