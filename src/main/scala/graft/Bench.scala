@@ -278,7 +278,9 @@ object Bench {
         "export_manifest", "profile_table",
         // one rank window + partial-agg quantile pick; + broadcast-back
         // scaled projection
-        "group_quantiles", "feature_robust")
+        "group_quantiles", "feature_robust",
+        // collect-and-sort sequence render; token-explode two-phase agg
+        "user_sequences", "feature_hashing")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

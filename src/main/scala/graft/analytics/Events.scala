@@ -359,4 +359,32 @@ object Events {
           .as("conversion"))
       .orderBy("step_idx")
   }
+
+  /** Per-entity ordered event SEQUENCES — the behavioral-model training
+    * export ("user 7 did view→click→buy at these times") rendered as a
+    * portable string `type:epoch_micros|type:epoch_micros|…` so any
+    * engine (and any downstream tokenizer) reads the same bytes; order
+    * is total via `(ts, tieCol)`.
+    *
+    * Scale shape: ONE groupBy shuffle; the in-buffer list is the
+    * entity's own event history (the per-entity-bounded assumption
+    * every sequence model already makes — a feed where one entity has
+    * unbounded history needs session-chunking upstream, see
+    * sessionize). Sorting happens per group AFTER collection
+    * (`array_sort` on the collected structs), so no window pass.
+    */
+  def userSequences(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String): DataFrame = {
+    val item = struct(col(tsCol).as("t"), col(tieCol).as("k"),
+      col(typeCol).as("e"))
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(array_sort(collect_list(item)),
+            // NTZ → TZ cast under the UTC session zone: same micros an
+            // engine reading the parquet epoch directly sees
+            x => concat(x.getField("e"), lit(":"),
+              unix_micros(x.getField("t").cast("timestamp")).cast("string"))),
+          "|").as("sequence"))
+  }
 }

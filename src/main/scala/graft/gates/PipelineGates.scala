@@ -635,6 +635,34 @@ object PipelineGates {
       |  END AS est_distinct
       |FROM agg""".stripMargin
 
+  /** [[graft.llm.TextStats.hashedFeatures]]: the hashing trick at
+    * dim = 64 over documents — the oracle re-derives every token's
+    * md5-mod bucket and the sorted sparse render, so the gate is green
+    * only if ANY engine can reproduce the exact feature vectors a
+    * model would train on.
+    */
+  def featureHashing(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextStats.hashedFeatures(
+        Tables(s, dir, "documents"), "doc_id", "text", dim = 64)
+      .orderBy("doc_id")
+
+  val featureHashingSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      |ix AS (
+      |  SELECT doc_id,
+      |    list_reduce([strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1
+      |                 for j in range(1, 9)], (a, x) -> a * 16 + x) % 64 AS i
+      |  FROM tk),
+      |cnt AS (SELECT doc_id, i, COUNT(*) AS c FROM ix GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  STRING_AGG(CAST(i AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+      |    ' ' ORDER BY i) AS features
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- snapshot diff ---------------------------------------------------
 
   /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
@@ -733,7 +761,8 @@ object PipelineGates {
     "corpus_diff"        -> (corpusDiff _),
     "corpus_overlap"     -> (corpusOverlap _),
     "corpus_cardinality" -> (corpusCardinality _),
-    "cardinality_merge"  -> (cardinalityMerge _))
+    "cardinality_merge"  -> (cardinalityMerge _),
+    "feature_hashing"    -> (featureHashing _))
 
   val oracleSql: Map[String, String] = Map(
     "bigram_lm"          -> bigramLmSql,
@@ -755,5 +784,6 @@ object PipelineGates {
     "corpus_diff"        -> corpusDiffSql,
     "corpus_overlap"     -> corpusOverlapSql,
     "corpus_cardinality" -> corpusCardinalitySql,
-    "cardinality_merge"  -> cardinalityMergeSql)
+    "cardinality_merge"  -> cardinalityMergeSql,
+    "feature_hashing"    -> featureHashingSql)
 }

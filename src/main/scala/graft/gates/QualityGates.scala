@@ -951,7 +951,24 @@ object QualityGates {
       | AND levenshtein(dirty_name, p_name) <= 2
       |ORDER BY dirty_id, name_id""".stripMargin
 
+  /** [[graft.analytics.Events.userSequences]]: per-user ordered event
+    * sequences rendered portably (`type:epoch_micros` joined by `|`).
+    * The oracle restates the total order and the string render with
+    * `STRING_AGG(... ORDER BY ts, event_id)`.
+    */
+  def userSequences(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Events.userSequences(
+        Tables(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id")
+
+  val userSequencesSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  STRING_AGG(event_type || ':' || CAST(epoch_us(ts) AS VARCHAR),
+      |    '|' ORDER BY ts, event_id) AS sequence
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_sequences"   -> (userSequences _),
     "fuzzy_join"       -> (fuzzyJoin _),
     "interval_join"    -> (intervalJoin _),
     "assoc_rules"      -> (assocRules _),
@@ -980,6 +997,7 @@ object QualityGates {
     "retention_delete" -> (retentionDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "user_sequences"   -> userSequencesSql,
     "fuzzy_join"       -> fuzzyJoinSql,
     "interval_join"    -> intervalJoinSql,
     "assoc_rules"      -> assocRulesSql,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token counting, quality
@@ -111,4 +111,37 @@ object TextStats {
     */
   def rollingFingerprint(text: Column, k: Int = 16): Column =
     graft.expressions.RollingHashMin.rolling_hash_min(Dedup.normalize(text), k)
+
+  /** Feature hashing (the "hashing trick"): each document's
+    * bag-of-words projected into a FIXED `dim`-bucket space via a
+    * PORTABLE token hash (first 8 md5 hex digits mod dim — any engine
+    * re-derives the identical features, unlike JVM-seeded murmur) —
+    * the vocabulary-free featurization linear models and quality
+    * classifiers train on at corpus scale, where a fitted vocabulary
+    * is itself a 100 TB shuffle.
+    *
+    * Output: `(idCol, features)` with `features` the sparse vector as
+    * `"idx:count idx:count …"`, indices ascending — a portable string
+    * render (same convention as the sequence export). Scale shape:
+    * explode → two partial-agg'd groupBys ((doc, idx) count, then
+    * per-doc assembly); token volume dominates, no window, no join.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     dim: Int = 1024): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val tok = docs.select(col(idCol),
+        explode(split(normalizeWords(col(textCol)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+    val idx = pmod(
+      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong))
+    tok.groupBy(col(idCol), idx.as("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
+          x => concat(x.getField("__i").cast("string"), lit(":"),
+            x.getField("__c").cast("string"))),
+        " ").as("features"))
+  }
 }
