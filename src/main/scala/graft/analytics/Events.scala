@@ -375,7 +375,16 @@ object Events {
     */
   def userSequences(events: DataFrame, userCol: String, tsCol: String,
                     tieCol: String, typeCol: String): DataFrame = {
-    val item = struct(col(tsCol).as("t"), col(tieCol).as("k"),
+    // a null ts or type would make its element's concat null and
+    // array_join would drop it SILENTLY — n_events says 5, the
+    // sequence shows 4, and the training export is quietly short.
+    // Malformed feed → fail loudly (decayedCounts convention).
+    val item = struct(
+      when(col(tsCol).isNull || col(typeCol).isNull, raise_error(lit(
+          s"userSequences: null $tsCol/$typeCol — element would be " +
+            "silently dropped from the sequence")).cast(events.schema(tsCol).dataType))
+        .otherwise(col(tsCol)).as("t"),
+      col(tieCol).as("k"),
       col(typeCol).as("e"))
     events.groupBy(col(userCol))
       .agg(count(lit(1)).as("n_events"),

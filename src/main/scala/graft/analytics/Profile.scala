@@ -191,6 +191,13 @@ object Profile {
     require(keys.nonEmpty, "groupQuantilesDisc needs at least one key")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in 1..100, got $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"duplicate percentiles would emit duplicate p<N> columns: $pcts")
+    val reservedQ = pcts.map(p => s"p$p").toSet
+      .union(Set("__rn", "__n")).intersect(df.columns.toSet)
+    require(reservedQ.isEmpty,
+      s"columns ${reservedQ.mkString(", ")} collide with quantile " +
+        "internals/output — rename")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol).asc)
     val wAll = Window.partitionBy(keys.map(col): _*)
@@ -218,6 +225,13 @@ object Profile {
     * `<valueCol>_robust`.
     */
   def robustScale(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    // the quantile frame exposes p25/p50/p75 during the join — a user
+    // column with one of those names would resolve ambiguously (or be
+    // silently dropped at the end); fail at the call site instead
+    val clash = Set("p25", "p50", "p75").intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with robustScale " +
+        "internals — rename")
     val q = groupQuantilesDisc(df, keys, valueCol, Seq(25, 50, 75))
       .select(keys.map(k => col(k).as(s"__q_$k")) :+ col("p25") :+
         col("p50") :+ col("p75"): _*)

@@ -18,6 +18,15 @@ object Hashes {
       when(name.isNull || name.cast("string") === "", lit("unknown"))
         .otherwise(lower(trim(name.cast("string")))))
 
+  /** THE portable 32-bit hash: first 8 md5 hex digits as a u32-ranged
+    * long. Every deterministic routing decision in the engine (shard
+    * membership, split assignment, feature buckets, CMS cells) is this
+    * one expression, and every DuckDB oracle re-derives it byte-for-
+    * byte — keep the single definition; a drifted copy would silently
+    * re-route one consumer while the rest stay consistent. */
+  def u32OfMd5(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** F12: ''/'None' → null (`parser.py:273`'s `df.replace`). */
   def nullifyEmpty(c: Column): Column =
     when(c.cast("string").isin("", "None"), lit(null).cast("string"))

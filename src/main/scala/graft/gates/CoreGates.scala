@@ -633,7 +633,8 @@ object CoreGates {
        |    COUNT(*) OVER (PARTITION BY event_type) AS n
        |  FROM events WHERE value IS NOT NULL)
        |SELECT event_type, ${p(25)}, ${p(50)}, ${p(75)}, ${p(90)}
-       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+       |FROM r GROUP BY event_type
+       |ORDER BY event_type NULLS FIRST""".stripMargin
   }
 
   /** [[graft.analytics.Profile.robustScale]]: per-type median/IQR
@@ -665,7 +666,10 @@ object CoreGates {
       |  CASE WHEN e.value IS NULL THEN NULL
       |       WHEN q.p75 = q.p25 THEN 0.0
       |       ELSE (e.value - q.p50) / (q.p75 - q.p25) END AS value_robust
-      |FROM events e LEFT JOIN q ON e.event_type = q.event_type
+      |-- null-SAFE join: the Spark side matches a null-type segment to
+      |-- its own quantiles via <=>; a bare = would diverge on null keys
+      |FROM events e LEFT JOIN q
+      |  ON e.event_type IS NOT DISTINCT FROM q.event_type
       |ORDER BY e.event_id""".stripMargin
 
   def keySkew(s: SparkSession, dir: String): DataFrame =

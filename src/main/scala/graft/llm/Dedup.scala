@@ -199,7 +199,7 @@ object Dedup {
     val P = 2147483647L
     val coefs = minhashCoefsPortable(numHashes)
     val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+      s => graft.functions.Hashes.u32OfMd5(s))
     df.select(col(idCol), hs.as("__hs"))
       .select(col(idCol),
         array(coefs.map { case (a, b) =>

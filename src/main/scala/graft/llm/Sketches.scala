@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   private def bucketOf(row: Column, tok: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat(row.cast("string"), lit(":"), tok)), 1, 8),
-      16, 10).cast("long"), lit(width.toLong))
+    pmod(graft.functions.Hashes.u32OfMd5(
+      concat(row.cast("string"), lit(":"), tok)), lit(width.toLong))
 
   def cmsEstimate(docs: DataFrame, textCol: String, probes: Seq[String],
                   depth: Int = 3, width: Int = 256): DataFrame = {

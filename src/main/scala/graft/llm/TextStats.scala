@@ -132,8 +132,7 @@ object TextStats {
     val tok = docs.select(col(idCol),
         explode(split(normalizeWords(col(textCol)), " ")).as("__t"))
       .filter(col("__t") =!= "")
-    val idx = pmod(
-      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"),
+    val idx = pmod(graft.functions.Hashes.u32OfMd5(col("__t")),
       lit(dim.toLong))
     tok.groupBy(col(idCol), idx.as("__i"))
       .agg(count(lit(1)).as("__c"))

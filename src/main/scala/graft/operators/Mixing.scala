@@ -43,9 +43,8 @@ object Mixing {
         when(col(domainCol) === d, lit(r)).otherwise(els)
       }
     val maxEpochs = ceil(col("__rate")).cast("int")
-    val u32 = conv(substring(md5(concat_ws(":",
-      col(idCol).cast("string"), col("epoch").cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.functions.Hashes.u32OfMd5(concat_ws(":",
+      col(idCol).cast("string"), col("epoch").cast("string")))
     // survive iff u32 < (rate − epoch, clamped to [0,1]) · 2^32; full
     // epochs clamp to 2^32 > any u32. floor(x·2^32 + 0.5) is pure IEEE —
     // the engine-portable rounding (library round() is not, on .5

@@ -57,8 +57,7 @@ object Sampling {
     require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.functions.Hashes.u32OfMd5(col(idCol).cast("string"))
     val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.min(math.round(c * 4294967296.0), 4294967296L))
     val chain = splits.init.zip(thresholds.init)

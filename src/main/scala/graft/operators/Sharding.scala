@@ -25,7 +25,7 @@ object Sharding {
     * restatable in any engine with md5 + string ops.
     */
   def shardIdPortable(id: Column, nShards: Int): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+    pmod(graft.functions.Hashes.u32OfMd5(id.cast("string")),
       lit(nShards.toLong)).cast("int")
 
   /** Per-shard balance profile: row count and payload volume per shard.
