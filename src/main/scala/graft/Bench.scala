@@ -280,7 +280,9 @@ object Bench {
         // scaled projection
         "group_quantiles", "feature_robust",
         // collect-and-sort sequence render; token-explode two-phase agg
-        "user_sequences", "feature_hashing")
+        "user_sequences", "feature_hashing",
+        // quantile clamp projection; distinct-explode df band + top-k
+        "feature_winsorize", "vocab_build")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

@@ -245,6 +245,33 @@ object Profile {
       .drop((keys.map(k => s"__q_$k") ++ Seq("p25", "p50", "p75")): _*)
   }
 
+  /** Winsorization: clamp each value into its group's
+    * `[p<loPct>, p<hiPct>]` band — the tail-taming companion to
+    * [[robustScale]] (clip the outlier instead of normalizing around
+    * it; the standard pre-step before mean-based aggregates on
+    * heavy-tailed feeds). Same machinery: discrete quantiles + one
+    * broadcast join back + a narrow clamp projection; nulls stay null
+    * (a bare `greatest(null, lo)` would SKIP the null and resurrect
+    * the row at the floor). Appended as `<valueCol>_wins`. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
+    val (loC, hiC) = (s"p$loPct", s"p$hiPct")
+    val clash = Set(loC, hiC).intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with winsorize internals — rename")
+    val q = groupQuantilesDisc(df, keys, valueCol, Seq(loPct, hiPct))
+      .select(keys.map(k => col(k).as(s"__q_$k")) :+ col(loC) :+ col(hiC): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__q_$k")).reduce(_ && _)
+    val x = col(valueCol).cast("double")
+    df.join(broadcast(q), cond, "left")
+      .withColumn(s"${valueCol}_wins",
+        when(x.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(x, col(loC)), col(hiC))))
+      .drop((keys.map(k => s"__q_$k") ++ Seq(loC, hiC)): _*)
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

@@ -672,6 +672,36 @@ object CoreGates {
       |  ON e.event_type IS NOT DISTINCT FROM q.event_type
       |ORDER BY e.event_id""".stripMargin
 
+  /** [[graft.analytics.Profile.winsorize]]: event values clamped into
+    * their type's [p5, p95] band. The oracle restates the discrete
+    * quantiles and the identical least/greatest clamp.
+    */
+  def featureWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.winsorize(
+        Tables(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value")
+      .select(col("event_id"), col("value_wins"))
+      .orderBy("event_id")
+
+  val featureWinsorizeSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL),
+      |q AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END) AS p5,
+      |    MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95
+      |  FROM r GROUP BY event_type)
+      |SELECT e.event_id,
+      |  CASE WHEN e.value IS NULL THEN NULL
+      |       ELSE least(greatest(e.value, q.p5), q.p95) END AS value_wins
+      |FROM events e LEFT JOIN q
+      |  ON e.event_type IS NOT DISTINCT FROM q.event_type
+      |ORDER BY e.event_id""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -708,7 +738,8 @@ object CoreGates {
     "rollup_incremental" -> (rollupIncremental _),
     "profile_table"  -> (profileTable _),
     "group_quantiles" -> (groupQuantiles _),
-    "feature_robust" -> (featureRobust _))
+    "feature_robust" -> (featureRobust _),
+    "feature_winsorize" -> (featureWinsorize _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -733,5 +764,6 @@ object CoreGates {
     "rollup_incremental" -> rollupIncrementalSql,
     "profile_table"  -> profileTableSql,
     "group_quantiles" -> groupQuantilesSql,
-    "feature_robust" -> featureRobustSql)
+    "feature_robust" -> featureRobustSql,
+    "feature_winsorize" -> featureWinsorizeSql)
 }

@@ -663,6 +663,30 @@ object PipelineGates {
       |    ' ' ORDER BY i) AS features
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[graft.llm.TextStats.buildVocabulary]]: min-df 2, max-df 78% of
+    * docs (the synthetic corpus's df mass sits at 75-80%, so 78 cuts a
+    * REAL band — both sides of the threshold are populated), top 200
+    * by (doc_freq desc, token). The oracle restates the per-doc
+    * distinct explode, the integer max-df band, and the total order.
+    */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextStats.buildVocabulary(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      minDf = 2, maxDfPct = 78, topK = 200)
+
+  val vocabBuildSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+      |  FROM documents),
+      |dfq AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      |  FROM tok WHERE token <> '' GROUP BY token),
+      |n AS (SELECT COUNT(*) AS nd FROM documents)
+      |SELECT token, doc_freq FROM dfq, n
+      |WHERE doc_freq >= 2 AND doc_freq * 100 <= 78 * nd
+      |ORDER BY doc_freq DESC, token LIMIT 200""".stripMargin
+
   // ---- snapshot diff ---------------------------------------------------
 
   /** [[graft.operators.Diff.byDigest]] between the corpus and a planted
@@ -762,7 +786,8 @@ object PipelineGates {
     "corpus_overlap"     -> (corpusOverlap _),
     "corpus_cardinality" -> (corpusCardinality _),
     "cardinality_merge"  -> (cardinalityMerge _),
-    "feature_hashing"    -> (featureHashing _))
+    "feature_hashing"    -> (featureHashing _),
+    "vocab_build"        -> (vocabBuild _))
 
   val oracleSql: Map[String, String] = Map(
     "bigram_lm"          -> bigramLmSql,
@@ -785,5 +810,6 @@ object PipelineGates {
     "corpus_overlap"     -> corpusOverlapSql,
     "corpus_cardinality" -> corpusCardinalitySql,
     "cardinality_merge"  -> cardinalityMergeSql,
-    "feature_hashing"    -> featureHashingSql)
+    "feature_hashing"    -> featureHashingSql,
+    "vocab_build"        -> vocabBuildSql)
 }

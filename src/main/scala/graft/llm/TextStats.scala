@@ -126,6 +126,43 @@ object TextStats {
     * explode → two partial-agg'd groupBys ((doc, idx) count, then
     * per-doc assembly); token volume dominates, no window, no join.
     */
+  /** Document-frequency vocabulary build — the fitted counterpart of
+    * [[hashedFeatures]] when a model wants real token ids: tokens
+    * kept iff `minDf ≤ doc_freq` and `doc_freq·100 ≤ maxDfPct·n_docs`
+    * (min-df drops typo-tail noise, max-df drops stopword-tier terms
+    * that carry no signal), top `topK` by (doc_freq desc, token). The
+    * max-df comparison is PURE INTEGER (`df·100 ≤ pct·n`) — a
+    * `df ≤ frac·n` double would put boundary tokens on FP dust, the
+    * same reasoning as `Sampling.temporalSplit`.
+    *
+    * Scale shape: per-doc `array_distinct` BEFORE the explode (each
+    * doc contributes each token once — the explode volume is bounded
+    * by distinct-tokens-per-doc, not raw length), one partial-agg'd
+    * token groupBy, a one-row count broadcast, and a
+    * `TakeOrderedAndProject` top-k — no window, no global sort.
+    */
+  def buildVocabulary(docs: DataFrame, idCol: String, textCol: String,
+                      minDf: Int = 2, maxDfPct: Int = 50,
+                      topK: Int = 10000): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfPct >= 1 && maxDfPct <= 100,
+      s"maxDfPct must be in 1..100, got $maxDfPct")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val perDoc = docs.select(col(idCol),
+        explode(array_distinct(split(normalizeWords(col(textCol)), " ")))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val dfq = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val n = docs.agg(count(lit(1)).as("__nd"))
+    dfq.crossJoin(broadcast(n))
+      .filter(col("doc_freq") >= minDf &&
+        col("doc_freq") * lit(100L) <= lit(maxDfPct.toLong) * col("__nd"))
+      .select(col("token"), col("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(topK)
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      dim: Int = 1024): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")

@@ -118,6 +118,18 @@ class ProfileSpec extends SparkSpec {
     assert(out(5) == 0.0 && out(6) == 0.0)
   }
 
+  test("winsorize clamps into the [p-lo, p-hi] band, nulls stay null") {
+    val df = Seq(("a", 1L, Some(-100.0)), ("a", 2L, Some(2.0)),
+      ("a", 3L, Some(3.0)), ("a", 4L, Some(4.0)), ("a", 5L, Some(500.0)),
+      ("a", 6L, None)).toDF("g", "id", "v")
+    val out = Profile.winsorize(df, Seq("g"), "v", loPct = 20, hiPct = 80)
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // n=5 non-null: p20 = rank ceil(1)=1 -> -100.0, p80 = rank 4 -> 4.0
+    assert(out.toSeq == Seq(Some(-100.0), Some(2.0), Some(3.0),
+      Some(4.0), Some(4.0), None))
+  }
+
   test("minMaxScale maps to [0,1], constant columns to 0, nulls stay null") {
     val df = Seq(
       (1L, Some(10.0), 5.0), (2L, Some(20.0), 5.0),

@@ -261,6 +261,17 @@ class PipelineSpec extends SparkSpec {
     assert(merged.getDouble(1) == whole.getDouble(1))
   }
 
+  test("buildVocabulary: min-df and integer max-df band, df-desc order") {
+    val docs = Seq(
+      (1L, "apple banana common"), (2L, "apple cherry common"),
+      (3L, "apple banana common"), (4L, "typo common")).toDF("id", "text")
+    // common: df 4 = 100% > 75% max -> out; typo: df 1 < minDf 2 -> out
+    val v = graft.llm.TextStats.buildVocabulary(docs, "id", "text",
+        minDf = 2, maxDfPct = 75, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("apple", 3L), ("banana", 2L)))
+  }
+
   test("uniformByHash: deterministic n-row draw, partition-invariant") {
     val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
     val a = graft.operators.Sampling.uniformByHash(df, "id", 20)
