@@ -44,7 +44,10 @@ object CorpusExport {
       docs.schema.fields :+ StructField("shard", IntegerType, nullable = true))
     val back = docs.sparkSession.read.schema(withShard)
       .option("mode", "FAILFAST").json(root)
-    manifestOf(back, valueCols)
+    // pin the (tiny, one-row-per-shard) manifest: returned lazily it
+    // would RE-READ the export on every action — and break outright if
+    // a later export replaced these files
+    manifestOf(back, valueCols).localCheckpoint(true)
   }
 
   /** Per-shard manifest of any sharded frame: `(shard, n_docs,
@@ -53,6 +56,43 @@ object CorpusExport {
     Checksum.grouped(sharded, Seq("shard"), valueCols)
       .withColumnRenamed("n_rows", "n_docs")
       .orderBy("shard")
+
+  /** The end-to-end trainer handoff — the composition a training run
+    * actually consumes, wired entirely from gated pieces:
+    *
+    *   1. curate ([[graft.llm.Curation.cleanCorpus]]: quality filter,
+    *      exact dedup, near-dup cluster collapse);
+    *   2. accretion-stable split assignment
+    *      ([[graft.operators.Sampling.hashSplit]] — growing the corpus
+    *      never moves an old document between splits);
+    *   3. one sharded JSONL export per split, each with its verifiable
+    *      manifest ([[export]]);
+    *   4. the combined manifest REGISTERED as a new version of the
+    *      run table ([[graft.storage.Versioned]]) — "the run trained
+    *      on v3" stays answerable forever.
+    *
+    * Returns `(runVersion, manifest)`; the manifest carries one row
+    * per (split, shard) with counts and checksums.
+    */
+  def prepareTrainingRun(docs: DataFrame, outRoot: String,
+                         nShards: Int = 8, minQuality: Double = 0.6,
+                         splits: Seq[(String, Double)] =
+                           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                         portable: Boolean = true): (Long, DataFrame) = {
+    val curated = graft.llm.Curation.cleanCorpus(
+      docs, "doc_id", "text", minQuality, portable = portable)
+    val assigned = graft.operators.Sampling
+      .hashSplit(curated, "doc_id", splits)
+      .localCheckpoint(true) // curation chain runs once, not per split
+    val valueCols = curated.columns.toSeq
+    val manifest = splits.map { case (name, _) =>
+      val part = assigned.filter(col("split") === name).drop("split")
+      export(part, "doc_id", valueCols, s"$outRoot/$name", nShards)
+        .withColumn("split", lit(name))
+    }.reduce(_ unionByName _)
+    val version = graft.storage.Versioned.write(manifest, s"$outRoot/_runs")
+    (version, manifest)
+  }
 
   /** Re-read an export with the PINNED schema, recompute its manifest,
     * and diff against the stored one: one row per shard with `status` ∈

@@ -33,6 +33,44 @@ class CorpusExportSpec extends SparkSpec {
     assert(manifest2.collect().toSeq == rows.toSeq)
   }
 
+  test("prepareTrainingRun: curate -> split -> export -> versioned register") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 80).map { i =>
+      (i.toLong, s"the quick document number $i talks about topic ${i % 7} " +
+        s"and subject ${i % 11} in plain words")
+    }
+    // plant one exact duplicate pair and one junk row the quality
+    // filter should drop
+    val docs = (base :+ (81L, base(4)._2) :+ (82L, "x"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("train_run").resolve("r").toString
+    val (v1, manifest) = CorpusExport.prepareTrainingRun(
+      docs, root, nShards = 2, splits = Seq("train" -> 0.8, "val" -> 0.2))
+    assert(v1 == 1L)
+    val rows = manifest.collect()
+    // junk + duplicate rows are gone: total exported = 80 curated docs
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 80L)
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val"))
+    // each split's export passes its own manifest verification
+    val schema = docs.schema
+    for (split <- Seq("train", "val")) {
+      val m = manifest.filter(col("split") === split).drop("split")
+      val ver = CorpusExport.verify(spark, s"$root/$split", schema,
+        "doc_id", Seq("doc_id", "text"), m)
+      assert(ver.collect().forall(_.getString(1) == "ok"), split)
+    }
+    // the registered run is readable and a re-run registers version 2
+    // with the identical manifest (determinism end to end)
+    val reg = graft.storage.Versioned.read(spark, s"$root/_runs", v1)
+    assert(reg.orderBy("split", "shard").collect().toSeq ==
+      manifest.orderBy("split", "shard").collect().toSeq)
+    val (v2, manifest2) = CorpusExport.prepareTrainingRun(
+      docs, root, nShards = 2, splits = Seq("train" -> 0.8, "val" -> 0.2))
+    assert(v2 == 2L)
+    assert(manifest2.orderBy("split", "shard").collect().toSeq ==
+      manifest.orderBy("split", "shard").collect().toSeq)
+  }
+
   test("a tampered shard is flagged mismatch, the rest stay ok") {
     val root = Files.createTempDirectory("corpus_tamper").resolve("c").toString
     val manifest = CorpusExport.export(docs, "doc_id", vcols, root, nShards = 4)
