@@ -379,10 +379,13 @@ object Events {
     // array_join would drop it SILENTLY — n_events says 5, the
     // sequence shows 4, and the training export is quietly short.
     // Malformed feed → fail loudly (decayedCounts convention).
+    // resolve the ts type through column resolution (case-insensitive,
+    // like every other col(tsCol) here) rather than StructType.apply
+    val tsType = events.select(col(tsCol)).schema.head.dataType
     val item = struct(
       when(col(tsCol).isNull || col(typeCol).isNull, raise_error(lit(
           s"userSequences: null $tsCol/$typeCol — element would be " +
-            "silently dropped from the sequence")).cast(events.schema(tsCol).dataType))
+            "silently dropped from the sequence")).cast(tsType))
         .otherwise(col(tsCol)).as("t"),
       col(tieCol).as("k"),
       col(typeCol).as("e"))

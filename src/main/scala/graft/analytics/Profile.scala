@@ -224,25 +224,37 @@ object Profile {
     * mass on one value) scales to 0.0, nulls stay null. Appended as
     * `<valueCol>_robust`.
     */
-  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
-    // the quantile frame exposes p25/p50/p75 during the join — a user
-    // column with one of those names would resolve ambiguously (or be
-    // silently dropped at the end); fail at the call site instead
-    val clash = Set("p25", "p50", "p75").intersect(df.columns.toSet)
-    require(clash.isEmpty,
-      s"columns ${clash.mkString(", ")} collide with robustScale " +
+  /** One quantile-join-back used by [[robustScale]] and [[winsorize]]:
+    * attach the group's `p<pct>` columns to every row via a null-safe
+    * broadcast left join (a null key is a real segment). Callers add
+    * their projection and then [[dropQuantileCols]]. */
+  private def joinGroupQuantiles(df: DataFrame, keys: Seq[String],
+                                 valueCol: String, pcts: Seq[Int]): DataFrame = {
+    val aliases = keys.map(k => s"__q_$k")
+    val reserved = aliases.toSet.intersect(df.columns.toSet)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with quantile join " +
         "internals — rename")
-    val q = groupQuantilesDisc(df, keys, valueCol, Seq(25, 50, 75))
-      .select(keys.map(k => col(k).as(s"__q_$k")) :+ col("p25") :+
-        col("p50") :+ col("p75"): _*)
+    val q = groupQuantilesDisc(df, keys, valueCol, pcts)
+      .select(keys.map(k => col(k).as(s"__q_$k")) ++
+        pcts.map(p => col(s"p$p")): _*)
     val cond = keys.map(k => col(k) <=> col(s"__q_$k")).reduce(_ && _)
-    val x = col(valueCol).cast("double")
     df.join(broadcast(q), cond, "left")
-      .withColumn(s"${valueCol}_robust",
-        when(x.isNull, lit(null).cast("double"))
-          .when(col("p75") === col("p25"), lit(0.0))
-          .otherwise((x - col("p50")) / (col("p75") - col("p25"))))
-      .drop((keys.map(k => s"__q_$k") ++ Seq("p25", "p50", "p75")): _*)
+  }
+
+  private def dropQuantileCols(df: DataFrame, keys: Seq[String],
+                               pcts: Seq[Int]): DataFrame =
+    df.drop((keys.map(k => s"__q_$k") ++ pcts.map(p => s"p$p")): _*)
+
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    dropQuantileCols(
+      joinGroupQuantiles(df, keys, valueCol, Seq(25, 50, 75))
+        .withColumn(s"${valueCol}_robust",
+          when(x.isNull, lit(null).cast("double"))
+            .when(col("p75") === col("p25"), lit(0.0))
+            .otherwise((x - col("p50")) / (col("p75") - col("p25")))),
+      keys, Seq(25, 50, 75))
   }
 
   /** Winsorization: clamp each value into its group's
@@ -257,19 +269,13 @@ object Profile {
                 loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(1 <= loPct && loPct < hiPct && hiPct <= 100,
       s"need 1 <= loPct < hiPct <= 100, got ($loPct, $hiPct)")
-    val (loC, hiC) = (s"p$loPct", s"p$hiPct")
-    val clash = Set(loC, hiC).intersect(df.columns.toSet)
-    require(clash.isEmpty,
-      s"columns ${clash.mkString(", ")} collide with winsorize internals — rename")
-    val q = groupQuantilesDisc(df, keys, valueCol, Seq(loPct, hiPct))
-      .select(keys.map(k => col(k).as(s"__q_$k")) :+ col(loC) :+ col(hiC): _*)
-    val cond = keys.map(k => col(k) <=> col(s"__q_$k")).reduce(_ && _)
     val x = col(valueCol).cast("double")
-    df.join(broadcast(q), cond, "left")
-      .withColumn(s"${valueCol}_wins",
-        when(x.isNull, lit(null).cast("double"))
-          .otherwise(least(greatest(x, col(loC)), col(hiC))))
-      .drop((keys.map(k => s"__q_$k") ++ Seq(loC, hiC)): _*)
+    dropQuantileCols(
+      joinGroupQuantiles(df, keys, valueCol, Seq(loPct, hiPct))
+        .withColumn(s"${valueCol}_wins",
+          when(x.isNull, lit(null).cast("double"))
+            .otherwise(least(greatest(x, col(s"p$loPct")), col(s"p$hiPct")))),
+      keys, Seq(loPct, hiPct))
   }
 
   def equiWidthHistogram(df: DataFrame, valueCol: String,

@@ -79,17 +79,30 @@ object CorpusExport {
                          splits: Seq[(String, Double)] =
                            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
                          portable: Boolean = true): (Long, DataFrame) = {
+    // duplicate names would export the same split twice and the
+    // registered manifest would double-count — the one corruption a
+    // run record must never carry
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: ${splits.map(_._1)}")
     val curated = graft.llm.Curation.cleanCorpus(
       docs, "doc_id", "text", minQuality, portable = portable)
-    val assigned = graft.operators.Sampling
-      .hashSplit(curated, "doc_id", splits)
-      .localCheckpoint(true) // curation chain runs once, not per split
+    // stage the curated+assigned corpus DURABLY and re-read per split:
+    // the curation chain runs once, and unlike a localCheckpoint of the
+    // whole corpus (executor-storage, lineage cut — one lost executor
+    // mid-run would sink the preparation at 100 TB), a parquet staging
+    // dir survives executor churn; it is cleaned up after the exports
+    val staging = s"$outRoot/_staging"
+    TableStore.writeSnapshot(
+      graft.operators.Sampling.hashSplit(curated, "doc_id", splits), staging)
+    val spark = docs.sparkSession
+    val assigned = TableStore.read(spark, staging)
     val valueCols = curated.columns.toSeq
     val manifest = splits.map { case (name, _) =>
       val part = assigned.filter(col("split") === name).drop("split")
       export(part, "doc_id", valueCols, s"$outRoot/$name", nShards)
         .withColumn("split", lit(name))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(true) // shard-count rows
+    TableStore.deleteRecursively(java.nio.file.Paths.get(staging))
     val version = graft.storage.Versioned.write(manifest, s"$outRoot/_runs")
     (version, manifest)
   }

@@ -187,6 +187,25 @@ class EventsSpec extends SparkSpec {
       assert(wau == expect.toLong, s"day $d")
     }
   }
+  test("null timestamps fail loudly in decayedCounts and userSequences") {
+    val withNull = Seq(("a", Some(ts(21))), ("a", None))
+      .toDF("k", "ts")
+      .select($"k", $"ts".cast("timestamp").as("ts"))
+    val e1 = intercept[Exception] {
+      Events.decayedCounts(withNull, Seq("k"), "ts", halfLifeDays = 7)
+        .collect()
+    }
+    assert(e1.getMessage.contains("null ts"), e1.getMessage)
+
+    val seqIn = Seq((1L, Some(ts(1)), 1L, "view"), (1L, None, 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val e2 = intercept[Exception] {
+      Events.userSequences(seqIn, "user_id", "ts", "event_id", "event_type")
+        .collect()
+    }
+    assert(e2.getMessage.contains("silently dropped"), e2.getMessage)
+  }
+
   test("decayedCounts: exact power-of-two weights, newest day full weight") {
     // asOf resolves to day 21 (the max); ages 0, 7, 14 days
     val df = Seq(
