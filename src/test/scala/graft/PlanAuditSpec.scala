@@ -95,6 +95,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("null-safe quantile join-back plans a broadcast HASH join, not a loop") {
+    // EqualNullSafe is a hash-join key: if the <=> condition ever
+    // degraded to BroadcastNestedLoopJoin, every row would probe every
+    // group's quantiles — a scale killer the gate data wouldn't show
+    for (name <- Seq("feature_robust", "feature_winsorize")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"$name: " + p.take(800))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a loop join")
+    }
+  }
+
   test("keep-one-per-key window pushes a partial group limit below the shuffle") {
     // Spark's InferWindowGroupLimit rewrites `row_number() <= k` filters
     // into a map-side WindowGroupLimit(Partial) BEFORE the hash
