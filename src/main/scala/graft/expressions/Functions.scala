@@ -48,6 +48,11 @@ object Functions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash_min" -> (exprs => RollingHashMin(exprs.head,
       exprs.lift(1).map(windowArg).getOrElse(16))),
+    "content_chunk_bounds" -> (exprs => ContentChunkBounds(exprs.head,
+      exprs.lift(1).map(windowArg).getOrElse(16),
+      exprs.lift(2).map(windowArg).getOrElse(6),
+      exprs.lift(3).map(windowArg).getOrElse(32),
+      exprs.lift(4).map(windowArg).getOrElse(256))),
     "unicode_nfc"   -> (exprs => UnicodeNormalize(exprs.head, strip = false)),
     "strip_accents" -> (exprs => UnicodeNormalize(exprs.head, strip = true)))
 

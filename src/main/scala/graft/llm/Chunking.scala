@@ -44,4 +44,38 @@ object Chunking {
         size(col("col")).as("n_tokens"),
         array_join(col("col"), " ").as("chunk_text"))
   }
+
+  /** CONTENT-DEFINED chunking
+    * ([[graft.expressions.ContentChunkBounds]]): boundaries from a
+    * rolling hash of the text itself, so an edit near the top of a
+    * document shifts only the chunks around it — the downstream
+    * chunk-hash population (what chunk-level dedup and long-doc
+    * near-dup key on) survives, where [[chunk]]'s fixed windows would
+    * re-cut everything after the edit. Expected chunk length
+    * ≈ 2^maskBits code points, clamped to [minLen, maxLen].
+    *
+    * Same narrow shape as [[chunk]]: the boundary expression runs
+    * inside whole-stage codegen, one posexplode fan-out, substring
+    * slicing — no shuffle, no state.
+    *
+    * Output: (idCol, chunk_idx, start_cp, n_cp, chunk_md5).
+    */
+  def contentDefined(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, maskBits: Int = 6,
+                     minLen: Int = 32, maxLen: Int = 256): DataFrame = {
+    val bounds = graft.expressions.ContentChunkBounds
+      .content_chunk_bounds(col(textCol), k, maskBits, minLen, maxLen)
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"), bounds.as("__b"))
+      .select(col(idCol), col("__t"), col("__b"), posexplode(col("__b")))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        // prev boundary: element_at is 1-based, so b[pos-1] = element_at(b, pos)
+        when(col("pos") === 0, lit(0))
+          .otherwise(element_at(col("__b"), col("pos"))).as("start_cp"),
+        col("col").as("__end"), col("__t"))
+      .select(col(idCol), col("chunk_idx"), col("start_cp"),
+        (col("__end") - col("start_cp")).as("n_cp"),
+        md5(col("__t").substr(col("start_cp") + 1,
+          col("__end") - col("start_cp"))).as("chunk_md5"))
+  }
 }
