@@ -674,4 +674,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming(col("__sa"), col("__sb")).as("distance"))
       .distinct()
   }
+
+  /** Chunk-level duplication profile over CONTENT-DEFINED chunks
+    * ([[Chunking.contentDefined]]): per document, how many of its
+    * chunks' hashes also occur in OTHER documents — the
+    * sub-document-granularity dedup signal (boilerplate blocks, quoted
+    * passages, mirrored sections) that whole-doc digests miss and that
+    * [[duplicateSpans]] finds at n-gram granularity with far more
+    * rows. Because the chunker is content-defined, the profile is
+    * INCREMENTAL-friendly: re-profiling an edited document re-hashes
+    * only the chunks around the edit.
+    *
+    * Output: `(idCol, n_chunks, n_shared, shared_frac)`. Scale shape:
+    * the chunk fan-out (narrow), one partial-agg'd count per chunk
+    * hash, one hash join back on the hash, one per-doc partial agg —
+    * no window, no all-pairs anything.
+    */
+  def chunkDuplication(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, maskBits: Int = 6,
+                       minLen: Int = 32, maxLen: Int = 256): DataFrame = {
+    val chunks = Chunking.contentDefined(docs, idCol, textCol,
+        k, maskBits, minLen, maxLen)
+      .select(col(idCol), col("chunk_md5"))
+    val byHash = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    chunks.join(byHash, Seq("chunk_md5"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_chunks"))
+  }
 }

@@ -80,6 +80,23 @@ class ContentChunkSpec extends SparkSpec {
     assert(viaSql == b1.length)
   }
 
+  test("chunkDuplication: shared blocks surface, unique docs score zero") {
+    val shared = randText(7, 1500)
+    val docs = Seq(
+      (1L, randText(8, 1200) + shared),       // tail shared with doc 2
+      (2L, randText(9, 900) + shared),        // different prefix, same tail
+      (3L, randText(10, 2000)))               // fully unique
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.chunkDuplication(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // the shared tail dominates both docs: well over a third of chunks
+    assert(out(1L)._3 > 0.35, out(1L).toString)
+    assert(out(2L)._3 > 0.35, out(2L).toString)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
   test("unicode: boundaries count code points, matching substr slicing") {
     val s = "Hà Nội — ✓ " * 40 + randText(5, 500)
     val b = boundsOf(s, minLen = 16, maxLen = 64)
