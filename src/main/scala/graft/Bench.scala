@@ -282,7 +282,9 @@ object Bench {
         // collect-and-sort sequence render; token-explode two-phase agg
         "user_sequences", "feature_hashing",
         // quantile clamp projection; distinct-explode df band + top-k
-        "feature_winsorize", "vocab_build")
+        "feature_winsorize", "vocab_build",
+        // shared rank+count windows, one IEEE division
+        "feature_rank")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         val t0 = System.nanoTime()
         try {

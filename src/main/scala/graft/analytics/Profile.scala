@@ -278,6 +278,42 @@ object Profile {
       keys, Seq(loPct, hiPct))
   }
 
+  /** Rank normalization: each value's percent rank within its group —
+    * `(rank − 1) / (n − 1)` in [0, 1] — the distribution-free feature
+    * transform (immune to outliers AND to scale, where
+    * [[robustScale]] still carries magnitudes). Ranks come from the
+    * usual total order `(value, tieCols…)`, so equal values get
+    * DISTINCT deterministic ranks (documented; callers wanting
+    * tie-averaged ranks should pre-aggregate). A singleton group maps
+    * to 0.0. Null-VALUED rows are excluded — no rank exists for them
+    * (and engines disagree on where nulls sort, so including them
+    * would also break rank portability).
+    *
+    * Same two shared-partitioning windows as [[temporalSplit]] (rank +
+    * count, one Exchange); the division is one IEEE op — restated
+    * identically by the oracle.
+    */
+  def rankNormalize(df: DataFrame, keys: Seq[String], valueCol: String,
+                    tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "rankNormalize needs at least one key column")
+    val reserved = Set("__rn", "__n").intersect(df.columns.toSet)
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with rankNormalize " +
+        "internals — rename")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(valueCol).asc +: tieCols.map(col(_).asc)): _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn(s"${valueCol}_pctrank",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__rn") - lit(1)).cast("double") /
+            (col("__n") - lit(1)).cast("double")))
+      .drop("__rn", "__n")
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int = 20): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")

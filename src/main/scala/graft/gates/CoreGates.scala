@@ -702,6 +702,30 @@ object CoreGates {
       |  ON e.event_type IS NOT DISTINCT FROM q.event_type
       |ORDER BY e.event_id""".stripMargin
 
+  /** [[graft.analytics.Profile.rankNormalize]]: percent rank of event
+    * value within its type — the oracle restates the identical rank
+    * and count windows and the one IEEE division.
+    */
+  def featureRank(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.rankNormalize(
+        Tables(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", tieCols = Seq("event_id"))
+      .select(col("event_id"), col("value_pctrank"))
+      .orderBy("event_id")
+
+  val featureRankSql: String =
+    """WITH r AS (
+      |  SELECT event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id,
+      |  CASE WHEN n = 1 THEN 0.0
+      |       ELSE CAST(rn - 1 AS DOUBLE) / (n - 1) END AS value_pctrank
+      |FROM r ORDER BY event_id""".stripMargin
+
   def keySkew(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Profile.keySkew(
       Tables(s, dir, "lineitem"), Seq("l_suppkey"), k = 10)
@@ -739,7 +763,8 @@ object CoreGates {
     "profile_table"  -> (profileTable _),
     "group_quantiles" -> (groupQuantiles _),
     "feature_robust" -> (featureRobust _),
-    "feature_winsorize" -> (featureWinsorize _))
+    "feature_winsorize" -> (featureWinsorize _),
+    "feature_rank"   -> (featureRank _))
 
   val oracleSql: Map[String, String] = Map(
     "scd2_merge"     -> scd2MergeSql,
@@ -765,5 +790,6 @@ object CoreGates {
     "profile_table"  -> profileTableSql,
     "group_quantiles" -> groupQuantilesSql,
     "feature_robust" -> featureRobustSql,
-    "feature_winsorize" -> featureWinsorizeSql)
+    "feature_winsorize" -> featureWinsorizeSql,
+    "feature_rank"   -> featureRankSql)
 }

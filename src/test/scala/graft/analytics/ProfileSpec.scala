@@ -130,6 +130,16 @@ class ProfileSpec extends SparkSpec {
       Some(4.0), Some(4.0), None))
   }
 
+  test("rankNormalize maps to [0,1], singleton groups to 0, nulls excluded") {
+    val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, Some(1.0)),
+      ("a", 3L, Some(9.0)), ("b", 4L, Some(7.0)), ("a", 5L, None))
+      .toDF("g", "id", "v")
+    val out = Profile.rankNormalize(df, Seq("g"), "v", tieCols = Seq("id"))
+      .orderBy("id").collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.0, 3L -> 1.0, 4L -> 0.0))
+    assert(!out.contains(5L)) // null-valued row excluded
+  }
+
   test("minMaxScale maps to [0,1], constant columns to 0, nulls stay null") {
     val df = Seq(
       (1L, Some(10.0), 5.0), (2L, Some(20.0), 5.0),
