@@ -21,6 +21,16 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
+    // Host load (1/5/15-min) stamped into the artifact at bench start and
+    // end: r8's committed sweep and the driver's re-run differed up to 5×
+    // on identical code purely from noisy-neighbor load, and the artifact
+    // carried no evidence either way. -1s when /proc/loadavg is absent.
+    def loadavg(): Seq[Double] =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+    val loadStart = loadavg()
+
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
     // JVM startup cost into its measurement: exercise codegen, the
     // parquet reader, and the interpreted higher-order-function path the
@@ -40,21 +50,28 @@ object Bench {
     // alphabetical order hands arbitrarily to whichever query touches
     // that path first (r6: bm25_topk "base" 13.2s cold vs 1.8s warm on
     // 10x the data). Queries whose first run already exceeds the rerun
-    // budget keep the first timing — capping bench wall-clock.
+    // budget keep the first timing — capping bench wall-clock. The SAME
+    // policy applies to every timing this file takes (base queries,
+    // scaled sweep, warehouse builds): r8's artifact mixed min-of-two
+    // base timings with single-shot scaled timings, and a noisy-host
+    // spike landing on a single-shot run inflated ratios up to 28×.
     val rerunBudgetSec = 20.0
+    def minOfTwo(reset: () => Unit)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val first = (System.nanoTime() - t0) / 1e9
+      if (first >= rerunBudgetSec) first
+      else {
+        reset()
+        val t1 = System.nanoTime()
+        body
+        val second = (System.nanoTime() - t1) / 1e9
+        math.min(first, second)
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val first = (System.nanoTime() - t0) / 1e9
-        timings(name) =
-          if (first >= rerunBudgetSec) first
-          else {
-            val t1 = System.nanoTime()
-            fn(spark, sfDir).count()
-            val second = (System.nanoTime() - t1) / 1e9
-            math.min(first, second)
-          }
+        timings(name) = minOfTwo(() => ())(fn(spark, sfDir).count())
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -181,34 +198,40 @@ object Bench {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
       }
-      deleteRecursive(s"$whBase/dwh")
-      deleteRecursive(s"$whScaled/dwh")
       scaleGen = (System.nanoTime() - g0) / 1e9
 
-      def timeIt(body: => Unit): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { body; Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      try {
-        val tb = timeIt(graft.app.Apps.runWarehouseDay(spark, whBase, "2026-01-01"))
-        val ts = timeIt(graft.app.Apps.runWarehouseDay(spark, whScaled, "2026-01-01"))
-        (tb, ts) match {
-          case (Some(b), Some(s)) => scaleQs("warehouse_day") = (b, s)
-          case _ => errors("scale_warehouse_day") = "warehouse day-build failed"
+      // The warehouse day-build mutates dwh state (day 2 runs on day 1's
+      // output), so a repeat measurement needs the WHOLE two-day cycle
+      // re-run from a wiped warehouse — a single day can't be re-timed in
+      // place. The cycle gets the same budgeted min-of-two policy as every
+      // other timing: one cycle, and a second (with state reset) only when
+      // the first came in under the rerun budget.
+      def timeCycle(root: String): Option[(Double, Double)] =
+        try {
+          deleteRecursive(s"$root/dwh")
+          val t0 = System.nanoTime()
+          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-01")
+          val d1 = (System.nanoTime() - t0) / 1e9
+          // Day 2 on the day-1 state: carry-forward dominant, only the 5%
+          // revision slice mints new ids — the every-day production path.
+          val t1 = System.nanoTime()
+          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-02")
+          val d2 = (System.nanoTime() - t1) / 1e9
+          Some((d1, d2))
+        } catch { case _: Throwable => None }
+      def bestCycle(root: String): Option[(Double, Double)] =
+        timeCycle(root).map { case (a1, a2) =>
+          if (a1 + a2 >= rerunBudgetSec) (a1, a2)
+          else timeCycle(root) match {
+            case Some((b1, b2)) => (math.min(a1, b1), math.min(a2, b2))
+            case None => (a1, a2)
+          }
         }
-        // Day 2 on the day-1 state: carry-forward dominant, only the 5%
-        // revision slice mints new ids — the every-day production path.
-        val tb2 = timeIt(graft.app.Apps.runWarehouseDay(spark, whBase, "2026-01-02"))
-        val ts2 = timeIt(graft.app.Apps.runWarehouseDay(spark, whScaled, "2026-01-02"))
-        (tb2, ts2) match {
-          case (Some(b), Some(s)) => scaleQs("warehouse_day2") = (b, s)
-          case _ => errors("scale_warehouse_day2") = "warehouse day-2 build failed"
-        }
-      } catch {
-        case e: Throwable =>
-          errors("scale_warehouse_day") =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      (bestCycle(whBase), bestCycle(whScaled)) match {
+        case (Some((b1, b2)), Some((s1, s2))) =>
+          scaleQs("warehouse_day") = (b1, s1)
+          scaleQs("warehouse_day2") = (b2, s2)
+        case _ => errors("scale_warehouse_day") = "warehouse day-build failed"
       }
 
       val sweep = Seq("carry_forward", "dedup_priority", "dedup_exact",
@@ -286,10 +309,8 @@ object Bench {
         // shared rank+count windows, one IEEE division
         "feature_rank")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
-        val t0 = System.nanoTime()
         try {
-          fn(spark, scaleDir).count()
-          val s = (System.nanoTime() - t0) / 1e9
+          val s = minOfTwo(() => ())(fn(spark, scaleDir).count())
           // base = -1 when the base-scale run errored: keep the scaled
           // timing visible rather than silently dropping the query
           scaleQs(name) = (timings.getOrElse(name, -1.0), s)
@@ -307,13 +328,11 @@ object Bench {
       // artifact shows the at-scale shape, not just the pinned-oracle
       // one.
       try {
-        def timeAuto(dir: String): Double = {
-          val t0 = System.nanoTime()
+        def timeAuto(dir: String): Double = minOfTwo(() => ()) {
           val emb = Tables(spark, dir, "embeddings")
           val bits = graft.llm.Ann.autoBits(emb.count())
           graft.llm.Ann.nearDupCosine(emb, "vec_id", "embedding",
             threshold = 0.3, bits = bits).count()
-          (System.nanoTime() - t0) / 1e9
         }
         scaleQs("dedup_embedding_autobits") = (timeAuto(sfDir), timeAuto(scaleDir))
       } catch {
@@ -331,7 +350,8 @@ object Bench {
       "\"" + esc(k) + "\":{\"base\":" + b + ",\"scaled\":" + s + ",\"ratio\":" + ratio + "}"
     }.mkString("{", ",", "}")
     val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"scale":$scale,"sf":"${esc(sfDir)}"}"""
+    val load = s"""{"start":[${loadStart.mkString(",")}],"end":[${loadavg().mkString(",")}]}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"scale":$scale,"loadavg":$load,"sf":"${esc(sfDir)}"}"""
     // Full per-query detail (every timing + base/scaled/ratio sweep) goes
     // to a repo-root artifact: the driver only keeps the LAST 2000 chars
     // of stdout, so the ~8 KB full line can never survive there (r5/r6
