@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Chunking, Keywords, Privacy, Repetition}
+import graft.llm.{Chunking, Dedup, Keywords, Privacy, Repetition}
 import graft.operators.Sharding
 
 /** Correctness gates for the pipeline-output operators (PII scrub,
@@ -154,6 +154,41 @@ object PipelineGates {
        |  CAST(len(ws[i * $ChunkS + 1 : i * $ChunkS + $ChunkW]) AS INT) AS n_tokens,
        |  md5(array_to_string(ws[i * $ChunkS + 1 : i * $ChunkS + $ChunkW], ' ')) AS chunk_md5
        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- chunk-level dedup cut policy -----------------------------------
+
+  private val TrimW = 48
+
+  def chunkTrim(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Dedup.chunkTrim(docs,
+        Chunking.fixedWidth(docs, "doc_id", "text", TrimW), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val chunkTrimSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |    substring(text, CAST(i * $TrimW + 1 AS INT), $TrimW) AS chunk_text
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(CAST(ceil(len(text) / CAST($TrimW AS DOUBLE)) AS BIGINT))) AS i
+       |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)),
+       |shared AS (
+       |  SELECT chunk_text FROM ch GROUP BY chunk_text
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |agg AS (
+       |  SELECT c.doc_id, count(*) AS n_chunks,
+       |    sum(CASE WHEN s.chunk_text IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped,
+       |    string_agg(CASE WHEN s.chunk_text IS NULL THEN c.chunk_text END,
+       |               '' ORDER BY c.chunk_idx) AS text_clean
+       |  FROM ch c LEFT JOIN shared s USING (chunk_text)
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  coalesce(a.text_clean, '') AS text_clean
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- deterministic sharding -----------------------------------------
 
@@ -663,16 +698,25 @@ object PipelineGates {
       |    ' ' ORDER BY i) AS features
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** [[graft.llm.TextStats.buildVocabulary]]: min-df 2, max-df 78% of
-    * docs (the synthetic corpus's df mass sits at 75-80%, so 78 cuts a
-    * REAL band — both sides of the threshold are populated), top 200
-    * by (doc_freq desc, token). The oracle restates the per-doc
-    * distinct explode, the integer max-df band, and the total order.
+  /** [[graft.llm.TextStats.buildVocabulary]]: min-df 2, max-df DERIVED
+    * from the corpus — `pct = max(1, ((maxDf − 1)·100) div nDocs)`,
+    * i.e. the band that cuts strictly below the highest doc-freq — so
+    * the gate exercises a populated cut on BOTH sides of the threshold
+    * no matter how the testdata regenerates (the earlier pinned 78 was
+    * hand-tuned to one generation's df mass). Pure integer math,
+    * restated identically in the oracle. Top 200 by
+    * (doc_freq desc, token).
     */
-  def vocabBuild(s: SparkSession, dir: String): DataFrame =
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val maxDf = graft.llm.TextStats.buildVocabulary(
+        docs, "doc_id", "text", minDf = 1, maxDfPct = 100, topK = 1)
+      .head().getAs[Long]("doc_freq")
+    val nd = docs.count()
+    val pct = math.max(1L, (maxDf - 1L) * 100L / nd).toInt
     graft.llm.TextStats.buildVocabulary(
-      Tables(s, dir, "documents"), "doc_id", "text",
-      minDf = 2, maxDfPct = 78, topK = 200)
+      docs, "doc_id", "text", minDf = 2, maxDfPct = pct, topK = 200)
+  }
 
   val vocabBuildSql: String =
     """WITH tok AS (
@@ -682,9 +726,12 @@ object PipelineGates {
       |dfq AS (
       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
       |  FROM tok WHERE token <> '' GROUP BY token),
-      |n AS (SELECT COUNT(*) AS nd FROM documents)
-      |SELECT token, doc_freq FROM dfq, n
-      |WHERE doc_freq >= 2 AND doc_freq * 100 <= 78 * nd
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |band AS (
+      |  SELECT greatest(1, ((max(doc_freq) - 1) * 100) // nd) AS pct
+      |  FROM dfq, n GROUP BY nd)
+      |SELECT token, doc_freq FROM dfq, n, band
+      |WHERE doc_freq >= 2 AND doc_freq * 100 <= pct * nd
       |ORDER BY doc_freq DESC, token LIMIT 200""".stripMargin
 
   // ---- snapshot diff ---------------------------------------------------
@@ -770,6 +817,7 @@ object PipelineGates {
     "pii_redact"         -> (piiRedact _),
     "quality_repetition" -> (qualityRepetition _),
     "chunk_documents"    -> (chunkDocuments _),
+    "chunk_trim"         -> (chunkTrim _),
     "shard_assign"       -> (shardAssign _),
     "pack_blocks"        -> (packBlocks _),
     "ngram_topk"         -> (ngramTopk _),
@@ -794,6 +842,7 @@ object PipelineGates {
     "pii_redact"         -> piiRedactSql,
     "quality_repetition" -> qualityRepetitionSql,
     "chunk_documents"    -> chunkDocumentsSql,
+    "chunk_trim"         -> chunkTrimSql,
     "shard_assign"       -> shardAssignSql,
     "pack_blocks"        -> packBlocksSql,
     "ngram_topk"         -> ngramTopkSql,

@@ -78,4 +78,30 @@ object Chunking {
         md5(col("__t").substr(col("start_cp") + 1,
           col("__end") - col("start_cp"))).as("chunk_md5"))
   }
+
+  /** Fixed-width CODEPOINT chunking in the same offsets form as
+    * [[contentDefined]] — `(idCol, chunk_idx, start_cp, n_cp,
+    * chunk_md5)` — so every consumer of the offsets-form chunk schema
+    * ([[Dedup.chunkTrim]], [[Dedup.chunkDuplication]]) composes with
+    * either chunker. This is the SQL-expressible instantiation: the
+    * `chunk_trim` oracle restates it verbatim in DuckDB, which the
+    * rolling-hash boundaries of [[contentDefined]] cannot be.
+    *
+    * Same narrow shape as the other chunkers: one codegen'd projection,
+    * one posexplode fan-out, no shuffle.
+    */
+  def fixedWidth(docs: DataFrame, idCol: String, textCol: String,
+                 width: Int = 64): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        posexplode(sequence(lit(0L),
+          ceil(length(col(textCol)).cast("double") / width).cast("long") - 1)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        (col("col") * width).cast("int").as("start_cp"),
+        least(lit(width), length(col("__t")) - col("col").cast("int") * width)
+          .cast("int").as("n_cp"),
+        md5(col("__t").substr((col("col") * width + 1).cast("int"), lit(width)))
+          .as("chunk_md5"))
+  }
 }

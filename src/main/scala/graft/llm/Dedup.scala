@@ -705,4 +705,53 @@ object Dedup {
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col("n_chunks"))
   }
+
+  /** The CUT policy over chunk-level duplication — what
+    * [[chunkDuplication]] profiles, this removes: every chunk whose
+    * content occurs in >= `minDocs` distinct documents is dropped, and
+    * each document's survivors are re-joined in order. The
+    * sub-document analogue of [[graft.llm.Spans.trimDupSpans]], but
+    * operating on `chunks` in the offsets form
+    * `(idCol, chunk_idx, start_cp, n_cp, chunk_md5)` — compose with
+    * [[Chunking.contentDefined]] (the at-scale default: shift-tolerant
+    * boundaries, so an edited mirror still matches) or
+    * [[Chunking.fixedWidth]] (the oracle-checkable instantiation).
+    * Offsets index the ORIGINAL text, so unlike the span trimmer the
+    * output is exact original-text concatenation: a document with no
+    * duplicated chunks round-trips byte-for-byte.
+    *
+    * Output: `(idCol, n_chunks, n_dropped, text_clean)`; null/empty
+    * documents (which produce no chunks) come back as `("", 0, 0)`.
+    *
+    * Scale shape: one partial agg per chunk hash, one hash join back
+    * on the hash, one per-doc agg whose `collect_list` state is
+    * bounded by the document's own chunk count (the same bound as the
+    * text itself), one key join back to `docs`. No window, no
+    * all-pairs.
+    */
+  def chunkTrim(docs: DataFrame, chunks: DataFrame, idCol: String,
+                textCol: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val shared = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("chunk_md5"), lit(1).as("__dup"))
+    val agg = chunks.join(shared, Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup") === 1, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls: dropped chunks vanish from the
+        // survivor array; sort_array orders structs by leading field
+        // (chunk_idx)
+        sort_array(collect_list(when(col("__dup").isNull,
+          struct(col("chunk_idx"), col("start_cp"), col("n_cp"))))).as("__ks"))
+    docs.select(col(idCol), col(textCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(array_join(transform(col("__ks"), s =>
+            col(textCol).substr(s.getField("start_cp") + 1, s.getField("n_cp"))),
+          ""), lit("")).as("text_clean"))
+  }
 }

@@ -97,6 +97,59 @@ class ContentChunkSpec extends SparkSpec {
     assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
   }
 
+  test("chunkTrim(contentDefined): cuts shared tail, keeps unique prefix intact") {
+    val shared = randText(7, 1500)
+    val p1 = randText(8, 1200); val p2 = randText(9, 900)
+    val docs = Seq(
+      (1L, p1 + shared), (2L, p2 + shared), (3L, randText(10, 2000)))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.contentDefined(docs, "doc_id", "text")
+    val out = graft.llm.Dedup.chunkTrim(docs, chunks, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // shared tail removed from both docs — content-defined boundaries
+    // re-sync despite the different-length prefixes
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(1L)._3.length < (p1 + shared).length)
+    // dropped chunks all lie in the shared tail: the unique prefix
+    // survives verbatim (the junction-straddling chunk differs per doc)
+    assert(out(1L)._3.startsWith(p1))
+    assert(out(2L)._3.startsWith(p2))
+    // a doc with no cross-doc chunks round-trips byte-for-byte
+    assert(out(3L)._2 == 0L && out(3L)._3 == randText(10, 2000))
+  }
+
+  test("chunkTrim: empty and null docs come back as empty with zero counts") {
+    val docs = Seq((1L, Option(randText(11, 300))), (2L, Option("")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefined(docs, "doc_id", "text")
+    val out = graft.llm.Dedup.chunkTrim(docs, chunks, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(1).getLong(1) == 0L && out(1).getString(3) == "")
+    assert(out(2).getLong(1) == 0L && out(2).getString(3) == "")
+  }
+
+  test("fixedWidth chunker partitions the text and composes with chunkTrim") {
+    val a = randText(12, 333)
+    val docs = Seq((1L, a), (2L, a), (3L, randText(13, 100)))
+      .toDF("doc_id", "text")
+    val ch = Chunking.fixedWidth(docs, "doc_id", "text", 64)
+    // chunks partition each doc: starts advance by width, lengths sum to len
+    val byDoc = ch.groupBy("doc_id")
+      .agg(sum("n_cp").as("tot"), count(lit(1)).as("nc")).orderBy("doc_id")
+      .collect()
+    assert(byDoc(0).getLong(1) == 333L && byDoc(0).getLong(2) == 6L)
+    assert(byDoc(2).getLong(1) == 100L && byDoc(2).getLong(2) == 2L)
+    val out = graft.llm.Dedup.chunkTrim(docs, ch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // identical docs lose every chunk; the unique doc round-trips
+    assert(out(0).getLong(2) == 6L && out(0).getString(3) == "")
+    assert(out(1).getLong(2) == 6L)
+    assert(out(2).getLong(2) == 0L && out(2).getString(3) == randText(13, 100))
+  }
+
   test("unicode: boundaries count code points, matching substr slicing") {
     val s = "Hà Nội — ✓ " * 40 + randText(5, 500)
     val b = boundsOf(s, minLen = 16, maxLen = 64)
