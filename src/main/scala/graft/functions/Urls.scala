@@ -18,8 +18,10 @@ object Urls {
 
   /** Tracking params dropped by [[canonicalize]]: the advertising
     * click-id / campaign params that vary per impression but never
-    * change the page. */
-  val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+    * change the page. The `(=|$)` alternative also catches the
+    * VALUELESS form (`?fbclid`, `&utm_source` with no `=`) that some
+    * emitters produce. */
+  val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
 
   def protocol(url: Column): Column = lower(try_parse_url(url, lit("PROTOCOL")))
   def host(url: Column): Column = lower(try_parse_url(url, lit("HOST")))

@@ -202,6 +202,8 @@ object FunctionGates {
       lit("/postings/item"), (id % 7).cast("string"), lit("?"),
       when(id % 2 === 0, lit("page=2&q=spark")).otherwise(lit("q=spark&page=2")),
       when(id % 3 === 0, lit("&utm_source=feed&gclid=xyz")).otherwise(lit("")),
+      // valueless click-id: must be dropped like its '=' form
+      when(id % 4 === 1, lit("&fbclid")).otherwise(lit("")),
       when(id % 6 === 0, lit("#sec")).otherwise(lit("")))
     d.select(id, url.as("url"))
       .select(col("doc_id"), col("url"),
@@ -225,6 +227,7 @@ object FunctionGates {
       |          ELSE 'q=spark&page=2' END) ||
       |    (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&gclid=xyz'
       |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '&fbclid' ELSE '' END) ||
       |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
       |  FROM documents),
       |p AS (
@@ -241,7 +244,7 @@ object FunctionGates {
       |               ELSE hostport END) AS host,
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
       |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
-      |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid)=')
+      |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
       |           AND x <> '')), '&') AS sq,
       |    regexp_extract(rawq, '(^|&)q=([^&]*)', 2) AS q_param
       |  FROM p)

@@ -21,6 +21,12 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://jobs.example.com/postings/item1?a=1&b=2#sec") == target)
     assert(canon("https://jobs.example.com/postings/item1" +
       "?utm_source=feed&a=1&gclid=x&b=2&fbclid=y&msclkid=z") == target)
+    // valueless tracking params are dropped like their '=' forms —
+    // but a non-tracking valueless param survives
+    assert(canon("https://jobs.example.com/postings/item1" +
+      "?fbclid&a=1&utm_source&b=2") == target)
+    assert(canon("https://jobs.example.com/postings/item1?a=1&b=2&flag") ==
+      target + "&flag")
   }
 
   test("non-default ports, empty paths, empty queries survive") {
