@@ -16,10 +16,16 @@ import graft.llm.CapStats
   * from EACH side to reach a common subsequence, so every true pair
   * shares at least one of the O(len^d) deletion variants. Signature
   * equality is an equi-join — one hash shuffle per side — and recall is
-  * exactly 1 by the alignment argument; the exact `levenshtein`
-  * post-filter (threshold form: banded DP, O(d·len) per pair) removes
-  * false candidates, so the result is identical to the all-pairs scan
-  * that would be |L|·|R| at scale.
+  * exactly 1 by the alignment argument PROVIDED no signature bucket hit
+  * the `maxBucket` cap (a capped signature drops the true pairs that
+  * only share it — e.g. many distinct short strings all reaching the
+  * empty-string signature at d = 2). The occupancy audit always runs:
+  * a passed [[graft.llm.CapStats]] receives the loss counts, and with
+  * no sink a nonzero loss is logged loudly instead of vanishing. The
+  * exact `levenshtein` post-filter (threshold form: banded DP,
+  * O(d·len) per pair) removes false candidates, so on an uncapped run
+  * the result is identical to the all-pairs scan that would be
+  * |L|·|R| at scale.
   *
   * Scale shape: everything expensive runs on the DISTINCT-string
   * domain. Real corpora repeat names (20k scraped rows over a few
@@ -97,10 +103,20 @@ object Fuzzy {
         (coalesce(col("__nl"), lit(0L)) + coalesce(col("__nr"), lit(0L)))
           .as("__n"))
     val hot = occ.filter(col("__n") > maxBucket)
-    capStats.foreach { cs =>
-      val row = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head()
-      cs.droppedBuckets = row.getLong(0)
-      cs.droppedRows = row.getLong(1)
+    // the audit is unconditional: capped signatures break the recall-1
+    // contract, so the loss is either handed to the caller's sink or
+    // logged loudly — never silent
+    val row = hot.agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head()
+    capStats match {
+      case Some(cs) =>
+        cs.droppedBuckets = row.getLong(0)
+        cs.droppedRows = row.getLong(1)
+      case None if row.getLong(0) > 0 =>
+        System.err.println(s"WARN Fuzzy.editJoin: ${row.getLong(0)} hot " +
+          s"signature bucket(s) over maxBucket=$maxBucket dropped " +
+          s"(${row.getLong(1)} signature rows) — recall < 1; pass capStats " +
+          "to account for the loss or raise maxBucket")
+      case None => ()
     }
     val lc = l.join(hot.select("__sig"), Seq("__sig"), "left_anti")
     val rc = r.join(hot.select("__sig"), Seq("__sig"), "left_anti")
