@@ -31,9 +31,7 @@ object CorpusExport {
     val tmp = root.stripSuffix("/") + ".__tmp"
     sharded.repartition(nShards, col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").json(tmp)
-    import java.nio.file.{Files, Paths}
-    TableStore.deleteRecursively(Paths.get(root))
-    Files.move(Paths.get(tmp), Paths.get(root))
+    TableStore.swapInto(tmp, root)
     // manifest from a READ-BACK of the written shards, not from a
     // re-execution of the source plan: the published checksums describe
     // the bytes on disk BY CONSTRUCTION (a source that changed between

@@ -69,7 +69,6 @@ object Csv {
       .option("sep", delimiter)
       .option("escape", "\"")
       .csv(tmp)
-    TableStore.deleteRecursively(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path))
+    TableStore.swapInto(tmp, path)
   }
 }

@@ -67,10 +67,8 @@ object Jsonl {
     * parquet snapshot writer — a half-written corpus export is never
     * visible under the target path. */
   def write(df: DataFrame, path: String): Unit = {
-    import java.nio.file.{Files, Paths}
     val tmp = path.stripSuffix("/") + ".__tmp"
     df.write.mode(SaveMode.Overwrite).json(tmp)
-    TableStore.deleteRecursively(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path))
+    TableStore.swapInto(tmp, path)
   }
 }

@@ -35,8 +35,36 @@ object TableStore {
   def writeSnapshot(df: DataFrame, path: String): Unit = {
     val tmp = path.stripSuffix("/") + ".__tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    deleteRecursively(Paths.get(path))
-    Files.move(Paths.get(tmp), Paths.get(path))
+    swapInto(tmp, path)
+  }
+
+  /** Publish the fully-written `tmp` directory at `target` without ever
+    * destroying the previous snapshot before the replacement lands: the
+    * old directory is RENAMED aside (metadata-only, same filesystem),
+    * `tmp` renamed into place, and only then the old copy deleted. A
+    * crash between the two renames leaves the prior snapshot intact at
+    * `<target>.__old` — [[recoverSnapshot]] puts it back. (The previous
+    * delete-then-move order had a window where neither version existed.)
+    */
+  private[graft] def swapInto(tmp: String, target: String): Unit = {
+    val old = Paths.get(target.stripSuffix("/") + ".__old")
+    recoverSnapshot(target)   // a crashed earlier swap: restore, then replace
+    deleteRecursively(old)
+    val t = Paths.get(target)
+    if (Files.exists(t)) Files.move(t, old)
+    Files.move(Paths.get(tmp), t)
+    deleteRecursively(old)
+  }
+
+  /** If a swap crashed between its renames (no live snapshot at `path`,
+    * prior one parked at `<path>.__old`), restore the prior snapshot.
+    * Returns true when a restore happened.
+    */
+  def recoverSnapshot(path: String): Boolean = {
+    val old = Paths.get(path.stripSuffix("/") + ".__old")
+    val t = Paths.get(path)
+    if (!Files.exists(t) && Files.exists(old)) { Files.move(old, t); true }
+    else false
   }
 
   /** Partitioned write replacing ONLY the partitions present in `df`. */

@@ -24,6 +24,28 @@ class JsonlSpec extends SparkSpec {
     assert(Jsonl.read(spark, path, docs.schema).count() == 1L)
   }
 
+  test("swap keeps no residue and a crashed swap is recoverable") {
+    val path = Files.createTempDirectory("jsonl_swap").resolve("d.jsonl").toString
+    Jsonl.write(docs, path)
+    Jsonl.write(docs.limit(2), path)
+    // the move-aside copy is cleaned up after a completed swap
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__old")))
+    assert(Jsonl.read(spark, path, docs.schema).count() == 2L)
+    // simulate a crash between the two renames: old parked, target gone
+    Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".__old"))
+    assert(TableStore.recoverSnapshot(path))
+    assert(Jsonl.read(spark, path, docs.schema).count() == 2L)
+    // a live target is never clobbered by recover
+    assert(!TableStore.recoverSnapshot(path))
+    // and the next write after a crashed swap replaces cleanly
+    Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".__old"))
+    Jsonl.write(docs, path)
+    assert(Jsonl.read(spark, path, docs.schema).count() == 3L)
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__old")))
+  }
+
   test("readStream ingests a landing dir incrementally, file by file") {
     val dir = Files.createTempDirectory("jsonl_stream")
     Files.writeString(dir.resolve("f1.jsonl"),
