@@ -91,8 +91,9 @@ object IncrementalAgg {
                      keys: Seq[String], spec: Spec,
                      changeCol: String = "_change"): DataFrame = {
     require(spec.minCols.isEmpty && spec.maxCols.isEmpty,
-      "min/max are not retractable — rebuild their state from the " +
-        "merged table instead (they need history to recover a runner-up)")
+      "min/max are not retractable (a retracted row might BE the " +
+        "extremum) — use applyChangelogRebuild, which re-derives them " +
+        "from the post-apply table for just the retracted keys")
     val w = when(col(changeCol) === "upsert", lit(1L))
       .when(col(changeCol) === "retract", lit(-1L))
       .otherwise(raise_error(concat(
@@ -106,6 +107,52 @@ object IncrementalAgg {
     val delta = weighted.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     merge(Seq(prior, delta), keys, spec)
+  }
+
+  /** Changelog fold for specs that DO carry min/max — the fallback
+    * [[applyChangelog]]'s guard points at, narrowed to the keys that
+    * actually need history. The invertible slice (count, sums) folds
+    * algebraically exactly as in [[applyChangelog]]. Min/max — which a
+    * retraction can invalidate (the retracted row may BE the extremum,
+    * and the runner-up is not in state) — are rebuilt ONLY for keys the
+    * changelog retracted from, by scanning `current` (the post-apply
+    * table, e.g. [[Cdc.applyChanges]]' output) semi-join-pruned to that
+    * key set; upsert-only keys keep the cheap algebraic
+    * min-of-mins/max-of-maxes merge.
+    *
+    * Cost: O(|changelog| + |state|) plus one pruned scan of `current`
+    * for the retracted keys — O(rows under retracted keys), not
+    * O(corpus). A key whose rows fully cancel has no `current` rows and
+    * publishes null min/max with `cnt = 0`.
+    */
+  def applyChangelogRebuild(prior: DataFrame, changelog: DataFrame,
+                            current: DataFrame, keys: Seq[String], spec: Spec,
+                            changeCol: String = "_change"): DataFrame = {
+    require(spec.minCols.nonEmpty || spec.maxCols.nonEmpty,
+      "spec has no min/max — use applyChangelog (no rebuild scan needed)")
+    val kcols = keys.map(col)
+    val mmNames = spec.minCols.map(c => s"__min_$c") ++
+      spec.maxCols.map(c => s"__max_$c")
+    val folded = applyChangelog(prior.drop(mmNames: _*), changelog, keys,
+      spec.copy(minCols = Nil, maxCols = Nil), changeCol)
+    def aggBy(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      df.groupBy(kcols: _*).agg(aggs.head, aggs.tail: _*)
+    // raw rows -> min/max state
+    def mmOfRows(df: DataFrame): DataFrame = aggBy(df,
+      spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")))
+    // states -> merged min/max state (min-of-mins / max-of-maxes)
+    def mmOfStates(df: DataFrame): DataFrame = aggBy(df,
+      spec.minCols.map(c => min(col(s"__min_$c")).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(s"__max_$c")).as(s"__max_$c")))
+    val retractKeys = changelog.filter(col(changeCol) === "retract")
+      .select(kcols: _*).distinct()
+    val mmPrior = prior.select(kcols ++ mmNames.map(col): _*)
+    val mmUpserts = mmOfRows(changelog.filter(col(changeCol) === "upsert"))
+    val mmSafe = mmOfStates(mmPrior.unionByName(mmUpserts))
+      .join(retractKeys, keys, "left_anti")
+    val mmRebuilt = mmOfRows(current.join(retractKeys, keys, "left_semi"))
+    folded.join(mmSafe.unionByName(mmRebuilt), keys, "left")
   }
 
   /** Publish the aggregate from state: `cnt`, `sum_<c>` (double),

@@ -79,6 +79,38 @@ class IncrementalAggSpec extends SparkSpec {
       .filter($"k" === 2L).head().getLong(1) == 0L)
   }
 
+  test("changelog rebuild: min/max recover exactly, only retracted keys rescanned") {
+    val prior = IncrementalAgg.state(rows, Seq("k"), spec)
+    // key 1: the MIN-ts row retracted (runner-up must surface); key 2:
+    // fully deleted; key 3: upsert-only (algebraic path); key 4: new
+    val changelog = Seq(
+      (1L, 10.10, ts(1), "retract"),
+      (2L, 99.99, ts(2), "retract"),
+      (3L, 1.00, ts(7), "upsert"),
+      (4L, 1.25, ts(2), "upsert"))
+      .toDF("k", "amount", "ts", "_change")
+    val current = Seq(
+      (1L, 20.25, ts(5)), (1L, 0.65, ts(3)),
+      (3L, 5.00, ts(4)), (3L, 5.00, ts(6)), (3L, 7.50, ts(1)), (3L, 1.00, ts(7)),
+      (4L, 1.25, ts(2))).toDF("k", "amount", "ts")
+    val next = IncrementalAgg.applyChangelogRebuild(
+      prior, changelog, current, Seq("k"), spec)
+    val fromScratch = IncrementalAgg.state(current, Seq("k"), spec)
+    def live(st: DataFrame) = IncrementalAgg.finish(st, Seq("k"), spec)
+      .filter($"cnt" > 0).orderBy("k").collect().toSeq
+    assert(live(next) == live(fromScratch))
+    // key 1's min moved off the retracted row: runner-up ts(3) surfaced
+    assert(IncrementalAgg.finish(next, Seq("k"), spec)
+      .filter($"k" === 1L).head().getAs[Timestamp]("min_ts") == ts(3))
+    // the fully-cancelled key publishes cnt 0 with null extrema
+    val k2 = IncrementalAgg.finish(next, Seq("k"), spec)
+      .filter($"k" === 2L).head()
+    assert(k2.getLong(1) == 0L && k2.isNullAt(3) && k2.isNullAt(4))
+    // state schema matches the from-scratch state (merge-compatible)
+    assert(next.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      fromScratch.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("min/max specs are rejected for changelog maintenance") {
     val e = intercept[IllegalArgumentException] {
       IncrementalAgg.applyChangelog(
