@@ -54,7 +54,8 @@ object Functions {
       exprs.lift(3).map(windowArg).getOrElse(32),
       exprs.lift(4).map(windowArg).getOrElse(256))),
     "unicode_nfc"   -> (exprs => UnicodeNormalize(exprs.head, strip = false)),
-    "strip_accents" -> (exprs => UnicodeNormalize(exprs.head, strip = true)))
+    "strip_accents" -> (exprs => UnicodeNormalize(exprs.head, strip = true)),
+    "jaro_winkler"  -> (exprs => JaroWinkler(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     // native expressions → FunctionRegistry (expression-level, codegen'd)

@@ -951,6 +951,37 @@ object QualityGates {
       | AND levenshtein(dirty_name, p_name) <= 2
       |ORDER BY dirty_id, name_id""".stripMargin
 
+  /** [[graft.operators.Linkage.linkageJoin]]: self-linkage of the part
+    * catalog — block on the uppercased 3-char prefix, score every
+    * in-block pair with the native [[graft.expressions.JaroWinkler]]
+    * expression, keep pairs ≥ 0.88, smaller id first. The oracle is
+    * DuckDB's OWN `jaro_winkler_similarity` over the same blocked
+    * triangle, so the gate proves the codegen'd kernel matches an
+    * independent engine's implementation bit-for-bit (at the 6-dp
+    * render) across every scored pair.
+    */
+  def linkageJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+    graft.operators.Linkage.linkageJoin(a, "a_key", "a_name",
+        b, "b_key", "b_name", threshold = 0.88,
+        blocker = graft.operators.Linkage.prefixBlock(3), selfPairs = true)
+      .orderBy("a_key", "b_key")
+  }
+
+  val linkageJoinSql: String =
+    """WITH p AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+      |         upper(substring(p_name, 1, 3)) AS blk
+      |  FROM part WHERE p_name IS NOT NULL)
+      |SELECT l.id AS a_key, l.name AS a_name,
+      |       r.id AS b_key, r.name AS b_name,
+      |  round(jaro_winkler_similarity(l.name, r.name), 6) AS sim
+      |FROM p l JOIN p r ON l.blk = r.blk AND l.id < r.id
+      |WHERE round(jaro_winkler_similarity(l.name, r.name), 6) >= 0.88
+      |ORDER BY a_key, b_key""".stripMargin
+
   /** [[graft.analytics.Events.userSequences]]: per-user ordered event
     * sequences rendered portably (`type:epoch_micros` joined by `|`).
     * The oracle restates the total order and the string render with
@@ -970,6 +1001,7 @@ object QualityGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_sequences"   -> (userSequences _),
     "fuzzy_join"       -> (fuzzyJoin _),
+    "linkage_join"     -> (linkageJoin _),
     "interval_join"    -> (intervalJoin _),
     "assoc_rules"      -> (assocRules _),
     "markov_stationary" -> (markovStationary _),
@@ -999,6 +1031,7 @@ object QualityGates {
   val oracleSql: Map[String, String] = Map(
     "user_sequences"   -> userSequencesSql,
     "fuzzy_join"       -> fuzzyJoinSql,
+    "linkage_join"     -> linkageJoinSql,
     "interval_join"    -> intervalJoinSql,
     "assoc_rules"      -> assocRulesSql,
     "markov_stationary" -> markovStationarySql,
