@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Cleaners, Hashes, Salary}
 import graft.ingest.HtmlParser
+import graft.monitoring.Metrics
 import graft.operators.Merge
 import graft.quality.{QualityGate, Validators}
 import graft.storage.TableStore
@@ -25,16 +26,34 @@ object Apps {
 
   /** `jobinsight_pipeline` (§3.1): HTML batch → parse → validate+gate →
     * raw merge → staging transform → validate+gate. Returns the staging
-    * slice it wrote.
+    * slice it wrote. Each run appends one `etl_metrics` row and one
+    * `quality_metrics` row under `<root>/monitoring/` (success OR
+    * failure — the reference's DAG-callback instrumentation), which the
+    * served `vw_pipeline_health` / `vw_data_quality_trend` roll up.
     */
   def runIngestDay(spark: SparkSession, htmlDir: String, warehouseRoot: String,
-                   runDate: String): DataFrame = {
+                   runDate: String): DataFrame =
+    Metrics.instrument(spark, warehouseRoot, "jobinsight_pipeline",
+      "ingest_transform", runDate) {
+      ingestDayBody(spark, htmlDir, warehouseRoot, runDate)
+    }
+
+  private def ingestDayBody(spark: SparkSession, htmlDir: String,
+                            warehouseRoot: String,
+                            runDate: String): (DataFrame, Long, Long) = {
     val pages = spark.read.option("wholetext", "true").text(htmlDir)
       .withColumnRenamed("value", "html")
     val jobs = HtmlParser.parseJobs(pages)
       .dropDuplicates("job_id") // DAG-level re-dedup (pipeline_dag.py:113-114)
 
     val crawlStats = Validators.crawlStats(jobs).head()
+    Metrics.recordQuality(spark, warehouseRoot, "crawl",
+      java.sql.Date.valueOf(runDate),
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      crawlStats.getAs[Long]("total_jobs"), crawlStats.getAs[Long]("valid_jobs"),
+      crawlStats.getAs[Double]("valid_rate"),
+      crawlStats.getAs[Double]("duplicate_rate"),
+      if (crawlStats.getAs[Double]("valid_rate") >= 0.9) "passed" else "failed")
     QualityGate.evaluate(crawlStats, QualityGate.crawlConfig)
 
     // Raw merge (S5/M8) over the snapshot table.
@@ -75,34 +94,41 @@ object Apps {
 
     val stagingStats = Validators.stagingStats(staging).head()
     QualityGate.evaluate(stagingStats, QualityGate.stagingConfig)
-    staging.drop("crawl_date")
+    (staging.drop("crawl_date"),
+      crawlStats.getAs[Long]("total_jobs"),
+      stagingStats.getAs[Long]("total_jobs"))
   }
 
   /** `jobinsight_dwh` (§3.2): read today's staging partition
     * (partition-pruned, S4), run the warehouse day, write dims as
     * snapshots and fact/bridge with dynamic partition overwrite.
     */
-  def runWarehouseDay(spark: SparkSession, warehouseRoot: String, runDate: String): Unit = {
-    val staging = spark.read.parquet(s"$warehouseRoot/staging_jobs")
-      .filter(col("crawl_date") === runDate)   // partition pruning, S4/P10
-      .drop("crawl_date")
+  def runWarehouseDay(spark: SparkSession, warehouseRoot: String, runDate: String): Unit =
+    Metrics.instrument(spark, warehouseRoot, "jobinsight_dwh", "load_dwh",
+      runDate) {
+      val staging = spark.read.parquet(s"$warehouseRoot/staging_jobs")
+        .filter(col("crawl_date") === runDate)   // partition pruning, S4/P10
+        .drop("crawl_date")
 
-    val state = WarehouseJob.State(readStar(spark, warehouseRoot))
-    // checkpoint = true: materialize results BEFORE the writes below
-    // replace the very files their plans read from.
-    val next = WarehouseJob.runDay(spark, state, staging, runDate, checkpoint = true)
+      val state = WarehouseJob.State(readStar(spark, warehouseRoot))
+      // checkpoint = true: materialize results BEFORE the writes below
+      // replace the very files their plans read from.
+      val next = WarehouseJob.runDay(spark, state, staging, runDate, checkpoint = true)
 
-    val dwh = s"$warehouseRoot/dwh"
-    TableStore.writeSnapshot(next.star.dimJob, s"$dwh/DimJob")
-    TableStore.writeSnapshot(next.star.dimCompany, s"$dwh/DimCompany")
-    TableStore.writeSnapshot(next.star.dimLocation, s"$dwh/DimLocation")
-    TableStore.writeSnapshot(next.star.dimDate, s"$dwh/DimDate")
-    // Day-run rewrites only today's date_id partition.
-    TableStore.replacePartitions(
-      next.star.fact.filter(col("date_id") === lit(runDate).cast("date")),
-      s"$dwh/FactJobPostingDaily", Seq("date_id"))
-    TableStore.writeSnapshot(next.star.bridge, s"$dwh/FactJobLocationBridge")
-  }
+      val dwh = s"$warehouseRoot/dwh"
+      TableStore.writeSnapshot(next.star.dimJob, s"$dwh/DimJob")
+      TableStore.writeSnapshot(next.star.dimCompany, s"$dwh/DimCompany")
+      TableStore.writeSnapshot(next.star.dimLocation, s"$dwh/DimLocation")
+      TableStore.writeSnapshot(next.star.dimDate, s"$dwh/DimDate")
+      // Day-run rewrites only today's date_id partition.
+      val todaysFact = next.star.fact
+        .filter(col("date_id") === lit(runDate).cast("date"))
+      TableStore.replacePartitions(
+        todaysFact, s"$dwh/FactJobPostingDaily", Seq("date_id"))
+      TableStore.writeSnapshot(next.star.bridge, s"$dwh/FactJobLocationBridge")
+      // counts on checkpointed frames — no plan re-execution
+      ((), staging.count(), todaysFact.count())
+    }
 
   /** Read the star schema back from disk (empty frames before day 1). */
   def readStar(spark: SparkSession, warehouseRoot: String): Star = {
@@ -126,19 +152,22 @@ object Apps {
                  retentionDays: Int = 30): Long = {
     val rawPath = s"$warehouseRoot/raw_jobs"
     if (!exists(rawPath)) return 0L
-    val raw = spark.read.parquet(rawPath)
-    val cutoff = date_sub(lit(runDate).cast("date"), retentionDays).cast("timestamp")
-    val archived = TableStore.archiveOlderThan(
-      raw.orderBy(col("crawled_at").asc), col("crawled_at"), cutoff,
-      s"$warehouseRoot/archive/raw_jobs")
-    val n = archived.count()
-    if (n > 0) {
-      val expected = spark.read.parquet(s"$warehouseRoot/archive/raw_jobs")
-        .filter(col("crawled_at") < cutoff).count()
-      require(expected >= n, s"archive verify failed: $expected < $n") // S7
-      TableStore.retentionDelete(spark, rawPath, archived.select("job_id"), Seq("job_id"))
+    Metrics.instrument(spark, warehouseRoot, "jobinsight_archive",
+      "archive_delete", runDate) {
+      val raw = spark.read.parquet(rawPath)
+      val cutoff = date_sub(lit(runDate).cast("date"), retentionDays).cast("timestamp")
+      val archived = TableStore.archiveOlderThan(
+        raw.orderBy(col("crawled_at").asc), col("crawled_at"), cutoff,
+        s"$warehouseRoot/archive/raw_jobs")
+      val n = archived.count()
+      if (n > 0) {
+        val expected = spark.read.parquet(s"$warehouseRoot/archive/raw_jobs")
+          .filter(col("crawled_at") < cutoff).count()
+        require(expected >= n, s"archive verify failed: $expected < $n") // S7
+        TableStore.retentionDelete(spark, rawPath, archived.select("job_id"), Seq("job_id"))
+      }
+      (n, n, n)
     }
-    n
   }
 
   /** Denormalized fact export (J11 + S6: `minio.py:231-237` enrichment

@@ -55,6 +55,24 @@ object ServeApp {
     reg.filter(_.startsWith("vw_")).foreach { v =>
       spark.table(v).createOrReplaceGlobalTempView(v)
     }
+    // the 2 monitoring views (Grafana parity: reference
+    // monitoring_schema.sql:58-80) — served whenever the apps have
+    // recorded run metrics under <root>/monitoring/
+    val mon = Seq(
+      ("etl_metrics", "vw_pipeline_health",
+        (df: org.apache.spark.sql.DataFrame) =>
+          graft.monitoring.Metrics.pipelineHealth(df, lit(runDate))),
+      ("quality_metrics", "vw_data_quality_trend",
+        (df: org.apache.spark.sql.DataFrame) =>
+          graft.monitoring.Metrics.dataQualityTrend(df, lit(runDate))))
+    mon.foreach { case (table, view, build) =>
+      val path = s"$warehouseRoot/monitoring/$table"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val v = build(spark.read.parquet(path))
+        v.createOrReplaceTempView(view)
+        v.createOrReplaceGlobalTempView(view)
+      }
+    }
   }
 
   /** Register the catalog and start the Thrift endpoint on `port`

@@ -94,4 +94,55 @@ object Metrics {
         countDistinct(col("job_sk")).as("job_count"),
         countDistinct(col("date_id")).as("day_count"))
       .orderBy(col("load_month").desc).limit(3)
+
+  // ---- persistence (the reference's monitoring.* tables) ---------------
+
+  /** Append one ETL run row to `<root>/monitoring/etl_metrics` — the
+    * table [[pipelineHealth]] rolls up and Grafana-parity dashboards
+    * read. Tiny appends (one row per task run): the table is a
+    * monitoring log, compacted like any other small-file producer when
+    * it matters. */
+  def recordEtl(spark: SparkSession, warehouseRoot: String, row: Row): Unit =
+    spark.createDataFrame(java.util.Arrays.asList(row), etlMetricsSchema)
+      .write.mode("append").parquet(s"$warehouseRoot/monitoring/etl_metrics")
+
+  /** Append one quality row (from a [[graft.quality.Validators]] stats
+    * row) to `<root>/monitoring/quality_metrics` — what
+    * [[dataQualityTrend]] rolls up. */
+  def recordQuality(spark: SparkSession, warehouseRoot: String,
+                    validationType: String, executionDate: java.sql.Date,
+                    recordedAt: java.sql.Timestamp, totalJobs: Long,
+                    validJobs: Long, validRate: Double,
+                    duplicateRate: Double, status: String): Unit =
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row(validationType, executionDate, recordedAt, totalJobs, validJobs,
+          validRate, duplicateRate, status)), qualityMetricsSchema)
+      .write.mode("append").parquet(s"$warehouseRoot/monitoring/quality_metrics")
+
+  /** Run `body`, record ONE etl_metrics row (success with its row
+    * counts, or failed with the error message), rethrow failures — the
+    * per-task instrumentation the reference's DAG callbacks perform
+    * (`src/monitoring/etl_metrics.py:15-38`). `body` returns
+    * `(result, rowsIn, rowsOut)`. */
+  def instrument[T](spark: SparkSession, warehouseRoot: String, dagId: String,
+                    taskId: String, runDate: String)
+                   (body: => (T, Long, Long)): T = {
+    val startedAt = new java.sql.Timestamp(System.currentTimeMillis())
+    val execDate = java.sql.Date.valueOf(runDate)
+    try {
+      val (res, rowsIn, rowsOut) = body
+      val fin = new java.sql.Timestamp(System.currentTimeMillis())
+      recordEtl(spark, warehouseRoot, metricRow(dagId, taskId, execDate,
+        startedAt, fin, rowsIn, rowsOut, "success"))
+      res
+    } catch {
+      case e: Throwable =>
+        val fin = new java.sql.Timestamp(System.currentTimeMillis())
+        try recordEtl(spark, warehouseRoot, metricRow(dagId, taskId, execDate,
+          startedAt, fin, 0L, 0L, "failed",
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))))
+        catch { case _: Throwable => () } // recording must not mask the error
+        throw e
+    }
+  }
 }

@@ -116,4 +116,26 @@ class AppsE2ESpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/archive/raw_jobs").count() == 60)
     assert(spark.read.parquet(s"$root/raw_jobs").count() == 0)
   }
+
+  test("every app run records monitoring metrics rows") {
+    ran
+    val etl = spark.read.parquet(s"$root/monitoring/etl_metrics")
+    val byDag = etl.groupBy("dag_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDag.getOrElse("jobinsight_pipeline", 0L) >= 1L)
+    assert(byDag.getOrElse("jobinsight_dwh", 0L) >= 1L)
+    assert(etl.filter(col("status") =!= "success").count() == 0)
+    assert(etl.filter(col("dag_id") === "jobinsight_pipeline")
+      .head().getAs[Long]("rows_out") == 60L)
+    val q = spark.read.parquet(s"$root/monitoring/quality_metrics")
+    val row = q.filter(col("validation_type") === "crawl").head()
+    assert(row.getAs[Long]("total_jobs") == 60L)
+    assert(row.getAs[String]("status") == "passed")
+    // the served monitoring rollup answers over the recorded rows
+    val health = graft.monitoring.Metrics.pipelineHealth(
+      etl, org.apache.spark.sql.functions.lit(
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString))
+      .filter(col("dag_id") === "jobinsight_dwh").head()
+    assert(health.getAs[Double]("success_rate") == 1.0)
+  }
 }

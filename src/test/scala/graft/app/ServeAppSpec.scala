@@ -93,6 +93,19 @@ class ServeAppSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("monitoring views are served from the recorded run metrics") {
+    val (_, port) = server
+    val conn = connect(port)
+    try {
+      // runWarehouseDay (the fixture) recorded one etl_metrics row
+      val rs = conn.createStatement().executeQuery(
+        "SELECT dag_id, run_count, success_rate " +
+          "FROM global_temp.vw_pipeline_health WHERE dag_id = 'jobinsight_dwh'")
+      assert(rs.next())
+      assert(rs.getLong("run_count") >= 1L && rs.getDouble("success_rate") == 1.0)
+    } finally conn.close()
+  }
+
   test("serving connections do not mutate the host session") {
     val (_, port) = server
     // the Thrift session manager flips datetime.java8API on every
