@@ -511,8 +511,10 @@ object PipelineGates {
        |model AS (SELECT term, count(*) AS c FROM tok2 GROUP BY 1),
        |n AS (SELECT count(*) AS n FROM tok2),
        |contrib AS (
+       |  -- VARCHAR-routed decimal cast: see lmBackoffSql's note
        |  SELECT doc_id, tf,
-       |    CAST(CAST(tf AS DOUBLE) / CAST(c AS DOUBLE) AS DECIMAL(28,15)) AS q
+       |    CAST(CAST(CAST(tf AS DOUBLE) / CAST(c AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(28,15)) AS q
        |  FROM tf JOIN model USING (term)),
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
@@ -524,6 +526,63 @@ object PipelineGates {
        |       WHEN p.lm_score < 30.0 THEN 'common'
        |       WHEN p.lm_score > 31.0 THEN 'rare'
        |       ELSE 'mid' END AS lm_band
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- bigram stupid-backoff scoring ----------------------------------
+
+  /** [[graft.llm.LmScore.bigramBackoffScore]] at minPair = 3: common
+    * pairs score via the bigram MLE, the pruned tail via the α = 0.5
+    * unigram backoff — both paths populated on the gate corpus. The
+    * oracle restates pair extraction (1-based list indexing), the
+    * unpruned context totals, both single-division contributions with
+    * identical parenthesization, and the decimal(28,15) exact sum.
+    */
+  def lmBackoff(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.bigramBackoffScore(
+        Tables(s, dir, "documents"), "doc_id", "text", minPair = 3L)
+      .orderBy("doc_id")
+
+  val lmBackoffSql: String =
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+       |dtf AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       |  FROM pairs GROUP BY 1, 2, 3),
+       |pc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+       |       FROM dtf GROUP BY 1, 2),
+       |cc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx
+       |       FROM pc GROUP BY 1),
+       |kept AS (SELECT * FROM pc WHERE n_pair >= 3),
+       |uni AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS term FROM toks)
+       |  WHERE term <> '' GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM uni),
+       |contrib AS (
+       |  -- double -> DECIMAL goes through VARCHAR: Spark quantizes the
+       |  -- double's SHORTEST-string value (BigDecimal HALF_UP), while
+       |  -- DuckDB's direct cast rounds the exact binary value — they
+       |  -- part ways when the shortest repr ends in a trailing 5 at
+       |  -- digit 16 (seen live on this corpus)
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(CASE WHEN k.n_pair IS NOT NULL
+       |      THEN CAST(tf * k.n_pair AS DOUBLE) / CAST(cc.n_ctx AS DOUBLE)
+       |      ELSE CAST(tf * coalesce(u.c, 1) AS DOUBLE) /
+       |           CAST(2 * (SELECT nn FROM n) AS DOUBLE)
+       |    END AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dtf
+       |  LEFT JOIN kept k USING (w1, w2)
+       |  LEFT JOIN cc ON dtf.w1 = cc.w1
+       |  LEFT JOIN uni u ON dtf.w2 = u.term),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS sb_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.sb_score
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
@@ -828,6 +887,7 @@ object PipelineGates {
     "hybrid_search"      -> (hybridSearch _),
     "text_normalize"     -> (textNormalize _),
     "lm_score"           -> (lmScore _),
+    "lm_backoff"         -> (lmBackoff _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -853,6 +913,7 @@ object PipelineGates {
     "hybrid_search"      -> hybridSearchSql,
     "text_normalize"     -> textNormalizeSql,
     "lm_score"           -> lmScoreSql,
+    "lm_backoff"         -> lmBackoffSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

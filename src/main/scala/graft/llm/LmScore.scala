@@ -115,6 +115,87 @@ object LmScore {
         col("lm_score"))
   }
 
+  /** Bigram stupid-backoff predictability score — the bigram upgrade of
+    * [[score]]: per document, the mean "predictability" of each token
+    * given its predecessor, `mean over positions of S(w2|w1)` with
+    *
+    *   S(w2|w1) = c(w1,w2)/c(w1·)        when the bigram is in the model
+    *            = α · c(w2)/N            otherwise (Brants et al. 2007,
+    *                                     "stupid backoff")
+    *
+    * Gibberish/OCR noise/wrong-language text pairs tokens that never
+    * co-occur → scores near 0; formulaic boilerplate scores high — the
+    * complement of [[score]]'s frequency-only signal, sensitive to
+    * ORDER (a bag of common words in nonsense order fools MITF but not
+    * this).
+    *
+    * α = 0.5, not the folkloric 0.4: 0.5 is exactly representable, so
+    * the backoff contribution stays ONE integer-ratio division
+    * (`tf·c(w2) / (2N)`) and every engine computes the identical
+    * double. Matched contributions are likewise one division of exact
+    * integer products (`tf·c(w1,w2) / c(w1·)`). Each is quantized to
+    * `decimal(28,15)` and summed exactly — the [[score]] portability
+    * argument verbatim.
+    *
+    * `minPair` prunes the bigram model's hapax tail (a Zipf pair table
+    * is mostly singletons); pruned pairs fall back — the standard
+    * pruned-backoff semantics, and what bounds the broadcast model at
+    * corpus scale. Context totals `c(w1·)` stay UNPRUNED (sums over
+    * the full pair table) so matched probabilities are true MLE.
+    *
+    * Scale shape: one pair explode + one token explode (text read
+    * twice — the price of the unigram backoff tier), `(doc, w1, w2)`
+    * tf agg, corpus pair/context/unigram aggs with map-side partials,
+    * broadcast model joins, one per-doc decimal-sum agg. No window, no
+    * global sort.
+    *
+    * Output: `(idCol, n_bigrams, sb_score)`; `sb_score` ∈ (0, 1], null
+    * for documents with fewer than two tokens.
+    */
+  def bigramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         minPair: Long = 1L,
+                         broadcastModel: Boolean = true): DataFrame = {
+    require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val pairs = docs.select(col(idCol), explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull) // zip_with pads the final token with null
+    val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus model DERIVED from the per-doc tf table — the pair explode
+    // runs once, not once per tier
+    val pairCounts = docPairTf.groupBy("w1", "w2")
+      .agg(sum(col("tf")).as("n_pair"))
+    val ctx = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))
+    val kept = pairCounts.where(col("n_pair") >= minPair)
+    val uni = unigramCounts(docs, textCol, pruneHapax = false)
+      .withColumnRenamed("term", "w2").withColumnRenamed("c", "__c2")
+    val n = uni.agg(sum(col("__c2"))).head().getLong(0)
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val contrib = docPairTf
+      .join(maybeB(kept), Seq("w1", "w2"), "left")
+      .join(maybeB(ctx), Seq("w1"), "left")
+      .join(maybeB(uni), Seq("w2"), "left")
+      .select(col(idCol), col("tf"),
+        when(col("n_pair").isNotNull,
+          (col("tf") * col("n_pair")).cast("double") /
+            col("n_ctx").cast("double"))
+          .otherwise((col("tf") * coalesce(col("__c2"), lit(1L))).cast("double") /
+            lit(2L * n).cast("double"))
+          .cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("sb_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sb_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-

@@ -84,6 +84,39 @@ class SelectionSpec extends SparkSpec {
     assert(out(3)._3 == "rare")
   }
 
+  test("bigram backoff: formulaic text outscores shuffled text; edges null") {
+    // same BAG of words, different order: MITF can't tell them apart,
+    // the bigram score must
+    val docs = Seq(
+      (1L, "the quick fox " * 10),             // formulaic: pairs repeat
+      (2L, "quick the quick fox the fox the quick fox " +
+           "fox the quick"),                    // scrambled bag
+      (3L, "solo"), (4L, ""), (5L, null: String))
+      .toDF("id", "text")
+    val out = LmScore.bigramBackoffScore(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out(0)._3 > out(1)._3, s"${out(0)} vs ${out(1)}")
+    // fewer than two tokens → no bigrams, null score
+    assert(out(2)._2 == 0L && out(2)._3.isNaN)
+    assert(out(3)._2 == 0L && out(4)._2 == 0L)
+    // scores live in (0, 1]
+    assert(out.take(2).forall(t => t._3 > 0.0 && t._3 <= 1.0))
+  }
+
+  test("bigram backoff: minPair pruning sends pruned pairs to backoff, score drops") {
+    val docs = Seq((1L, "alpha beta " * 5), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val full = LmScore.bigramBackoffScore(docs, "id", "text", minPair = 1L)
+      .filter($"id" === 2L).select("sb_score").as[Double].head()
+    val pruned = LmScore.bigramBackoffScore(docs, "id", "text", minPair = 3L)
+      .filter($"id" === 2L).select("sb_score").as[Double].head()
+    // doc 2's rare pairs (beta gamma, gamma delta) survive at minPair 1
+    // but fall back at minPair 3 — backoff mass is strictly smaller
+    assert(pruned < full)
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
