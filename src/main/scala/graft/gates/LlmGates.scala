@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Contamination, Dedup, ImageIoDecoder, Multimodal, TextStats}
+import graft.llm.{Ann, Contamination, Dedup, ImageIoDecoder, Multimodal, Pq, TextStats}
 
 /** Correctness gates for the LLM-data-pipeline operators over
   * `documents.parquet` / `embeddings.parquet`.
@@ -1476,7 +1476,124 @@ object LlmGates {
       |  FROM c)
       |WHERE copies > 0 ORDER BY doc_id""".stripMargin
 
+  // ---- product quantization -------------------------------------------
+
+  private val PqM = 8      // subspaces
+  private val PqK = 8      // codes per subspace
+  private val PqSub = Dim / PqM
+
+  /** [[graft.llm.Pq.pqTrain]] at m = 8, k = 8, 2 Lloyd rounds —
+    * centroids flattened to `(sub, code, n_members, j, m)` scalar rows
+    * like `ivf_train`. The oracle restates the whole per-subspace
+    * chain: stride init (`code = vec_id div stride`), L2 assignment
+    * with the (d2 asc, code asc) tie order, exact decimal means with
+    * the portable 6-dp rounding.
+    */
+  def pqTrain(s: SparkSession, dir: String): DataFrame =
+    Pq.pqTrain(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = PqM, k = PqK, iters = 2)
+      .select(col("sub"), col("code"), col("n_members"),
+        posexplode(col("centroid")).as(Seq("j0", "m")))
+      .select(col("sub").cast("int").as("sub"), col("code").cast("int").as("code"),
+        col("n_members"), (col("j0") + 1).cast("int").as("j"), col("m"))
+      .orderBy("sub", "code", "j")
+
+  /** Subspace L2: ascending-j fold of exactly-rounded per-element
+    * squares — `list_reduce` folds left like the kernel's running sum
+    * (the kernel's leading `0.0 +` is exact, so the sequences agree).
+    */
+  private def pqD2Sql(e: String, sub: String, c: String) =
+    s"list_reduce([(CAST($e[$sub * $PqSub + j] AS DOUBLE) - $c[j]) * " +
+      s"(CAST($e[$sub * $PqSub + j] AS DOUBLE) - $c[j]) " +
+      s"for j in range(1, ${PqSub + 1})], (x, y) -> x + y)"
+
+  /** The 2-round per-subspace Lloyd CTE chain, ending in
+    * `pqm2(sub, code, j, cnt, m)` — shared by `pq_train` and `ann_pq`.
+    */
+  private val pqTrainCtes: String = {
+    def assignCte(cents: String) =
+      s"""SELECT vec_id, embedding, sub, code FROM (
+         |    SELECT e.vec_id, e.embedding, c.sub, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+         |        ORDER BY ${pqD2Sql("e.embedding", "c.sub", "c.ce")} ASC,
+         |          c.code ASC) AS rn
+         |    FROM embeddings e, $cents c) WHERE rn = 1""".stripMargin
+    def meansCte(a: String) =
+      s"""SELECT sub, code, j, count(*) AS cnt,
+         |    floor(CAST(sum(CAST(CAST(embedding[sub * $PqSub + j] AS DOUBLE)
+         |        AS DECIMAL(20,10))) AS DOUBLE)
+         |      / count(*) * 1000000 + 0.5) / 1000000 AS m
+         |  FROM $a, (SELECT unnest(range(1, ${PqSub + 1})) AS j)
+         |  GROUP BY sub, code, j""".stripMargin
+    s"""pqp AS (
+       |  SELECT greatest(1, CAST(ceil(CAST(n AS DOUBLE) / $PqK) AS BIGINT)) AS stride
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |pqc0 AS (
+       |  SELECT sub, CAST(vec_id // stride AS INT) AS code,
+       |    [CAST(embedding[sub * $PqSub + j] AS DOUBLE)
+       |     for j in range(1, ${PqSub + 1})] AS ce
+       |  FROM embeddings, pqp, (SELECT unnest(range(0, $PqM)) AS sub)
+       |  WHERE vec_id % stride = 0 AND vec_id // stride < $PqK),
+       |pqa1 AS (${assignCte("pqc0")}),
+       |pqm1 AS (${meansCte("pqa1")}),
+       |pqc1 AS (SELECT sub, code, list(m ORDER BY j) AS ce
+       |         FROM pqm1 GROUP BY sub, code),
+       |pqa2 AS (${assignCte("pqc1")}),
+       |pqm2 AS (${meansCte("pqa2")})""".stripMargin
+  }
+
+  val pqTrainSql: String =
+    s"""WITH $pqTrainCtes
+       |SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+       |  CAST(cnt AS BIGINT) AS n_members, CAST(j AS INT) AS j, m
+       |FROM pqm2 ORDER BY sub, code, j""".stripMargin
+
+  /** Train → encode → ADC serve: queries `vec_id < 5`, top-5 by the
+    * summed table lookups. The oracle sums the per-subspace distances
+    * through `list(d ORDER BY sub)` + `list_reduce` so the fold order
+    * matches the engine's ascending-subspace `aggregate`.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Pq.pqTrain(e, "vec_id", "embedding",
+      m = PqM, k = PqK, iters = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Pq.pqTopK(queries, corpus, model, k = 5, m = PqM, dim = Dim)
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqTrainCtes,
+       |pqct AS (SELECT sub, code, list(m ORDER BY j) AS ce
+       |         FROM pqm2 GROUP BY sub, code),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, c.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+       |        ORDER BY ${pqD2Sql("e.embedding", "c.sub", "c.ce")} ASC,
+       |          c.code ASC) AS rn
+       |    FROM embeddings e, pqct c) WHERE rn = 1),
+       |pqscored AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    round(list_reduce(
+       |      list(${pqD2Sql("q.embedding", "x.sub", "ct.ce")} ORDER BY x.sub),
+       |      (a, b) -> a + b), 6) AS dist2
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
+       |    pqcodes x JOIN pqct ct ON ct.sub = x.sub AND ct.code = x.code
+       |  WHERE q.vec_id <> x.vec_id
+       |  GROUP BY q.vec_id, x.vec_id),
+       |pqranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pqscored)
+       |SELECT query_id, neighbor_id, dist2, rank FROM pqranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_train"            -> (pqTrain _),
+    "ann_pq"              -> (annPq _),
     "cms_frequency"       -> (cmsFrequency _),
     "sample_weighted"     -> (sampleWeighted _),
     "sample_uniform"      -> (sampleUniform _),
@@ -1517,6 +1634,8 @@ object LlmGates {
     "multimodal_audio"    -> (multimodalAudio _))
 
   val oracleSql: Map[String, String] = Map(
+    "pq_train"            -> pqTrainSql,
+    "ann_pq"              -> annPqSql,
     "cms_frequency"       -> cmsFrequencySql,
     "sample_weighted"     -> sampleWeightedSql,
     "sample_uniform"      -> sampleUniformSql,

@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the memory tier of the ANN family: the
+  * `dim`-dimensional vector space is split into `m` orthogonal
+  * subspaces, each quantized by its own small k-means codebook, and a
+  * vector is stored as `m` one-byte-ish codes instead of `dim` floats.
+  * At 100 TB that is the difference between an embedding corpus that
+  * fits executor memory as codes (64-dim float = 256 B → 8 codes = 8 B,
+  * a 32× compression) and one that must be re-read from parquet per
+  * query batch. Search is ADC (asymmetric distance computation): each
+  * query precomputes an `m × k` table of exact subspace distances to
+  * every codebook centroid, and a corpus row's distance is `m` table
+  * lookups summed — no float vector is touched at scan time.
+  *
+  * Engine-reproducible by the [[Ann.kmeansTrain]] conventions: stride
+  * init (no RNG), L2 assignment with the min-code tie rule, exact
+  * `decimal(20,10)` mean sums with the portable `floor(x·10⁶ + 0.5)/10⁶`
+  * rounding, distances folded in ascending-dimension order (one
+  * exactly-rounded op per step, so any engine computes the identical
+  * double). The `pq_train`/`ann_pq` gates hash-compare the whole
+  * train → encode → ADC chain against a DuckDB restatement.
+  *
+  * Scale shape: training is the k-means shape per subspace (corpus
+  * passes + (sub, code, dim)-keyed partial aggs, model ≤ m·k·subDim
+  * doubles broadcast); encoding is a broadcast mapPartitions kernel
+  * (the sanctioned dense-numeric case); the ADC scan is a broadcast
+  * join of per-query tables against the codes table with the sum as a
+  * codegen'd `zip_with` + `aggregate` — per-row cost m lookups. Pair
+  * with IVF lists ([[Ann.ivfTopKTrained]]) when even the code scan
+  * must be pruned.
+  */
+object Pq {
+
+  /** (sub → (code, centroid)s ascending by code), collected model form. */
+  private type Model = Array[Array[(Int, Array[Double])]]
+
+  private def d2(vec: Array[Float], off: Int, c: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < c.length) {
+      val t = vec(off + j).toDouble - c(j)
+      d += t * t
+      j += 1
+    }
+    d
+  }
+
+  private def collectModel(model: DataFrame, m: Int): Model = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("sub").cast("int"), col("code").cast("int"),
+        col("centroid")).as[(Int, Int, Array[Double])].collect()
+    val bySub = rows.groupBy(_._1)
+    Array.tabulate(m)(s =>
+      bySub.getOrElse(s, Array.empty).map(r => (r._2, r._3)).sortBy(_._1))
+  }
+
+  /** Nearest code per (vector, subspace): strict `<` over ascending
+    * codes = the min-code tie rule, mirroring the oracle's
+    * `ROW_NUMBER(ORDER BY d2 ASC, code ASC)`. */
+  private def encodeKernel(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Model, subDim: Int): Dataset[(Long, Array[Int])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val m = cs.length
+        rows.map { case (rid, vec) =>
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            var best = -1
+            var bestD = Double.PositiveInfinity
+            val subCents = cs(s)
+            var i = 0
+            while (i < subCents.length) {
+              val d = d2(vec, s * subDim, subCents(i)._2)
+              if (d < bestD) { bestD = d; best = subCents(i)._1 }
+              i += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (rid, codes)
+        }
+      }
+  }
+
+  /** Train the `m` codebooks: per subspace, `iters` Lloyd rounds over
+    * the corpus with `k` stride-initialized centroids (init code
+    * `vec_id div stride`, stride `ceil(n/k)` — no RNG). A code that
+    * loses every member drops out, deterministically.
+    *
+    * Output: `(sub, code, n_members, centroid: array<double>)` — the
+    * persistable model [[pqEncode]] / [[pqTopK]] consume.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding", m: Int = 8, k: Int = 16,
+              iters: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 2 && iters >= 1,
+      s"need m >= 1, k >= 2, iters >= 1; got m=$m k=$k iters=$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val n = corpus.count()
+    val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
+    var cents: Model = {
+      val init = corpus
+        .filter(pmod(col(idCol), lit(stride)) === 0 &&
+          (col(idCol).cast("long") / lit(stride)).cast("long") < k)
+        .select((col(idCol).cast("long") / lit(stride)).cast("int").as("code"),
+          col(vecCol))
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
+      Array.tabulate(m)(s => init.map { case (code, v) =>
+        (code, Array.tabulate(subDim)(j => v(s * subDim + j).toDouble))
+      })
+    }
+    var result: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = encodeKernel(corpus, idCol, vecCol, cents, subDim)
+        .toDF(idCol, "__codes")
+        .join(corpus.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+          Seq(idCol))
+        .select(col(idCol), col(vecCol),
+          posexplode(col("__codes")).as(Seq("__sub", "__code")))
+      val means = assigned
+        .select(col("__sub"), col("__code"),
+          posexplode(slice(col(vecCol),
+            (col("__sub") * subDim + 1).cast("int"), lit(subDim)))
+            .as(Seq("__dim", "__v")))
+        .groupBy(col("__sub"), col("__code"), col("__dim"))
+        .agg(count(lit(1)).as("__c"),
+          sum(col("__v").cast("decimal(20,10)")).as("__s"))
+        .select(col("__sub"), col("__code"), col("__dim"), col("__c"),
+          // portable 6-decimal mean rounding — see Ann.kmeansTrain
+          (floor(col("__s").cast("double") / col("__c") * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("__m"))
+      result = means.groupBy(col("__sub").as("sub"), col("__code").as("code"))
+        .agg(max(col("__c")).as("n_members"),
+          sort_array(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .select(col("sub"), col("code"), col("n_members"),
+          transform(col("__dm"), s => s.getField("__m")).as("centroid"))
+      cents = collectModel(result, m)
+    }
+    result
+  }
+
+  /** Encode vectors against a trained model: `(idCol, codes:
+    * array<int>)`, `codes(s)` = nearest code of subspace `s`. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    encodeKernel(df, idCol, vecCol, collectModel(model, m), dim / m)
+      .toDF(idCol, "codes")
+  }
+
+  /** ADC top-k: per query one exact `m × k` subspace-distance table,
+    * per corpus row `m` lookups summed (`zip_with` + `aggregate`,
+    * codegen'd), rank by (distance asc, id asc). Output:
+    * `(queryId, corpusId, dist2, rank)` with `dist2` rounded to 6 dp
+    * (the cross-engine render). Codes that died in training hold NaN
+    * table slots — unreachable, since the encoder never emits them.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, model: DataFrame,
+             k: Int, m: Int, dim: Int,
+             queryId: String = "query_id", corpusId: String = "neighbor_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val cents = collectModel(model, m)
+    val kMax = cents.map(sc => sc.lastOption.map(_._1 + 1).getOrElse(0)).max
+    val codes = encodeKernel(corpus, corpusId, vecCol, cents, subDim)
+      .toDF(corpusId, "__codes")
+    val bc = spark.sparkContext.broadcast(cents)
+    val tables = queries.select(col(queryId).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (qid, vec) =>
+          val tbl = Array.tabulate(cs.length) { s =>
+            val row = Array.fill(kMax)(Double.NaN)
+            cs(s).foreach { case (code, c) => row(code) = d2(vec, s * subDim, c) }
+            row
+          }
+          (qid, tbl)
+        }
+      }
+      .toDF(queryId, "__tbl")
+    val scored = broadcast(tables).crossJoin(codes)
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(aggregate(
+          zip_with(col("__tbl"), col("__codes"),
+            (t, c) => element_at(t, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist2").asc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
