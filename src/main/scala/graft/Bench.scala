@@ -307,7 +307,12 @@ object Bench {
         // quantile clamp projection; distinct-explode df band + top-k
         "feature_winsorize", "vocab_build",
         // shared rank+count windows, one IEEE division
-        "feature_rank")
+        "feature_rank",
+        // round-9 operators: blocked linkage (rotated replica names
+        // never share blocks → linear), chunk-level trim (narrow
+        // chunking + hash join), bigram backoff (partial-agg LM
+        // pipeline), PQ train+ADC (model size fixed, scan linear)
+        "linkage_join", "chunk_trim", "lm_backoff", "ann_pq")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -60,12 +60,17 @@ object CorpusExport {
     *
     *   1. curate ([[graft.llm.Curation.cleanCorpus]]: quality filter,
     *      exact dedup, near-dup cluster collapse);
-    *   2. accretion-stable split assignment
+    *   2. optional DECONTAMINATION against a held-out eval set
+    *      ([[graft.llm.Contamination.detect]]): any curated document
+    *      containing >= `contaminationThreshold` of some eval doc's
+    *      shingles is dropped — benchmark leakage is removed at
+    *      preparation time, not discovered at paper-review time;
+    *   3. accretion-stable split assignment
     *      ([[graft.operators.Sampling.hashSplit]] — growing the corpus
     *      never moves an old document between splits);
-    *   3. one sharded JSONL export per split, each with its verifiable
+    *   4. one sharded JSONL export per split, each with its verifiable
     *      manifest ([[export]]);
-    *   4. the combined manifest REGISTERED as a new version of the
+    *   5. the combined manifest REGISTERED as a new version of the
     *      run table ([[graft.storage.Versioned]]) — "the run trained
     *      on v3" stays answerable forever.
     *
@@ -76,14 +81,25 @@ object CorpusExport {
                          nShards: Int = 8, minQuality: Double = 0.6,
                          splits: Seq[(String, Double)] =
                            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-                         portable: Boolean = true): (Long, DataFrame) = {
+                         portable: Boolean = true,
+                         evalSet: Option[DataFrame] = None,
+                         contaminationThreshold: Double = 0.8,
+                         shingleN: Int = 3): (Long, DataFrame) = {
     // duplicate names would export the same split twice and the
     // registered manifest would double-count — the one corruption a
     // run record must never carry
     require(splits.map(_._1).distinct.size == splits.size,
       s"duplicate split names: ${splits.map(_._1)}")
-    val curated = graft.llm.Curation.cleanCorpus(
+    val cleaned = graft.llm.Curation.cleanCorpus(
       docs, "doc_id", "text", minQuality, portable = portable)
+    val curated = evalSet match {
+      case Some(es) =>
+        val hits = graft.llm.Contamination.detect(cleaned, es,
+            "doc_id", "text", contaminationThreshold, shingleN)
+          .select(col("train_id").as("doc_id")).distinct()
+        cleaned.join(hits, Seq("doc_id"), "left_anti")
+      case None => cleaned
+    }
     // stage the curated+assigned corpus DURABLY and re-read per split:
     // the curation chain runs once, and unlike a localCheckpoint of the
     // whole corpus (executor-storage, lineage cut — one lost executor

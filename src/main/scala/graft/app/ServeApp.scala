@@ -110,7 +110,9 @@ object ServeApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     start(spark, root, runDate, port, bindHost)
-    println(s"""{"endpoint":"jdbc:hive2://$bindHost:$port/default","views":15,"tables":${starTables.size}}""")
+    val nViews = spark.catalog.listTables("global_temp")
+      .filter(col("name").startsWith("vw_")).count()
+    println(s"""{"endpoint":"jdbc:hive2://$bindHost:$port/default","views":$nViews,"tables":${starTables.size}}""")
     Thread.currentThread().join() // serve until the process is killed
   }
 }

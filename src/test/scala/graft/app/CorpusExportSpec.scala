@@ -71,6 +71,29 @@ class CorpusExportSpec extends SparkSpec {
       manifest.orderBy("split", "shard").collect().toSeq)
   }
 
+  test("prepareTrainingRun: decontamination drops eval-leaked docs only") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 60).map { i =>
+      (i.toLong, s"the quick document number $i talks about topic ${i % 7} " +
+        s"and subject ${i % 11} in plain words")
+    }.toDF("doc_id", "text")
+    // the eval set contains doc 5's text verbatim — a benchmark leak
+    val evalSet = Seq(
+      (1000L, base.filter(col("doc_id") === 5L).head().getString(1)),
+      (1001L, "completely unrelated held out evaluation prompt text"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("train_decon").resolve("r").toString
+    val (_, manifest) = CorpusExport.prepareTrainingRun(
+      base, root, nShards = 2, splits = Seq("train" -> 1.0),
+      evalSet = Some(evalSet))
+    assert(manifest.collect().map(_.getAs[Long]("n_docs")).sum == 59L)
+    // the leaked doc is the one missing from the export
+    val back = spark.read.schema(base.schema.add("shard", "int"))
+      .json(s"$root/train")
+    assert(back.count() == 59L)
+    assert(back.filter(col("doc_id") === 5L).count() == 0L)
+  }
+
   test("a tampered shard is flagged mismatch, the rest stay ok") {
     val root = Files.createTempDirectory("corpus_tamper").resolve("c").toString
     val manifest = CorpusExport.export(docs, "doc_id", vcols, root, nShards = 4)
