@@ -529,6 +529,95 @@ object PipelineGates {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- per-group KMV distinct + distribution drift --------------------
+
+  private val GcK = 16
+
+  /** [[graft.llm.CorpusStats.groupCardinality]] twice over events: the
+    * `full` probe (distinct users per type, >> k → estimator branch)
+    * and the `mod5` probe (5 distinct values → exact branch) — both
+    * sides of the `k_used < k` switch populated. The oracle restates
+    * the per-key bottom-k window and the md5-fraction estimator.
+    */
+  def groupCardinality(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val full = graft.llm.CorpusStats.groupCardinality(
+        e, "event_type", "user_id", GcK)
+      .select(lit("full").as("probe"), col("event_type"),
+        col("k_used"), col("est_distinct"))
+    val mod5 = graft.llm.CorpusStats.groupCardinality(
+        e.withColumn("ub", pmod(col("user_id"), lit(5L))),
+        "event_type", "ub", GcK)
+      .select(lit("mod5").as("probe"), col("event_type"),
+        col("k_used"), col("est_distinct"))
+    full.unionByName(mod5).orderBy("probe", "event_type")
+  }
+
+  private def kmvEstSql(kUsed: String, kth: String) =
+    s"""CASE WHEN $kUsed < $GcK THEN CAST($kUsed AS DOUBLE)
+       |    ELSE ${GcK - 1}.0 / (CAST(list_reduce(
+       |      [strpos('0123456789abcdef', substr($kth, j, 1)) - 1
+       |        for j in range(1, 13)], (a, x) -> a * 16 + x) AS DOUBLE)
+       |      / 281474976710656.0)
+       |  END""".stripMargin
+
+  val groupCardinalitySql: String = {
+    def probe(name: String, valExpr: String) =
+      s"""SELECT '$name' AS probe, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS k_used,
+         |  ${kmvEstSql("COUNT(*)", "MAX(digest)")} AS est_distinct
+         |FROM (
+         |  SELECT event_type, digest, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type ORDER BY digest) AS rn
+         |  FROM (SELECT DISTINCT event_type,
+         |          md5(CAST($valExpr AS VARCHAR)) AS digest
+         |        FROM events WHERE user_id IS NOT NULL))
+         |WHERE rn <= $GcK GROUP BY event_type""".stripMargin
+    s"""${probe("full", "user_id")}
+       |UNION ALL
+       |${probe("mod5", "user_id % 5")}
+       |ORDER BY probe, event_type""".stripMargin
+  }
+
+  /** [[graft.llm.CorpusStats.distributionDrift]] between the even- and
+    * odd-doc_id halves of the corpus — a real nonzero drift with a
+    * shared vocabulary head, both join sides (tokens unique to each
+    * half) populated. The oracle restates the exact-decimal L1 sum.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    graft.llm.CorpusStats.distributionDrift(
+      d.filter(pmod(col("doc_id"), lit(2)) === 0),
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, term FROM (
+       |    SELECT doc_id, unnest($NormWs) AS term FROM documents)
+       |  WHERE term <> ''),
+       |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ca
+       |       FROM tok WHERE doc_id % 2 = 0 GROUP BY term),
+       |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cb
+       |       FROM tok WHERE doc_id % 2 = 1 GROUP BY term),
+       |na AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |              CAST(count(*) AS BIGINT) AS vocab_a FROM ca),
+       |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_b,
+       |              CAST(count(*) AS BIGINT) AS vocab_b FROM cb),
+       |terms AS (
+       |  SELECT term, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM ca FULL OUTER JOIN cb USING (term)),
+       |contrib AS (
+       |  -- VARCHAR-routed decimal cast: see lmBackoffSql's note
+       |  SELECT CAST(CAST(abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS VARCHAR)
+       |    AS DECIMAL(28,15)) AS d, n_a, n_b, vocab_a, vocab_b
+       |  FROM terms, na, nb)
+       |SELECT n_a, n_b, vocab_a, vocab_b,
+       |  CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) AS l1,
+       |  CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) / 2.0 AS tv
+       |FROM contrib GROUP BY n_a, n_b, vocab_a, vocab_b""".stripMargin
+
   // ---- bigram stupid-backoff scoring ----------------------------------
 
   /** [[graft.llm.LmScore.bigramBackoffScore]] at minPair = 3: common
@@ -877,6 +966,8 @@ object PipelineGates {
     "quality_repetition" -> (qualityRepetition _),
     "chunk_documents"    -> (chunkDocuments _),
     "chunk_trim"         -> (chunkTrim _),
+    "group_cardinality"  -> (groupCardinality _),
+    "corpus_drift"       -> (corpusDrift _),
     "shard_assign"       -> (shardAssign _),
     "pack_blocks"        -> (packBlocks _),
     "ngram_topk"         -> (ngramTopk _),
@@ -903,6 +994,8 @@ object PipelineGates {
     "quality_repetition" -> qualityRepetitionSql,
     "chunk_documents"    -> chunkDocumentsSql,
     "chunk_trim"         -> chunkTrimSql,
+    "group_cardinality"  -> groupCardinalitySql,
+    "corpus_drift"       -> corpusDriftSql,
     "shard_assign"       -> shardAssignSql,
     "pack_blocks"        -> packBlocksSql,
     "ngram_topk"         -> ngramTopkSql,

@@ -206,6 +206,84 @@ object CorpusStats {
         .otherwise(lit((k - 1).toDouble) / kthFrac).as("est_distinct"))
   }
 
+  /** Per-GROUP KMV distinct estimation — `count(DISTINCT val) GROUP BY
+    * key` at sketch cost: the k smallest value digests per key (a
+    * rank-filtered window, so `InferWindowGroupLimit` ships ≤ k rows
+    * per key from each map task), estimate `(k−1)/frac(kth)` when the
+    * key holds ≥ k distinct values, EXACT count below k. The grouped
+    * sibling of [[cardinalitySketch]]: same estimator, same md5
+    * fraction, and the per-key bottom-k rows are a mergeable synopsis
+    * exactly like [[kmvSynopsis]] (bottom-k of unions = bottom-k of
+    * bottom-ks), so per-day per-key synopses maintain group distincts
+    * without history re-reads.
+    *
+    * Output: `(keyCol, k_used, est_distinct)` — `est_distinct` exact
+    * (= k_used) for keys under k.
+    */
+  def groupCardinality(df: DataFrame, keyCol: String, valCol: String,
+                       k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.where(col(valCol).isNotNull)
+      .select(col(keyCol), md5(col(valCol).cast("string")).as("digest"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("digest").asc)
+    val bottom = d.withColumn("__rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") <= k)
+    val kthFrac = conv(substring(max(col("digest")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 16^12 = 2^48
+    bottom.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("k_used"),
+        when(count(lit(1)) < k, count(lit(1)).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / kthFrac).as("est_distinct"))
+  }
+
+  /** Token-distribution drift between two corpus slices — the data
+    * monitoring number a training pipeline watches across crawls: L1
+    * distance `Σ_t |c_a(t)/N_a − c_b(t)/N_b|` (and total variation
+    * `L1/2 ∈ [0, 1]`) between the slices' unigram distributions.
+    * Identical slices → 0; disjoint vocabularies → TV 1. L1 instead of
+    * KL/JS ON PURPOSE: no logarithms — `ln` differs in the last ulp
+    * across libm implementations, while each L1 term here is three
+    * exactly-rounded IEEE ops (two divisions, one subtraction; abs is
+    * exact), quantized to `decimal(28,15)` and summed exactly — the
+    * [[LmScore]] portability discipline, so any engine computes the
+    * identical drift.
+    *
+    * Scale shape: two token-count aggregations (map-side partials),
+    * one full-outer hash join on the vocabulary (vocab ≪ corpus), one
+    * exact-decimal sum to a single row. No window, no broadcast of
+    * anything corpus-sized.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val na = ca.agg(sum(col("c")).cast("long").as("n_a"),
+      count(lit(1)).as("vocab_a"))
+    val nb = cb.agg(sum(col("c")).cast("long").as("n_b"),
+      count(lit(1)).as("vocab_b"))
+    val joined = ca.withColumnRenamed("c", "__ca")
+      .join(cb.withColumnRenamed("c", "__cb"), Seq("term"), "full_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        abs(coalesce(col("__ca"), lit(0L)).cast("double") /
+              col("n_a").cast("double") -
+            coalesce(col("__cb"), lit(0L)).cast("double") /
+              col("n_b").cast("double"))
+          .cast("decimal(28,15)").as("__d"))
+    joined.groupBy(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"))
+      .agg(sum(col("__d")).as("__l1"))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        col("__l1").cast("double").as("l1"),
+        (col("__l1").cast("double") / 2.0).as("tv"))
+  }
+
   def quantileSketch(docs: DataFrame, groupCol: String, valueCol: String,
                      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                      accuracy: Int = 10000, rsd: Double = 0.05): DataFrame = {

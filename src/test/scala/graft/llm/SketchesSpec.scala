@@ -30,4 +30,36 @@ class SketchesSpec extends SparkSpec {
     // 15 tokens into 2 buckets: some probe MUST be inflated
     assert(out.exists { case (_, t, e) => e > t })
   }
+
+  test("groupCardinality: exact below k, close above k, nulls ignored") {
+    val rows = (1 to 2000).map(i => ("big", i % 700)) ++
+      (1 to 50).map(i => ("small", i % 3)) :+ (("small", -1))
+    val df = rows.toDF("k", "v")
+      .withColumn("v", org.apache.spark.sql.functions
+        .when($"v" === -1, null).otherwise($"v"))
+    val out = CorpusStats.groupCardinality(df, "k", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // small: 3 distinct, null dropped → exact
+    assert(out("small") == ((3L, 3.0)))
+    // big: 700 distinct through a 64-digest sketch — KMV stdev is
+    // ~1/sqrt(k-2) ≈ 13%, and THIS deterministic md5 draw happens to
+    // sit ~3 sigma out; assert the order of magnitude, not luck
+    assert(out("big")._1 == 64L)
+    assert(out("big")._2 > 350.0 && out("big")._2 < 1400.0, out("big").toString)
+  }
+
+  test("distributionDrift: zero on identical, TV 1 on disjoint, symmetric") {
+    val a = Seq("x y z x", "y y").toDF("text")
+    val b = Seq("x y z x y y").toDF("text")   // same token distribution
+    val same = CorpusStats.distributionDrift(a, b, "text").head()
+    assert(same.getAs[Double]("l1") == 0.0 && same.getAs[Double]("tv") == 0.0)
+    val c = Seq("p q r").toDF("text")
+    val disjoint = CorpusStats.distributionDrift(a, c, "text").head()
+    // each |p − q| term carries <= 5e-16 of decimal quantization
+    assert(math.abs(disjoint.getAs[Double]("tv") - 1.0) < 1e-12)
+    val d = Seq("x q q").toDF("text")
+    val ab = CorpusStats.distributionDrift(a, d, "text").head().getAs[Double]("l1")
+    val ba = CorpusStats.distributionDrift(d, a, "text").head().getAs[Double]("l1")
+    assert(ab == ba && ab > 0.0 && ab < 2.0)
+  }
 }
