@@ -982,6 +982,90 @@ object QualityGates {
       |WHERE round(jaro_winkler_similarity(l.name, r.name), 6) >= 0.88
       |ORDER BY a_key, b_key""".stripMargin
 
+  /** [[graft.operators.Linkage.goldenRecord]]: consolidate the fuzzy
+    * part catalog — per record a deterministically-dirtied name (the
+    * `fuzzy_join` scheme: 1-in-3 clean, else one deletion/insertion
+    * keyed off the id) plus a nullable container — grouped by exact
+    * p_name clusters (canonical = min id per name; the cluster
+    * DERIVATION has its own gates, this one tests the survivor
+    * policy): modal non-null value per field, ties to the smallest
+    * value, all-null fields stay null. The oracle restates the melt,
+    * the (count desc, value asc) winner window and the pivot.
+    */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val pos = ((col("p_partkey") % length(col("p_name"))) + 1).cast("int")
+    val head = col("p_name").substr(lit(1), pos - 1)
+    val tail = col("p_name").substr(pos + 1, length(col("p_name")))
+    val records = p.select(col("p_partkey").as("rec_id"),
+      when(col("p_partkey") % 3 === 0, concat(head, tail))
+        .when(col("p_partkey") % 3 === 1, concat(head, lit("x"), tail))
+        .otherwise(col("p_name")).as("name"),
+      col("p_brand").as("brand"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("p_type")).as("container"))
+    val clusters = p.select(col("p_partkey").as("rec_id"), col("p_name"))
+      .withColumn("canonical_id",
+        min(col("rec_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("p_name"))))
+      .select(col("rec_id"), col("canonical_id"))
+    graft.operators.Linkage.goldenRecord(records, "rec_id", clusters,
+        Seq("name", "brand", "container"))
+      .orderBy("canonical_id")
+  }
+
+  val goldenRecordSql: String =
+    """WITH clus AS (
+      |  SELECT p_partkey AS rec_id,
+      |    CAST(min(p_partkey) OVER (PARTITION BY p_name) AS BIGINT)
+      |      AS canonical_id
+      |  FROM part),
+      |pp AS (
+      |  SELECT p_partkey, p_name, p_brand, p_type,
+      |    CAST(p_partkey % length(p_name) AS INTEGER) + 1 AS pos
+      |  FROM part),
+      |rec AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS rec_id,
+      |    CASE WHEN p_partkey % 3 = 0 THEN
+      |           substr(p_name, 1, pos - 1) ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         WHEN p_partkey % 3 = 1 THEN
+      |           substr(p_name, 1, pos - 1) || 'x' ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         ELSE p_name END AS name,
+      |    p_brand AS brand,
+      |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+      |         ELSE p_type END AS container
+      |  FROM pp),
+      |joined AS (SELECT c.canonical_id, r.name, r.brand, r.container
+      |           FROM rec r JOIN clus c USING (rec_id)),
+      |members AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+      |            FROM joined GROUP BY canonical_id),
+      |melted AS (
+      |  SELECT canonical_id, 'name' AS f, name AS v FROM joined
+      |    WHERE name IS NOT NULL
+      |  UNION ALL
+      |  SELECT canonical_id, 'brand', brand FROM joined
+      |    WHERE brand IS NOT NULL
+      |  UNION ALL
+      |  SELECT canonical_id, 'container', container FROM joined
+      |    WHERE container IS NOT NULL),
+      |counts AS (SELECT canonical_id, f, v, count(*) AS c
+      |           FROM melted GROUP BY canonical_id, f, v),
+      |winners AS (
+      |  SELECT canonical_id, f, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_id, f
+      |      ORDER BY c DESC, v ASC) AS rn FROM counts) WHERE rn = 1),
+      |golden AS (
+      |  SELECT canonical_id,
+      |    max(CASE WHEN f = 'name' THEN v END) AS name,
+      |    max(CASE WHEN f = 'brand' THEN v END) AS brand,
+      |    max(CASE WHEN f = 'container' THEN v END) AS container
+      |  FROM winners GROUP BY canonical_id)
+      |SELECT m.canonical_id, m.n_members, g.name, g.brand, g.container
+      |FROM members m LEFT JOIN golden g USING (canonical_id)
+      |ORDER BY canonical_id""".stripMargin
+
   /** [[graft.analytics.Events.userSequences]]: per-user ordered event
     * sequences rendered portably (`type:epoch_micros` joined by `|`).
     * The oracle restates the total order and the string render with
@@ -1002,6 +1086,7 @@ object QualityGates {
     "user_sequences"   -> (userSequences _),
     "fuzzy_join"       -> (fuzzyJoin _),
     "linkage_join"     -> (linkageJoin _),
+    "golden_record"    -> (goldenRecord _),
     "interval_join"    -> (intervalJoin _),
     "assoc_rules"      -> (assocRules _),
     "markov_stationary" -> (markovStationary _),
@@ -1032,6 +1117,7 @@ object QualityGates {
     "user_sequences"   -> userSequencesSql,
     "fuzzy_join"       -> fuzzyJoinSql,
     "linkage_join"     -> linkageJoinSql,
+    "golden_record"    -> goldenRecordSql,
     "interval_join"    -> intervalJoinSql,
     "assoc_rules"      -> assocRulesSql,
     "markov_stationary" -> markovStationarySql,

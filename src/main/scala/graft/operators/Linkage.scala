@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.JaroWinkler
 import graft.llm.CapStats
@@ -121,5 +122,49 @@ object Linkage {
       }
     out.select(col("__lid").as(lId), col("__ls").as(lStr),
       col("__rid").as(rId), col("__rs").as(rStr), col("sim"))
+  }
+
+  /** Golden-record consolidation — the MDM step after matching: records
+    * grouped by their resolved cluster ([[linkageJoin]] /
+    * [[Fuzzy.editJoin]] pairs through
+    * [[graft.llm.Dedup.resolveClusters]], or any `(idCol,
+    * canonical_id)` assignment) publish ONE canonical row per entity:
+    * per field, the MODAL non-null value among the members, ties broken
+    * by the smallest value — deterministic, no "first row wins"
+    * partition sensitivity. Fields are compared and published as
+    * strings (the survivor-policy domain); a field null across every
+    * member stays null.
+    *
+    * Output: `(canonical_id, n_members, <fields…>)`.
+    *
+    * Scale shape: one melt explode (|fields|× narrow), one
+    * `(cluster, field, value)` partial-agg count, one rank-filtered
+    * window (`InferWindowGroupLimit` ships one winner per
+    * (cluster, field) per map task), one per-cluster pivot agg — no
+    * all-pairs, state bounded by per-cluster distinct values.
+    */
+  def goldenRecord(records: DataFrame, idCol: String, clusters: DataFrame,
+                   fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val joined = records
+      .join(clusters.select(col(idCol), col("canonical_id")), Seq(idCol))
+    val members = joined.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val melted = joined.select(col("canonical_id"),
+        explode(array(fields.map(f =>
+          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("canonical_id"), col("kv.f").as("__f"), col("kv.v").as("__v"))
+      .where(col("__v").isNotNull)
+    val counts = melted.groupBy(col("canonical_id"), col("__f"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("canonical_id"), col("__f"))
+      .orderBy(col("__c").desc, col("__v").asc)
+    val winners = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val golden = winners.groupBy(col("canonical_id"))
+      .agg(max(when(col("__f") === fields.head, col("__v"))).as(fields.head),
+        fields.tail.map(f =>
+          max(when(col("__f") === f, col("__v"))).as(f)): _*)
+    members.join(golden, Seq("canonical_id"), "left")
   }
 }

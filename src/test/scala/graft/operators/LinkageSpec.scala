@@ -43,6 +43,27 @@ class LinkageSpec extends SparkSpec {
     assert(out.find(t => (t._1, t._2) == ((1L, 3L))).get._3 == 1.0)
   }
 
+  test("goldenRecord: modal value wins, ties go smallest, all-null stays null") {
+    val records = Seq(
+      (1L, "Acme Corp", "NY", null: String),
+      (2L, "Acme Corp", "SF", null: String),
+      (3L, "Acme Corpp", null: String, null: String),
+      (10L, "Zeta", "LA", "z")).toDF("id", "name", "city", "notes")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("id", "canonical_id")
+    val out = Linkage.goldenRecord(records, "id", clusters,
+        Seq("name", "city", "notes"))
+      .orderBy("canonical_id").collect()
+    val acme = out(0)
+    assert(acme.getLong(1) == 3L)                       // n_members
+    assert(acme.getString(2) == "Acme Corp")            // 2-vs-1 mode
+    assert(acme.getString(3) == "NY")                   // 1-1 tie → smallest
+    assert(acme.isNullAt(4))                            // all-null field
+    val zeta = out(1)
+    assert(zeta.getLong(1) == 1L && zeta.getString(2) == "Zeta" &&
+      zeta.getString(4) == "z")
+  }
+
   test("hot blocks are capped with the loss accounted") {
     val many = (1 to 50).map(i => (i.toLong, s"aa name $i")).toDF("i", "n")
     val a = many.toDF("a_id", "a_n")
