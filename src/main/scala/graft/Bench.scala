@@ -312,7 +312,10 @@ object Bench {
         // never share blocks → linear), chunk-level trim (narrow
         // chunking + hash join), bigram backoff (partial-agg LM
         // pipeline), PQ train+ADC (model size fixed, scan linear)
-        "linkage_join", "chunk_trim", "lm_backoff", "ann_pq")
+        "linkage_join", "chunk_trim", "lm_backoff", "ann_pq",
+        // per-key bottom-k window + tiny agg; vocabulary-join L1 sum;
+        // melt + winner window + pivot
+        "group_cardinality", "corpus_drift", "golden_record")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())
