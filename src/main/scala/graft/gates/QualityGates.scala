@@ -1066,6 +1066,97 @@ object QualityGates {
       |FROM members m LEFT JOIN golden g USING (canonical_id)
       |ORDER BY canonical_id""".stripMargin
 
+  /** [[graft.operators.Linkage.resolveEntities]] — the FULL
+    * entity-resolution chain (blocked Jaro-Winkler linkage → connected
+    * components → golden record) over the dirty part catalog, verified
+    * against ONE chained oracle: the linkage id-pair triangle, the
+    * recursive-CTE transitive closure with min-id canonicals, and the
+    * modal-survivor pivot. The end-to-end proof that the three gated
+    * pieces compose.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part")
+    val pos = ((col("p_partkey") % length(col("p_name"))) + 1).cast("int")
+    val head = col("p_name").substr(lit(1), pos - 1)
+    val tail = col("p_name").substr(pos + 1, length(col("p_name")))
+    val records = p.select(col("p_partkey").as("rec_id"),
+      when(col("p_partkey") % 3 === 0, concat(head, tail))
+        .when(col("p_partkey") % 3 === 1, concat(head, lit("x"), tail))
+        .otherwise(col("p_name")).as("name"),
+      col("p_brand").as("brand"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("p_type")).as("container"))
+    graft.operators.Linkage.resolveEntities(records, "rec_id", "name",
+        Seq("name", "brand", "container"), threshold = 0.88,
+        blocker = graft.operators.Linkage.prefixBlock(3))
+      .orderBy("canonical_id")
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE pp AS (
+      |  SELECT p_partkey, p_name, p_brand, p_type,
+      |    CAST(p_partkey % length(p_name) AS INTEGER) + 1 AS pos
+      |  FROM part),
+      |rec AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS rec_id,
+      |    CASE WHEN p_partkey % 3 = 0 THEN
+      |           substr(p_name, 1, pos - 1) ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         WHEN p_partkey % 3 = 1 THEN
+      |           substr(p_name, 1, pos - 1) || 'x' ||
+      |           substr(p_name, pos + 1, length(p_name))
+      |         ELSE p_name END AS name,
+      |    p_brand AS brand,
+      |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+      |         ELSE p_type END AS container
+      |  FROM pp),
+      |bl AS (SELECT rec_id, name, upper(substring(name, 1, 3)) AS blk
+      |       FROM rec WHERE name IS NOT NULL),
+      |pairs AS (
+      |  SELECT l.rec_id AS id_a, r.rec_id AS id_b
+      |  FROM bl l JOIN bl r ON l.blk = r.blk AND l.rec_id < r.rec_id
+      |  WHERE round(jaro_winkler_similarity(l.name, r.name), 6) >= 0.88),
+      |cedges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT s, d FROM cedges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN cedges e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS id, least(s, min(d)) AS canon FROM reach GROUP BY s),
+      |clus AS (
+      |  SELECT r.rec_id, coalesce(comp.canon, r.rec_id) AS canonical_id
+      |  FROM rec r LEFT JOIN comp ON comp.id = r.rec_id),
+      |joined AS (SELECT c.canonical_id, r.name, r.brand, r.container
+      |           FROM rec r JOIN clus c USING (rec_id)),
+      |members AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+      |            FROM joined GROUP BY canonical_id),
+      |melted AS (
+      |  SELECT canonical_id, 'name' AS f, name AS v FROM joined
+      |    WHERE name IS NOT NULL
+      |  UNION ALL
+      |  SELECT canonical_id, 'brand', brand FROM joined
+      |    WHERE brand IS NOT NULL
+      |  UNION ALL
+      |  SELECT canonical_id, 'container', container FROM joined
+      |    WHERE container IS NOT NULL),
+      |counts AS (SELECT canonical_id, f, v, count(*) AS c
+      |           FROM melted GROUP BY canonical_id, f, v),
+      |winners AS (
+      |  SELECT canonical_id, f, v FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_id, f
+      |      ORDER BY c DESC, v ASC) AS rn FROM counts) WHERE rn = 1),
+      |golden AS (
+      |  SELECT canonical_id,
+      |    max(CASE WHEN f = 'name' THEN v END) AS name,
+      |    max(CASE WHEN f = 'brand' THEN v END) AS brand,
+      |    max(CASE WHEN f = 'container' THEN v END) AS container
+      |  FROM winners GROUP BY canonical_id)
+      |SELECT m.canonical_id, m.n_members, g.name, g.brand, g.container
+      |FROM members m LEFT JOIN golden g USING (canonical_id)
+      |ORDER BY canonical_id""".stripMargin
+
   /** [[graft.analytics.Events.userSequences]]: per-user ordered event
     * sequences rendered portably (`type:epoch_micros` joined by `|`).
     * The oracle restates the total order and the string render with
@@ -1087,6 +1178,7 @@ object QualityGates {
     "fuzzy_join"       -> (fuzzyJoin _),
     "linkage_join"     -> (linkageJoin _),
     "golden_record"    -> (goldenRecord _),
+    "entity_resolution" -> (entityResolution _),
     "interval_join"    -> (intervalJoin _),
     "assoc_rules"      -> (assocRules _),
     "markov_stationary" -> (markovStationary _),
@@ -1118,6 +1210,7 @@ object QualityGates {
     "fuzzy_join"       -> fuzzyJoinSql,
     "linkage_join"     -> linkageJoinSql,
     "golden_record"    -> goldenRecordSql,
+    "entity_resolution" -> entityResolutionSql,
     "interval_join"    -> intervalJoinSql,
     "assoc_rules"      -> assocRulesSql,
     "markov_stationary" -> markovStationarySql,

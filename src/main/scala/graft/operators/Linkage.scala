@@ -124,6 +124,27 @@ object Linkage {
       col("__rid").as(rId), col("__rs").as(rStr), col("sim"))
   }
 
+  /** The full entity-resolution composition — what an MDM consumer
+    * actually runs, wired from the gated pieces: [[linkageJoin]] self
+    * pairs over `strCol` → connected components
+    * ([[graft.llm.Dedup.resolveClusters]]: min-label propagation /
+    * bounded union-find) → [[goldenRecord]] survivor policy. One
+    * canonical row per resolved entity.
+    */
+  def resolveEntities(records: DataFrame, idCol: String, strCol: String,
+                      fields: Seq[String], threshold: Double,
+                      blocker: Column => Column = soundexFirstWord,
+                      maxBucket: Int = 10000,
+                      capStats: Option[CapStats] = None): DataFrame = {
+    val a = records.select(col(idCol).as("__ea"), col(strCol).as("__sa"))
+    val b = records.select(col(idCol).as("__eb"), col(strCol).as("__sb"))
+    val pairs = linkageJoin(a, "__ea", "__sa", b, "__eb", "__sb", threshold,
+        blocker, selfPairs = true, maxBucket, capStats)
+      .select(col("__ea").as("id_a"), col("__eb").as("id_b"))
+    val clusters = graft.llm.Dedup.resolveClusters(pairs, records, idCol)
+    goldenRecord(records, idCol, clusters, fields)
+  }
+
   /** Golden-record consolidation — the MDM step after matching: records
     * grouped by their resolved cluster ([[linkageJoin]] /
     * [[Fuzzy.editJoin]] pairs through

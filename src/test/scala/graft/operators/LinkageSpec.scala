@@ -64,6 +64,25 @@ class LinkageSpec extends SparkSpec {
       zeta.getString(4) == "z")
   }
 
+  test("resolveEntities: transitive variants collapse to one golden row") {
+    // a—b link and b—c link but a—c alone would miss: transitivity test
+    val records = Seq(
+      (1L, "spark engine corp", "NY"),
+      (2L, "spark engine corpx", "NY"),
+      (3L, "spark engine corpxy", "SF"),
+      (9L, "flink runtime gmbh", "B")).toDF("id", "name", "city")
+    val out = Linkage.resolveEntities(records, "id", "name",
+        // 0.985 sits between the direct a—c sim (0.9789) and the
+        // chained sims (0.9889, 0.9895): only transitivity merges all 3
+        Seq("name", "city"), threshold = 0.985,
+        blocker = Linkage.prefixBlock(2))
+      .orderBy("canonical_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getString(3) == "NY")      // 2-vs-1 modal city
+    assert(out(1).getLong(0) == 9L && out(1).getLong(1) == 1L)
+  }
+
   test("hot blocks are capped with the loss accounted") {
     val many = (1 to 50).map(i => (i.toLong, s"aa name $i")).toDF("i", "n")
     val a = many.toDF("a_id", "a_n")
