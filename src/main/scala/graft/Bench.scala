@@ -315,7 +315,8 @@ object Bench {
         "linkage_join", "chunk_trim", "lm_backoff", "ann_pq",
         // per-key bottom-k window + tiny agg; vocabulary-join L1 sum;
         // melt + winner window + pivot
-        "group_cardinality", "corpus_drift", "golden_record")
+        "group_cardinality", "corpus_drift", "golden_record",
+        "entity_resolution")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -257,13 +257,24 @@ object CorpusStats {
     * anything corpus-sized.
     */
   def distributionDrift(a: DataFrame, b: DataFrame,
-                        textCol: String): DataFrame = {
-    def counts(df: DataFrame) = df
-      .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val ca = counts(a)
-    val cb = counts(b)
+                        textCol: String): DataFrame =
+    distributionDriftFromCounts(tokenCounts(a, textCol),
+      tokenCounts(b, textCol))
+
+  /** Corpus-standard token counts `(term, c)` — the distribution form
+    * [[distributionDriftFromCounts]] compares and the streaming drift
+    * monitor ([[graft.streaming.StreamingJobs.driftEachBatch]])
+    * maintains incrementally (counts are algebraic: fold a batch in via
+    * union + one re-aggregation). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(split(Dedup.normalize(col(textCol)), " ")).as("term"))
+    .filter(col("term") =!= "")
+    .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** [[distributionDrift]] over PRE-AGGREGATED `(term, c)` counts —
+    * what a maintained count state or a persisted reference model
+    * feeds, no text re-read. */
+  def distributionDriftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
     val na = ca.agg(sum(col("c")).cast("long").as("n_a"),
       count(lit(1)).as("vocab_a"))
     val nb = cb.agg(sum(col("c")).cast("long").as("n_b"),

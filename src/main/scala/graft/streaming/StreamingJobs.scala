@@ -241,4 +241,35 @@ object StreamingJobs {
         val merged = graft.operators.Merge.upsert(readTable(), batch, key, tracked)
         writeTable(merged.drop(graft.operators.Merge.ClassCol))
       }
+
+  /** Streaming corpus-drift monitor — the live form of
+    * [[graft.llm.CorpusStats.distributionDrift]]: every micro-batch's
+    * token counts fold into a persisted running-count table (counts are
+    * algebraic — union + one re-aggregation, O(batch + vocab) per
+    * batch, the corpus text never re-read), and the drift of the
+    * RUNNING distribution against the fixed `reference` counts is
+    * emitted once per batch via `emitDrift(batchId, driftRow)` — the
+    * feed a crawl-health dashboard alerts on.
+    *
+    * State and emission go through caller-provided read/write/emit
+    * hooks (the [[mergeEachBatch]] pattern) so the same loop runs over
+    * parquet tables in production and in-memory frames in tests.
+    */
+  def driftEachBatch(stream: DataFrame, textCol: String,
+                     reference: DataFrame,
+                     readCounts: () => DataFrame,
+                     writeCounts: DataFrame => Unit,
+                     emitDrift: (Long, DataFrame) => Unit) =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bc = graft.llm.CorpusStats.tokenCounts(batch, textCol)
+        val merged = readCounts().unionByName(bc)
+          .groupBy(col("term")).agg(sum(col("c")).cast("long").as("c"))
+        writeCounts(merged)
+        // drift from the POST-write read-back: what was durably
+        // recorded is what the emitted number describes
+        emitDrift(id, graft.llm.CorpusStats
+          .distributionDriftFromCounts(readCounts(), reference))
+      }
 }

@@ -10,6 +10,42 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("driftEachBatch: running counts fold in, drift converges to batch truth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val refDocs = Seq("x y z x", "y y").toDF("text")
+    val reference = graft.llm.CorpusStats.tokenCounts(refDocs, "text")
+      .localCheckpoint(true)
+    var state = Seq.empty[(String, Long)].toDF("term", "c")
+    val drifts = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = StreamingJobs.driftEachBatch(stream, "text", reference,
+        readCounts = () => state,
+        writeCounts = m => state = m.localCheckpoint(true),
+        emitDrift = (id, d) => drifts += (id -> d.head().getAs[Double]("tv")))
+      .start()
+    try {
+      input.addData((1L, "x q q"))          // far from the reference
+      q.processAllAvailable()
+      input.addData((2L, "x y z x y y"), (3L, "x y z x y y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(drifts.map(_._1) == Seq(0L, 1L))
+    // batch 2's mass matches the reference shape → drift strictly drops
+    assert(drifts(1)._2 < drifts(0)._2)
+    // the maintained state equals a from-scratch count of all batches
+    val all = Seq("x q q", "x y z x y y", "x y z x y y").toDF("text")
+    val truth = graft.llm.CorpusStats.tokenCounts(all, "text")
+      .orderBy("term").collect().toSeq
+    assert(state.orderBy("term").collect().toSeq == truth)
+    // and the emitted drift equals the batch-computed drift of the whole
+    val direct = graft.llm.CorpusStats
+      .distributionDriftFromCounts(state, reference)
+      .head().getAs[Double]("tv")
+    assert(drifts(1)._2 == direct)
+  }
+
   test("windowed event stats with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
