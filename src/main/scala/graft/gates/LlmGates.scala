@@ -1591,9 +1591,71 @@ object LlmGates {
        |SELECT query_id, neighbor_id, dist2, rank FROM pqranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The IVF × PQ composition: trained IVF lists prune the candidate
+    * rows, PQ codes ADC-score them — both models from their gated
+    * training chains, the whole pipeline against ONE combined oracle
+    * (the two Lloyd CTE chains side by side + probe join + ADC sum).
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val ivf = Ann.kmeansTrain(e, "vec_id", "embedding",
+      iters = 2, centroidTarget = 16)
+    val pq = Pq.pqTrain(e, "vec_id", "embedding", m = PqM, k = PqK, iters = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Pq.ivfPqTopK(queries, corpus, ivf, pq, k = 5, nprobe = 4,
+        m = PqM, dim = Dim)
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH $ivfTrainCtes,
+       |$pqTrainCtes,
+       |ct AS (SELECT cid, list(m ORDER BY j) AS ce FROM m2 GROUP BY cid),
+       |pqct AS (SELECT sub, code, list(m ORDER BY j) AS ce
+       |         FROM pqm2 GROUP BY sub, code),
+       |assignc AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, ct.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosECRawSql("e.embedding", "ct.ce")} DESC, ct.cid ASC) AS rn
+       |    FROM embeddings e, ct) WHERE rn <= 1),
+       |assignq AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, ct.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosECRawSql("e.embedding", "ct.ce")} DESC, ct.cid ASC) AS rn
+       |    FROM embeddings e, ct WHERE e.vec_id < 5) WHERE rn <= 4),
+       |pqcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, c.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+       |        ORDER BY ${pqD2Sql("e.embedding", "c.sub", "c.ce")} ASC,
+       |          c.code ASC) AS rn
+       |    FROM embeddings e, pqct c) WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+       |    round(list_reduce(
+       |      list(${pqD2Sql("q.embedding", "x.sub", "ct2.ce")} ORDER BY x.sub),
+       |      (a, b) -> a + b), 6) AS dist2
+       |  FROM assignq q
+       |  JOIN assignc cv ON q.cid = cv.cid
+       |  JOIN pqcodes x ON x.vec_id = cv.vec_id
+       |  JOIN pqct ct2 ON ct2.sub = x.sub AND ct2.code = x.code
+       |  WHERE q.vec_id <> cv.vec_id
+       |  GROUP BY q.vec_id, cv.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, dist2, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_train"            -> (pqTrain _),
     "ann_pq"              -> (annPq _),
+    "ann_ivf_pq"          -> (annIvfPq _),
     "cms_frequency"       -> (cmsFrequency _),
     "sample_weighted"     -> (sampleWeighted _),
     "sample_uniform"      -> (sampleUniform _),
@@ -1636,6 +1698,7 @@ object LlmGates {
   val oracleSql: Map[String, String] = Map(
     "pq_train"            -> pqTrainSql,
     "ann_pq"              -> annPqSql,
+    "ann_ivf_pq"          -> annIvfPqSql,
     "cms_frequency"       -> cmsFrequencySql,
     "sample_weighted"     -> sampleWeightedSql,
     "sample_uniform"      -> sampleUniformSql,

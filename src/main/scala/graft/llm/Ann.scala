@@ -160,7 +160,7 @@ object Ann {
     while (j < a.length) { s += a(j).toDouble * c(j); j += 1 }
     s
   }
-  private def normDd(c: Array[Double]): Double = {
+  private[llm] def normDd(c: Array[Double]): Double = {
     var s = 0.0; var j = 0
     while (j < c.length) { s += c(j) * c(j); j += 1 }
     math.sqrt(s)
@@ -237,9 +237,9 @@ object Ann {
     * [[ivfTopKTrained]], [[kmeansTrain]] with keep = 1). Emits one row
     * per (vector, kept centroid). `cents` must be cid-ascending.
     */
-  private def assignTopK(df: DataFrame, id: String, vecCol: String,
-                         cents: Array[(Long, Array[Double], Double)],
-                         keep: Int): DataFrame = {
+  private[llm] def assignTopK(df: DataFrame, id: String, vecCol: String,
+                              cents: Array[(Long, Array[Double], Double)],
+                              keep: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)

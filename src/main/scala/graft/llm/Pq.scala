@@ -210,4 +210,73 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** The at-scale ANN composition SCALE.md promises: IVF lists prune
+    * WHICH corpus rows a query touches, PQ codes compress WHAT each
+    * touched row costs. Corpus rows are assigned to their nearest
+    * trained IVF centroid (cosine, min-cid tie — [[Ann.ivfTopKTrained]]
+    * semantics) and PQ-encoded once; a query probes its `nprobe`
+    * nearest lists and ADC-scores only those lists' members via the
+    * same `m`-lookup `zip_with` + `aggregate` as [[pqTopK]]. Per-query
+    * cost: nprobe × mean-list-occupancy rows × m lookups — at 2^16
+    * lists over 10^10 vectors that is ~10^5·m adds per query instead
+    * of 10^10·dim multiplies.
+    *
+    * Output: `(queryId, corpusId, dist2, rank)` like [[pqTopK]]; rank
+    * by (ADC distance asc, id asc) within the probed candidates.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                ivfCentroids: DataFrame, pqModel: DataFrame,
+                k: Int, nprobe: Int, m: Int, dim: Int,
+                queryId: String = "query_id", corpusId: String = "neighbor_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val icents: Array[(Long, Array[Double], Double)] = ivfCentroids
+      .select(col("cid").cast("long"), col("centroid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+      .map { case (cid, cv) => (cid, cv, Ann.normDd(cv)) }
+    val cents = collectModel(pqModel, m)
+    val kMax = cents.map(sc => sc.lastOption.map(_._1 + 1).getOrElse(0)).max
+    // corpus: one IVF list + m codes per row, both from one-pass kernels
+    val cAssigned = Ann.assignTopK(corpus.select(col(corpusId), col(vecCol)),
+        corpusId, vecCol, icents, 1)
+      .select(col(corpusId), col("__cent"))
+    val codes = encodeKernel(corpus, corpusId, vecCol, cents, subDim)
+      .toDF(corpusId, "__codes")
+      .join(cAssigned, Seq(corpusId))
+    // queries: nprobe lists + the ADC table
+    val qAssigned = Ann.assignTopK(queries.select(col(queryId), col(vecCol)),
+        queryId, vecCol, icents, nprobe)
+      .select(col(queryId), col("__cent"))
+    val bc = spark.sparkContext.broadcast(cents)
+    val tables = queries.select(col(queryId).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (qid, vec) =>
+          val tbl = Array.tabulate(cs.length) { s =>
+            val row = Array.fill(kMax)(Double.NaN)
+            cs(s).foreach { case (code, c) => row(code) = d2(vec, s * subDim, c) }
+            row
+          }
+          (qid, tbl)
+        }
+      }
+      .toDF(queryId, "__tbl")
+    val scored = broadcast(qAssigned.join(tables, Seq(queryId)))
+      .join(codes, Seq("__cent"))
+      .filter(col(queryId) =!= col(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(aggregate(
+          zip_with(col("__tbl"), col("__codes"),
+            (t, c) => element_at(t, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist2").asc, col(corpusId).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

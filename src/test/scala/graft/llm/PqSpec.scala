@@ -49,6 +49,31 @@ class PqSpec extends SparkSpec {
     assert(dupCodes(100L).toSeq == dupCodes(101L).toSeq)
   }
 
+  test("ivfPq: probing every list equals the full ADC scan; nprobe=1 prunes") {
+    val pq = Pq.pqTrain(vecs, m = 2, k = 4, iters = 2)
+    val ivf = Ann.kmeansTrain(vecs, "vec_id", "embedding",
+      iters = 2, centroidTarget = 4)
+    val nLists = ivf.count().toInt
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    val full = Pq.pqTopK(queries, corpus, pq, k = 8, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val probedAll = Pq.ivfPqTopK(queries, corpus, ivf, pq, k = 8,
+        nprobe = nLists, m = 2, dim = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probedAll == full)   // all lists probed -> identical to the scan
+    // one probed list: candidate pairs prune to the probed list's
+    // members, and every surviving pair keeps its full-scan ADC distance
+    val pruned = Pq.ivfPqTopK(queries, corpus, ivf, pq, k = 40,
+        nprobe = 1, m = 2, dim = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val fullAll = Pq.pqTopK(queries, corpus, pq, k = 40, m = 2, dim = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pruned.nonEmpty && pruned.length < fullAll.size)
+    pruned.foreach { case (pair, d) => assert(fullAll(pair) == d, pair) }
+  }
+
   test("adc: same-cluster neighbors rank before cross-cluster ones") {
     val model = Pq.pqTrain(vecs, m = 2, k = 4, iters = 2)
     val queries = vecs.filter($"vec_id" < 2)
