@@ -316,7 +316,7 @@ object Bench {
         // per-key bottom-k window + tiny agg; vocabulary-join L1 sum;
         // melt + winner window + pivot
         "group_cardinality", "corpus_drift", "golden_record",
-        "entity_resolution")
+        "entity_resolution", "ann_ivf_pq")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

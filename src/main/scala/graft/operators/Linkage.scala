@@ -136,11 +136,27 @@ object Linkage {
                       blocker: Column => Column = soundexFirstWord,
                       maxBucket: Int = 10000,
                       capStats: Option[CapStats] = None): DataFrame = {
-    val a = records.select(col(idCol).as("__ea"), col(strCol).as("__sa"))
-    val b = records.select(col(idCol).as("__eb"), col(strCol).as("__sb"))
-    val pairs = linkageJoin(a, "__ea", "__sa", b, "__eb", "__sb", threshold,
-        blocker, selfPairs = true, maxBucket, capStats)
+    // Edges are built at the NAME level, never as id-level cliques: a
+    // popular exact name (k records) contributes k−1 member→rep star
+    // edges instead of the k²/2 clique the raw linkage id expansion
+    // would emit (measured: the clique form went 24× at 10× data —
+    // quadratic in per-name multiplicity). Connectivity is identical —
+    // equal-name records are complete through their representative,
+    // cross-name links connect the representatives — so components,
+    // min-id canonicals and the golden output are unchanged.
+    val reps = records.where(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("__s")).agg(min(col(idCol)).as("__rep"))
+    val a = reps.select(col("__rep").as("__ea"), col("__s").as("__sa"))
+    val b = reps.select(col("__rep").as("__eb"), col("__s").as("__sb"))
+    val namePairs = linkageJoin(a, "__ea", "__sa", b, "__eb", "__sb",
+        threshold, blocker, selfPairs = true, maxBucket, capStats)
+      .filter(col("__sa") =!= col("__sb")) // reps are distinct names
       .select(col("__ea").as("id_a"), col("__eb").as("id_b"))
+    val memberEdges = records
+      .join(reps, records(strCol) === reps("__s"))
+      .where(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("id_a"), col("__rep").as("id_b"))
+    val pairs = namePairs.unionByName(memberEdges)
     val clusters = graft.llm.Dedup.resolveClusters(pairs, records, idCol)
     goldenRecord(records, idCol, clusters, fields)
   }
