@@ -269,6 +269,42 @@ object LlmGates {
     s"""WITH ${minhashCtes("documents", 0.1)}
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  /** [[graft.llm.Dedup.nearDupAudit]] at the dedup_minhash gate's exact
+    * parameters (t = 0.1, 32 hashes, 8 bands, 2-shingles, portable):
+    * ground-truth exact pairs vs the banded tier, published as counts +
+    * recall/precision. The oracle reuses the minhash CTE chain and an
+    * all-pairs exact join over the SAME shingle sets.
+    */
+  def dedupAudit(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupAudit(Tables(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2,
+      portable = true)
+
+  val dedupAuditSql: String =
+    s"""WITH ${minhashCtes("documents", 0.1)},
+       |exact AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(a.shset || b.shset)) >= 0.1),
+       |j AS (
+       |  SELECT coalesce(e.id_a, p.id_a) AS id_a,
+       |    coalesce(e.id_b, p.id_b) AS id_b,
+       |    (e.id_a IS NOT NULL) AS in_e, (p.id_a IS NOT NULL) AS in_a
+       |  FROM exact e FULL OUTER JOIN pairs p
+       |    ON e.id_a = p.id_a AND e.id_b = p.id_b),
+       |cnt AS (
+       |  SELECT CAST(count(*) FILTER (in_e) AS BIGINT) AS n_exact,
+       |    CAST(count(*) FILTER (in_a) AS BIGINT) AS n_approx,
+       |    CAST(count(*) FILTER (in_e AND in_a) AS BIGINT) AS n_both
+       |  FROM j)
+       |SELECT n_exact, n_approx, n_both,
+       |  CASE WHEN n_exact = 0 THEN NULL
+       |    ELSE CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall,
+       |  CASE WHEN n_approx = 0 THEN NULL
+       |    ELSE CAST(n_both AS DOUBLE) / CAST(n_approx AS DOUBLE) END AS precision
+       |FROM cnt""".stripMargin
+
   /** Cluster resolution over the portable-minhash pair set: every doc →
     * the minimum id of its near-dup connected component. The oracle
     * computes the transitive closure of the SAME pairs with a recursive
@@ -1681,6 +1717,7 @@ object LlmGates {
     "dup_spans"           -> (dupSpans _),
     "span_trim"           -> (spanTrim _),
     "dedup_jaccard"       -> (dedupJaccard _),
+    "dedup_audit"         -> (dedupAudit _),
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
@@ -1723,6 +1760,7 @@ object LlmGates {
     "dup_spans"           -> dupSpansSql,
     "span_trim"           -> spanTrimSql,
     "dedup_jaccard"       -> dedupJaccardSql,
+    "dedup_audit"         -> dedupAuditSql,
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,

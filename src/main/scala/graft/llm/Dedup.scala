@@ -706,6 +706,46 @@ object Dedup {
         col("n_shared").cast("double") / col("n_chunks"))
   }
 
+  /** Recall/precision AUDIT of the MinHash tier against the exact tier —
+    * "measure, don't guess" for the at-scale default: the exact
+    * prefix-filtered join ([[nearDupJaccardExact]], recall 1 by
+    * construction) is ground truth, [[nearDupMinhash]] at the SAME
+    * threshold/shingling is the system under audit. One row out:
+    * `(n_exact, n_approx, n_both, recall, precision)` — recall is the
+    * banding scheme's true miss rate on THIS corpus (the number that
+    * picks bands × rows empirically instead of from the S-curve
+    * formula), precision is 1 by construction (candidates are verified
+    * by exact Jaccard) and published so a regression would surface.
+    *
+    * At 100 TB this runs on a SLICE (the exact tier is the honest
+    * quadratic-in-true-pairs one); the measured recall transfers
+    * because banding probability depends on pair similarity, not
+    * corpus size.
+    */
+  def nearDupAudit(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, portable: Boolean = false,
+                   maxBucket: Int = 1000): DataFrame = {
+    val exact = nearDupJaccardExact(docs, idCol, textCol, threshold, shingleN)
+      .select("id_a", "id_b")
+    val approx = nearDupMinhash(docs, idCol, textCol, threshold, numHashes,
+        bands, shingleN, portable, maxBucket)
+      .select("id_a", "id_b")
+    exact.withColumn("__e", lit(1))
+      .join(approx.withColumn("__a", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("__e")).as("n_exact"),
+        count(col("__a")).as("n_approx"),
+        count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+          .as("n_both"))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_both").cast("double") / col("n_exact").cast("double"))
+          .as("recall"),
+        when(col("n_approx") === 0, lit(null).cast("double"))
+          .otherwise(col("n_both").cast("double") / col("n_approx").cast("double"))
+          .as("precision"))
+  }
+
   /** The CUT policy over chunk-level duplication — what
     * [[chunkDuplication]] profiles, this removes: every chunk whose
     * content occurs in >= `minDocs` distinct documents is dropped, and

@@ -166,6 +166,20 @@ class PipelineSpec extends SparkSpec {
 
   // ---- incremental dedup -----------------------------------------------
 
+  test("nearDupAudit: perfect pairs audit at recall 1, precision always 1") {
+    import spark.implicits._
+    def text(seed: Int) = { val rr = new scala.util.Random(seed)
+      (1 to 60).map(_ => "w" + rr.nextInt(500)).mkString(" ") }
+    // two identical pairs (jaccard 1 → every band collides) + noise
+    val docs = (Seq((1L, text(1)), (2L, text(1)), (3L, text(2)), (4L, text(2))) ++
+      (5 to 30).map(i => (i.toLong, text(i)))).toDF("doc_id", "text")
+    val out = Dedup.nearDupAudit(docs, "doc_id", "text",
+      threshold = 0.9, shingleN = 2).head()
+    assert(out.getAs[Long]("n_exact") == 2L)
+    assert(out.getAs[Double]("recall") == 1.0)
+    assert(out.getAs[Double]("precision") == 1.0)
+  }
+
   test("exactDedupIncremental drops batch-internal and corpus-known duplicates") {
     val existing = Seq((1L, "known doc one"), (2L, "known doc two")).toDF("id", "text")
     val incoming = Seq(
