@@ -147,11 +147,12 @@ object LlmGates {
     * the `dedup_minhash`, `dedup_clusters` and `llm_clean_corpus`
     * oracles.
     */
-  private def minhashCtes(table: String, threshold: Double): String = {
+  private def minhashCtes(table: String, threshold: Double,
+                          shingleN: Int = 2): String = {
     val mins = Dedup.minhashCoefsPortable(32).map { case (a, b) =>
       s"min(($a * h + $b) % 2147483647)"
     }.mkString("[", ", ", "]")
-    s"""${shingleCteN(2, table)},
+    s"""${shingleCteN(shingleN, table)},
        |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
        |hs AS (
        |  SELECT doc_id,
@@ -269,24 +270,62 @@ object LlmGates {
     s"""WITH ${minhashCtes("documents", 0.1)}
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
-  /** [[graft.llm.Dedup.nearDupAudit]] at the dedup_minhash gate's exact
-    * parameters (t = 0.1, 32 hashes, 8 bands, 2-shingles, portable):
-    * ground-truth exact pairs vs the banded tier, published as counts +
-    * recall/precision. The oracle reuses the minhash CTE chain and an
+  /** [[graft.llm.Dedup.nearDupAudit]] at t = 0.4 (32 hashes, 8 bands,
+    * 2-shingles, portable): ground-truth exact pairs vs the banded
+    * tier, published as counts + recall/precision. t = 0.4, not the
+    * minhash gate's 0.1, ON PURPOSE: the exact tier's prefix filter is
+    * strong there (the audit stays cheap enough for the bench base
+    * path — at 0.1 it cost ~2 min at sf0.1), while 8x4 banding still
+    * misses a real fraction at 0.4, so the measured recall is
+    * non-vacuous. 3-shingles, not the minhash gate's 2: the synthetic
+    * corpus has a ~31-word vocabulary, so 2-shingle posting lists are
+    * corpus-wide and the prefix filter cannot prune (measured 25x). The oracle reuses the minhash CTE chain and an
     * all-pairs exact join over the SAME shingle sets.
     */
-  def dedupAudit(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupAudit(Tables(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2,
+  def dedupAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val withWs = base.select(col("doc_id"), col("text"),
+      split(Dedup.normalize(col("text")), " ").as("__ws"))
+    val p = withWs.select((col("doc_id") + 1).as("doc_id"),
+      col("__ws").as("__pws"))
+    // every third doc becomes its own first half + its predecessor's
+    // second half: a planted MID-similarity pair (~1/3 jaccard) against
+    // each neighbor — the regime where 8x4 banding genuinely misses,
+    // so the measured recall sits strictly inside (0, 1)
+    val mixed = withWs.join(p, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0 && col("__pws").isNotNull,
+          concat(
+            array_join(slice(col("__ws"), lit(1),
+              floor(size(col("__ws")) / 2).cast("int")), " "),
+            lit(" "),
+            array_join(slice(col("__pws"),
+              (floor(size(col("__pws")) / 2) + 1).cast("int"),
+              size(col("__pws"))), " ")))
+          .otherwise(col("text")).as("text"))
+    Dedup.nearDupAudit(mixed, "doc_id", "text",
+      threshold = 0.25, numHashes = 32, bands = 8, shingleN = 3,
       portable = true)
+  }
 
   val dedupAuditSql: String =
-    s"""WITH ${minhashCtes("documents", 0.1)},
+    s"""WITH b0 AS (
+       |  SELECT doc_id, text,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |mixed AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 3 = 0 AND p.doc_id IS NOT NULL THEN
+       |      array_to_string(d.ws[1 : len(d.ws) // 2], ' ') || ' ' ||
+       |      array_to_string(p.ws[len(p.ws) // 2 + 1 : len(p.ws)], ' ')
+       |    ELSE d.text END AS text
+       |  FROM b0 d LEFT JOIN b0 p ON p.doc_id = d.doc_id - 1),
+       |${minhashCtes("mixed", 0.25, shingleN = 3)},
        |exact AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |      / len(list_distinct(a.shset || b.shset)) >= 0.1),
+       |      / len(list_distinct(a.shset || b.shset)) >= 0.25),
        |j AS (
        |  SELECT coalesce(e.id_a, p.id_a) AS id_a,
        |    coalesce(e.id_b, p.id_b) AS id_b,
