@@ -29,7 +29,8 @@ object SparkEntry {
     gates.CoreGates.queries ++ gates.FunctionGates.queries ++
       gates.ViewGates.queries ++ gates.LlmGates.queries ++
       gates.QualityGates.queries ++ gates.IngestGates.queries ++
-      gates.ViewRealGates.queries ++ gates.PipelineGates.queries
+      gates.ViewRealGates.queries ++ gates.PipelineGates.queries ++
+      gates.CurationGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     gates.CoreGates.oracleSql ++ gates.FunctionGates.oracleSql ++
       gates.ViewGates.oracleSql ++ gates.LlmGates.oracleSql ++
       gates.QualityGates.oracleSql ++ gates.IngestGates.oracleSql ++
-      gates.ViewRealGates.oracleSql ++ gates.PipelineGates.oracleSql
+      gates.ViewRealGates.oracleSql ++ gates.PipelineGates.oracleSql ++
+      gates.CurationGates.oracleSql
 }

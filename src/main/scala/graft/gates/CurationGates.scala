@@ -1,0 +1,297 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Classify, Dsir, Gopher}
+
+/** Correctness gates for the model-side curation operators — the
+  * Gopher rule battery, the nearest-centroid classifiers, and DSIR
+  * importance weighting — over `documents.parquet` /
+  * `embeddings.parquet`. Same contract as [[LlmGates]]: every gate
+  * carries a full DuckDB oracle restating the ENTIRE computation under
+  * the FP parity rules in LlmGates' header (sequential folds, round-6
+  * renders, VARCHAR-routed decimal boundaries).
+  *
+  * The Gopher gate PLANTS rule violations deterministically (doc_id
+  * % 5 picks the flavor) on BOTH sides — the synthetic corpus is too
+  * clean to populate the symbol/bullet/ellipsis/alpha/mean-length
+  * rules naturally, and a rule whose boolean never flips is a vacuous
+  * check (the piiRedact planting precedent).
+  */
+object CurationGates {
+
+  private val NormWs =
+    "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+  /** DuckDB restatement of [[graft.functions.Hashes.u32OfMd5]]. */
+  private def u32Sql(src: String): String =
+    s"list_reduce([strpos('0123456789abcdef', substr(md5($src), j, 1)) - 1 " +
+      s"for j in range(1, 9)], (a, b) -> a * 16 + b)"
+
+  // ---- Gopher rule battery --------------------------------------------
+
+  // planted violations, one flavor per doc_id % 5 class; the literals
+  // are interpolated into BOTH engines so the texts match byte-for-byte
+  private val HashPlant = " ############"                    // symbol_ratio
+  private val BulletPlant = "- item\n" * 20                  // bullet_frac
+  private val EllipsisPlant = "\n" + "and so on...\n" * 5    // ellipsis_frac
+  private val NumericPlant = " " + "12345 " * 30             // alpha_frac
+  private val LongWord = "x" * 25
+  private val LongWordPlant = " " + (LongWord + " ") * 40    // mean_word_len
+
+  /** [[Gopher.profile]] over the planted corpus at the paper's
+    * thresholds (minStopwords lowered to 1: the synthetic docs carry at
+    * most one of the 8 Gopher stop words, so the paper's 2 would leave
+    * the pass side empty). doc_id % 6 picks the plant; class 5 stays
+    * UNPLANTED so the composite `keep` verdict is populated on both
+    * sides (every planted class fails its rule by construction). Every
+    * rule boolean flips both ways across the corpus; the oracle
+    * recomputes all seven metrics and verdicts.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = Tables(s, dir, "documents").select(id,
+      when(id % 6 === 0, concat(col("text"), lit(HashPlant)))
+        .when(id % 6 === 1, concat(lit(BulletPlant), col("text")))
+        .when(id % 6 === 2, concat(col("text"), lit(EllipsisPlant)))
+        .when(id % 6 === 3, concat(col("text"), lit(NumericPlant)))
+        .when(id % 6 === 4, concat(col("text"), lit(LongWordPlant)))
+        .otherwise(col("text")).as("text"))
+    Gopher.profile(aug, "doc_id", "text", minStopwords = 1)
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val stop = Gopher.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH aug AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 6 = 0 THEN text || ' ############'
+       |    WHEN doc_id % 6 = 1 THEN repeat('- item' || chr(10), 20) || text
+       |    WHEN doc_id % 6 = 2 THEN text || chr(10) || repeat('and so on...' || chr(10), 5)
+       |    WHEN doc_id % 6 = 3 THEN text || ' ' || repeat('12345 ', 30)
+       |    WHEN doc_id % 6 = 4 THEN text || ' ' || repeat('$LongWord ', 40)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    (text IS NULL OR trim(text) = '') AS empty,
+       |    $NormWs AS ws,
+       |    [trim(l) for l in string_split(text, chr(10)) if trim(l) <> ''] AS ls
+       |  FROM aug),
+       |met AS (
+       |  SELECT *, CAST(CASE WHEN empty THEN 0 ELSE len(ws) END AS INT) AS n_words,
+       |    CAST(CASE WHEN empty THEN 0 ELSE len(ls) END AS INT) AS n_lines
+       |  FROM base),
+       |prof AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+       |      CAST(list_reduce([length(w) for w in ws], (a, b) -> a + b) AS DOUBLE)
+       |        / CAST(n_words AS DOUBLE), 6) END AS mean_word_len,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+       |      CAST((length(text) - length(replace(text, '#', '')))
+       |        + ((length(text) - length(replace(text, '...', ''))) // 3) AS DOUBLE)
+       |        / CAST(n_words AS DOUBLE), 6) END AS symbol_ratio,
+       |    CASE WHEN n_lines = 0 THEN 0.0 ELSE round(
+       |      CAST(len([l for l in ls if starts_with(l, '- ')
+       |        OR starts_with(l, '* ') OR starts_with(l, '•')]) AS DOUBLE)
+       |        / CAST(n_lines AS DOUBLE), 6) END AS bullet_frac,
+       |    CASE WHEN n_lines = 0 THEN 0.0 ELSE round(
+       |      CAST(len([l for l in ls if ends_with(l, '...')]) AS DOUBLE)
+       |        / CAST(n_lines AS DOUBLE), 6) END AS ellipsis_frac,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+       |      CAST(len([w for w in ws if regexp_matches(w, '[a-z]')]) AS DOUBLE)
+       |        / CAST(n_words AS DOUBLE), 6) END AS alpha_frac,
+       |    CAST(CASE WHEN empty THEN 0
+       |      ELSE len([s for s in $stop if list_contains(ws, s)])
+       |      END AS INT) AS n_stopwords
+       |  FROM met)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_frac, n_stopwords,
+       |  (n_words BETWEEN 50 AND 100000) AS ok_words,
+       |  (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+       |  (symbol_ratio <= 0.1) AS ok_symbol,
+       |  (bullet_frac <= 0.9) AS ok_bullet,
+       |  (ellipsis_frac <= 0.3) AS ok_ellipsis,
+       |  (alpha_frac >= 0.8) AS ok_alpha,
+       |  (n_stopwords >= 1) AS ok_stop,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |    AND n_stopwords >= 1) AS keep
+       |FROM prof ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- dense nearest-centroid classifier ------------------------------
+
+  /** [[Classify.centroidTrain]] on the labeled `embeddings` table +
+    * [[Classify.centroidPredict]] back over all vectors — the full
+    * train→serve chain in ONE oracle (the `ann_ivf_trained` pattern):
+    * exact decimal per-dimension means with the portable 6-dp rounding,
+    * then round-6 cosine argmax with (cosine desc, label asc) ties.
+    */
+  def classifyCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Classify.centroidTrain(e, "label", "embedding")
+    Classify.centroidPredict(e, "vec_id", "embedding", model)
+      .orderBy("vec_id")
+  }
+
+  val classifyCentroidSql: String = {
+    val dim = LlmGates.Dim
+    s"""WITH m0 AS (
+       |  SELECT label, j, count(*) AS c,
+       |    floor(CAST(sum(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+       |      / count(*) * 1000000 + 0.5) / 1000000 AS m
+       |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS j)
+       |  GROUP BY label, j),
+       |ct AS (SELECT label, list(m ORDER BY j) AS ce FROM m0 GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, ct.label,
+       |    CASE WHEN ${LlmGates.normSql("e.embedding")} * ${LlmGates.normCSql("ct.ce")} = 0
+       |      THEN CAST('-infinity' AS DOUBLE)
+       |      ELSE round(${LlmGates.dotECSql("e.embedding", "ct.ce")}
+       |        / (${LlmGates.normSql("e.embedding")} * ${LlmGates.normCSql("ct.ce")}), 6)
+       |    END AS cosine
+       |  FROM embeddings e, ct),
+       |r AS (
+       |  SELECT vec_id, label, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, label ASC) AS rn
+       |  FROM scored)
+       |SELECT vec_id, label AS pred_label, cosine FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- sparse text classifier -----------------------------------------
+
+  private val TextDim = 1024
+
+  /** [[Classify.textCentroidTrain]]/[[Classify.textCentroidPredict]]
+    * over `documents` with `lang` as the class: the hashed
+    * bag-of-words Rocchio chain — md5 feature buckets, mean-tf
+    * centroids, inverted-index dot products with decimal(28,15) exact
+    * sums (VARCHAR-routed at every decimal boundary), round-6 cosine
+    * argmax.
+    */
+  def classifyText(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val model = Classify.textCentroidTrain(d, "doc_id", "text", "lang",
+      dim = TextDim)
+    Classify.textCentroidPredict(d, "doc_id", "text", model, dim = TextDim)
+      .orderBy("doc_id")
+  }
+
+  val classifyTextSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($NormWs) AS t FROM documents),
+       |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+       |tf AS (
+       |  SELECT doc_id, ${u32Sql("t")} % $TextDim AS i,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tk GROUP BY 1, 2),
+       |pc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+       |       FROM documents GROUP BY 1),
+       |cs AS (
+       |  SELECT d.lang AS label, f.i, CAST(sum(f.tf) AS BIGINT) AS s
+       |  FROM tf f JOIN documents d USING (doc_id) GROUP BY 1, 2),
+       |model AS (
+       |  SELECT label, i, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+       |  FROM cs JOIN pc USING (label)),
+       |-- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+       |cn AS (
+       |  SELECT label, sqrt(CAST(CAST(sum(CAST(CAST(m * m AS VARCHAR)
+       |    AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE)) AS cnv
+       |  FROM model GROUP BY 1),
+       |dn AS (
+       |  SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS dnv
+       |  FROM tf GROUP BY 1),
+       |dots AS (
+       |  SELECT f.doc_id, mo.label,
+       |    CAST(CAST(sum(CAST(CAST(CAST(f.tf AS DOUBLE) * mo.m AS VARCHAR)
+       |      AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS dotv
+       |  FROM tf f JOIN model mo ON f.i = mo.i GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.doc_id, l.label,
+       |    CASE WHEN coalesce(n.dnv, 0.0) * c.cnv = 0
+       |      THEN CAST('-infinity' AS DOUBLE)
+       |      ELSE round(coalesce(o.dotv, 0.0) / (n.dnv * c.cnv), 6)
+       |    END AS cosine
+       |  FROM documents d
+       |  CROSS JOIN (SELECT DISTINCT label FROM model) l
+       |  JOIN cn c ON c.label = l.label
+       |  LEFT JOIN dots o ON o.doc_id = d.doc_id AND o.label = l.label
+       |  LEFT JOIN dn n ON n.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, label, cosine, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY cosine DESC, label ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, label AS pred_label, cosine FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- DSIR importance weighting --------------------------------------
+
+  private val DsirDim = 4096
+
+  /** [[Dsir.importanceWeights]] with the `lang = 'en'` slice as the
+    * target corpus: hashed-bigram models with add-one smoothing, the
+    * mean probability-ratio weight with decimal(28,15) exact per-doc
+    * sums. English documents should (and do) weight above the
+    * off-target languages — asserted in DsirSpec; here the oracle
+    * restates the arithmetic end-to-end.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    Dsir.importanceWeights(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", dim = DsirDim)
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH nw AS (SELECT doc_id, lang, $NormWs AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM nw, UNNEST(range(1, len(ws))) AS u(i)
+       |  WHERE ws[i] <> '' AND ws[i + 1] <> ''),
+       |tf AS (
+       |  SELECT doc_id, ${u32Sql("g")} % $DsirDim AS i,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM bg GROUP BY 1, 2),
+       |q AS (SELECT ${u32Sql("g")} % $DsirDim AS i,
+       |        CAST(count(*) AS BIGINT) AS qc
+       |      FROM bg WHERE lang = 'en' GROUP BY 1),
+       |p AS (SELECT ${u32Sql("g")} % $DsirDim AS i,
+       |        CAST(count(*) AS BIGINT) AS pc
+       |      FROM bg GROUP BY 1),
+       |nq AS (SELECT CAST(coalesce(sum(qc), 0) AS BIGINT) AS nqv FROM q),
+       |np AS (SELECT CAST(coalesce(sum(pc), 0) AS BIGINT) AS npv FROM p),
+       |contrib AS (
+       |  -- VARCHAR-routed decimal cast: see lmBackoffSql's note
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(CAST(tf AS DOUBLE) *
+       |      ((CAST(coalesce(qc, 0) + 1 AS DOUBLE) / CAST(nqv + $DsirDim AS DOUBLE))
+       |       / (CAST(coalesce(pc, 0) + 1 AS DOUBLE) / CAST(npv + $DsirDim AS DOUBLE)))
+       |      AS VARCHAR) AS DECIMAL(28,15)) AS r
+       |  FROM tf LEFT JOIN q USING (i) LEFT JOIN p USING (i), nq, np),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+       |    CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE)
+       |      / CAST(sum(tf) AS DOUBLE) AS dsir_weight
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+       |  w.dsir_weight
+       |FROM documents d LEFT JOIN perdoc w USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gopher_rules"      -> (gopherRules _),
+    "classify_centroid" -> (classifyCentroid _),
+    "classify_text"     -> (classifyText _),
+    "dsir_weights"      -> (dsirWeights _))
+
+  val oracleSql: Map[String, String] = Map(
+    "gopher_rules"      -> gopherRulesSql,
+    "classify_centroid" -> classifyCentroidSql,
+    "classify_text"     -> classifyTextSql,
+    "dsir_weights"      -> dsirWeightsSql)
+}

@@ -27,7 +27,7 @@ import graft.llm.{Ann, Contamination, Dedup, ImageIoDecoder, Multimodal, Pq, Tex
   */
 object LlmGates {
 
-  private val Dim = 64 // embedding length in the testdata contract
+  private[gates] val Dim = 64 // embedding length in the testdata contract
 
   // ---- shared SQL fragments -------------------------------------------
 
@@ -678,11 +678,11 @@ object LlmGates {
   /** Float-embedding × double-centroid-list dot / norm / clamped raw
     * cosine — shared by the `ivf_train` and `ann_ivf_trained` oracles.
     */
-  private def dotECSql(e: String, c: String) =
+  private[gates] def dotECSql(e: String, c: String) =
     s"list_reduce([CAST($e[j] AS DOUBLE) * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y)"
-  private def normCSql(c: String) =
+  private[gates] def normCSql(c: String) =
     s"sqrt(list_reduce([$c[j] * $c[j] for j in range(1, ${Dim + 1})], (x, y) -> x + y))"
-  private def cosECRawSql(e: String, c: String) =
+  private[gates] def cosECRawSql(e: String, c: String) =
     s"(CASE WHEN ${normSql(e)} * ${normCSql(c)} = 0 THEN CAST('-infinity' AS DOUBLE) " +
       s"ELSE ${dotECSql(e, c)} / (${normSql(e)} * ${normCSql(c)}) END)"
 
@@ -1639,9 +1639,13 @@ object LlmGates {
       .orderBy("query_id", "rank")
   }
 
-  val annPqSql: String =
-    s"""WITH $pqTrainCtes,
-       |pqct AS (SELECT sub, code, list(m ORDER BY j) AS ce
+  /** ADC scoring CTEs shared by `ann_pq` and `ann_pq_refine`: encode
+    * the corpus against the trained codebooks, score the `vec_id < 5`
+    * queries by summed per-subspace table lookups, ending in
+    * `pqranked(query_id, neighbor_id, dist2, rank)`.
+    */
+  private val pqAdcCtes: String =
+    s"""pqct AS (SELECT sub, code, list(m ORDER BY j) AS ce
        |         FROM pqm2 GROUP BY sub, code),
        |pqcodes AS (
        |  SELECT vec_id, sub, code FROM (
@@ -1662,9 +1666,51 @@ object LlmGates {
        |pqranked AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |            ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
-       |  FROM pqscored)
+       |  FROM pqscored)""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $pqTrainCtes,
+       |$pqAdcCtes
        |SELECT query_id, neighbor_id, dist2, rank FROM pqranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** [[Pq.pqTopKRefined]] — ADC nomination (kCand = 10) then exact
+    * re-ranking of ONLY the nominated rows, k = 5. The oracle reuses
+    * the full train+ADC chain, takes the rank ≤ 10 candidates, and
+    * re-scores them with the exact sequential-fold squared L2.
+    */
+  def annPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Pq.pqTrain(e, "vec_id", "embedding",
+      m = PqM, k = PqK, iters = 2)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Pq.pqTopKRefined(queries, corpus, model, k = 5, kCand = 10,
+        m = PqM, dim = Dim)
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqRefineSql: String = {
+    val d2 = s"list_reduce([(CAST(q.embedding[j] AS DOUBLE) - CAST(x.embedding[j] AS DOUBLE))" +
+      s" * (CAST(q.embedding[j] AS DOUBLE) - CAST(x.embedding[j] AS DOUBLE))" +
+      s" for j in range(1, ${Dim + 1})], (a, b) -> a + b)"
+    s"""WITH $pqTrainCtes,
+       |$pqAdcCtes,
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM pqranked WHERE rank <= 10),
+       |refined AS (
+       |  SELECT c.query_id, c.neighbor_id, round($d2, 6) AS dist2
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings x ON x.vec_id = c.neighbor_id),
+       |rranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, dist2, rank FROM rranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The IVF × PQ composition: trained IVF lists prune the candidate
     * rows, PQ codes ADC-score them — both models from their gated
@@ -1730,6 +1776,7 @@ object LlmGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_train"            -> (pqTrain _),
     "ann_pq"              -> (annPq _),
+    "ann_pq_refine"       -> (annPqRefine _),
     "ann_ivf_pq"          -> (annIvfPq _),
     "cms_frequency"       -> (cmsFrequency _),
     "sample_weighted"     -> (sampleWeighted _),
@@ -1774,6 +1821,7 @@ object LlmGates {
   val oracleSql: Map[String, String] = Map(
     "pq_train"            -> pqTrainSql,
     "ann_pq"              -> annPqSql,
+    "ann_pq_refine"       -> annPqRefineSql,
     "ann_ivf_pq"          -> annIvfPqSql,
     "cms_frequency"       -> cmsFrequencySql,
     "sample_weighted"     -> sampleWeightedSql,

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw-corpus document by how much its hashed-n-gram
+  * profile looks like a TARGET corpus (the high-quality slice you wish
+  * the whole crawl resembled) relative to the raw corpus itself, then
+  * keep the top-weighted documents. The published method fits two
+  * bag-of-hashed-bigrams models — target `q` and raw `p` — and weights
+  * each document by its `q`/`p` likelihood ratio; this implementation
+  * is the LINEAR-SPACE analogue (mean per-feature probability ratio
+  * instead of the log-sum), the same log-free trade [[LmScore]] makes:
+  * `ln` is not an exactly-rounded IEEE op, so a log-space score could
+  * never hash-match across engines, while the mean-ratio keeps every
+  * step one exactly-rounded operation and ranks the same "looks like
+  * the target" signal.
+  *
+  *   weight(d) = (1/n_d) · Σ_f tf_f · [ (q_f + 1)/(Nq + D) ] /
+  *                                    [ (p_f + 1)/(Np + D) ]
+  *
+  * with `f` the hashed bigram buckets of `d` (the portable md5 bucket —
+  * [[TextStats.hashedFeatures]]'s trick, bigrams because unigram
+  * profiles can't see word order), `D` the feature dimension, add-one
+  * smoothing on both models so unseen buckets contribute a finite
+  * ratio. Per-term contributions quantize to `decimal(28,15)` and sum
+  * exactly; the `dsir_weights` gate hash-matches a DuckDB restatement.
+  *
+  * Scale shape: two bucket-count aggregations (target + raw, map-side
+  * partials, each model ≤ `dim` rows → broadcast), one per-doc tf
+  * aggregation, one broadcast join, one per-doc exact sum. No window,
+  * no global sort; the raw corpus streams once however big it is.
+  */
+object Dsir {
+
+  /** Hashed-bigram bucket counts over a corpus: `(i, c)` with
+    * `i = u32(md5("w1 w2")) mod dim` — the persistable model form
+    * (train once on the target slice, reuse across raw batches).
+    */
+  def hashedBigramCounts(docs: DataFrame, textCol: String,
+                         dim: Int = 4096): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    bigramTf(docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol, dim)
+      .groupBy(col("__i").as("i")).agg(sum(col("__tf")).as("c"))
+  }
+
+  /** Per-doc hashed-bigram tf: `(idCol, __i, __tf)`. */
+  private def bigramTf(docs: DataFrame, idCol: String, textCol: String,
+                       dim: Int): DataFrame = {
+    val words = split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ")
+    docs.select(col(idCol), explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => concat(a, lit(" "), b))).as("__g"))
+      .where(col("__g").isNotNull && !col("__g").startsWith(" ") &&
+        !col("__g").endsWith(" "))
+      .groupBy(col(idCol),
+        pmod(graft.functions.Hashes.u32OfMd5(col("__g")), lit(dim.toLong)).as("__i"))
+      .agg(count(lit(1)).as("__tf"))
+  }
+
+  /** Importance weight per raw document against a target slice:
+    * `(idCol, n_feats, dsir_weight)` — `n_feats` the document's bigram
+    * token mass, `dsir_weight` the mean smoothed probability ratio
+    * (null for documents with fewer than two tokens; > 1 ⇒
+    * target-like). Both models broadcast; pass a persisted
+    * [[hashedBigramCounts]] pair via `targetModel`/`rawModel` (with
+    * their token masses) to skip refitting per batch.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        dim: Int = 4096): DataFrame = {
+    val tf = bigramTf(raw, idCol, textCol, dim)
+    val q = hashedBigramCounts(target, textCol, dim)
+      .withColumnRenamed("i", "__i").withColumnRenamed("c", "__qc")
+    val p = hashedBigramCounts(raw, textCol, dim)
+      .withColumnRenamed("i", "__i").withColumnRenamed("c", "__pc")
+    val nq = q.agg(coalesce(sum(col("__qc")), lit(0L))).head().getLong(0)
+    val np = p.agg(coalesce(sum(col("__pc")), lit(0L))).head().getLong(0)
+    // four exactly-rounded ops per term — (q+1)/(Nq+D), (p+1)/(Np+D),
+    // their ratio, ×tf — then the exact decimal quantization
+    val contrib = tf
+      .join(broadcast(q), Seq("__i"), "left")
+      .join(broadcast(p), Seq("__i"), "left")
+      .select(col(idCol), col("__tf"),
+        (col("__tf").cast("double") *
+          (((coalesce(col("__qc"), lit(0L)) + 1L).cast("double") /
+              lit(nq + dim).cast("double")) /
+            ((coalesce(col("__pc"), lit(0L)) + 1L).cast("double") /
+              lit(np + dim).cast("double"))))
+          .cast("decimal(28,15)").as("__r"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_feats"), sum(col("__r")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (col("__s").cast("double") / col("n_feats").cast("double"))
+          .as("dsir_weight"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("dsir_weight"))
+  }
+
+  /** The resampling cut: top `n` documents by (weight desc, id asc) —
+    * deterministic, so a re-run selects the identical training slice.
+    * Null-weighted (too-short) documents never select.
+    */
+  def resampleTop(weighted: DataFrame, idCol: String, n: Int): DataFrame =
+    weighted.where(col("dsir_weight").isNotNull)
+      .orderBy(col("dsir_weight").desc, col(idCol).asc)
+      .limit(n)
+}

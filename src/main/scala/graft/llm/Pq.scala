@@ -211,6 +211,52 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** ADC + refine (the "IVFADC+R" re-ranking step of Jégou et al.
+    * 2011 §V): PQ codes nominate `kCand` candidates per query at
+    * m-lookup cost, then ONLY those candidates are re-scored against
+    * their exact float vectors and the top `k` re-ranked by true L2 —
+    * quantization error bounds the ranking error only within the
+    * candidate set, so a small `kCand` (2–4×k) recovers most of the
+    * recall the codes lose while touching `kCand` full vectors per
+    * query instead of the corpus. Exact distances fold in ascending
+    * dimension order (one exactly-rounded op per step — the
+    * [[Ann.dot]] convention), so the `ann_pq_refine` gate hash-matches
+    * its DuckDB restatement.
+    *
+    * Output: `(queryId, corpusId, dist2, rank)` — `dist2` the EXACT
+    * squared L2 rounded to 6 dp, rank by (dist2 asc, id asc).
+    *
+    * Scale shape: [[pqTopK]]'s broadcast-scan shape for nomination,
+    * then a candidate-sized (|Q|·kCand rows) join back to the corpus
+    * vectors — the refine cost is query-bounded, independent of corpus
+    * size.
+    */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, model: DataFrame,
+                    k: Int, kCand: Int, m: Int, dim: Int,
+                    queryId: String = "query_id", corpusId: String = "neighbor_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"need kCand >= k, got kCand=$kCand k=$k")
+    val cand = pqTopK(queries, corpus, model, kCand, m, dim,
+        queryId, corpusId, vecCol)
+      .select(col(queryId), col(corpusId))
+    val q = broadcast(queries.select(col(queryId).cast("long").as(queryId),
+      col(vecCol).as("__qv")))
+    val exact = cand
+      .join(q, Seq(queryId))
+      .join(corpus.select(col(corpusId).cast("long").as(corpusId),
+        col(vecCol).as("__cv")), Seq(corpusId))
+      .select(col(queryId), col(corpusId),
+        round(aggregate(
+          zip_with(col("__qv"), col("__cv"),
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dist2").asc, col(corpusId).asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** The at-scale ANN composition SCALE.md promises: IVF lists prune
     * WHICH corpus rows a query touches, PQ codes compress WHAT each
     * touched row costs. Corpus rows are assigned to their nearest

@@ -74,6 +74,51 @@ class PqSpec extends SparkSpec {
     pruned.foreach { case (pair, d) => assert(fullAll(pair) == d, pair) }
   }
 
+  test("refine: nominating the whole corpus recovers the exact ranking") {
+    val model = Pq.pqTrain(vecs, m = 2, k = 4, iters = 2)
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    val refined = Pq.pqTopKRefined(queries, corpus, model, k = 5, kCand = 40,
+        m = 2, dim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // local brute force with the SAME fold order and round-6 render
+    val all = vecs.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    for (q <- Seq(0L, 1L)) {
+      val expect = all.toSeq.filter(_._1 != q).map { case (id, v) =>
+        val d = v.zip(all(q)).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble)
+        }
+        (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(t => (t._2, t._1)).take(5)
+      val got = (1 to 5).map(r => refined((q, r)))
+      assert(got == expect, s"query $q: got $got expected $expect")
+    }
+  }
+
+  test("refine: candidate set is query-bounded and kCand >= k is enforced") {
+    val model = Pq.pqTrain(vecs, m = 2, k = 4, iters = 2)
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val corpus = vecs.select($"vec_id".as("neighbor_id"), $"embedding")
+    // small kCand: output is still exactly k rows per query, never self
+    val out = Pq.pqTopKRefined(queries, corpus, model, k = 3, kCand = 6,
+      m = 2, dim = 8).collect()
+    assert(out.count(_.getLong(0) == 0L) == 3)
+    assert(out.count(_.getLong(0) == 1L) == 3)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // every refined candidate came from the ADC nomination
+    val nominated = Pq.pqTopK(queries, corpus, model, k = 6, m = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(r => nominated((r.getLong(0), r.getLong(1)))))
+    intercept[IllegalArgumentException] {
+      Pq.pqTopKRefined(queries, corpus, model, k = 5, kCand = 3, m = 2, dim = 8)
+    }
+  }
+
   test("adc: same-cluster neighbors rank before cross-cluster ones") {
     val model = Pq.pqTrain(vecs, m = 2, k = 4, iters = 2)
     val queries = vecs.filter($"vec_id" < 2)
