@@ -3,6 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.analytics.EvalMetrics
 import graft.llm.{Classify, Dsir, Gopher}
 
 /** Correctness gates for the model-side curation operators — the
@@ -138,9 +139,14 @@ object CurationGates {
       .orderBy("vec_id")
   }
 
-  val classifyCentroidSql: String = {
+  /** Dense-centroid train + score CTE chain shared by the classifier
+    * and evaluation gates — ends in `scored(vec_id, label, cosine)`
+    * (every vector × every class, round-6) and its argmax window
+    * `r(vec_id, label, cosine, rn)`.
+    */
+  private val centroidCtes: String = {
     val dim = LlmGates.Dim
-    s"""WITH m0 AS (
+    s"""m0 AS (
        |  SELECT label, j, count(*) AS c,
        |    floor(CAST(sum(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
        |      / count(*) * 1000000 + 0.5) / 1000000 AS m
@@ -158,10 +164,112 @@ object CurationGates {
        |r AS (
        |  SELECT vec_id, label, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY cosine DESC, label ASC) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val classifyCentroidSql: String =
+    s"""WITH $centroidCtes
        |SELECT vec_id, label AS pred_label, cosine FROM r WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+
+  // ---- classifier evaluation ------------------------------------------
+
+  /** Truth-joined predictions of the dense classifier — the scored
+    * table the evaluation gates share.
+    */
+  private def centroidJoined(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Classify.centroidTrain(e, "label", "embedding")
+    Classify.centroidPredict(e, "vec_id", "embedding", model)
+      .join(e.select(col("vec_id"), col("label").as("truth")), Seq("vec_id"))
   }
+
+  /** Prediction-join CTEs over the centroid chain, ending in
+    * `j(truth, pred_label)`.
+    */
+  private val joinedCtes: String =
+    s"""$centroidCtes,
+       |preds AS (SELECT vec_id, label AS pred_label FROM r WHERE rn = 1),
+       |j AS (
+       |  SELECT e.label AS truth, p.pred_label
+       |  FROM embeddings e JOIN preds p USING (vec_id))""".stripMargin
+
+  /** [[EvalMetrics.confusionMatrix]] of the dense classifier against
+    * the true labels — integer counts only.
+    */
+  def classifyConfusion(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.confusionMatrix(centroidJoined(s, dir), "truth", "pred_label")
+      .orderBy("truth", "pred")
+
+  val classifyConfusionSql: String =
+    s"""WITH $joinedCtes
+       |SELECT truth, pred_label AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM j GROUP BY 1, 2 ORDER BY truth, pred""".stripMargin
+
+  /** [[EvalMetrics.classReport]]: one-vs-rest precision/recall/F1 per
+    * class — each ratio one division of exact longs (F1 via the
+    * `2·tp / (n_true + n_pred)` identity), so the doubles match
+    * bitwise.
+    */
+  def classifyReport(s: SparkSession, dir: String): DataFrame =
+    EvalMetrics.classReport(centroidJoined(s, dir), "truth", "pred_label")
+      .orderBy("label")
+
+  val classifyReportSql: String =
+    s"""WITH $joinedCtes,
+       |t AS (SELECT truth AS label, CAST(count(*) AS BIGINT) AS n_true
+       |      FROM j GROUP BY 1),
+       |pr AS (SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+       |       FROM j GROUP BY 1),
+       |tpx AS (SELECT truth AS label, CAST(count(*) AS BIGINT) AS tp
+       |        FROM j WHERE truth = pred_label GROUP BY 1),
+       |rep AS (
+       |  SELECT label, coalesce(n_true, 0) AS n_true,
+       |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+       |  FROM t FULL JOIN pr USING (label) LEFT JOIN tpx USING (label))
+       |SELECT label, n_true, n_pred, tp,
+       |  CASE WHEN n_pred = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+       |  CASE WHEN n_true = 0 THEN NULL
+       |    ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+       |  CAST(2 * tp AS DOUBLE) / CAST(n_true + n_pred AS DOUBLE) AS f1
+       |FROM rep ORDER BY label""".stripMargin
+
+  /** [[EvalMetrics.aucBinary]] over the class-0 one-vs-rest scores of
+    * the dense classifier: does the class-0 centroid's cosine rank
+    * class-0 vectors above the rest? The oracle restates the full
+    * tie-averaged rank statistic over distinct scores; contributions
+    * are half-integers, so the cross-engine sum is exact in any order.
+    */
+  def evalAuc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Classify.centroidTrain(e, "label", "embedding")
+      .filter(col("label") === 0)
+    val scored = Classify.centroidScores(e, "vec_id", "embedding", model)
+      .join(e.select(col("vec_id"), (col("label") === 0).as("pos")),
+        Seq("vec_id"))
+    EvalMetrics.aucBinary(scored, "cosine", "pos")
+  }
+
+  val evalAucSql: String =
+    s"""WITH $centroidCtes,
+       |sc AS (
+       |  SELECT s.cosine, (e.label = 0) AS pos
+       |  FROM scored s JOIN embeddings e USING (vec_id)
+       |  WHERE s.label = 0),
+       |g AS (
+       |  SELECT cosine AS s,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT p, n, CAST(coalesce(sum(n) OVER (ORDER BY s ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumn
+       |  FROM g)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       |  sum(CAST(p AS DOUBLE) * (CAST(cumn AS DOUBLE) + CAST(n AS DOUBLE) / 2.0))
+       |    / (CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS auc
+       |FROM cum""".stripMargin
 
   // ---- sparse text classifier -----------------------------------------
 
@@ -284,14 +392,20 @@ object CurationGates {
        |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gopher_rules"      -> (gopherRules _),
-    "classify_centroid" -> (classifyCentroid _),
-    "classify_text"     -> (classifyText _),
-    "dsir_weights"      -> (dsirWeights _))
+    "gopher_rules"       -> (gopherRules _),
+    "classify_centroid"  -> (classifyCentroid _),
+    "classify_text"      -> (classifyText _),
+    "classify_confusion" -> (classifyConfusion _),
+    "classify_report"    -> (classifyReport _),
+    "eval_auc"           -> (evalAuc _),
+    "dsir_weights"       -> (dsirWeights _))
 
   val oracleSql: Map[String, String] = Map(
-    "gopher_rules"      -> gopherRulesSql,
-    "classify_centroid" -> classifyCentroidSql,
-    "classify_text"     -> classifyTextSql,
-    "dsir_weights"      -> dsirWeightsSql)
+    "gopher_rules"       -> gopherRulesSql,
+    "classify_centroid"  -> classifyCentroidSql,
+    "classify_text"      -> classifyTextSql,
+    "classify_confusion" -> classifyConfusionSql,
+    "classify_report"    -> classifyReportSql,
+    "eval_auc"           -> evalAucSql,
+    "dsir_weights"       -> dsirWeightsSql)
 }

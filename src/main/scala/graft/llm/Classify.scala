@@ -60,28 +60,38 @@ object Classify {
       .select(col("label"), col("n_members"),
         transform(col("__jm"), s => s.getField("__m")).as("centroid"))
 
-  /** Nearest centroid by cosine: `(idCol, pred_label, cosine)` with
-    * `cosine` rounded to 6 dp and ties broken by ascending label — the
-    * deterministic argmax every oracle can replay. The model broadcasts
-    * (it is `#classes` rows); each corpus row evaluates `#classes`
-    * cosines in one projection. Zero-norm rows score −∞ against every
-    * class and still get the min label (never NaN — [[Ann]]'s clamp
+  /** Raw per-class scores: `(idCol, label, cosine)` — every corpus row
+    * against EVERY class centroid, cosine rounded to 6 dp. The surface
+    * a threshold sweep or ROC evaluation
+    * ([[graft.analytics.EvalMetrics.aucBinary]]) consumes; the model
+    * broadcasts and each row evaluates `#classes` cosines in one
+    * projection. Zero-norm rows score −∞ (never NaN — [[Ann]]'s clamp
     * rationale).
     */
-  def centroidPredict(df: DataFrame, idCol: String, vecCol: String,
-                      model: DataFrame): DataFrame = {
+  def centroidScores(df: DataFrame, idCol: String, vecCol: String,
+                     model: DataFrame): DataFrame = {
     val m = broadcast(model.select(col("label").as("__label"),
       col("centroid").as("__ce")))
-    val scored = df.select(col(idCol), col(vecCol).as("__e")).crossJoin(m)
-      .select(col(idCol), col("__label"),
+    df.select(col(idCol), col(vecCol).as("__e")).crossJoin(m)
+      .select(col(idCol), col("__label").as("label"),
         round(when(Ann.norm(col("__e")) * Ann.norm(col("__ce")) === 0.0,
             lit(Double.NegativeInfinity))
           .otherwise(Ann.dot(col("__e"), col("__ce")) /
             (Ann.norm(col("__e")) * Ann.norm(col("__ce")))), 6).as("cosine"))
+  }
+
+  /** Nearest centroid by cosine: `(idCol, pred_label, cosine)` — the
+    * argmax of [[centroidScores]] with ties broken by ascending label,
+    * the deterministic verdict every oracle can replay. Zero-norm rows
+    * still get the min label.
+    */
+  def centroidPredict(df: DataFrame, idCol: String, vecCol: String,
+                      model: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cosine").desc, col("__label").asc)
-    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select(col(idCol), col("__label").as("pred_label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("label").asc)
+    centroidScores(df, idCol, vecCol, model)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("cosine"))
   }
 
   /** Sparse hashed token counts: `(idCol, __i, __tf)` — the exploded
