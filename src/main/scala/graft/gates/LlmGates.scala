@@ -1443,6 +1443,44 @@ object LlmGates {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** [[graft.operators.Sampling.splitByCluster]] over the minhash
+    * cluster resolution: every doc splits by the md5 of its cluster
+    * CANON, so near-duplicate families never straddle train/eval — the
+    * leakage-safe split. The oracle chains the full minhash + closure
+    * restatement into the integer-threshold membership of
+    * `split_assign`.
+    */
+  def splitByCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text",
+      threshold = 0.1, numHashes = 32, bands = 8, shingleN = 2, portable = true)
+    val clusters = Dedup.resolveClusters(pairs, docs, "doc_id")
+    graft.operators.Sampling.splitByCluster(docs.select(col("doc_id")),
+        "doc_id", clusters, "doc_id", "canonical_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
+  val splitByClusterSql: String = {
+    def thr(c: Double): Long =
+      math.min(math.round(c * 4294967296.0), 4294967296L)
+    s"""WITH RECURSIVE ${minhashCtes("documents", 0.1)},
+       |$closureCtes,
+       |canon AS (
+       |  SELECT doc.doc_id, coalesce(comp.canon, doc.doc_id) AS split_key
+       |  FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN h < ${thr(0.8)} THEN 'train'
+       |       WHEN h < ${thr(0.9)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, split_key,
+       |    list_reduce([strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), j, 1)) - 1
+       |                 for j in range(1, 9)], (a, b) -> a * 16 + b) AS h
+       |  FROM canon)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- stratified sampling --------------------------------------------
 
   /** Deterministic 3-per-language sample: the portable md5(id) order lets
@@ -1798,6 +1836,7 @@ object LlmGates {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
     "split_assign"        -> (splitAssign _),
+    "split_by_cluster"    -> (splitByCluster _),
     "split_temporal"      -> (splitTemporal _),
     "mix_rates"           -> (mixRates _),
     "dup_spans"           -> (dupSpans _),
@@ -1842,6 +1881,7 @@ object LlmGates {
     "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
     "split_assign"        -> splitAssignSql,
+    "split_by_cluster"    -> splitByClusterSql,
     "split_temporal"      -> splitTemporalSql,
     "mix_rates"           -> mixRatesSql,
     "dup_spans"           -> dupSpansSql,

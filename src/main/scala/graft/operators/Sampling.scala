@@ -76,6 +76,38 @@ object Sampling {
         .otherwise(chain))
   }
 
+  /** Leakage-safe train/val/test assignment: [[hashSplit]] keyed by the
+    * document's CLUSTER REPRESENTATIVE instead of its own id, so a
+    * family of near-duplicates can never straddle a split boundary.
+    * Splitting by raw id leaks: a near-dup of a training document lands
+    * in the eval set with probability (1 − train fraction), and eval
+    * loss on it measures memorization, not generalization — the
+    * contamination the dedup tier exists to prevent. Feed `clusters`
+    * from [[graft.llm.Dedup.resolveClusters]] (any near-dup tier);
+    * documents without a cluster row fall back to their own id
+    * (singleton cluster), so coverage gaps degrade to the plain hash
+    * split rather than dropping rows.
+    *
+    * Output: input columns + `split_key` (the canon the hash ran on) +
+    * `split`. Same integer-threshold membership as [[hashSplit]] —
+    * engine/rerun/growth stable, and adding NEW members to a cluster
+    * never moves the cluster.
+    *
+    * Scale shape: one key-equi left join (clusters are corpus-sized but
+    * the join is on the id — co-partitioned with any upstream dedup
+    * output) plus the narrow hash projection.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+                     clusterIdCol: String, canonCol: String,
+                     splits: Seq[(String, Double)]): DataFrame = {
+    val c = clusters.select(col(clusterIdCol).as(idCol),
+      col(canonCol).as("__sbc_canon"))
+    val joined = df.join(c, Seq(idCol), "left")
+      .withColumn("__sbc_canon", coalesce(col("__sbc_canon"), col(idCol)))
+    hashSplit(joined, "__sbc_canon", splits)
+      .withColumnRenamed("__sbc_canon", "split_key")
+  }
+
   /** Weighted (probability-proportional-to-size) SYSTEMATIC sampling of
     * exactly `n` draws: rows are laid along a line in portable-hash
     * order, each occupying a segment of its weight; `n` pick points sit
