@@ -337,6 +337,64 @@ object CurationGates {
        |SELECT doc_id, label AS pred_label, cosine FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---- margin-based neighbor mining -----------------------------------
+
+  /** [[graft.llm.Mining.marginMine]] between the `vec_id < 8` slice
+    * (queries) and the rest of the embeddings corpus: k = 4
+    * neighborhood averages, top-2 matches per query. The oracle
+    * restates all-pairs round-6 cosines, both rank windows, the
+    * exact-decimal neighborhood averages (VARCHAR-routed), and the
+    * margin rerank.
+    */
+  def marginMine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.llm.Mining.marginMine(
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.filter(col("vec_id") >= 8).select(col("vec_id").as("match_id"),
+          col("embedding")),
+        k = 4, topM = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val marginMineSql: String = {
+    val cos = LlmGates.cosSql("a.embedding", "b.embedding",
+      s"${LlmGates.normSql("a.embedding")} * ${LlmGates.normSql("b.embedding")}")
+    s"""WITH sc AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS match_id, $cos AS cosine
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) a,
+       |       (SELECT * FROM embeddings WHERE vec_id >= 8) b
+       |  WHERE $cos <> CAST('-infinity' AS DOUBLE)),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, match_id ASC) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY match_id
+       |      ORDER BY cosine DESC, query_id ASC) AS rb
+       |  FROM sc),
+       |-- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+       |aavg AS (
+       |  SELECT query_id, CAST(CAST(sum(CAST(CAST(cosine AS VARCHAR)
+       |      AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS av
+       |  FROM rk WHERE ra <= 4 GROUP BY 1),
+       |bavg AS (
+       |  SELECT match_id, CAST(CAST(sum(CAST(CAST(cosine AS VARCHAR)
+       |      AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS bv
+       |  FROM rk WHERE rb <= 4 GROUP BY 1),
+       |mg AS (
+       |  SELECT r.query_id, r.match_id, r.cosine,
+       |    round(r.cosine / ((a.av + b.bv) / 2.0), 6) AS margin
+       |  FROM rk r JOIN aavg a USING (query_id) JOIN bavg b USING (match_id)),
+       |fin AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY margin DESC, match_id ASC) AS INT) AS rank
+       |  FROM mg)
+       |SELECT query_id, match_id, cosine, margin, rank FROM fin
+       |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- DSIR importance weighting --------------------------------------
 
   private val DsirDim = 4096
@@ -355,8 +413,12 @@ object CurationGates {
       .orderBy("doc_id")
   }
 
-  val dsirWeightsSql: String =
-    s"""WITH nw AS (SELECT doc_id, lang, $NormWs AS ws FROM documents),
+  /** The weight-computation CTE chain, ending in
+    * `perdoc(doc_id, n_feats, dsir_weight)` — shared by `dsir_weights`
+    * and the composed `dsir_select`.
+    */
+  private val dsirCtes: String =
+    s"""nw AS (SELECT doc_id, lang, $NormWs AS ws FROM documents),
        |bg AS (
        |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
        |  FROM nw, UNNEST(range(1, len(ws))) AS u(i)
@@ -385,11 +447,118 @@ object CurationGates {
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
        |    CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE)
        |      / CAST(sum(tf) AS DOUBLE) AS dsir_weight
-       |  FROM contrib GROUP BY 1)
+       |  FROM contrib GROUP BY 1)""".stripMargin
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirCtes
        |SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
        |  w.dsir_weight
        |FROM documents d LEFT JOIN perdoc w USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The composed DSIR selection: [[Dsir.importanceWeights]] →
+    * [[Dsir.resampleTop]] at n = 100 — the actual training-slice draw,
+    * verified end-to-end as ONE chained oracle (weights, the
+    * (weight desc, id) cut, and the deterministic survivor set).
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val w = Dsir.importanceWeights(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", dim = DsirDim)
+    Dsir.resampleTop(w, "doc_id", n = 100).orderBy("doc_id")
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH $dsirCtes,
+       |sel AS (
+       |  SELECT doc_id, n_feats, dsir_weight FROM perdoc
+       |  WHERE dsir_weight IS NOT NULL
+       |  ORDER BY dsir_weight DESC, doc_id ASC LIMIT 100)
+       |SELECT doc_id, n_feats, dsir_weight FROM sel
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- temperature-scaled mixture rates -------------------------------
+
+  /** [[graft.operators.Mixing.temperatureRates]] over per-language
+    * character mass: the α = 0.5 up-sampling schedule. The oracle
+    * restates the sqrt rates with the exact-decimal divisor
+    * (VARCHAR-routed) and the natural-share boost.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mixing.temperatureRates(
+        Tables(s, dir, "documents"), Seq("lang"), "n_chars")
+      .orderBy("lang")
+
+  val temperatureMixSql: String =
+    """WITH g AS (
+      |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_weight
+      |  FROM documents GROUP BY 1),
+      |s AS (SELECT *, sqrt(CAST(n_weight AS DOUBLE)) AS sv FROM g),
+      |-- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+      |t AS (
+      |  SELECT CAST(sum(n_weight) AS BIGINT) AS tw,
+      |    CAST(CAST(sum(CAST(CAST(sv AS VARCHAR) AS DECIMAL(28,15)))
+      |      AS VARCHAR) AS DOUBLE) AS ts
+      |  FROM s)
+      |SELECT lang, n_weight, sv / ts AS rate,
+      |  (sv / ts) / (CAST(n_weight AS DOUBLE) / CAST(tw AS DOUBLE)) AS boost
+      |FROM s, t ORDER BY lang""".stripMargin
+
+  // ---- out-of-vocabulary rate -----------------------------------------
+
+  /** [[graft.llm.TextStats.oovRate]] of the `doc_id % 5 = 0` held-out
+    * slice against a min-df-2 vocabulary built on the other four
+    * fifths — the tokenizer-coverage check. Instance-counted: repeated
+    * unknown tokens each count. The synthetic corpus shares one lorem
+    * vocabulary across the split (natural OOV is zero — a vacuous
+    * band), so the `doc_id % 10 = 0` half of the held-out slice PLANTS
+    * three copies of a per-doc novel token on both sides; the other
+    * half stays clean, populating both sides of the rate.
+    */
+  def oovRateGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val vocab = graft.llm.TextStats.buildVocabulary(
+      d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      minDf = 2, maxDfPct = 100, topK = 100000)
+    val idStr = col("doc_id").cast("string")
+    val held = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" novel"), idStr, lit(" novel"), idStr,
+              lit(" novel"), idStr))
+          .otherwise(col("text")).as("text"))
+    graft.llm.TextStats.oovRate(held, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |pd AS (
+       |  SELECT doc_id, unnest(list_distinct($NormWs)) AS token FROM tr),
+       |dfq AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+       |  FROM pd WHERE token <> '' GROUP BY 1),
+       |vocab AS (SELECT token FROM dfq WHERE doc_freq >= 2),
+       |ho AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+       |    THEN text || ' novel' || CAST(doc_id AS VARCHAR)
+       |      || ' novel' || CAST(doc_id AS VARCHAR)
+       |      || ' novel' || CAST(doc_id AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tok AS (SELECT doc_id, unnest($NormWs) AS token FROM ho),
+       |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |per AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM tk t LEFT JOIN vocab v USING (token) GROUP BY 1)
+       |SELECT h.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       |  coalesce(n_oov, 0) AS n_oov,
+       |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL
+       |    ELSE CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |  END AS oov_rate
+       |FROM ho h LEFT JOIN per USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_rules"       -> (gopherRules _),
@@ -398,7 +567,11 @@ object CurationGates {
     "classify_confusion" -> (classifyConfusion _),
     "classify_report"    -> (classifyReport _),
     "eval_auc"           -> (evalAuc _),
-    "dsir_weights"       -> (dsirWeights _))
+    "margin_mine"        -> (marginMine _),
+    "dsir_weights"       -> (dsirWeights _),
+    "dsir_select"        -> (dsirSelect _),
+    "temperature_mix"    -> (temperatureMix _),
+    "oov_rate"           -> (oovRateGate _))
 
   val oracleSql: Map[String, String] = Map(
     "gopher_rules"       -> gopherRulesSql,
@@ -407,5 +580,9 @@ object CurationGates {
     "classify_confusion" -> classifyConfusionSql,
     "classify_report"    -> classifyReportSql,
     "eval_auc"           -> evalAucSql,
-    "dsir_weights"       -> dsirWeightsSql)
+    "margin_mine"        -> marginMineSql,
+    "dsir_weights"       -> dsirWeightsSql,
+    "dsir_select"        -> dsirSelectSql,
+    "temperature_mix"    -> temperatureMixSql,
+    "oov_rate"           -> oovRateSql)
 }
