@@ -163,6 +163,45 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Out-of-vocabulary rate per document against an explicit vocabulary
+    * (`token` column — e.g. [[buildVocabulary]]'s output, or a
+    * tokenizer's term list): `(idCol, n_tokens, n_oov, oov_rate)` with
+    * `oov_rate` one exact division (null for token-less docs). The
+    * coverage check run before committing to a tokenizer or after a
+    * domain shift — a held-out slice whose OOV rate jumps is drifting
+    * away from the vocabulary the model was built on.
+    *
+    * Counts TOKEN INSTANCES, not types: a doc repeating one unknown
+    * word 50 times is 50/50 OOV — the rate that predicts UNK density in
+    * training.
+    *
+    * Scale shape: one token explode + one join against the vocab
+    * (broadcast when `broadcastVocab`, the right call for any
+    * human-scale vocabulary; disable for dictionary-busting term lists
+    * and let the optimizer shuffle-join) + one per-doc agg.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(normalizeWords(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val v0 = vocab.select(col("token")).distinct()
+      .withColumn("__in", lit(1))
+    val v = if (broadcastVocab) broadcast(v0) else v0
+    val per = toks.join(v, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0,
+            lit(null).cast("double"))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
                      dim: Int = 1024): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")

@@ -59,4 +59,39 @@ object Mixing {
       .filter(u32 < threshold)
       .drop("__rate")
   }
+
+  /** Temperature-scaled sampling rates over group masses (the
+    * multilingual sampling scheme of Conneau & Lample 2019 §3.1:
+    * `p_g ∝ n_g^α` with α < 1 UP-samples low-resource groups so the big
+    * ones don't drown them). Pinned to α = 0.5 (temperature 2) because
+    * `sqrt` is an exactly-rounded IEEE op — the same log-free trade
+    * [[graft.llm.LmScore]] makes: a general `pow(x, 0.3)` is not
+    * correctly rounded across math libraries and could never hash-match
+    * an oracle, while the sqrt schedule is a published setting AND
+    * bitwise-portable.
+    *
+    * Output per group: `(groupCols…, n_weight, rate, boost)` —
+    * `rate` = √n_g / Σ√n (the sampling probability; Σ via exact
+    * decimal quantization so the divisor is order-independent),
+    * `boost` = rate / natural share (> 1 ⇒ up-sampled). Feed the rates
+    * to [[byRate]] to materialize the mixture.
+    *
+    * Scale shape: one grouped sum, one 1-row broadcast of the two
+    * totals, one narrow projection.
+    */
+  def temperatureRates(df: DataFrame, groupCols: Seq[String],
+                       weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(weightCol)).as("n_weight"))
+    val tot = g.agg(
+      sum(col("n_weight")).as("__tw"),
+      sum(sqrt(col("n_weight").cast("double")).cast("decimal(28,15)"))
+        .cast("double").as("__ts"))
+    val rate = sqrt(col("n_weight").cast("double")) / col("__ts")
+    g.crossJoin(broadcast(tot))
+      .select(groupCols.map(col) ++ Seq(col("n_weight"), rate.as("rate"),
+        (rate / (col("n_weight").cast("double") / col("__tw").cast("double")))
+          .as("boost")): _*)
+  }
 }

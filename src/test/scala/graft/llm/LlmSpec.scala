@@ -302,6 +302,42 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("temperature rates: sqrt schedule boosts low-resource groups, sums to 1") {
+    import graft.operators.Mixing
+    // masses 1/4/16: sqrt flattens to 1/2/4 -> rates 1/7, 2/7, 4/7
+    val rows = (Seq.fill(1)("lo") ++ Seq.fill(4)("mid") ++ Seq.fill(16)("hi"))
+      .zipWithIndex.map { case (g, i) => (g, 1L, i) }
+      .toDF("grp", "w", "i")
+    val out = Mixing.temperatureRates(rows, Seq("grp"), "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("lo")._1 == 1L && out("mid")._1 == 4L && out("hi")._1 == 16L)
+    assert(math.abs(out("lo")._2 - 1.0 / 7) < 1e-12)
+    assert(math.abs(out("mid")._2 - 2.0 / 7) < 1e-12)
+    assert(math.abs(out("hi")._2 - 4.0 / 7) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+    // boost: low-resource up-sampled, dominant down-sampled
+    assert(out("lo")._3 > 1.0 && out("hi")._3 < 1.0)
+    // boost = rate / natural share: lo = (1/7) / (1/21) = 3
+    assert(math.abs(out("lo")._3 - 3.0) < 1e-12)
+  }
+
+  test("oov rate counts instances against the vocabulary, null for empty docs") {
+    val vocab = Seq("alpha", "beta", "gamma").toDF("token")
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),        // fully covered
+      (1L, "alpha zzz zzz beta"),            // 2/4 OOV instances
+      (2L, "qqq rrr"),                       // all OOV
+      (3L, "")).toDF("doc_id", "text")       // token-less -> null
+    val out = TextStats.oovRate(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 0 && out(0L).getDouble(3) == 0.0)
+    assert(out(1L).getLong(1) == 4 && out(1L).getLong(2) == 2 &&
+      out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(out(3L).getLong(1) == 0 && out(3L).isNullAt(3))
+  }
+
   test("hash split: a null id fails loudly instead of silently joining the last split") {
     import graft.operators.Sampling
     val ids = Seq(Some(1L), None).toDF("id")
