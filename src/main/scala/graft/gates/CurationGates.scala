@@ -124,6 +124,131 @@ object CurationGates {
        |FROM prof ORDER BY doc_id""".stripMargin
   }
 
+  // ---- C4 filter battery ----------------------------------------------
+
+  /** [[graft.llm.C4.profile]] over a planted corpus: doc_id % 6 picks
+    * the violation flavor (one-sentence page, javascript line, lorem
+    * ipsum, curly brace, bad word) with class 0 planted CLEAN (three
+    * sentences) — the synthetic corpus has no punctuation at all, so
+    * without planting every line fails terminal-punct retention and
+    * every band is vacuous.
+    */
+  def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = Tables(s, dir, "documents").select(id,
+      when(id % 6 === 0,
+          concat(col("text"), lit(". More text here. And a third sentence.")))
+        .when(id % 6 === 1, concat(col("text"), lit(".")))
+        .when(id % 6 === 2, concat(col("text"),
+          lit(".\nPlease enable javascript to continue. Ok. Fine.")))
+        .when(id % 6 === 3, concat(col("text"),
+          lit(". Two more. Three more. lorem ipsum dolor sit.")))
+        .when(id % 6 === 4, concat(col("text"),
+          lit(". Two more. Three more. With a { brace.")))
+        .otherwise(concat(col("text"),
+          lit(". Two more. Three more. Contains badword now."))).as("text"))
+    graft.llm.C4.profile(aug, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val c4FiltersSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 6 = 0 THEN text || '. More text here. And a third sentence.'
+       |    WHEN doc_id % 6 = 1 THEN text || '.'
+       |    WHEN doc_id % 6 = 2 THEN text || '.' || chr(10) || 'Please enable javascript to continue. Ok. Fine.'
+       |    WHEN doc_id % 6 = 3 THEN text || '. Two more. Three more. lorem ipsum dolor sit.'
+       |    WHEN doc_id % 6 = 4 THEN text || '. Two more. Three more. With a { brace.'
+       |    ELSE text || '. Two more. Three more. Contains badword now.'
+       |    END AS text
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, text, (text IS NULL OR trim(text) = '') AS empty,
+       |    [trim(l) for l in string_split(text, chr(10)) if trim(l) <> ''] AS ls
+       |  FROM aug),
+       |kp AS (
+       |  SELECT *, [l for l in ls
+       |    if (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+       |      AND NOT regexp_matches(lower(l), '\\b(javascript)\\b')] AS kept
+       |  FROM base),
+       |prof AS (
+       |  SELECT doc_id,
+       |    CASE WHEN empty THEN ''
+       |      ELSE coalesce(array_to_string(kept, chr(10)), '') END AS text_clean,
+       |    CAST(CASE WHEN empty THEN 0 ELSE len(kept) END AS INT) AS n_lines_kept,
+       |    CAST(CASE WHEN empty THEN 0 ELSE len(ls) - len(kept) END AS INT) AS n_lines_dropped,
+       |    CASE WHEN empty THEN false
+       |      ELSE len([l for l in ls
+       |        if regexp_matches(lower(l), '\\b(javascript)\\b')]) > 0
+       |      END AS has_javascript,
+       |    CASE WHEN empty THEN false
+       |      ELSE contains(lower(text), 'lorem ipsum') END AS has_lorem,
+       |    CASE WHEN empty THEN false
+       |      ELSE contains(text, '{') END AS has_brace,
+       |    CASE WHEN empty THEN false
+       |      ELSE regexp_matches(lower(text), '\\b(badword|obscenity)\\b')
+       |      END AS has_bad_word
+       |  FROM kp),
+       |sen AS (
+       |  SELECT *, CAST(length(text_clean)
+       |    - length(regexp_replace(text_clean, '[.!?]', '', 'g')) AS INT) AS n_sentences
+       |  FROM prof)
+       |SELECT doc_id, text_clean, n_lines_kept, n_lines_dropped, n_sentences,
+       |  has_javascript, has_lorem, has_brace, has_bad_word,
+       |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+       |    AND NOT has_bad_word) AS keep
+       |FROM sen ORDER BY doc_id""".stripMargin
+
+  // ---- span corruption ------------------------------------------------
+
+  /** [[graft.llm.SpanCorrupt.spanCorrupt]] at spanLen = 3,
+    * corruptEvery = 4: the full input/target example-prep transform,
+    * sentinel numbering included, restated relationally (block unnest +
+    * per-doc ordered string_agg).
+    */
+  def spanCorruptGate(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SpanCorrupt.spanCorrupt(Tables(s, dir, "documents"),
+        "doc_id", "text", spanLen = 3, corruptEvery = 4)
+      .orderBy("doc_id")
+
+  val spanCorruptSql: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id, $NormWs AS ws,
+       |    (text IS NULL OR trim(text) = '') AS empty
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, ws, empty,
+       |    CAST(CASE WHEN empty THEN 0 ELSE len(ws) END AS INT) AS nt
+       |  FROM nw),
+       |bl AS (
+       |  SELECT doc_id, CAST(b AS INT) AS b,
+       |    (${u32Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+       |      % 4 = 0) AS corrupt,
+       |    array_to_string(ws[b*3+1 : b*3+3], ' ') AS span
+       |  FROM base, UNNEST(range(0, (nt + 2) // 3)) AS u(b)),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, corrupt
+       |    ORDER BY b) - 1 AS k
+       |  FROM bl),
+       |inp AS (
+       |  SELECT doc_id, string_agg(CASE WHEN corrupt
+       |      THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+       |      ELSE span END, ' ' ORDER BY b) AS input_text
+       |  FROM rk GROUP BY doc_id),
+       |tg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS m,
+       |    string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || span,
+       |      ' ' ORDER BY b) AS spans
+       |  FROM rk WHERE corrupt GROUP BY doc_id)
+       |SELECT b2.doc_id, b2.nt AS n_tokens,
+       |  CAST(coalesce(t.m, 0) AS INT) AS n_corrupt_spans,
+       |  CASE WHEN b2.empty THEN '' ELSE coalesce(i.input_text, '') END AS input_text,
+       |  CASE WHEN b2.empty OR t.m IS NULL THEN '<extra_id_0>'
+       |    ELSE t.spans || ' <extra_id_' || CAST(t.m AS VARCHAR) || '>'
+       |    END AS target_text
+       |FROM base b2
+       |LEFT JOIN inp i USING (doc_id) LEFT JOIN tg t USING (doc_id)
+       |ORDER BY b2.doc_id""".stripMargin
+
   // ---- dense nearest-centroid classifier ------------------------------
 
   /** [[Classify.centroidTrain]] on the labeled `embeddings` table +
@@ -562,6 +687,8 @@ object CurationGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_rules"       -> (gopherRules _),
+    "c4_filters"         -> (c4Filters _),
+    "span_corrupt"       -> (spanCorruptGate _),
     "classify_centroid"  -> (classifyCentroid _),
     "classify_text"      -> (classifyText _),
     "classify_confusion" -> (classifyConfusion _),
@@ -575,6 +702,8 @@ object CurationGates {
 
   val oracleSql: Map[String, String] = Map(
     "gopher_rules"       -> gopherRulesSql,
+    "c4_filters"         -> c4FiltersSql,
+    "span_corrupt"       -> spanCorruptSql,
     "classify_centroid"  -> classifyCentroidSql,
     "classify_text"      -> classifyTextSql,
     "classify_confusion" -> classifyConfusionSql,
