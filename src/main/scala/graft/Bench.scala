@@ -316,7 +316,17 @@ object Bench {
         // per-key bottom-k window + tiny agg; vocabulary-join L1 sum;
         // melt + winner window + pivot
         "group_cardinality", "corpus_drift", "golden_record",
-        "entity_resolution", "ann_ivf_pq")
+        "entity_resolution", "ann_ivf_pq",
+        // round-9 curation tier: rule batteries + span corruption are
+        // narrow scans; the classifiers are one agg + broadcast/feature
+        // join; dsir is two bucket models + a broadcast join; margin
+        // mining is query-bounded (8 pinned queries → linear in
+        // corpus); refine adds a candidate-bounded join to ADC; the
+        // splits/eval are joins + bounded windows
+        "gopher_rules", "c4_filters", "span_corrupt",
+        "classify_centroid", "classify_text", "eval_auc",
+        "dsir_weights", "dsir_select", "margin_mine",
+        "ann_pq_refine", "oov_rate", "split_by_cluster")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -63,6 +63,33 @@ object EvalMetrics {
           (col("n_true") + col("n_pred")).cast("double")).as("f1"))
   }
 
+  /** Reliability diagram (calibration curve): scores bucketed into
+    * `bins` equal-width bins over `[lo, hi]`; per bin the row count,
+    * positive count, positive fraction (one exact division) and the
+    * exact-decimal mean score — "when the scorer says 0.8, how often is
+    * it right?", the check that decides whether a classifier's scores
+    * can gate a corpus at a THRESHOLD rather than just rank it (AUC
+    * only certifies ranking). Bin edges are plain IEEE arithmetic on
+    * bitwise-equal operands; out-of-range scores clamp into the end
+    * bins rather than dropping.
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10, lo: Double = -1.0, hi: Double = 1.0): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val pos = col(labelCol).cast("boolean")
+    val bin = least(greatest(
+      floor((col(scoreCol) - lo) / (hi - lo) * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast("decimal(28,15)")).as("__s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        (col("__s").cast("double") / col("n").cast("double")).as("mean_score"))
+  }
+
   /** Binary ROC-AUC by the tie-averaged rank statistic (Mann–Whitney):
     * one row `(n_pos, n_neg, auc)`.
     *

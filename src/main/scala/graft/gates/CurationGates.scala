@@ -462,6 +462,44 @@ object CurationGates {
        |SELECT doc_id, label AS pred_label, cosine FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** [[EvalMetrics.calibration]] of the class-0 one-vs-rest scores:
+    * 10 equal-width bins over [−1, 1], per-bin counts + positive
+    * fraction + exact-decimal mean score — whether the cosine's VALUE
+    * (not just its rank) is trustworthy as a corpus-gating threshold.
+    */
+  def evalCalibration(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = Classify.centroidTrain(e, "label", "embedding")
+      .filter(col("label") === 0)
+    val scored = Classify.centroidScores(e, "vec_id", "embedding", model)
+      .join(e.select(col("vec_id"), (col("label") === 0).as("pos")),
+        Seq("vec_id"))
+    EvalMetrics.calibration(scored, "cosine", "pos", bins = 10)
+      .orderBy("bin")
+  }
+
+  val evalCalibrationSql: String =
+    s"""WITH $centroidCtes,
+       |sc AS (
+       |  SELECT s.cosine, (e.label = 0) AS pos
+       |  FROM scored s JOIN embeddings e USING (vec_id)
+       |  WHERE s.label = 0),
+       |bn AS (
+       |  SELECT CAST(least(greatest(
+       |      floor((cosine - -1.0) / 2.0 * 10), 0.0), 9.0) AS INT) AS bin,
+       |    pos, cosine
+       |  FROM sc),
+       |g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    -- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+       |    sum(CAST(CAST(cosine AS VARCHAR) AS DECIMAL(28,15))) AS s
+       |  FROM bn GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+       |FROM g ORDER BY bin""".stripMargin
+
   // ---- margin-based neighbor mining -----------------------------------
 
   /** [[graft.llm.Mining.marginMine]] between the `vec_id < 8` slice
@@ -482,14 +520,50 @@ object CurationGates {
       .orderBy("query_id", "rank")
   }
 
-  val marginMineSql: String = {
+  /** All-pairs cosine CTE between the `vec_id < 8` queries and the
+    * rest — shared by `margin_mine` and `mutual_topk`.
+    */
+  private val miningScoredCte: String = {
     val cos = LlmGates.cosSql("a.embedding", "b.embedding",
       s"${LlmGates.normSql("a.embedding")} * ${LlmGates.normSql("b.embedding")}")
-    s"""WITH sc AS (
+    s"""sc AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS match_id, $cos AS cosine
        |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) a,
        |       (SELECT * FROM embeddings WHERE vec_id >= 8) b
-       |  WHERE $cos <> CAST('-infinity' AS DOUBLE)),
+       |  WHERE $cos <> CAST('-infinity' AS DOUBLE))""".stripMargin
+  }
+
+  /** [[graft.llm.Mining.mutualTopK]] over the same brute candidate
+    * relation at k = 10: the reciprocal-nearest-neighbor prefilter.
+    */
+  def mutualTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.llm.Mining.mutualTopK(
+        graft.llm.Mining.cosineAllPairs(
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+            col("embedding")),
+          e.filter(col("vec_id") >= 8).select(col("vec_id").as("match_id"),
+            col("embedding"))),
+        k = 10)
+      .orderBy("query_id", "match_id")
+  }
+
+  val mutualTopKSql: String =
+    s"""WITH $miningScoredCte,
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, match_id ASC) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY match_id
+       |      ORDER BY cosine DESC, query_id ASC) AS rb
+       |  FROM sc)
+       |SELECT query_id, match_id, cosine,
+       |  CAST(ra AS INT) AS rank_ab, CAST(rb AS INT) AS rank_ba
+       |FROM rk WHERE ra <= 10 AND rb <= 10
+       |ORDER BY query_id, match_id""".stripMargin
+
+  val marginMineSql: String =
+    s"""WITH $miningScoredCte,
        |rk AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -518,7 +592,6 @@ object CurationGates {
        |  FROM mg)
        |SELECT query_id, match_id, cosine, margin, rank FROM fin
        |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---- DSIR importance weighting --------------------------------------
 
@@ -694,7 +767,9 @@ object CurationGates {
     "classify_confusion" -> (classifyConfusion _),
     "classify_report"    -> (classifyReport _),
     "eval_auc"           -> (evalAuc _),
+    "eval_calibration"   -> (evalCalibration _),
     "margin_mine"        -> (marginMine _),
+    "mutual_topk"        -> (mutualTopK _),
     "dsir_weights"       -> (dsirWeights _),
     "dsir_select"        -> (dsirSelect _),
     "temperature_mix"    -> (temperatureMix _),
@@ -709,7 +784,9 @@ object CurationGates {
     "classify_confusion" -> classifyConfusionSql,
     "classify_report"    -> classifyReportSql,
     "eval_auc"           -> evalAucSql,
+    "eval_calibration"   -> evalCalibrationSql,
     "margin_mine"        -> marginMineSql,
+    "mutual_topk"        -> mutualTopKSql,
     "dsir_weights"       -> dsirWeightsSql,
     "dsir_select"        -> dsirSelectSql,
     "temperature_mix"    -> temperatureMixSql,

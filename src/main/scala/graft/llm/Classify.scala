@@ -150,8 +150,10 @@ object Classify {
     val docNorm = tf.groupBy(col(idCol))
       .agg(sum(col("__tf") * col("__tf")).as("__n2"))
       .select(col(idCol), sqrt(col("__n2").cast("double")).as("__dn"))
+    // the model is <= classes x dim rows — broadcast it so the
+    // corpus-sized tf side never shuffles for this join
     val dots = tf
-      .join(model.withColumnRenamed("i", "__i"), Seq("__i"))
+      .join(broadcast(model.withColumnRenamed("i", "__i")), Seq("__i"))
       .groupBy(col(idCol), col("label"))
       .agg(sum((col("__tf").cast("double") * col("m"))
         .cast("decimal(28,15)")).as("__dot"))

@@ -79,6 +79,31 @@ object Mining {
       .filter(col("rank") <= topM)
   }
 
+  /** Mutual top-k filter: keep a candidate pair iff each side ranks
+    * inside the OTHER side's top `k` by cosine — the reciprocal-
+    * nearest-neighbor prefilter mining pipelines run before (or
+    * instead of) margin scoring: a hub may be someone's neighbor, but
+    * a pair that is mutually top-k is aligned from both directions.
+    * Output: the mutual pairs with both ranks
+    * (`aId, bId, cosine, rank_ab, rank_ba`).
+    *
+    * Same scale shape as [[marginScores]]: two bounded rank windows
+    * over the candidate relation, nothing else.
+    */
+  def mutualTopK(scored: DataFrame, k: Int,
+                 aId: String = "query_id", bId: String = "match_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val finite = scored.filter(col("cosine") =!= lit(Double.NegativeInfinity))
+    val wa = Window.partitionBy(col(aId)).orderBy(col("cosine").desc, col(bId).asc)
+    val wb = Window.partitionBy(col(bId)).orderBy(col("cosine").desc, col(aId).asc)
+    finite
+      .withColumn("rank_ab", row_number().over(wa))
+      .withColumn("rank_ba", row_number().over(wb))
+      .filter(col("rank_ab") <= k && col("rank_ba") <= k)
+      .select(col(aId), col(bId), col("cosine"),
+        col("rank_ab"), col("rank_ba"))
+  }
+
   /** Brute-force margin mining between two embedding collections:
     * all-pairs round-6 cosines (B broadcast into a nested-loop kernel —
     * the sanctioned brute tier; for corpus-scale sides feed ANN
@@ -87,15 +112,24 @@ object Mining {
     */
   def marginMine(a: DataFrame, b: DataFrame, k: Int = 4, topM: Int = 1,
                  aId: String = "query_id", bId: String = "match_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding"): DataFrame =
+    marginScores(cosineAllPairs(a, b, aId, bId, vecCol), k, topM, aId, bId)
+
+  /** All-pairs round-6 cosine relation between two sides (B broadcast
+    * into the nested-loop kernel) — the brute candidate generator
+    * [[marginMine]] and [[mutualTopK]]'s gate share. Small-to-medium
+    * sides only; corpus-scale flows substitute ANN nominations.
+    */
+  def cosineAllPairs(a: DataFrame, b: DataFrame,
+                     aId: String = "query_id", bId: String = "match_id",
+                     vecCol: String = "embedding"): DataFrame = {
     val pa = a.select(col(aId), col(vecCol).as("__va"))
     val pb = b.select(col(bId), col(vecCol).as("__vb"))
-    val scored = pa.crossJoin(broadcast(pb))
+    pa.crossJoin(broadcast(pb))
       .select(col(aId), col(bId),
         round(when(Ann.norm(col("__va")) * Ann.norm(col("__vb")) === 0.0,
             lit(Double.NegativeInfinity))
           .otherwise(Ann.dot(col("__va"), col("__vb")) /
             (Ann.norm(col("__va")) * Ann.norm(col("__vb")))), 6).as("cosine"))
-    marginScores(scored, k, topM, aId, bId)
   }
 }

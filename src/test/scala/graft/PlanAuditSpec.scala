@@ -174,6 +174,26 @@ class PlanAuditSpec extends SparkSpec {
       ws.mkString("\n"))
   }
 
+  test("rule batteries and span corruption plan as narrow scans") {
+    val docs = Tables(spark, dir, "documents")
+    for (df <- Seq(
+        graft.llm.Gopher.profile(docs, "doc_id", "text"),
+        graft.llm.C4.profile(docs, "doc_id", "text"),
+        graft.llm.SpanCorrupt.spanCorrupt(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p.take(600))
+    }
+  }
+
+  test("sparse text classifier joins its model broadcast, not shuffled") {
+    val docs = Tables(spark, dir, "documents")
+    val model = graft.llm.Classify.textCentroidTrain(
+      docs, "doc_id", "text", "lang", dim = 256)
+    val p = plan(graft.llm.Classify.textCentroidPredict(
+      docs, "doc_id", "text", model, dim = 256))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scalar-function chains") {
     // AQE wraps the plan and reports zero codegen subtrees before
     // execution — disable it for the static inspection only.

@@ -59,6 +59,24 @@ class EvalMetricsSpec extends SparkSpec {
     assert(auc(Seq((0.3, true), (0.7, true))) == ((2L, 0L, None)))
   }
 
+  test("calibration: bin placement, clamping, and per-bin statistics") {
+    val rows = Seq(
+      (-1.0, false),           // exact lo -> bin 0
+      (-0.95, false),          // bin 0
+      (0.0, true), (0.05, false), // bin 5
+      (0.99, true), (1.0, true),  // hi clamps into bin 9
+      (1.7, true)).toDF("score", "pos") // out-of-range clamps to bin 9
+    val out = EvalMetrics.calibration(rows, "score", "pos", bins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(0, 5, 9))
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 0 &&
+      out(0).getDouble(3) == 0.0)
+    assert(out(5).getLong(1) == 2 && out(5).getDouble(3) == 0.5)
+    assert(out(9).getLong(1) == 3 && out(9).getDouble(3) == 1.0)
+    // exact-decimal mean: (0.0 + 0.05) / 2
+    assert(out(5).getDouble(4) == 0.025)
+  }
+
   test("aucBinary matches the brute-force pair count on mixed data") {
     val r = new scala.util.Random(11)
     val rows = (0 until 200).map { _ =>

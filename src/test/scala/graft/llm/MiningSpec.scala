@@ -66,6 +66,20 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("mutualTopK keeps only reciprocally ranked pairs") {
+    val scored = Mining.cosineAllPairs(a, b)
+    // k = 1: x1's best is the hub (0.855) and the hub's best is x1, so
+    // (x1, hub) is mutual; y's best is x1 but x1's best is NOT y -> out;
+    // x2's best is the hub but the hub's best is x1 -> out.
+    val m1 = Mining.mutualTopK(scored, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m1 == Set((1L, 10L)), m1.toString)
+    // k = 2 over a 2x2 relation: everything is mutual, ranks populated
+    val m2 = Mining.mutualTopK(scored, k = 2).collect()
+    assert(m2.length == 4)
+    assert(m2.forall(r => r.getInt(3) <= 2 && r.getInt(4) <= 2))
+  }
+
   test("zero-norm vectors are dropped, not ranked") {
     val bz = b.union(Seq((12L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("match_id", "embedding"))
