@@ -10,6 +10,46 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("quality batteries run unmodified on a stream: narrow, no state") {
+    // Gopher.profile / C4.profile are stateless narrow projections, so
+    // the SAME operators gate a crawl stream with no streaming-specific
+    // code — the property that makes the ingest-time filter free.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = Seq.fill(10)("the quick brown fox jumps over lazy dogs to be")
+      .mkString(" ")
+    val gated = graft.llm.Gopher.profile(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .where(col("keep")).select("doc_id")
+    val q = gated.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, good), (2L, "too short to keep"))
+      q.processAllAvailable()
+      input.addData((3L, good + " ############"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("gopher_stream").as[Long].collect().toSet
+    assert(kept == Set(1L), s"stream gate kept $kept")
+
+    val input2 = MemoryStream[(Long, String)]
+    val cleaned = graft.llm.C4.profile(
+        input2.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .where(col("keep")).select("doc_id", "text_clean")
+    val q2 = cleaned.writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        (1L, "One good. Two good. Three good.\nno punctuation line"),
+        (2L, "Only one sentence."))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.table("c4_stream").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L))
+    assert(rows(1L) == "One good. Two good. Three good.")
+  }
+
   test("driftEachBatch: running counts fold in, drift converges to batch truth") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
