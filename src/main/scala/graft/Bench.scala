@@ -326,7 +326,9 @@ object Bench {
         "gopher_rules", "c4_filters", "span_corrupt",
         "classify_centroid", "classify_text", "eval_auc",
         "dsir_weights", "dsir_select", "margin_mine",
-        "ann_pq_refine", "oov_rate", "split_by_cluster")
+        "ann_pq_refine", "oov_rate", "split_by_cluster",
+        // the composed capstone: rules -> dsir -> select -> split
+        "curation_select")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -63,28 +63,23 @@ object CurationGates {
       .orderBy("doc_id")
   }
 
-  val gopherRulesSql: String = {
+  /** The full Gopher profile + verdict CTE chain over `src`, ending in
+    * `gverd(doc_id, metrics…, ok_*…, keep)` — shared by `gopher_rules`
+    * (planted corpus) and `curation_select` (natural corpus).
+    */
+  private def gopherCtes(src: String, minStopwords: Int): String = {
     val stop = Gopher.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH aug AS (
-       |  SELECT doc_id, CASE
-       |    WHEN doc_id % 6 = 0 THEN text || ' ############'
-       |    WHEN doc_id % 6 = 1 THEN repeat('- item' || chr(10), 20) || text
-       |    WHEN doc_id % 6 = 2 THEN text || chr(10) || repeat('and so on...' || chr(10), 5)
-       |    WHEN doc_id % 6 = 3 THEN text || ' ' || repeat('12345 ', 30)
-       |    WHEN doc_id % 6 = 4 THEN text || ' ' || repeat('$LongWord ', 40)
-       |    ELSE text END AS text
-       |  FROM documents),
-       |base AS (
+    s"""gbase AS (
        |  SELECT doc_id, text,
        |    (text IS NULL OR trim(text) = '') AS empty,
        |    $NormWs AS ws,
        |    [trim(l) for l in string_split(text, chr(10)) if trim(l) <> ''] AS ls
-       |  FROM aug),
-       |met AS (
+       |  FROM $src),
+       |gmet AS (
        |  SELECT *, CAST(CASE WHEN empty THEN 0 ELSE len(ws) END AS INT) AS n_words,
        |    CAST(CASE WHEN empty THEN 0 ELSE len(ls) END AS INT) AS n_lines
-       |  FROM base),
-       |prof AS (
+       |  FROM gbase),
+       |gprof AS (
        |  SELECT doc_id, n_words,
        |    CASE WHEN n_words = 0 THEN 0.0 ELSE round(
        |      CAST(list_reduce([length(w) for w in ws], (a, b) -> a + b) AS DOUBLE)
@@ -106,23 +101,40 @@ object CurationGates {
        |    CAST(CASE WHEN empty THEN 0
        |      ELSE len([s for s in $stop if list_contains(ws, s)])
        |      END AS INT) AS n_stopwords
-       |  FROM met)
+       |  FROM gmet),
+       |gverd AS (
+       |  SELECT *,
+       |    (n_words BETWEEN 50 AND 100000) AS ok_words,
+       |    (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+       |    (symbol_ratio <= 0.1) AS ok_symbol,
+       |    (bullet_frac <= 0.9) AS ok_bullet,
+       |    (ellipsis_frac <= 0.3) AS ok_ellipsis,
+       |    (alpha_frac >= 0.8) AS ok_alpha,
+       |    (n_stopwords >= $minStopwords) AS ok_stop,
+       |    ((n_words BETWEEN 50 AND 100000)
+       |      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |      AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |      AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |      AND n_stopwords >= $minStopwords) AS keep
+       |  FROM gprof)""".stripMargin
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 6 = 0 THEN text || ' ############'
+       |    WHEN doc_id % 6 = 1 THEN repeat('- item' || chr(10), 20) || text
+       |    WHEN doc_id % 6 = 2 THEN text || chr(10) || repeat('and so on...' || chr(10), 5)
+       |    WHEN doc_id % 6 = 3 THEN text || ' ' || repeat('12345 ', 30)
+       |    WHEN doc_id % 6 = 4 THEN text || ' ' || repeat('$LongWord ', 40)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |${gopherCtes("aug", 1)}
        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
        |  ellipsis_frac, alpha_frac, n_stopwords,
-       |  (n_words BETWEEN 50 AND 100000) AS ok_words,
-       |  (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
-       |  (symbol_ratio <= 0.1) AS ok_symbol,
-       |  (bullet_frac <= 0.9) AS ok_bullet,
-       |  (ellipsis_frac <= 0.3) AS ok_ellipsis,
-       |  (alpha_frac >= 0.8) AS ok_alpha,
-       |  (n_stopwords >= 1) AS ok_stop,
-       |  ((n_words BETWEEN 50 AND 100000)
-       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
-       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-       |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-       |    AND n_stopwords >= 1) AS keep
-       |FROM prof ORDER BY doc_id""".stripMargin
-  }
+       |  ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis,
+       |  ok_alpha, ok_stop, keep
+       |FROM gverd ORDER BY doc_id""".stripMargin
 
   // ---- C4 filter battery ----------------------------------------------
 
@@ -615,8 +627,8 @@ object CurationGates {
     * `perdoc(doc_id, n_feats, dsir_weight)` — shared by `dsir_weights`
     * and the composed `dsir_select`.
     */
-  private val dsirCtes: String =
-    s"""nw AS (SELECT doc_id, lang, $NormWs AS ws FROM documents),
+  private def dsirCtesFrom(src: String): String =
+    s"""nw AS (SELECT doc_id, lang, $NormWs AS ws FROM $src),
        |bg AS (
        |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
        |  FROM nw, UNNEST(range(1, len(ws))) AS u(i)
@@ -648,7 +660,7 @@ object CurationGates {
        |  FROM contrib GROUP BY 1)""".stripMargin
 
   val dsirWeightsSql: String =
-    s"""WITH $dsirCtes
+    s"""WITH ${dsirCtesFrom("documents")}
        |SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
        |  w.dsir_weight
        |FROM documents d LEFT JOIN perdoc w USING (doc_id)
@@ -667,13 +679,52 @@ object CurationGates {
   }
 
   val dsirSelectSql: String =
-    s"""WITH $dsirCtes,
+    s"""WITH ${dsirCtesFrom("documents")},
        |sel AS (
        |  SELECT doc_id, n_feats, dsir_weight FROM perdoc
        |  WHERE dsir_weight IS NOT NULL
        |  ORDER BY dsir_weight DESC, doc_id ASC LIMIT 100)
        |SELECT doc_id, n_feats, dsir_weight FROM sel
        |ORDER BY doc_id""".stripMargin
+
+  /** The curation-tier capstone, verified end-to-end as ONE chained
+    * oracle (the `llm_clean_corpus` pattern): Gopher keep (natural
+    * corpus, minStopwords 0 so ok_words is the live rule) → DSIR
+    * weights against the en survivors → deterministic top-100 select →
+    * leakage-stable hash split. Every stage already has its own gate;
+    * this one proves the COMPOSITION (survivor set feeds the models,
+    * the cut feeds the split) with no per-stage drift.
+    */
+  def curationSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val kept = Gopher.keepDocs(d, "doc_id", "text", minStopwords = 0)
+    val w = Dsir.importanceWeights(kept, kept.filter(col("lang") === "en"),
+      "doc_id", "text", dim = DsirDim)
+    val sel = Dsir.resampleTop(w, "doc_id", n = 100)
+    graft.operators.Sampling.hashSplit(sel, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
+  val curationSelectSql: String = {
+    def thr(c: Double): Long =
+      math.min(math.round(c * 4294967296.0), 4294967296L)
+    s"""WITH ${gopherCtes("documents", 0)},
+       |kdocs AS (
+       |  SELECT d.doc_id, d.text, d.lang FROM documents d
+       |  JOIN gverd g ON g.doc_id = d.doc_id AND g.keep),
+       |${dsirCtesFrom("kdocs")},
+       |csel AS (
+       |  SELECT doc_id, n_feats, dsir_weight FROM perdoc
+       |  WHERE dsir_weight IS NOT NULL
+       |  ORDER BY dsir_weight DESC, doc_id ASC LIMIT 100)
+       |SELECT doc_id, n_feats, dsir_weight,
+       |  CASE WHEN h < ${thr(0.8)} THEN 'train'
+       |       WHEN h < ${thr(0.9)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT *, ${u32Sql("CAST(doc_id AS VARCHAR)")} AS h FROM csel)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- temperature-scaled mixture rates -------------------------------
 
@@ -772,6 +823,7 @@ object CurationGates {
     "mutual_topk"        -> (mutualTopK _),
     "dsir_weights"       -> (dsirWeights _),
     "dsir_select"        -> (dsirSelect _),
+    "curation_select"    -> (curationSelect _),
     "temperature_mix"    -> (temperatureMix _),
     "oov_rate"           -> (oovRateGate _))
 
@@ -789,6 +841,7 @@ object CurationGates {
     "mutual_topk"        -> mutualTopKSql,
     "dsir_weights"       -> dsirWeightsSql,
     "dsir_select"        -> dsirSelectSql,
+    "curation_select"    -> curationSelectSql,
     "temperature_mix"    -> temperatureMixSql,
     "oov_rate"           -> oovRateSql)
 }

@@ -115,9 +115,17 @@ object Gopher {
   }
 
   /** The filter form: survivors of [[profile]]'s `keep` verdict, original
-    * columns only.
+    * columns only. Thresholds thread through to [[profile]] (defaults =
+    * the paper's).
     */
-  def keepDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.join(profile(docs, idCol, textCol).where(col("keep"))
-      .select(col(idCol)), Seq(idCol), "left_semi")
+  def keepDocs(docs: DataFrame, idCol: String, textCol: String,
+               minWords: Int = 50, maxWords: Int = 100000,
+               minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+               maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+               maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+               minStopwords: Int = 2): DataFrame =
+    docs.join(profile(docs, idCol, textCol, minWords, maxWords, minMeanLen,
+        maxMeanLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+        minAlphaFrac, minStopwords)
+      .where(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
 }
