@@ -328,7 +328,10 @@ object Bench {
         "dsir_weights", "dsir_select", "margin_mine",
         "ann_pq_refine", "oov_rate", "split_by_cluster",
         // the composed capstone: rules -> dsir -> select -> split
-        "curation_select")
+        "curation_select",
+        // exact Gram explode² is linear in n (dim fixed); drift is two
+        // mean aggregations
+        "embed_gram", "embed_drift")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -136,6 +136,83 @@ object CurationGates {
        |  ok_alpha, ok_stop, keep
        |FROM gverd ORDER BY doc_id""".stripMargin
 
+  // ---- embedding statistics -------------------------------------------
+
+  /** [[graft.llm.EmbedStats.gramExact]] over the embeddings corpus:
+    * the exact second-moment/covariance upper triangle — the whitening
+    * input, cell-for-cell bitwise against a DuckDB restatement (decimal
+    * product sums, the portable mean rounding, three exactly-rounded
+    * covariance ops).
+    */
+  def embedGram(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbedStats.gramExact(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy("j", "k")
+
+  val embedGramSql: String = {
+    val dim = LlmGates.Dim
+    s"""WITH ex AS (
+       |  SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS v
+       |  FROM embeddings, (SELECT unnest(range(0, $dim)) AS j)),
+       |pr AS (
+       |  SELECT a.j AS j, b.j AS k, CAST(count(*) AS BIGINT) AS n,
+       |    -- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+       |    sum(CAST(CAST(a.v * b.v AS VARCHAR) AS DECIMAL(28,15))) AS s
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.j <= b.j
+       |  GROUP BY 1, 2),
+       |m2 AS (
+       |  SELECT j, k, n,
+       |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS m2
+       |  FROM pr),
+       |mn AS (
+       |  SELECT j, floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+       |      / count(*) * 1000000 + 0.5) / 1000000 AS m
+       |  FROM ex GROUP BY 1)
+       |SELECT t.j, t.k, t.n, t.m2, t.m2 - a.m * b.m AS cov
+       |FROM m2 t JOIN mn a ON a.j = t.j JOIN mn b ON b.j = t.k
+       |ORDER BY t.j, t.k""".stripMargin
+  }
+
+  /** [[graft.llm.EmbedStats.embeddingDrift]] between the even and odd
+    * halves of the embeddings corpus: L2 + cosine between the exact
+    * mean vectors — the embedding-space analogue of `corpus_drift`.
+    */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.llm.EmbedStats.embeddingDrift(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "embedding")
+  }
+
+  val embedDriftSql: String = {
+    val dim = LlmGates.Dim
+    def meanCte(name: String, par: Int) =
+      s"""$name AS (
+         |  SELECT j, floor(CAST(sum(CAST(CAST(embedding[j + 1] AS DOUBLE)
+         |      AS DECIMAL(20,10))) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         |    / 1000000 AS m
+         |  FROM embeddings, (SELECT unnest(range(0, $dim)) AS j)
+         |  WHERE vec_id % 2 = $par GROUP BY 1)""".stripMargin
+    val dotAB =
+      s"list_reduce([va.v[j] * vb.v[j] for j in range(1, ${dim + 1})], (x, y) -> x + y)"
+    def nrm(side: String) =
+      s"sqrt(list_reduce([$side.v[j] * $side.v[j] for j in range(1, ${dim + 1})], (x, y) -> x + y))"
+    s"""WITH ${meanCte("ma", 0)},
+       |${meanCte("mb", 1)},
+       |va AS (SELECT list(m ORDER BY j) AS v FROM ma),
+       |vb AS (SELECT list(m ORDER BY j) AS v FROM mb)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 2 = 1) AS n_b,
+       |  round(sqrt(list_reduce(
+       |    [(va.v[j] - vb.v[j]) * (va.v[j] - vb.v[j])
+       |     for j in range(1, ${dim + 1})], (x, y) -> x + y)), 6) AS l2,
+       |  CASE WHEN ${nrm("va")} * ${nrm("vb")} = 0
+       |    THEN CAST('-infinity' AS DOUBLE)
+       |    ELSE round($dotAB / (${nrm("va")} * ${nrm("vb")}), 6) END AS cosine
+       |FROM va, vb""".stripMargin
+  }
+
   // ---- C4 filter battery ----------------------------------------------
 
   /** [[graft.llm.C4.profile]] over a planted corpus: doc_id % 6 picks
@@ -812,6 +889,8 @@ object CurationGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_rules"       -> (gopherRules _),
     "c4_filters"         -> (c4Filters _),
+    "embed_gram"         -> (embedGram _),
+    "embed_drift"        -> (embedDrift _),
     "span_corrupt"       -> (spanCorruptGate _),
     "classify_centroid"  -> (classifyCentroid _),
     "classify_text"      -> (classifyText _),
@@ -830,6 +909,8 @@ object CurationGates {
   val oracleSql: Map[String, String] = Map(
     "gopher_rules"       -> gopherRulesSql,
     "c4_filters"         -> c4FiltersSql,
+    "embed_gram"         -> embedGramSql,
+    "embed_drift"        -> embedDriftSql,
     "span_corrupt"       -> spanCorruptSql,
     "classify_centroid"  -> classifyCentroidSql,
     "classify_text"      -> classifyTextSql,
