@@ -331,7 +331,7 @@ object Bench {
         "curation_select",
         // exact Gram explode² is linear in n (dim fixed); drift is two
         // mean aggregations
-        "embed_gram", "embed_drift")
+        "embed_gram", "embed_drift", "embed_standardize")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

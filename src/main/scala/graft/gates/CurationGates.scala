@@ -213,6 +213,42 @@ object CurationGates {
        |FROM va, vb""".stripMargin
   }
 
+  /** [[graft.llm.EmbedStats.standardize]] over the embeddings corpus:
+    * per-dimension z-scores rendered as the sorted sparse string (the
+    * portable vector form).
+    */
+  def embedStandardize(s: SparkSession, dir: String): DataFrame =
+    graft.llm.EmbedStats.standardize(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val embedStandardizeSql: String = {
+    val dim = LlmGates.Dim
+    s"""WITH ex AS (
+       |  SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS v
+       |  FROM embeddings, (SELECT unnest(range(0, $dim)) AS j)),
+       |st AS (
+       |  SELECT j,
+       |    floor(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+       |      / count(*) * 1000000 + 0.5) / 1000000 AS m,
+       |    -- VARCHAR-routed decimal boundaries: see lmBackoffSql's note
+       |    CAST(CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(28,15)))
+       |      AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m2
+       |  FROM ex GROUP BY 1),
+       |sd AS (
+       |  SELECT j, m, sqrt(greatest(m2 - m * m, 0.0)) AS sd FROM st),
+       |z AS (
+       |  SELECT e.vec_id, e.j,
+       |    CASE WHEN s.sd = 0.0 OR round((e.v - s.m) / s.sd, 6) = 0.0 THEN 0.0
+       |      ELSE round((e.v - s.m) / s.sd, 6) END AS zv
+       |  FROM ex e JOIN sd s USING (j))
+       |SELECT vec_id,
+       |  STRING_AGG(CAST(j AS VARCHAR) || ':'
+       |      || CAST(CAST(CAST(zv AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR),
+       |    ' ' ORDER BY j) AS z_features
+       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   // ---- C4 filter battery ----------------------------------------------
 
   /** [[graft.llm.C4.profile]] over a planted corpus: doc_id % 6 picks
@@ -891,6 +927,7 @@ object CurationGates {
     "c4_filters"         -> (c4Filters _),
     "embed_gram"         -> (embedGram _),
     "embed_drift"        -> (embedDrift _),
+    "embed_standardize"  -> (embedStandardize _),
     "span_corrupt"       -> (spanCorruptGate _),
     "classify_centroid"  -> (classifyCentroid _),
     "classify_text"      -> (classifyText _),
@@ -911,6 +948,7 @@ object CurationGates {
     "c4_filters"         -> c4FiltersSql,
     "embed_gram"         -> embedGramSql,
     "embed_drift"        -> embedDriftSql,
+    "embed_standardize"  -> embedStandardizeSql,
     "span_corrupt"       -> spanCorruptSql,
     "classify_centroid"  -> classifyCentroidSql,
     "classify_text"      -> classifyTextSql,

@@ -118,6 +118,52 @@ object EmbedStats {
     spark.createDataFrame(rows).toDF("j", "k", "n", "m2")
   }
 
+  /** Diagonal whitening (per-dimension z-score) of an embedding
+    * column — the standardization step before cosine/L2 geometry is
+    * trusted across dimensions of different scale (full whitening
+    * takes [[gramFast]]'s off-diagonals; the diagonal is what most
+    * pipelines actually apply). Per dimension: the portable-rounded
+    * mean, `sd = sqrt(m2 − mean²)` (exactly-rounded ops on published
+    * values, clamped at 0 for constant dims), then
+    * `z = round((x − mean)/sd, 6)` with zero-variance dims pinned to
+    * 0.0. Output renders the vector as the sorted sparse string
+    * `"j:z j:z …"` ([[TextStats.hashedFeatures]]'s portable form —
+    * arrays don't hash portably in the driver compare).
+    *
+    * Scale shape: one stats aggregation (dim rows → broadcast), one
+    * narrow z projection, one per-row render agg.
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__j", "__v")))
+    val stats = ex.groupBy(col("__j"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(20,10)")).as("__s"),
+        sum((col("__v").cast("double") * col("__v").cast("double"))
+          .cast("decimal(28,15)")).as("__s2"))
+      .select(col("__j"),
+        (floor(col("__s").cast("double") / col("__n") * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("__m"),
+        (col("__s2").cast("double") / col("__n").cast("double")).as("__m2"))
+      .select(col("__j"), col("__m"),
+        sqrt(greatest(col("__m2") - col("__m") * col("__m"), lit(0.0)))
+          .as("__sd"))
+    val zRaw = round((col("__v").cast("double") - col("__m")) / col("__sd"), 6)
+    ex.join(broadcast(stats), Seq("__j"))
+      .select(col(idCol), col("__j"),
+        // the zRaw === 0 branch folds -0.0 into 0.0 so both engines
+        // render the same string
+        when(col("__sd") === 0.0 || zRaw === 0.0, lit(0.0))
+          .otherwise(zRaw).as("__z"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__j"), col("__z")))),
+          // fixed-scale decimal render: a raw double string goes
+          // scientific below 1e-3 in the JVM but never in DuckDB
+          s => concat(s.getField("__j").cast("string"), lit(":"),
+            s.getField("__z").cast("decimal(18,6)").cast("string"))), " ")
+        .as("z_features"))
+  }
+
   /** Mean-vector drift between two slices: one row
     * `(n_a, n_b, l2, cosine)` — the L2 distance and cosine between the
     * two exact mean vectors (ascending-dimension folds, round-6). The

@@ -51,6 +51,18 @@ class EmbedStatsSpec extends SparkSpec {
     assert(g.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
   }
 
+  test("standardize: known z-scores, constant dims pin to 0, decimal render") {
+    val vs = Seq(
+      (0L, Array(1.0f, 5.0f, 0.0001f)),
+      (1L, Array(3.0f, 5.0f, -0.0001f))).toDF("vec_id", "embedding")
+    val z = EmbedStats.standardize(vs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // dim 0: mean 2, sd 1 -> z = -1, +1; dim 1 constant -> 0; dim 2:
+    // mean 0, sd 1e-4 -> z = +-1 (and the render must NOT go scientific)
+    assert(z(0L) == "0:-1.000000 1:0.000000 2:1.000000", z(0L))
+    assert(z(1L) == "0:1.000000 1:0.000000 2:-1.000000", z(1L))
+  }
+
   test("embeddingDrift: zero on identical slices, positive on a shift") {
     val r = new scala.util.Random(17)
     val base = (0 until 60).map(i => (i.toLong, Array.fill(4)(r.nextFloat())))
