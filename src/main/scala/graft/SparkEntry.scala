@@ -30,7 +30,7 @@ object SparkEntry {
       gates.ViewGates.queries ++ gates.LlmGates.queries ++
       gates.QualityGates.queries ++ gates.IngestGates.queries ++
       gates.ViewRealGates.queries ++ gates.PipelineGates.queries ++
-      gates.CurationGates.queries
+      gates.CurationGates.queries ++ gates.TrainGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +39,5 @@ object SparkEntry {
       gates.ViewGates.oracleSql ++ gates.LlmGates.oracleSql ++
       gates.QualityGates.oracleSql ++ gates.IngestGates.oracleSql ++
       gates.ViewRealGates.oracleSql ++ gates.PipelineGates.oracleSql ++
-      gates.CurationGates.oracleSql
+      gates.CurationGates.oracleSql ++ gates.TrainGates.oracleSql
 }

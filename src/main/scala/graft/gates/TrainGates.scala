@@ -1,0 +1,354 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Bpe, C4, LogReg, Sft}
+
+/** Correctness gates for the trainable/tokenizer tier — real BPE
+  * (train + encode), full-batch logistic regression (train + score),
+  * SFT transcript assembly, and the token-join blocklist probe. Same
+  * contract as [[LlmGates]]/[[CurationGates]]: every gate carries a
+  * full DuckDB oracle restating the ENTIRE computation under the FP
+  * parity rules (VARCHAR-routed decimal boundaries, round-6 renders,
+  * exact-decimal order-free sums).
+  *
+  * The BPE oracles use the doubled-separator `replace` trick: a word's
+  * symbols joined by two spaces (each boundary doubled) make one
+  * non-overlapping left-to-right `replace` per merge ≡ the engine's
+  * merge pass — EXCEPT that a match consumes the trailing separator
+  * that is also the next candidate's leading separator, so the replace
+  * is applied 4× per rank (idempotent once converged). Fixpoint
+  * equality with the pass holds whenever no symbol repeats ≥5 times
+  * consecutively; the testdata vocabulary (31 distinct words, max
+  * length 8, longest same-char run 2 at every SF) sits far inside
+  * that bound, and BpeSpec pins the pass semantics engine-side.
+  */
+object TrainGates {
+
+  // ---- BPE ------------------------------------------------------------
+
+  private val BpeRounds = 6
+
+  /** 4× applications of one doubled-separator replace: pattern
+    * `"  l  r  "` → `"  lr  "`, with `l`/`r` SQL string expressions.
+    */
+  private def rep4(expr: String, l: String, r: String): String = {
+    val pat = s"'  ' || $l || '  ' || $r || '  '"
+    val rep = s"'  ' || $l || $r || '  '"
+    (0 until 4).foldLeft(expr)((e, _) => s"replace($e, $pat, $rep)")
+  }
+
+  /** [[Bpe.train]] over `documents` — 6 learned merges with their
+    * non-overlapping pair counts.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(Tables(s, dir, "documents"), "text", BpeRounds)
+      .orderBy("rank")
+
+  /** Oracle: the full merge loop unrolled — per round, run-aware
+    * non-overlapping pair counts (adjacent-occurrence counts for
+    * `l ≠ r`; per-island `ceil(m/2)` for same-symbol runs, ≡ the
+    * engine's lastEnd scan), deterministic argmax (count desc, left
+    * asc, right asc), then the replace-trick apply feeding the next
+    * round.
+    */
+  val bpeTrainSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """wc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS word
+        |    FROM documents) WHERE word <> '' GROUP BY 1)""".stripMargin,
+      """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM wc)""")
+    for (k <- 0 until BpeRounds) {
+      ctes += s"""px$k AS (
+        |  SELECT word, cnt, unnest(range(1, len(s))) AS i, s FROM s$k)""".stripMargin
+      ctes += s"""pr$k AS (
+        |  SELECT word, cnt, i, s[i] AS a, s[i+1] AS b FROM px$k)""".stripMargin
+      ctes += s"""ne$k AS (
+        |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM pr$k WHERE a <> b GROUP BY 1, 2)""".stripMargin
+      ctes += s"""is$k AS (
+        |  SELECT word, cnt, a, i - row_number() OVER (PARTITION BY word, a ORDER BY i) AS grp
+        |  FROM pr$k WHERE a = b)""".stripMargin
+      ctes += s"""eq$k AS (
+        |  SELECT a, a AS b, CAST(sum(((m + 1) // 2) * cnt) AS BIGINT) AS pc FROM (
+        |    SELECT word, a, cnt, grp, count(*) AS m FROM is$k GROUP BY 1, 2, 3, 4) GROUP BY 1, 2)""".stripMargin
+      ctes += s"""w$k AS (
+        |  SELECT a, b, pc FROM (SELECT * FROM ne$k UNION ALL SELECT * FROM eq$k)
+        |  ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      val applied = rep4("'  ' || array_to_string(s, '  ') || '  '", "w.a", "w.b")
+      ctes += s"""s${k + 1} AS (
+        |  SELECT word, cnt, [x for x in string_split(trim($applied), '  ') if x <> ''] AS s
+        |  FROM s$k, w$k AS w)""".stripMargin
+    }
+    val union = (0 until BpeRounds).map(k =>
+      s"""SELECT $k AS rank, a AS "left", b AS "right", pc AS pair_count FROM w$k""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** Pinned merge list for the encode gate — hand-chosen over the real
+    * vocabulary to exercise rank chaining (`th`+`e`, `al`+`ue`) and
+    * rank shadowing (`r`+`o` starves `o`+`w` inside `row` but not
+    * `slow`/`window`). Literal on BOTH sides so the oracle needs no
+    * training chain.
+    */
+  private val PinnedMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"), ("a", "l"), ("u", "e"), ("al", "ue"),
+    ("r", "o"), ("w", "i"), ("n", "d"), ("o", "w"))
+
+  /** [[Bpe.encodeWithMerges]] under [[PinnedMerges]]: learned-subword
+    * tokens and exact token counts per document.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeWithMerges(Tables(s, dir, "documents"), "doc_id", "text",
+        PinnedMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
+  /** Oracle: whole-document replace chain — word-boundary spaces become
+    * a newline sentinel symbol (merges of lowercase symbols can never
+    * match it), every char joined by the doubled separator, then the
+    * 4×-replace per pinned rank, split back, sentinel dropped.
+    */
+  val bpeEncodeSql: String = {
+    val inner =
+      "'  ' || array_to_string([n2[j] for j in range(1, len(n2)+1)], '  ') || '  '"
+    val chain = PinnedMerges.foldLeft(inner) { case (e, (l, r)) =>
+      rep4(e, s"'$l'", s"'$r'")
+    }
+    s"""WITH nm AS (
+       |  SELECT doc_id, replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ', chr(10)) AS n2
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS toks
+       |  FROM nm)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  array_to_string(toks, ' ') AS tok_str
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- Logistic regression --------------------------------------------
+
+  private val LrIters = 3
+  private val LrRate = 0.5
+  private val Dim = LlmGates.Dim
+
+  /** [[LogReg.train]]: 3 full-batch rounds on `embeddings` with the
+    * binary target `label >= 5` — the fitted 65-weight model.
+    */
+  def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val labeled = e.select(col("vec_id"),
+      (col("label") >= 5).cast("int").as("y"), col("embedding"))
+    LogReg.train(labeled, "y", "embedding", LrIters, LrRate).orderBy("j")
+  }
+
+  /** Oracle: the gradient-descent loop unrolled — per iteration, the
+    * exact-decimal margin sum (VARCHAR-routed boundaries), the
+    * algebraic sigmoid + round-6 quantize, the exact-decimal gradient
+    * aggregation, and the round-6 weight update. Identical IEEE ops in
+    * identical order on both engines; every cross-row sum is an exact
+    * decimal, so shuffle order cannot leak in.
+    */
+  val logregTrainSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""ax AS (
+         |  SELECT vec_id, CAST((label >= 5) AS INT) AS y, j,
+         |    CASE WHEN j = 0 THEN 1.0::DOUBLE ELSE CAST(embedding[j] AS DOUBLE) END AS x
+         |  FROM embeddings, (SELECT unnest(range(0, ${Dim + 1})) AS j))""".stripMargin,
+      """n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ax)""",
+      s"""w0 AS (SELECT j, 0.0::DOUBLE AS w FROM (SELECT unnest(range(0, ${Dim + 1})) AS j))""")
+    for (k <- 0 until LrIters) {
+      ctes += s"""mg$k AS (
+        |  SELECT a.vec_id, any_value(a.y) AS y,
+        |    CAST(CAST(sum(CAST(CAST(a.x * w.w AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS m
+        |  FROM ax a JOIN w$k w USING (j) GROUP BY a.vec_id)""".stripMargin
+      ctes += s"""pp$k AS (
+        |  SELECT vec_id, y,
+        |    floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS p
+        |  FROM mg$k)""".stripMargin
+      ctes += s"""gr$k AS (
+        |  SELECT a.j,
+        |    CAST(CAST(sum(CAST(CAST((p.p - p.y) * a.x AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS g
+        |  FROM ax a JOIN pp$k p USING (vec_id) GROUP BY a.j)""".stripMargin
+      ctes += s"""w${k + 1} AS (
+        |  SELECT w.j, floor((w.w - $LrRate * (g.g / n.n)) * 1000000 + 0.5) / 1000000 AS w
+        |  FROM w$k w JOIN gr$k g USING (j), n)""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT CAST(j AS INT) AS j, w FROM w$LrIters ORDER BY j"
+  }
+
+  /** Pinned 65-weight model for the scoring gate — a deterministic
+    * small-magnitude pattern, independent of the training chain so the
+    * two gates fail independently.
+    */
+  private val PinnedW: Array[Double] =
+    Array.tabulate(Dim + 1)(j => ((j * 37) % 13 - 6) / 100.0)
+
+  /** [[LogReg.scores]] under [[PinnedW]]: the corpus-sized scoring
+    * pass — round-6 algebraic-sigmoid score + 0.5-threshold verdict.
+    */
+  def logregScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = s.createDataset(PinnedW.toSeq.zipWithIndex
+      .map { case (w, j) => (j, w) }).toDF("j", "w")
+    LogReg.scores(Tables(s, dir, "embeddings"), "vec_id", "embedding", model)
+      .orderBy("vec_id")
+  }
+
+  val logregScoresSql: String = {
+    val wLit = PinnedW.mkString("[", ", ", "]::DOUBLE[]")
+    s"""WITH ax AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN j = 0 THEN 1.0::DOUBLE ELSE CAST(embedding[j] AS DOUBLE) END AS x
+       |  FROM embeddings, (SELECT unnest(range(0, ${Dim + 1})) AS j)),
+       |mg AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(sum(CAST(CAST(x * ($wLit)[j + 1] AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS m
+       |  FROM ax GROUP BY vec_id)
+       |SELECT vec_id,
+       |  floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS score,
+       |  CAST(floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 >= 0.5 AS INT) AS pred
+       |FROM mg ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- SFT assembly ---------------------------------------------------
+
+  private val SftBudget = 400
+
+  private def sftTurnsDf(s: SparkSession, dir: String): DataFrame =
+    Sft.turns(Tables(s, dir, "events"), "user_id", "ts", "event_type",
+      "props")
+
+  /** [[Sft.turns]]: the per-turn table with roles, rendered-line
+    * lengths, [start, end) character offsets, and the loss mask.
+    */
+  def sftTurns(s: SparkSession, dir: String): DataFrame =
+    sftTurnsDf(s, dir).orderBy("conv_id", "turn_idx")
+
+  /** Shared turn-table CTE chain ending in `t(conv_id, turn_idx, role,
+    * content, line_len, start_off, end_off, masked)`.
+    */
+  private val sftTurnsCte: String =
+    """bs AS (
+      |  SELECT CAST(user_id AS BIGINT) AS conv_id, ts, event_id,
+      |    CASE WHEN event_type IN ('click', 'view') THEN 'user' ELSE 'assistant' END AS role,
+      |    event_type || ' ' || coalesce(props, '') AS content
+      |  FROM events),
+      |ln AS (
+      |  SELECT conv_id, ts, event_id, role, content,
+      |    CAST(length(role || ': ' || content) AS INT) AS line_len
+      |  FROM bs),
+      |t AS (
+      |  SELECT conv_id,
+      |    CAST(row_number() OVER w AS INT) AS turn_idx, role, content, line_len,
+      |    CAST(coalesce(sum(line_len + 1) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+      |    CAST(coalesce(sum(line_len + 1) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + line_len AS BIGINT) AS end_off,
+      |    (role = 'assistant') AS masked
+      |  FROM ln
+      |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id))""".stripMargin
+
+  val sftTurnsSql: String =
+    s"""WITH $sftTurnsCte
+       |SELECT * FROM t ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** [[Sft.truncateLatest]] at a 400-char budget: the drop-oldest
+    * whole-turn truncation, renumbered and re-offset.
+    */
+  def sftTruncate(s: SparkSession, dir: String): DataFrame =
+    Sft.truncateLatest(sftTurnsDf(s, dir), SftBudget)
+      .orderBy("conv_id", "turn_idx")
+
+  val sftTruncateSql: String =
+    s"""WITH $sftTurnsCte,
+       |sfx AS (
+       |  SELECT *, sum(line_len + 1) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sfx
+       |  FROM t),
+       |kept AS (SELECT * FROM sfx WHERE sfx <= $SftBudget)
+       |SELECT conv_id,
+       |  CAST(row_number() OVER w AS INT) AS turn_idx, role, content, line_len,
+       |  CAST(coalesce(sum(line_len + 1) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+       |  CAST(coalesce(sum(line_len + 1) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + line_len AS BIGINT) AS end_off,
+       |  masked
+       |FROM kept
+       |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** [[Sft.transcripts]]: the flat rendered transcript per
+    * conversation plus the `start:end|…` loss-mask span list.
+    */
+  def sftTranscripts(s: SparkSession, dir: String): DataFrame =
+    Sft.transcripts(sftTurnsDf(s, dir)).orderBy("conv_id")
+
+  val sftTranscriptsSql: String =
+    s"""WITH $sftTurnsCte
+       |SELECT conv_id,
+       |  CAST(count(*) AS BIGINT) AS n_turns,
+       |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_turns,
+       |  CAST(sum(CASE WHEN masked THEN line_len ELSE 0 END) AS BIGINT) AS n_masked_chars,
+       |  CAST(length(string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx)) AS INT) AS n_chars,
+       |  string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx) AS transcript,
+       |  string_agg(CASE WHEN masked THEN CAST(start_off AS VARCHAR) || ':' || CAST(end_off AS VARCHAR) END,
+       |    '|' ORDER BY turn_idx) AS mask_spans
+       |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  // ---- Blocklist token join -------------------------------------------
+
+  /** Terms present in the corpus vocabulary, so both booleans of `keep`
+    * are populated.
+    */
+  private val BlockTerms = Seq("slow", "dup", "merge")
+
+  /** [[C4.blocklistProbe]] under a literal blocklist: token-join hit
+    * counts and the keep verdict per document.
+    */
+  def c4Blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bl = s.createDataset(BlockTerms).toDF("term")
+    C4.blocklistProbe(Tables(s, dir, "documents"), "doc_id", "text", bl)
+      .orderBy("doc_id")
+  }
+
+  val c4BlocklistSql: String = {
+    val terms = BlockTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH bl AS (SELECT DISTINCT lower(term) AS tok FROM (VALUES $terms) v(term)),
+       |tk AS (
+       |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(count(DISTINCT t.tok) AS BIGINT) AS n_distinct_hits
+       |  FROM tk t JOIN bl USING (tok) WHERE t.tok <> '' GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+       |  coalesce(n_distinct_hits, 0) AS n_distinct_hits,
+       |  (coalesce(n_hits, 0) = 0) AS keep
+       |FROM documents d LEFT JOIN h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- registration ---------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train"       -> (bpeTrain _),
+    "bpe_encode"      -> (bpeEncode _),
+    "logreg_train"    -> (logregTrain _),
+    "logreg_scores"   -> (logregScores _),
+    "sft_turns"       -> (sftTurns _),
+    "sft_truncate"    -> (sftTruncate _),
+    "sft_transcripts" -> (sftTranscripts _),
+    "c4_blocklist"    -> (c4Blocklist _))
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_train"       -> bpeTrainSql,
+    "bpe_encode"      -> bpeEncodeSql,
+    "logreg_train"    -> logregTrainSql,
+    "logreg_scores"   -> logregScoresSql,
+    "sft_turns"       -> sftTurnsSql,
+    "sft_truncate"    -> sftTruncateSql,
+    "sft_transcripts" -> sftTranscriptsSql,
+    "c4_blocklist"    -> c4BlocklistSql)
+}

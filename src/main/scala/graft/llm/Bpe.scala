@@ -1,0 +1,208 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer: distributed vocabulary counting, a
+  * budgeted driver-side merge learner, and a broadcast encode kernel —
+  * the real-tokenizer upgrade over [[TextStats.approxBpeTokens]]'s
+  * regex proxy. Token budgets drive every selection/packing operator
+  * downstream ([[graft.operators.Selection]], [[Packing]]), so an
+  * exact, learned subword count is the difference between "about this
+  * many tokens" and the number the trainer will actually see.
+  *
+  * Semantics (pinned, engine-portable, and deliberately simple):
+  *   - Words are the whitespace-normalized tokens of
+  *     `trim(lower(text))` split on runs of whitespace — the same
+  *     convention as every other word-level operator here. Merges never
+  *     cross a word boundary; there is no end-of-word marker.
+  *   - A MERGE PASS over a word's symbol sequence replaces adjacent
+  *     `(left, right)` pairs left-to-right, NON-overlapping: `aaa`
+  *     under `(a,a)` becomes `[aa, a]`, never `[a, aa]`.
+  *   - ENCODING applies the learned merges IN RANK ORDER, one pass
+  *     each (Sennrich et al. 2016's re-pair application, not the
+  *     lowest-rank-pair priority queue — the two differ only on
+  *     corpora where a later merge re-creates an earlier pair, and the
+  *     pass form is restatable as chained non-overlapping string
+  *     replaces, which is what the `bpe_encode` oracle does).
+  *   - TRAINING picks, per round, the pair with the highest
+  *     non-overlapping occurrence count (ties: lexicographic smallest
+  *     left, then right) — the count of replacements the apply pass
+  *     would actually make, so train and encode agree on degenerate
+  *     runs. Deterministic by construction; no RNG anywhere.
+  *
+  * Scale shape (the 100 TB story): the corpus-sized work is ONE
+  * distributed word-count aggregation; the learner runs on the
+  * collected `(word, count)` table, which Heaps' law bounds far below
+  * corpus size and [[vocabBudget]] bounds absolutely (top-`budget` by
+  * count — the same bounded-collect contract as [[Ann]]'s 2^16
+  * centroid budget; dropped tail words are reported, not silent).
+  * Encoding is a narrow mapPartitions over a broadcast merge list with
+  * a per-partition word→tokens memo — Zipf repetition makes the memo
+  * hit rate extreme, and there is no shuffle at all.
+  */
+object Bpe {
+
+  /** Distributed `(word, cnt)` table over the corpus — BPE training
+    * input, ordered (cnt desc, word asc) for deterministic budgeting.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(regexp_replace(trim(lower(col(textCol))),
+        "\\s+", " "), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** One non-overlapping left-to-right merge pass. */
+  private[llm] def mergePass(syms: Array[String], l: String,
+                             r: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Rank-order application of a merge list to one word. */
+  private[llm] def encodeWord(word: String,
+                              merges: Array[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var k = 0
+    while (k < merges.length && syms.length > 1) {
+      val (l, r) = merges(k)
+      // cheap containment probe: a pass can only fire if both symbol
+      // texts appear in the word at all
+      if (word.contains(l) && word.contains(r)) syms = mergePass(syms, l, r)
+      k += 1
+    }
+    syms
+  }
+
+  /** Learn `numMerges` merges from the corpus. Returns
+    * `(rank, left, right, pair_count)` — rank 0 first. The driver-side
+    * loop runs over at most `vocabBudget` distinct words (top by
+    * count, word-asc ties); `capStats`, when supplied, receives the
+    * number of distinct words the budget dropped (0 on typical
+    * corpora — the budget is a guard, not a sampler).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            vocabBudget: Int = 1 << 16,
+            capStats: Option[CapStats] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs, textCol)
+    val total = wc.count()
+    val kept = wc.orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabBudget).as[(String, Long)].collect()
+    capStats.foreach { cs =>
+      val dropped = math.max(0L, total - kept.length)
+      cs.droppedBuckets += (if (dropped > 0) 1L else 0L)
+      cs.droppedRows += dropped
+    }
+    val merges = trainOnCounts(kept, numMerges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.zipWithIndex.map {
+        case ((l, r, c), i) => Row(i, l, r, c)
+      }, 1),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** The merge loop over a collected word-count table (driver-side by
+    * design — see the object header's budget argument). Exposed for
+    * spec-level verification against hand-computed merges.
+    */
+  private[llm] def trainOnCounts(wordCounts: Array[(String, Long)],
+                                 numMerges: Int): Array[(String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < numMerges) {
+      // per-pair NON-overlapping adjacent counts — exactly the number
+      // of replacements mergePass would make for that pair, counted
+      // independently per pair (a same-symbol run like `aaa` holds one
+      // (a,a) occurrence, but `aab` still holds one (a,b))
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        val lastEnd = mutable.HashMap.empty[(String, String), Int]
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          if (i >= lastEnd.getOrElse(p, 0)) {
+            counts.update(p, counts.getOrElse(p, 0L) + c)
+            lastEnd.update(p, i + 2)
+          }
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = numMerges
+      else {
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        out += ((l, r, c))
+        words = words.map { case (syms, wc) =>
+          (if (syms.length > 1) mergePass(syms, l, r) else syms, wc)
+        }
+        round += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode every document against a learned (or supplied) merge
+    * table: `(id, tokens: array<string>, n_tokens)`. `merges` is
+    * [[train]]'s output shape (`rank, left, right`) — collected under
+    * the same bounded-model contract as [[Ann.ivfTopKTrained]]'s
+    * centroids, then broadcast into a narrow memoized kernel.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ms: Array[(String, String)] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)].collect().sortBy(_._1)
+      .map { case (_, l, r) => (l, r) }
+    encodeWithMerges(docs, idCol, textCol, ms)
+  }
+
+  /** [[encode]] over an in-memory merge list (rank order = array
+    * order). The hot path: no shuffle, broadcast merges, per-partition
+    * word→tokens memo.
+    */
+  def encodeWithMerges(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    val encoded = norm.as[(Long, String)].mapPartitions { rows =>
+      val ms = bc.value
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val toks =
+          if (t.isEmpty) Array.empty[String]
+          else t.split(" ").iterator.flatMap { w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ms))
+          }.toArray
+        (id, toks)
+      }
+    }.toDF(idCol, "tokens")
+    encoded.select(col(idCol), col("tokens"),
+      size(col("tokens")).as("n_tokens"))
+  }
+
+  /** Exact learned-subword token counts: `(id, n_tokens)` — the
+    * drop-in upgrade for every token-budget consumer. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame =
+    encode(docs, idCol, textCol, merges).select(col(idCol), col("n_tokens"))
+}

@@ -96,4 +96,39 @@ object C4 {
     docs.drop(textCol).join(p, Seq(idCol))
       .withColumnRenamed("text_clean", textCol)
   }
+
+  /** Token-JOIN form of the bad-words probe — the at-scale shape for
+    * a blocklist of many thousands of terms, where [[profile]]'s
+    * single anchored regex alternation stops being the right tool
+    * (SCALE.md's honest-limit: a giant alternation is O(pattern) per
+    * char; a join is O(tokens)). Tokens are the whitespace-normalized
+    * words of `trim(lower(text))`; `blocklist` is a one-column table
+    * of lowercase terms. Returns one row per document:
+    * `(idCol, n_hits, n_distinct_hits, keep)` with keep = zero hits.
+    *
+    * `broadcastList = true` (default) broadcasts the blocklist —
+    * right up to memory-sized lists; `false` falls back to a
+    * shuffle join on the token, the skew-guarded (AQE) shape for a
+    * dictionary-scale list. Either way the corpus side is one narrow
+    * explode + one aggregation keyed by doc id.
+    */
+  def blocklistProbe(docs: DataFrame, idCol: String, textCol: String,
+                     blocklist: DataFrame, termCol: String = "term",
+                     broadcastList: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(regexp_replace(trim(lower(col(textCol))),
+          "\\s+", " "), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val bl0 = blocklist.select(lower(col(termCol)).as("__tok")).distinct()
+    val bl = if (broadcastList) broadcast(bl0) else bl0
+    val hits = toks.join(bl, Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("__tok")).as("n_distinct_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_distinct_hits"), lit(0L)).as("n_distinct_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("keep"))
+  }
 }

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable linear classifier: deterministic FULL-BATCH gradient
+  * descent over dense embedding features — the iterative-optimizer
+  * complement to [[Classify]]'s one-shot nearest-centroid tier, for
+  * quality/domain filters where a fitted decision boundary beats a
+  * class mean (GPT-3- and LLaMA-style linear CommonCrawl filters).
+  *
+  * Arithmetic contract (every published number is reachable through
+  * exactly-rounded IEEE ops + exact decimal sums, so the `logreg_*`
+  * gates hash-match a DuckDB restatement bitwise):
+  *   - the feature vector is augmented with a leading 1.0 (index 0 =
+  *     bias), weights are `dim + 1` round-6 doubles starting at 0;
+  *   - margin m = Σ_j dec28,15(x_j · w_j), summed EXACTLY as decimals
+  *     (order-free), then one decimal→double conversion;
+  *   - the link is the ALGEBRAIC sigmoid p = 0.5·(1 + m/(1+|m|)) —
+  *     same monotone S-shape and 0.5-at-0 decision geometry as the
+  *     logistic, but built from ÷, ×, +, |·| only: `exp` is NOT
+  *     correctly rounded on either engine's libm, and a 1-ulp `exp`
+  *     divergence under a round-6 quantizer is exactly the midpoint
+  *     hazard the codebase's FP-parity rules exist to exclude;
+  *   - p quantizes to 6 dp via floor(p·10⁶ + 0.5)/10⁶, the residual is
+  *     r = p − y, gradient sums Σ_i dec28,15(r_i · x_ij) are exact
+  *     decimals, and the update w_j ← round6(w_j − lr·(g_j/n)) is
+  *     three exactly-rounded double ops (lr defaults to 0.5, exact in
+  *     binary).
+  *
+  * Scale shape: one iteration = one NARROW margin/residual pass (the
+  * weight vector rides along as a literal array — no join, no shuffle)
+  * plus one `dim+1`-group aggregation; the model is `dim+1` rows. The
+  * corpus-sized operation is [[scores]] (a single narrow pass);
+  * training runs on the LABELED slice, which is sample-sized by
+  * definition in a curation pipeline — and even corpus-sized training
+  * is K linear scans, never a collect.
+  */
+object LogReg {
+
+  private def round6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** Augmented feature array: [1.0, x_1…x_dim] as exact doubles. */
+  private def augmented(vecCol: String): Column =
+    concat(array(lit(1.0d)),
+      transform(col(vecCol), x => x.cast("double")))
+
+  /** Exact-decimal margin of the augmented vector against a literal
+    * weight array: Σ_j dec28,15(x_j·w_j) → double. The accumulator is
+    * decimal(38,15) with a per-step cast — every add is exact (the sum
+    * of dim+1 unit-scale terms sits far inside 38 digits), and the
+    * result is order-independent, which is what makes the narrow
+    * no-shuffle form safe to restate as DuckDB's group-by sum.
+    */
+  private def marginExpr(vecCol: String, w: Array[Double]): Column = {
+    val wLit = array(w.map(lit(_)): _*)
+    aggregate(
+      zip_with(augmented(vecCol), wLit,
+        (x, wj) => (x * wj).cast("decimal(28,15)")),
+      lit(0).cast("decimal(38,15)"),
+      (acc, t) => (acc + t).cast("decimal(38,15)")
+    ).cast("double")
+  }
+
+  /** Train `iters` full-batch rounds; returns the fitted weights as
+    * `(j, w)` rows — j = 0 is the bias, j = 1…dim the per-dimension
+    * weights, every w a round-6 double.
+    */
+  def train(df: DataFrame, labelCol: String, vecCol: String,
+            iters: Int, lr: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(labelCol).cast("double").as("__y"),
+      augmented(vecCol).as("__x"))
+    val dim = base.select(size(col("__x"))).head().getInt(0)
+    val n = base.count().toDouble
+    var w = Array.fill(dim)(0.0d)
+    var it = 0
+    while (it < iters) {
+      // residual pass is narrow (weights as literals); the only
+      // shuffle is the dim+1-group gradient aggregation
+      val wLit = array(w.map(lit(_)): _*)
+      val withP = base.select(col("__y"), col("__x"),
+        round6(sigmoidAlg(
+          aggregate(
+            zip_with(col("__x"), wLit,
+              (x, wj) => (x * wj).cast("decimal(28,15)")),
+            lit(0).cast("decimal(38,15)"),
+            (acc, t) => (acc + t).cast("decimal(38,15)")
+          ).cast("double"))).as("__p"))
+      val grads = withP
+        .select((col("__p") - col("__y")).as("__r"),
+          posexplode(col("__x")).as(Seq("j", "__xj")))
+        .groupBy(col("j"))
+        .agg(sum((col("__r") * col("__xj")).cast("decimal(28,15)")).as("__g"))
+        .select(col("j"), col("__g").cast("double"))
+        .as[(Int, Double)].collect()
+      grads.foreach { case (j, g) =>
+        val upd = w(j) - lr * (g / n)
+        w(j) = math.floor(upd * 1e6 + 0.5) / 1e6
+      }
+      it += 1
+    }
+    spark.createDataset(w.toSeq.zipWithIndex.map { case (wj, j) => (j, wj) })
+      .toDF("j", "w")
+  }
+
+  /** The algebraic sigmoid 0.5·(1 + m/(1+|m|)). */
+  private def sigmoidAlg(m: Column): Column =
+    lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))
+
+  /** Score every row against a fitted `(j, w)` model (collected under
+    * the bounded-model contract — dim+1 rows): `(id, score, pred)`
+    * where score = round6(σ̃(margin)) and pred = score ≥ 0.5. This is
+    * the corpus-sized pass: narrow, codegen'd, zero shuffle.
+    */
+  def scores(df: DataFrame, idCol: String, vecCol: String,
+             model: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = model.select(col("j").cast("int"), col("w").cast("double"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    df.select(col(idCol),
+        round6(sigmoidAlg(marginExpr(vecCol, w))).as("score"))
+      .withColumn("pred", (col("score") >= lit(0.5)).cast("int"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer: hand-computed merges, pass semantics, encode
+  * round-trip, determinism, and the train→encode consistency law.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePass is left-to-right non-overlapping") {
+    assert(Bpe.mergePass(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(Bpe.mergePass(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(Bpe.mergePass(Array("t", "h", "e", "t", "h"), "t", "h").toSeq ==
+      Seq("th", "e", "th"))
+    assert(Bpe.mergePass(Array("x"), "a", "b").toSeq == Seq("x"))
+  }
+
+  test("trainOnCounts reproduces hand-computed merges with deterministic ties") {
+    // corpus: low x10, lower x5, newest x3  (chars: l o w e r s n t)
+    // round 1 pairs: (l,o)=15 (o,w)=15 (w,e)=8 (e,r)=5 (n,e)=3 (e,w)=3
+    //   (w,s)=0... tie (l,o) vs (o,w) at 15 -> lexicographic: (l,o)
+    val wc = Array(("low", 10L), ("lower", 5L), ("newest", 3L))
+    val merges = Bpe.trainOnCounts(wc, 3)
+    assert(merges(0) == ("l", "o", 15L))
+    // after merge 1: lo w | lo w e r | n e w e s t
+    // round 2: (lo,w)=15, (w,e)=8, (e,r)=5, (n,e)=3, (e,w)=3, (e,s)=3, (s,t)=3
+    assert(merges(1) == ("lo", "w", 15L))
+    // after merge 2: low | low e r | n e w e s t
+    // round 3: (low,e)=5, (e,r)=5, (n,e)=3, (e,w)=3, (e,s)=3, (s,t)=3
+    //   tie 5: (e,r) < (low,e)  lexicographically ("e" < "low")
+    assert(merges(2) == ("e", "r", 5L))
+  }
+
+  test("non-overlap counting: aab counts (a,b) even inside the aa run") {
+    val merges = Bpe.trainOnCounts(Array(("aab", 2L)), 1)
+    // pairs: (a,a)=2 (one non-overlapping occurrence x cnt 2),
+    //        (a,b)=2 -> tie -> (a,a) wins lexicographically
+    assert(merges(0) == ("a", "a", 2L))
+    val m2 = Bpe.trainOnCounts(Array(("aabab", 1L)), 1)
+    // (a,a)=1, (a,b)=2, (b,a)=1 -> (a,b)
+    assert(m2(0) == ("a", "b", 2L))
+  }
+
+  test("encodeWord applies merges in rank order, one pass each") {
+    val merges = Array(("t", "h"), ("th", "e"))
+    assert(Bpe.encodeWord("the", merges).toSeq == Seq("the"))
+    assert(Bpe.encodeWord("theater", merges).toSeq ==
+      Seq("the", "a", "t", "e", "r"))
+    assert(Bpe.encodeWord("thethe", merges).toSeq == Seq("the", "the"))
+    // a later merge sees the symbols earlier passes produced
+    assert(Bpe.encodeWord("tthe", Array(("t", "h"), ("t", "th"))).toSeq ==
+      Seq("tth", "e"))
+    // ...but an earlier merge never re-runs after a later one creates
+    // its pair (rank-order law): (t,h) ranked FIRST can't consume the
+    // h that (c,h)'s merge would have exposed second
+    assert(Bpe.encodeWord("tch", Array(("t", "c"), ("t", "h"))).toSeq ==
+      Seq("tc", "h"))
+  }
+
+  test("encode round-trip: concatenated tokens rebuild the normalized text") {
+    val docs = Seq((1L, "The  Fast KEY order"), (2L, "  "), (3L, "scan")).toDF("doc_id", "text")
+    val merges = Array(("s", "c"), ("sc", "a"), ("sca", "n"), ("e", "y"))
+    val out = Bpe.encodeWithMerges(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("glued"),
+        col("n_tokens"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val glued = out.map { case (k, (g, _)) => (k, g) }
+    assert(glued(1L) == "thefastkeyorder")
+    assert(glued(2L) == "")
+    assert(glued(3L) == "scan")
+    assert(out(3L)._2 == 1) // fully merged
+  }
+
+  test("train -> encode: encoding a training word yields its final train-time symbols") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val mergesDf = Bpe.train(docs, "text", numMerges = 4)
+    val ms = mergesDf.orderBy("rank").as[(Int, String, String, Long)]
+      .collect().map { case (_, l, r, _) => (l, r) }
+    // the train loop applied exactly these passes to "low": encode agrees
+    assert(Bpe.encodeWord("low", ms).toSeq == Seq("low"))
+    val enc = Bpe.encodeWithMerges(docs, "doc_id", "text", ms)
+      .select("n_tokens").head().getInt(0)
+    assert(enc > 0)
+  }
+
+  test("wordCounts matches a manual count and ignores blank docs") {
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, "  b  ")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
+    assert(wc == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("encode is invariant under repartitioning (memo is per-partition only)") {
+    val docs = (1L to 200L).map(i => (i, s"alpha beta gamma w$i")).toDF("doc_id", "text")
+    val merges = Array(("a", "l"), ("al", "p"), ("b", "e"), ("g", "a"))
+    val a = Bpe.encodeWithMerges(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_tokens")).orderBy("doc_id").collect().toSeq
+    val b = Bpe.encodeWithMerges(docs.repartition(7), "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_tokens")).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("vocabBudget drops tail words and reports through CapStats") {
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    val cs = new CapStats
+    val merges = Bpe.train(docs, "text", numMerges = 1, vocabBudget = 2,
+      capStats = Some(cs))
+    assert(cs.droppedRows == 1L) // "cc" fell off the budget
+    // learned merge comes from the kept words only
+    val (l, r) = merges.orderBy("rank").as[(Int, String, String, Long)]
+      .collect().map { case (_, a, b, _) => (a, b) }.head
+    assert(Set(("a", "a"), ("b", "b")).contains((l, r)))
+  }
+}
