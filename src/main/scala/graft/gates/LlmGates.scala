@@ -656,6 +656,90 @@ object LlmGates {
        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---- ANN recall audit: approximate tiers vs brute-force truth -------
+
+  /** [[graft.llm.Ann.recallPerQuery]] — the LSH tier (bits = 10, the
+    * `ann_lsh` configuration) audited per query against brute-force
+    * ground truth at the same k. The oracle composes the two tiers'
+    * full pipelines (the `ann_topk` and `ann_lsh` oracle chains, each
+    * nested as a subquery) and recounts the overlap.
+    */
+  def annRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val truth = Ann.bruteForceTopK(queries, corpus, k = 5)
+    Ann.recallPerQuery(truth, Ann.lshTopK(queries, corpus, k = 5, bits = 10))
+      .orderBy("query_id")
+  }
+
+  val annRecallLshSql: String =
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ($annTopKSql)),
+       |approx AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
+       |hits AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM truth t JOIN approx a
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY t.query_id),
+       |base AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+       |  FROM truth GROUP BY query_id)
+       |SELECT b.query_id, b.n_truth,
+       |       coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(b.n_truth AS DOUBLE)
+       |         AS recall
+       |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+       |ORDER BY b.query_id""".stripMargin
+
+  /** [[graft.llm.Ann.recallSummary]] for BOTH approximate tiers at their
+    * gate configurations — one micro-averaged recall row per tier,
+    * labeled. The number that picks bits/nprobe empirically.
+    */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val truth = Ann.bruteForceTopK(queries, corpus, k = 5)
+    val lsh = Ann.recallSummary(truth,
+        Ann.lshTopK(queries, corpus, k = 5, bits = 10))
+      .withColumn("tier", lit("lsh"))
+    val ivf = Ann.recallSummary(truth,
+        Ann.ivfTopK(queries, corpus, k = 5, nprobe = 4))
+      .withColumn("tier", lit("ivf"))
+    lsh.unionByName(ivf)
+      .select(col("tier"), col("n_queries"), col("n_truth"), col("n_hit"),
+        col("recall"))
+      .orderBy("tier")
+  }
+
+  val annRecallAuditSql: String = {
+    def tier(label: String, approxSql: String): String =
+      s"""SELECT '$label' AS tier,
+         |  CAST(count(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+         |  CAST(sum(b.n_truth) AS BIGINT) AS n_truth,
+         |  CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(sum(coalesce(h.n_hit, 0)) AS DOUBLE)
+         |    / CAST(sum(b.n_truth) AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM (SELECT query_id, neighbor_id FROM ($annTopKSql))
+         |  GROUP BY query_id) b
+         |LEFT JOIN (
+         |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (SELECT query_id, neighbor_id FROM ($annTopKSql)) t
+         |  JOIN (SELECT query_id, neighbor_id FROM ($approxSql)) a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY t.query_id) h
+         |ON b.query_id = h.query_id""".stripMargin
+    s"""SELECT * FROM (
+       |${tier("lsh", annLshSql)}
+       |UNION ALL
+       |${tier("ivf", annIvfSql)}
+       |) ORDER BY tier""".stripMargin
+  }
+
   // ---- IVF k-means training: full 2-iteration Lloyd oracle ------------
 
   /** Deterministic Lloyd refinement (2 iterations, 16-centroid budget)
@@ -1846,6 +1930,8 @@ object LlmGates {
     "dedup_simhash"       -> (dedupSimhash _),
     "ann_lsh"             -> (annLsh _),
     "ann_ivf"             -> (annIvf _),
+    "ann_recall_lsh"      -> (annRecallLsh _),
+    "ann_recall_audit"    -> (annRecallAudit _),
     "ivf_train"           -> (ivfTrain _),
     "ann_ivf_trained"     -> (annIvfTrained _),
     "dedup_semantic"      -> (dedupSemantic _),
@@ -1891,6 +1977,8 @@ object LlmGates {
     "dedup_simhash"       -> dedupSimhashSql,
     "ann_lsh"             -> annLshSql,
     "ann_ivf"             -> annIvfSql,
+    "ann_recall_lsh"      -> annRecallLshSql,
+    "ann_recall_audit"    -> annRecallAuditSql,
     "ivf_train"           -> ivfTrainSql,
     "ann_ivf_trained"     -> annIvfTrainedSql,
     "dedup_semantic"      -> dedupSemanticSql,

@@ -475,4 +475,55 @@ object Ann {
       .distinct()
       .filter(col("cosine") >= threshold)
   }
+
+  /** Recall AUDIT of an approximate top-k against the exact tier —
+    * "measure, don't guess" for the serving path, the ANN analogue of
+    * [[Dedup.nearDupAudit]]: `truth` is [[bruteForceTopK]]'s output
+    * (recall 1 by construction), `approx` is the tier under audit
+    * ([[lshTopK]] / [[ivfTopK]] / [[ivfTopKTrained]]) at the SAME k.
+    * One row per query: `(queryId, n_truth, n_hit, recall)` where
+    * `n_hit` counts true neighbors the approximate tier returned and
+    * `recall = n_hit / n_truth` (one IEEE division of two exact
+    * integers — bitwise engine-portable). A query the approximate tier
+    * returned nothing for (no bucket collision) comes back with
+    * `n_hit = 0`, not dropped.
+    *
+    * At 100 TB this runs on a QUERY SAMPLE (truth is the honest
+    * O(|Q|·|C|) tier); the measured recall transfers because bucket
+    * collision probability depends on pair geometry, not corpus size —
+    * the number that picks `bits`/`nprobe` empirically instead of from
+    * the sign-projection S-curve.
+    */
+  def recallPerQuery(truth: DataFrame, approx: DataFrame,
+                     queryId: String = "query_id",
+                     neighborId: String = "neighbor_id"): DataFrame = {
+    val t = truth.select(col(queryId), col(neighborId))
+    val hits = t.join(approx.select(col(queryId), col(neighborId)),
+        Seq(queryId, neighborId), "left_semi")
+      .groupBy(col(queryId)).agg(count(lit(1)).as("n_hit"))
+    t.groupBy(col(queryId)).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq(queryId), "left")
+      .select(col(queryId), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_truth").cast("double")).as("recall"))
+  }
+
+  /** Corpus-level rollup of [[recallPerQuery]]: ONE row
+    * `(n_queries, n_truth, n_hit, recall)` with micro-averaged recall
+    * (`sum hits / sum truth` — exact integer sums, one final IEEE
+    * division, so the number is order- and engine-stable). Micro, not
+    * macro, on purpose: it weights every true neighbor equally, so a
+    * single empty-bucket query cannot swing the metric at small |Q|.
+    */
+  def recallSummary(truth: DataFrame, approx: DataFrame,
+                    queryId: String = "query_id",
+                    neighborId: String = "neighbor_id"): DataFrame =
+    recallPerQuery(truth, approx, queryId, neighborId)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_truth")).as("n_truth"),
+        sum(col("n_hit")).as("n_hit"))
+      .select(col("n_queries"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double")
+          / col("n_truth").cast("double")).as("recall"))
 }
