@@ -331,7 +331,16 @@ object Bench {
         "curation_select",
         // exact Gram explode² is linear in n (dim fixed); drift is two
         // mean aggregations
-        "embed_gram", "embed_drift", "embed_standardize")
+        "embed_gram", "embed_drift", "embed_standardize",
+        // round-10 trainable tier: BPE train loops over the WORD
+        // vocabulary (sub-linear in docs), encode and the blocklist
+        // probe are explode + join scans, logreg is iterated full-pass
+        // aggs, the SFT family is per-conversation windows, the
+        // preference/advantage ops are one partial agg + key join,
+        // and the recall audit is query-bounded (5 pinned queries)
+        "bpe_train", "bpe_encode", "logreg_train", "logreg_scores",
+        "c4_blocklist", "sft_transcripts", "sft_pack",
+        "dpo_pairs", "grpo_advantage", "ann_recall_audit")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, C4, LogReg, Sft}
+import graft.llm.{Bpe, C4, Dpo, LogReg, Sft}
 
 /** Correctness gates for the trainable/tokenizer tier — real BPE
   * (train + encode), full-batch logistic regression (train + score),
@@ -330,9 +330,203 @@ object TrainGates {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- SFT packing ------------------------------------------------------
+
+  private val PackChars = 300
+  private val PackShards = 4
+
+  /** [[Sft.pack]] over the [[sftTranscripts]] chain: transcripts laid
+    * end to end per portable md5 shard, cut into 300-char blocks, each
+    * conversation×block row carrying its loss-mask spans clipped and
+    * re-based to block coordinates.
+    */
+  def sftPack(s: SparkSession, dir: String): DataFrame =
+    Sft.pack(Sft.transcripts(sftTurnsDf(s, dir)), blockChars = PackChars,
+        nShards = PackShards, portable = true)
+      .orderBy("shard", "block_id", "conv_id")
+
+  /** Oracle: the full transcript chain nested as a subquery, then the
+    * packing restated — md5-fold shard, per-shard separator-inclusive
+    * prefix cumsum, block membership by integer range, span clipping
+    * as a guarded list comprehension.
+    */
+  val sftPackSql: String = {
+    val b = PackChars
+    s"""WITH tr AS (
+       |  SELECT conv_id, n_chars, coalesce(mask_spans, '') AS mask_spans
+       |  FROM ($sftTranscriptsSql)),
+       |sb AS (
+       |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
+       |    conv_id, CAST(n_chars AS BIGINT) AS n,
+       |    [[CAST(string_split(x, ':')[1] AS BIGINT),
+       |      CAST(string_split(x, ':')[2] AS BIGINT)]
+       |     for x in string_split(mask_spans, '|') if x <> ''] AS spans
+       |  FROM tr WHERE n_chars > 0),
+       |so AS (
+       |  SELECT *, CAST(coalesce(sum(n + 1) OVER (PARTITION BY shard
+       |    ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND 1 PRECEDING), 0) AS BIGINT) AS conv_offset
+       |  FROM sb),
+       |pe AS (
+       |  SELECT shard, conv_id, conv_offset, n, spans,
+       |    unnest(range(conv_offset // $b, (conv_offset + n - 1) // $b + 1))
+       |      AS block_id
+       |  FROM so)
+       |SELECT shard, block_id, conv_id,
+       |  greatest(conv_offset, block_id * $b) - block_id * $b AS start_in_block,
+       |  least(conv_offset + n, (block_id + 1) * $b)
+       |    - greatest(conv_offset, block_id * $b) AS chars_in_block,
+       |  coalesce(array_to_string(
+       |    [CAST(greatest(conv_offset + sp[1], block_id * $b) - block_id * $b
+       |       AS VARCHAR) || ':' ||
+       |     CAST(least(conv_offset + sp[2], (block_id + 1) * $b) - block_id * $b
+       |       AS VARCHAR)
+       |     for sp in spans
+       |     if least(conv_offset + sp[2], (block_id + 1) * $b)
+       |        > greatest(conv_offset + sp[1], block_id * $b)], '|'), '')
+       |    AS mask_spans_block
+       |FROM pe ORDER BY shard, block_id, conv_id""".stripMargin
+  }
+
+  // ---- DPO preference pairs -------------------------------------------
+
+  /** [[graft.llm.Dpo.preferencePairs]] + [[graft.llm.Dpo.attachTexts]]:
+    * documents scored by the pinned logistic model (the stand-in reward
+    * model; `vec_id` ≡ `doc_id` in the testdata), grouped by
+    * `(lang, source)` as the prompt context, one best-vs-worst pair per
+    * group — tied or single-candidate groups yield nothing.
+    */
+  def dpoPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = s.createDataset(PinnedW.toSeq.zipWithIndex
+      .map { case (w, j) => (j, w) }).toDF("j", "w")
+    val sc = LogReg.scores(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", model)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val docs = Tables(s, dir, "documents")
+    val cands = docs.join(sc, Seq("doc_id"))
+      .select(col("lang"), col("source"), col("doc_id"), col("score"))
+    val pairs = Dpo.preferencePairs(cands, Seq("lang", "source"),
+      "doc_id", "score")
+    Dpo.attachTexts(pairs, docs, "doc_id", "text")
+      .orderBy("lang", "source")
+  }
+
+  /** Oracle: the scoring chain nested as a subquery, then best/worst
+    * per group via ROW_NUMBER with the engine's exact tiebreaks
+    * (score DESC, id ASC / score ASC, id ASC), texts carried through,
+    * tie-and-singleton groups dropped by the `gap > 0` + distinct-id
+    * predicate. `gap` is one IEEE subtraction of two round-6 doubles —
+    * portable.
+    */
+  val dpoPairsSql: String =
+    s"""WITH dsc AS (SELECT vec_id AS doc_id, score FROM ($logregScoresSql)),
+       |cand AS (
+       |  SELECT d.lang, d.source, d.doc_id, s.score, d.text
+       |  FROM documents d JOIN dsc s ON s.doc_id = d.doc_id),
+       |ch AS (
+       |  SELECT lang, source, doc_id AS chosen_id, score AS chosen_score,
+       |         text AS chosen_text
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+       |          ORDER BY score DESC, doc_id ASC) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |rj AS (
+       |  SELECT lang, source, doc_id AS rejected_id, score AS rejected_score,
+       |         text AS rejected_text
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+       |          ORDER BY score ASC, doc_id ASC) AS rn FROM cand)
+       |  WHERE rn = 1)
+       |SELECT c.lang, c.source, c.chosen_id, r.rejected_id,
+       |  c.chosen_score, r.rejected_score,
+       |  c.chosen_score - r.rejected_score AS gap,
+       |  c.chosen_text, r.rejected_text
+       |FROM ch c JOIN rj r ON c.lang = r.lang AND c.source = r.source
+       |WHERE c.chosen_id <> r.rejected_id
+       |  AND c.chosen_score - r.rejected_score > 0
+       |ORDER BY c.lang, c.source""".stripMargin
+
+  /** Shared candidate pool for the preference/RL gates: documents
+    * scored by the pinned logistic model, grouped by `(lang, source)`.
+    */
+  private def rlCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = s.createDataset(PinnedW.toSeq.zipWithIndex
+      .map { case (w, j) => (j, w) }).toDF("j", "w")
+    val sc = LogReg.scores(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", model)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    Tables(s, dir, "documents").join(sc, Seq("doc_id"))
+      .select(col("lang"), col("source"), col("doc_id"), col("score"))
+  }
+
+  private val rlCandSql: String =
+    s"""dsc AS (SELECT vec_id AS doc_id, score FROM ($logregScoresSql)),
+       |cand AS (
+       |  SELECT d.lang, d.source, d.doc_id, s.score
+       |  FROM documents d JOIN dsc s ON s.doc_id = d.doc_id)""".stripMargin
+
+  // ---- best-of-n rejection sampling -------------------------------------
+
+  private val BonMinScore = 0.5
+
+  /** [[Dpo.bestOfN]] at minScore 0.5: the reward-gated survivor per
+    * `(lang, source)` group with its beaten-candidate count.
+    */
+  def bestOfN(s: SparkSession, dir: String): DataFrame =
+    Dpo.bestOfN(rlCandidates(s, dir), Seq("lang", "source"), "doc_id",
+        "score", minScore = BonMinScore)
+      .orderBy("lang", "source")
+
+  val bestOfNSql: String =
+    s"""WITH $rlCandSql
+       |SELECT lang, source, chosen_id, score, n_candidates FROM (
+       |  SELECT lang, source, doc_id AS chosen_id, score,
+       |    CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT)
+       |      AS n_candidates,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM cand)
+       |WHERE rn = 1 AND score >= $BonMinScore
+       |ORDER BY lang, source""".stripMargin
+
+  // ---- GRPO group-relative advantage ------------------------------------
+
+  /** [[Dpo.groupAdvantage]] over the same candidate pool: per-group
+    * z-scored rewards under the `embed_standardize` portability
+    * conventions (exact decimal sums, floor-round-6 mean, round-6
+    * advantage, zero-variance pinned to 0).
+    */
+  def grpoAdvantage(s: SparkSession, dir: String): DataFrame =
+    Dpo.groupAdvantage(rlCandidates(s, dir), Seq("lang", "source"),
+        "doc_id", "score")
+      .orderBy("doc_id")
+
+  val grpoAdvantageSql: String =
+    s"""WITH $rlCandSql,
+       |st AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_group,
+       |    floor(CAST(sum(CAST(score AS DECIMAL(20,10))) AS DOUBLE)
+       |      / count(*) * 1000000 + 0.5) / 1000000 AS m,
+       |    CAST(CAST(sum(CAST(CAST(score * score AS VARCHAR)
+       |        AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS m2
+       |  FROM cand GROUP BY 1, 2),
+       |gsd AS (
+       |  SELECT lang, source, n_group, m,
+       |    sqrt(greatest(m2 - m * m, 0.0)) AS sd
+       |  FROM st)
+       |SELECT c.lang, c.source, c.doc_id, c.score, g.n_group,
+       |  CASE WHEN g.sd = 0.0 OR round((c.score - g.m) / g.sd, 6) = 0.0
+       |    THEN 0.0 ELSE round((c.score - g.m) / g.sd, 6) END AS advantage
+       |FROM cand c JOIN gsd g ON c.lang = g.lang AND c.source = g.source
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---- registration ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpo_pairs"       -> (dpoPairs _),
+    "best_of_n"       -> (bestOfN _),
+    "grpo_advantage"  -> (grpoAdvantage _),
     "bpe_train"       -> (bpeTrain _),
     "bpe_encode"      -> (bpeEncode _),
     "logreg_train"    -> (logregTrain _),
@@ -340,9 +534,13 @@ object TrainGates {
     "sft_turns"       -> (sftTurns _),
     "sft_truncate"    -> (sftTruncate _),
     "sft_transcripts" -> (sftTranscripts _),
+    "sft_pack"        -> (sftPack _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
+    "dpo_pairs"       -> dpoPairsSql,
+    "best_of_n"       -> bestOfNSql,
+    "grpo_advantage"  -> grpoAdvantageSql,
     "bpe_train"       -> bpeTrainSql,
     "bpe_encode"      -> bpeEncodeSql,
     "logreg_train"    -> logregTrainSql,
@@ -350,5 +548,6 @@ object TrainGates {
     "sft_turns"       -> sftTurnsSql,
     "sft_truncate"    -> sftTruncateSql,
     "sft_transcripts" -> sftTranscriptsSql,
+    "sft_pack"        -> sftPackSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

@@ -121,4 +121,63 @@ object Sft {
         col("n_masked_chars"),
         length(col("transcript")).as("n_chars"),
         col("transcript"), col("mask_spans"))
+
+  /** Packed SFT blocks with loss-mask RE-OFFSETTING — the SFT analogue
+    * of [[Packing.blocks]]: transcripts are laid end to end per shard
+    * (one separator char between conversations, the same `\n` joint the
+    * transcript itself uses) and cut into fixed `blockChars` blocks,
+    * conversations crossing boundaries. What makes SFT packing more
+    * than [[Packing]]: each conversation's mask spans are carried into
+    * every block it touches, CLIPPED to the block window and re-based
+    * to block-local coordinates — so each block row ships exactly the
+    * span list its loss computation needs, no transcript-local offsets
+    * leaking through.
+    *
+    * Input is a [[transcripts]] table (`conv_id`, `n_chars`,
+    * `mask_spans`); empty conversations pack to nothing. Output: one
+    * row per conversation × block it touches — `(shard, block_id,
+    * conv_id, start_in_block, chars_in_block, mask_spans_block)` with
+    * `mask_spans_block` in the same `start:end|…` rendering, block
+    * coordinates.
+    *
+    * Scale shape mirrors [[Packing.blocks]]: the one cumsum window is
+    * partitioned by shard (trainer-file parallelism), span clipping is
+    * a narrow per-row array transform, and block membership is an
+    * `explode(sequence)` — no join, no global order.
+    */
+  def pack(transcripts: DataFrame, blockChars: Int = 2048,
+           nShards: Int = 16, portable: Boolean = false): DataFrame = {
+    require(blockChars > 0, s"blockChars must be positive, got $blockChars")
+    import graft.operators.Sharding
+    val sid = if (portable) Sharding.shardIdPortable(col("conv_id"), nShards)
+              else Sharding.shardId(col("conv_id"), nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(blockChars.toLong)
+    val spanStructs = transform(
+      filter(split(col("mask_spans"), "\\|"), x => x =!= ""),
+      x => struct(split(x, ":").getItem(0).cast("long").as("s"),
+        split(x, ":").getItem(1).cast("long").as("e")))
+    val base = transcripts.filter(col("n_chars") > 0)
+      .select(sid.as("shard"), col("conv_id"),
+        col("n_chars").cast("long").as("__n"), spanStructs.as("__spans"))
+      .withColumn("conv_offset",
+        coalesce(sum(col("__n") + lit(1L)).over(w), lit(0L)))
+    val kb = col("block_id") * b
+    base
+      .select(col("shard"), col("conv_id"), col("conv_offset"), col("__n"),
+        col("__spans"),
+        explode(sequence(floor(col("conv_offset") / b),
+          floor((col("conv_offset") + col("__n") - 1) / b))).as("block_id"))
+      .select(col("shard"), col("block_id"), col("conv_id"),
+        (greatest(col("conv_offset"), kb) - kb).as("start_in_block"),
+        (least(col("conv_offset") + col("__n"), kb + b)
+          - greatest(col("conv_offset"), kb)).as("chars_in_block"),
+        array_join(filter(transform(col("__spans"), sp => {
+          val gs = greatest(col("conv_offset") + sp.getField("s"), kb)
+          val ge = least(col("conv_offset") + sp.getField("e"), kb + b)
+          when(ge > gs, concat((gs - kb).cast("string"), lit(":"),
+            (ge - kb).cast("string"))).otherwise(lit(null).cast("string"))
+        }), x => x.isNotNull), "|").as("mask_spans_block"))
+  }
 }

@@ -80,4 +80,46 @@ class SftSpec extends SparkSpec {
       .orderBy("conv_id").collect().toSeq
     assert(a == b)
   }
+
+  // crafted transcripts: one shard (nShards = 1), block size 10.
+  // conv 1: 8 chars, mask [2,5); conv 2: 12 chars, masks [0,3) and [9,12).
+  // stream: conv1 at [0,8), separator at 8, conv2 at [9,21).
+  private val packed = Seq(
+    (1L, 8, "2:5"), (2L, 12, "0:3|9:12")).toDF("conv_id", "n_chars", "mask_spans")
+
+  test("pack: block membership, clipping, and mask re-offsets") {
+    val out = Sft.pack(packed, blockChars = 10, nShards = 1)
+      .orderBy("block_id", "conv_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(out === Array(
+      // block 0: conv1 fully inside at [0,8), mask [2,5) unchanged;
+      //          conv2's first char lands at 9 -> [9,10), mask [0,3)
+      //          clips to the single char 9 -> block-local 9:10
+      (0L, 1L, 0L, 8L, "2:5"),
+      (0L, 2L, 9L, 1L, "9:10"),
+      // block 1 covers stream [10,20): mask [0,3) global [9,12) clips to
+      //          [10,12) -> 0:2; mask [9,12) global [18,21) clips to
+      //          [18,20) -> 8:10
+      (1L, 2L, 0L, 10L, "0:2|8:10"),
+      // block 2 covers [20,30): conv2's last char, mask tail [20,21) -> 0:1
+      (2L, 2L, 0L, 1L, "0:1")))
+  }
+
+  test("pack: empty conversations and empty masks pack cleanly") {
+    val t = Seq((1L, 0, ""), (2L, 4, "")).toDF("conv_id", "n_chars", "mask_spans")
+    val out = Sft.pack(t, blockChars = 10, nShards = 1).collect()
+    assert(out.length === 1)  // conv 1 (0 chars) vanished
+    assert(out.head.getString(5) === "")
+  }
+
+  test("pack: mask chars are conserved across blocks") {
+    val spanChars = (s: String) => s.split("\\|").filter(_.nonEmpty)
+      .map { sp => val Array(a, b) = sp.split(":").map(_.toLong); b - a }.sum
+    val t = Sft.transcripts(Sft.turns(events, "user_id", "ts", "event_type", "props"))
+    val before = t.collect().map(r => spanChars(r.getAs[String]("mask_spans"))).sum
+    val after = Sft.pack(t, blockChars = 7, nShards = 2).collect()
+      .map(r => spanChars(r.getString(5))).sum
+    assert(before > 0 && after === before)
+  }
 }
