@@ -129,6 +129,36 @@ object TrainGates {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** [[Bpe.fertility]] under [[PinnedMerges]] grouped by language —
+    * learned-subword tokens per word, the tokenizer-coverage metric.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    Bpe.fertility(Tables(s, dir, "documents"), "doc_id", "text", "lang",
+        PinnedMerges)
+      .orderBy("lang")
+
+  /** Oracle: the encode chain nested, word counts recomputed with the
+    * same normalization, exact long sums, one final IEEE division.
+    */
+  val bpeFertilitySql: String =
+    s"""WITH enc AS (SELECT doc_id, n_tokens FROM ($bpeEncodeSql)),
+       |wds AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') = ''
+       |      THEN 0
+       |      ELSE len(string_split(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '))
+       |    END AS nw
+       |  FROM documents)
+       |SELECT w.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN sum(w.nw) = 0 THEN NULL
+       |    ELSE CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(w.nw) AS DOUBLE)
+       |  END AS fertility
+       |FROM wds w JOIN enc e ON w.doc_id = e.doc_id
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+
   // ---- Logistic regression --------------------------------------------
 
   private val LrIters = 3
@@ -350,18 +380,19 @@ object TrainGates {
     * prefix cumsum, block membership by integer range, span clipping
     * as a guarded list comprehension.
     */
-  val sftPackSql: String = {
+  /** The packing CTE chain from a relation providing
+    * `(conv_id, n_chars, mask_spans)` to the final block SELECT —
+    * shared by the `sft_pack` and `sft_run` oracles.
+    */
+  private def packChainFrom(rel: String): String = {
     val b = PackChars
-    s"""WITH tr AS (
-       |  SELECT conv_id, n_chars, coalesce(mask_spans, '') AS mask_spans
-       |  FROM ($sftTranscriptsSql)),
-       |sb AS (
+    s"""sb AS (
        |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
        |    conv_id, CAST(n_chars AS BIGINT) AS n,
        |    [[CAST(string_split(x, ':')[1] AS BIGINT),
        |      CAST(string_split(x, ':')[2] AS BIGINT)]
        |     for x in string_split(mask_spans, '|') if x <> ''] AS spans
-       |  FROM tr WHERE n_chars > 0),
+       |  FROM $rel WHERE n_chars > 0),
        |so AS (
        |  SELECT *, CAST(coalesce(sum(n + 1) OVER (PARTITION BY shard
        |    ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING
@@ -387,6 +418,39 @@ object TrainGates {
        |    AS mask_spans_block
        |FROM pe ORDER BY shard, block_id, conv_id""".stripMargin
   }
+
+  val sftPackSql: String =
+    s"""WITH tr AS (
+       |  SELECT conv_id, n_chars, coalesce(mask_spans, '') AS mask_spans
+       |  FROM ($sftTranscriptsSql)),
+       |${packChainFrom("tr")}""".stripMargin
+
+  // ---- SFT capstone: truncate -> transcripts -> pack as ONE chain ------
+
+  /** The trainable-tier capstone composition: turns →
+    * [[Sft.truncateLatest]] (drop-oldest at the gate budget) →
+    * [[Sft.transcripts]] → [[Sft.pack]] — the full event-log-to-packed-
+    * SFT-blocks pipeline a trainer actually runs, verified end to end
+    * as one chained oracle (the `llm_training_blocks`/`curation_select`
+    * composed-proof pattern).
+    */
+  def sftRun(s: SparkSession, dir: String): DataFrame =
+    Sft.pack(Sft.transcripts(Sft.truncateLatest(sftTurnsDf(s, dir),
+        SftBudget)), blockChars = PackChars, nShards = PackShards,
+        portable = true)
+      .orderBy("shard", "block_id", "conv_id")
+
+  val sftRunSql: String =
+    s"""WITH t2 AS (SELECT * FROM ($sftTruncateSql)),
+       |trx AS (
+       |  SELECT conv_id,
+       |    CAST(length(string_agg(role || ': ' || content, chr(10)
+       |      ORDER BY turn_idx)) AS INT) AS n_chars,
+       |    coalesce(string_agg(CASE WHEN masked
+       |        THEN CAST(start_off AS VARCHAR) || ':' || CAST(end_off AS VARCHAR) END,
+       |      '|' ORDER BY turn_idx), '') AS mask_spans
+       |  FROM t2 GROUP BY conv_id),
+       |${packChainFrom("trx")}""".stripMargin
 
   // ---- DPO preference pairs -------------------------------------------
 
@@ -535,6 +599,8 @@ object TrainGates {
     "sft_truncate"    -> (sftTruncate _),
     "sft_transcripts" -> (sftTranscripts _),
     "sft_pack"        -> (sftPack _),
+    "sft_run"         -> (sftRun _),
+    "bpe_fertility"   -> (bpeFertility _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -549,5 +615,7 @@ object TrainGates {
     "sft_truncate"    -> sftTruncateSql,
     "sft_transcripts" -> sftTranscriptsSql,
     "sft_pack"        -> sftPackSql,
+    "sft_run"         -> sftRunSql,
+    "bpe_fertility"   -> bpeFertilitySql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

@@ -205,4 +205,36 @@ object Bpe {
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: DataFrame): DataFrame =
     encode(docs, idCol, textCol, merges).select(col(idCol), col("n_tokens"))
+
+  /** Tokenizer FERTILITY per group (typically language): learned-subword
+    * tokens per word under a pinned merge table — the coverage metric
+    * that decides whether a tokenizer under-serves a language before a
+    * run commits to it (fertility approaching mean word length means
+    * the vocabulary is falling back to characters there). Words are the
+    * same whitespace-normalized tokens the trainer counts; `fertility`
+    * is ONE IEEE division of two exact long sums (engine-portable),
+    * null for word-less groups. One encode scan + one narrow word-count
+    * scan joined on the id (three slim columns), one partial agg.
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String,
+                merges: Array[(String, String)]): DataFrame = {
+    val enc = encodeWithMerges(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens").cast("long").as("__nt"))
+    val t = regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+      "\\s+", " ")
+    val words = docs.select(col(idCol).cast("long").as(idCol),
+      col(groupCol),
+      when(t === "", lit(0L)).otherwise(size(split(t, " ")).cast("long"))
+        .as("__nw"))
+    words.join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_tokens").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
+  }
 }

@@ -112,4 +112,19 @@ class BpeSpec extends SparkSpec {
       .collect().map { case (_, a, b, _) => (a, b) }.head
     assert(Set(("a", "a"), ("b", "b")).contains((l, r)))
   }
+
+  test("fertility: exact token/word sums per group, null for word-less") {
+    val docs = Seq(
+      (1L, "aa bb", "en"),    // with merge (a,a): aa->1 tok, bb->2 -> 3 toks, 2 words
+      (2L, "aa aa", "en"),    // 2 toks, 2 words
+      (3L, "", "de"),         // word-less group
+      (4L, null: String, "de")).toDF("doc_id", "text", "lang")
+    val out = Bpe.fertility(docs, "doc_id", "text", "lang",
+        Array(("a", "a"))).orderBy("lang").collect()
+    val de = out(0); val en = out(1)
+    assert((en.getLong(1), en.getLong(2), en.getLong(3)) === ((2L, 4L, 5L)))
+    assert(en.getDouble(4) === 5.0 / 4.0)
+    assert((de.getLong(1), de.getLong(2), de.getLong(3)) === ((2L, 0L, 0L)))
+    assert(de.isNullAt(4))
+  }
 }
