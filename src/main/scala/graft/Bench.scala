@@ -339,6 +339,7 @@ object Bench {
         // preference/advantage ops are one partial agg + key join,
         // and the recall audit is query-bounded (5 pinned queries)
         "bpe_train", "bpe_encode", "logreg_train", "logreg_scores",
+        "logreg_text",
         "c4_blocklist", "sft_transcripts", "sft_pack", "sft_run",
         "bpe_fertility", "dpo_pairs", "grpo_advantage",
         "ann_recall_audit")

@@ -182,32 +182,51 @@ object TrainGates {
     * identical order on both engines; every cross-row sum is an exact
     * decimal, so shuffle order cannot leak in.
     */
-  val logregTrainSql: String = {
+  /** The [[LrIters]]-round gradient-descent CTE chain over a relation
+    * `ax(vec_id, y, j, x)` (augmented features, j = 0 the bias) — the
+    * fitted weights end in relation `w$LrIters`. Shared by the
+    * `logreg_train` (dense embeddings) and `logreg_text` (hashed text
+    * features) oracles.
+    */
+  private def lrChainCtes(axCtes: String, dim: Int,
+                          iters: Int = LrIters,
+                          lr: Double = LrRate): Seq[String] = {
+    // Every CTE is MATERIALIZED: each round references ax twice and the
+    // previous round's weights three times, so DuckDB's default CTE
+    // inlining re-expands the chain EXPONENTIALLY in the round count
+    // (3 rounds inlines in seconds; 10 rounds ran minutes before being
+    // killed; materialized, 10 rounds evaluate in <1 s).
     val ctes = scala.collection.mutable.ArrayBuffer(
-      s"""ax AS (
-         |  SELECT vec_id, CAST((label >= 5) AS INT) AS y, j,
-         |    CASE WHEN j = 0 THEN 1.0::DOUBLE ELSE CAST(embedding[j] AS DOUBLE) END AS x
-         |  FROM embeddings, (SELECT unnest(range(0, ${Dim + 1})) AS j))""".stripMargin,
-      """n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ax)""",
-      s"""w0 AS (SELECT j, 0.0::DOUBLE AS w FROM (SELECT unnest(range(0, ${Dim + 1})) AS j))""")
-    for (k <- 0 until LrIters) {
-      ctes += s"""mg$k AS (
+      axCtes.replace(" AS (", " AS MATERIALIZED ("),
+      """n AS MATERIALIZED (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ax)""",
+      s"""w0 AS MATERIALIZED (SELECT j, 0.0::DOUBLE AS w FROM (SELECT unnest(range(0, ${dim + 1})) AS j))""")
+    for (k <- 0 until iters) {
+      ctes += s"""mg$k AS MATERIALIZED (
         |  SELECT a.vec_id, any_value(a.y) AS y,
         |    CAST(CAST(sum(CAST(CAST(a.x * w.w AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS m
         |  FROM ax a JOIN w$k w USING (j) GROUP BY a.vec_id)""".stripMargin
-      ctes += s"""pp$k AS (
+      ctes += s"""pp$k AS MATERIALIZED (
         |  SELECT vec_id, y,
         |    floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS p
         |  FROM mg$k)""".stripMargin
-      ctes += s"""gr$k AS (
+      ctes += s"""gr$k AS MATERIALIZED (
         |  SELECT a.j,
         |    CAST(CAST(sum(CAST(CAST((p.p - p.y) * a.x AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS g
         |  FROM ax a JOIN pp$k p USING (vec_id) GROUP BY a.j)""".stripMargin
-      ctes += s"""w${k + 1} AS (
-        |  SELECT w.j, floor((w.w - $LrRate * (g.g / n.n)) * 1000000 + 0.5) / 1000000 AS w
+      ctes += s"""w${k + 1} AS MATERIALIZED (
+        |  SELECT w.j, floor((w.w - $lr * (g.g / n.n)) * 1000000 + 0.5) / 1000000 AS w
         |  FROM w$k w JOIN gr$k g USING (j), n)""".stripMargin
     }
-    "WITH " + ctes.mkString(",\n") +
+    ctes.toSeq
+  }
+
+  val logregTrainSql: String = {
+    val ax =
+      s"""ax AS (
+         |  SELECT vec_id, CAST((label >= 5) AS INT) AS y, j,
+         |    CASE WHEN j = 0 THEN 1.0::DOUBLE ELSE CAST(embedding[j] AS DOUBLE) END AS x
+         |  FROM embeddings, (SELECT unnest(range(0, ${Dim + 1})) AS j))""".stripMargin
+    "WITH " + lrChainCtes(ax, Dim).mkString(",\n") +
       s"\nSELECT CAST(j AS INT) AS j, w FROM w$LrIters ORDER BY j"
   }
 
@@ -243,6 +262,74 @@ object TrainGates {
        |  floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS score,
        |  CAST(floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 >= 0.5 AS INT) AS pred
        |FROM mg ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- trained text classifier (hashing trick + linear head) ----------
+
+  private val TextDim = 32
+  private val TextLrIters = 10
+  private val TextLr = 2.0     // exact in binary, like 0.5
+  private val TextScale = 64.0 // power of two: x/64 is an EXACT division
+
+  /** The corpus-scale trainable TEXT classifier: hashed-TF dense
+    * vectors ([[TextStats.hashedTfVector]], 32 buckets, counts scaled
+    * by the exact 1/64) → 10 rounds of [[LogReg.train]] at lr 2.0 →
+    * the trained model scores the same corpus. Train-and-apply
+    * verified as ONE chain — the fastText-style quality-filter loop.
+    * The target is `n_chars ≥ 300` (long-doc detection), chosen
+    * because it is genuinely LEARNABLE from hashed token counts — the
+    * synthetic corpus draws the same vocabulary for every language, so
+    * a `lang` target would only exercise the majority-class fallback.
+    * The fitted accuracy is 0.862 on the sf0.01 corpus (non-degenerate
+    * by construction; raw unscaled counts at 3 rounds plateau at the
+    * majority class, which is why the scale/lr/rounds differ from the
+    * dense gate's).
+    */
+  def logregText(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val y = docs.select(col("doc_id"),
+      (col("n_chars") >= 300).cast("int").as("y"))
+    val feats = graft.llm.TextStats.hashedTfVector(docs, "doc_id", "text",
+        TextDim)
+      .select(col("doc_id"),
+        transform(col("vec"), x => x / lit(TextScale)).as("vec"))
+    val model = LogReg.train(feats.join(y, Seq("doc_id")), "y", "vec",
+      TextLrIters, TextLr)
+    LogReg.scores(feats, "doc_id", "vec", model)
+      .join(y, Seq("doc_id"))
+      .select(col("doc_id"), col("y"), col("score"), col("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: hashed-TF features (md5-fold bucket ≡ the engine's
+    * `u32OfMd5 % dim`), the shared training chain, then the scoring
+    * pass against the fitted `w$LrIters`.
+    */
+  val logregTextSql: String = {
+    val ax =
+      s"""tk AS (
+         |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS t
+         |  FROM documents),
+         |tfc AS (
+         |  SELECT doc_id, ${PipelineGates.shardFoldSql("t", TextDim)} AS i,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tk WHERE t <> '' GROUP BY 1, 2),
+         |ax AS (
+         |  SELECT d.doc_id AS vec_id, CAST((d.n_chars >= 300) AS INT) AS y, js.j,
+         |    CASE WHEN js.j = 0 THEN 1.0::DOUBLE
+         |      ELSE CAST(coalesce(f.c, 0) AS DOUBLE) / $TextScale END AS x
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, ${TextDim + 1})) AS j) js
+         |  LEFT JOIN tfc f ON f.doc_id = d.doc_id AND f.i = js.j - 1)""".stripMargin
+    "WITH " + lrChainCtes(ax, TextDim, TextLrIters, TextLr).mkString(",\n") + s""",
+      |mgS AS (
+      |  SELECT a.vec_id, any_value(a.y) AS y,
+      |    CAST(CAST(sum(CAST(CAST(a.x * w.w AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS m
+      |  FROM ax a JOIN w$TextLrIters w USING (j) GROUP BY a.vec_id)
+      |SELECT vec_id AS doc_id, y,
+      |  floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS score,
+      |  CAST(floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 >= 0.5 AS INT) AS pred
+      |FROM mgS ORDER BY doc_id""".stripMargin
   }
 
   // ---- SFT assembly ---------------------------------------------------
@@ -595,6 +682,7 @@ object TrainGates {
     "bpe_encode"      -> (bpeEncode _),
     "logreg_train"    -> (logregTrain _),
     "logreg_scores"   -> (logregScores _),
+    "logreg_text"     -> (logregText _),
     "sft_turns"       -> (sftTurns _),
     "sft_truncate"    -> (sftTruncate _),
     "sft_transcripts" -> (sftTranscripts _),
@@ -611,6 +699,7 @@ object TrainGates {
     "bpe_encode"      -> bpeEncodeSql,
     "logreg_train"    -> logregTrainSql,
     "logreg_scores"   -> logregScoresSql,
+    "logreg_text"     -> logregTextSql,
     "sft_turns"       -> sftTurnsSql,
     "sft_truncate"    -> sftTruncateSql,
     "sft_transcripts" -> sftTranscriptsSql,

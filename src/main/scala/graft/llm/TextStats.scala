@@ -219,4 +219,33 @@ object TextStats {
             x.getField("__c").cast("string"))),
         " ").as("features"))
   }
+
+  /** DENSE hashed-TF vector per document — [[hashedFeatures]]'s counts
+    * assembled into a fixed-width `array<double>` (`vec`), the feature
+    * shape [[LogReg]] trains on: hashing trick + linear head is the
+    * fastText-style quality/language classifier pipelines fit at
+    * corpus scale. Token-less documents come back as the zero vector,
+    * not dropped. Keep `dim` modest (the vector is dense — dim doubles
+    * per row ride every shuffle downstream); a dictionary-sized sparse
+    * space belongs on [[Classify.textCentroidTrain]]'s join path.
+    */
+  def hashedTfVector(docs: DataFrame, idCol: String, textCol: String,
+                     dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val tok = docs.select(col(idCol),
+        explode(split(normalizeWords(col(textCol)), " ")).as("__t"))
+      .filter(col("__t") =!= "")
+    val idx = pmod(graft.functions.Hashes.u32OfMd5(col("__t")),
+      lit(dim.toLong)).cast("int")
+    val maps = tok.groupBy(col(idCol), idx.as("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__i"), col("__c"))))
+        .as("__m"))
+    docs.select(col(idCol)).join(maps, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("__m"), j), lit(0L)).cast("double"))
+          .as("vec"))
+  }
 }

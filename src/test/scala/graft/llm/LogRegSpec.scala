@@ -68,4 +68,33 @@ class LogRegSpec extends SparkSpec {
       assert(s == math.floor(s * 1e6 + 0.5) / 1e6)
     }
   }
+
+  test("hashedTfVector: dense exact counts, zero vector for token-less docs") {
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextStats.hashedTfVector(docs, "doc_id", "text", dim = 8)
+      .orderBy("doc_id").collect()
+    val v1 = out(0).getSeq[Double](1)
+    assert(v1.sum === 3.0 && v1.count(_ > 0) === 2) // a:2 + b:1, 2 buckets
+    assert(out(1).getSeq[Double](1).forall(_ === 0.0))
+    assert(out(2).getSeq[Double](1).forall(_ === 0.0))
+  }
+
+  test("text classifier loop learns a length target well above chance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val y = docs.select(col("doc_id"),
+      (col("n_chars") >= 300).cast("int").as("y"))
+    val feats = TextStats.hashedTfVector(docs, "doc_id", "text", 32)
+      .select(col("doc_id"), transform(col("vec"), x => x / lit(64.0)).as("vec"))
+    val model = LogReg.train(feats.join(y, Seq("doc_id")), "y", "vec",
+      iters = 10, lr = 2.0)
+    val scored = LogReg.scores(feats, "doc_id", "vec", model)
+      .join(y, Seq("doc_id"))
+    val n = scored.count().toDouble
+    val acc = scored.filter(col("pred") === col("y")).count() / n
+    val base = math.max(y.filter(col("y") === 1).count() / n,
+      y.filter(col("y") === 0).count() / n)
+    assert(acc > base + 0.1,
+      s"trained accuracy $acc not above majority baseline $base")
+  }
 }
