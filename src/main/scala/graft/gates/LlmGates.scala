@@ -1212,6 +1212,61 @@ object LlmGates {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Incremental SIMHASH near-dup (the fingerprint sibling of
+    * `dedup_incremental_near`): same planted re-crawl fixture — every
+    * 5th doc re-crawled verbatim under id +10^6, so each batch doc must
+    * hit its corpus original at Hamming distance 0. Corpus side joins
+    * in as the persisted portable fingerprint table; the oracle
+    * restates fingerprints over batch ∪ corpus, quarter-band buckets,
+    * the combined-occupancy cap, and batch-anchored candidates.
+    */
+  def dedupIncrementalSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"dedup_incremental_simhash fixture contract: max(doc_id) = $maxId must stay below the 10^6 batch-id offset hardcoded in the oracle SQL")
+    val corpusFps = Dedup.simhashPortable(d, "doc_id", "text")
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.nearDupSimhashIncremental(batch, "doc_id", "text", corpusFps,
+        maxDistance = 8, maxBucket = 500, portable = true)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalSimhashSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      |words AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |  FROM u),
+      |votes AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), i // 4 + 1, 1)) - 1)
+      |                   >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM words, range(64) r(i) GROUP BY doc_id, i),
+      |bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+      |bands AS (
+      |  SELECT doc_id, i // 16 AS band, sum(CAST(b AS BIGINT) << (i % 16)) AS bucket
+      |  FROM bits GROUP BY doc_id, i // 16),
+      |capped AS (
+      |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 500),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE a.doc_id >= 1000000 AND a.doc_id <> b.doc_id
+      |    AND (b.doc_id < 1000000 OR a.doc_id < b.doc_id)),
+      |fp AS (SELECT doc_id, list(b ORDER BY i) AS bl FROM bits GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(range(1, 65), j -> fa.bl[j] != fb.bl[j])) AS INT) AS distance
+      |  FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+      |            JOIN fp fb ON fb.doc_id = cand.id_b)
+      |SELECT id_a, id_b, distance FROM pairs
+      |WHERE distance <= 8 ORDER BY id_a, id_b""".stripMargin
+
   /** Deterministic hash split: integer-threshold membership on the
     * 32-bit md5 of the id — the oracle folds the same 8 hex digits and
     * compares against the same ⌊cum·2^32⌋ literals.
@@ -1340,6 +1395,22 @@ object LlmGates {
       .orderBy("train_id", "eval_id")
   }
 
+  /** [[graft.llm.Contamination.flag]] over the same planted eval set —
+    * the per-train-document decontamination verdict (`keep` is exactly
+    * the predicate [[graft.llm.Contamination.decontaminate]] cuts on,
+    * so this gate verifies the cut and its report in one).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val ws = split(Dedup.normalize(col("text")), " ")
+    val half = greatest(floor(size(ws) / lit(2)).cast("int"), lit(1))
+    val evalSet = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        array_join(slice(ws, lit(1), half), " ").as("text"))
+    Contamination.flag(d, evalSet, "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
   val contaminationSql: String =
     """WITH tnorm AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
@@ -1360,6 +1431,19 @@ object LlmGates {
       |FROM tsh t CROSS JOIN esh e
       |WHERE CAST(len(list_intersect(t.shset, e.shset)) AS DOUBLE) / len(e.shset) >= 0.8
       |ORDER BY train_id, eval_id""".stripMargin
+
+  val decontaminateSql: String =
+    s"""WITH pr AS (SELECT train_id, containment FROM ($contaminationSql)),
+       |chits AS (
+       |  SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |    max(containment) AS max_containment
+       |  FROM pr GROUP BY train_id)
+       |SELECT d.doc_id,
+       |  coalesce(h.n_eval_hits, CAST(0 AS BIGINT)) AS n_eval_hits,
+       |  h.max_containment,
+       |  (h.train_id IS NULL) AS keep
+       |FROM documents d LEFT JOIN chits h ON h.train_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- incremental exact dedup ----------------------------------------
 
@@ -1904,6 +1988,7 @@ object LlmGates {
     "sample_weighted"     -> (sampleWeighted _),
     "sample_uniform"      -> (sampleUniform _),
     "contamination"       -> (contamination _),
+    "decontaminate"       -> (decontaminate _),
     "sample_stratified"   -> (sampleStratified _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_exact"         -> (dedupExact _),
@@ -1919,6 +2004,7 @@ object LlmGates {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
+    "dedup_incremental_simhash" -> (dedupIncrementalSimhash _),
     "split_assign"        -> (splitAssign _),
     "split_by_cluster"    -> (splitByCluster _),
     "split_temporal"      -> (splitTemporal _),
@@ -1952,6 +2038,7 @@ object LlmGates {
     "sample_weighted"     -> sampleWeightedSql,
     "sample_uniform"      -> sampleUniformSql,
     "contamination"       -> contaminationSql,
+    "decontaminate"       -> decontaminateSql,
     "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,
     "text_stats"          -> textStatsSql,
@@ -1966,6 +2053,7 @@ object LlmGates {
     "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,
+    "dedup_incremental_simhash" -> dedupIncrementalSimhashSql,
     "split_assign"        -> splitAssignSql,
     "split_by_cluster"    -> splitByClusterSql,
     "split_temporal"      -> splitTemporalSql,

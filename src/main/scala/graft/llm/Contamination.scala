@@ -47,4 +47,42 @@ object Contamination {
         (col("__overlap").cast("double") / col("__esz")).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** Per-train-document contamination VERDICT over [[detect]]'s pairs:
+    * every train row comes back as `(idCol, n_eval_hits,
+    * max_containment, keep)` — `keep` = touched no eval doc at the
+    * threshold, `max_containment` null for clean docs. The report form
+    * a pipeline logs before cutting (how MUCH is leaving, and how
+    * badly contaminated the worst offender was).
+    */
+  def flag(train: DataFrame, evalSet: DataFrame, idCol: String,
+           textCol: String, threshold: Double, shingleN: Int = 3,
+           maxPostings: Int = 0): DataFrame = {
+    val hits = detect(train, evalSet, idCol, textCol, threshold, shingleN,
+        maxPostings)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("containment")).as("max_containment"))
+      .withColumnRenamed("train_id", idCol)
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_containment"),
+        col("n_eval_hits").isNull.as("keep"))
+  }
+
+  /** The CUT: train rows whose document contains NO eval doc at the
+    * threshold — [[detect]]'s pairs applied as a left-anti join, the
+    * decontamination step run right before a training corpus ships.
+    * Only ids move through the anti-join; payload columns ride the
+    * surviving train rows untouched.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, threshold: Double, shingleN: Int = 3,
+                    maxPostings: Int = 0): DataFrame =
+    train.join(
+      detect(train, evalSet, idCol, textCol, threshold, shingleN,
+          maxPostings)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

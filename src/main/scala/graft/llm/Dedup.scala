@@ -675,6 +675,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental SimHash near-dup — the daily path for the SimHash tier
+    * (completing the incremental family: [[exactDedupIncremental]] for
+    * digests, [[nearDupMinhashIncremental]] for minhash signatures):
+    * fingerprints are computed for the BATCH only; the corpus joins in
+    * as a persisted `(id, simhash)` table — ONE long per document, the
+    * cheapest persisted dedup state of the three tiers. Candidates come
+    * from shared 16-bit quarter buckets over batch ∪ corpus bands
+    * (batch-internal pairs a < b, plus every batch×corpus collision),
+    * capped on COMBINED occupancy; verification is Hamming distance on
+    * the fingerprints themselves — corpus text is never re-read, so the
+    * daily cost tracks the batch plus collision volume.
+    *
+    * CONTRACT: batch and corpus id spaces must be disjoint; `corpusFps`
+    * must come from [[simhash]]/[[simhashPortable]] in the SAME mode.
+    * Output: `(id_a = batch id, id_b, distance)` with
+    * distance ≤ maxDistance.
+    */
+  def nearDupSimhashIncremental(incoming: DataFrame, idCol: String,
+                                textCol: String, corpusFps: DataFrame,
+                                maxDistance: Int = 3, maxBucket: Int = 1000,
+                                portable: Boolean = false,
+                                capStats: Option[CapStats] = None): DataFrame = {
+    val batchFps = (if (portable) simhashPortable(incoming, idCol, textCol)
+                    else simhash(incoming, idCol, textCol))
+      .localCheckpoint(true)
+    // bounded: one long per corpus doc — same honesty note as the
+    // minhash incremental (raw lineage would re-fingerprint per consumer)
+    val corpFps = corpusFps.localCheckpoint(true)
+    def band(s: DataFrame): DataFrame = s.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__band", "__bucket")))
+    val all = band(batchFps).withColumn("__src", lit("b"))
+      .unionByName(band(corpFps).withColumn("__src", lit("c")))
+    val sized = capBuckets(all, Seq("__band", "__bucket"), maxBucket, capStats)
+    val a = sized.filter(col("__src") === "b")
+      .select(col("__band"), col("__bucket"), col(idCol).as("id_a"),
+        col("simhash").as("__sa"))
+    val b = sized.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_b"), col("simhash").as("__sb"), col("__src"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("__src") === "c" || col("id_a") < col("id_b")) &&
+        hamming(col("__sa"), col("__sb")) <= maxDistance)
+      .select(col("id_a"), col("id_b"),
+        hamming(col("__sa"), col("__sb")).as("distance"))
+      .distinct()
+  }
+
   /** Chunk-level duplication profile over CONTENT-DEFINED chunks
     * ([[Chunking.contentDefined]]): per document, how many of its
     * chunks' hashes also occur in OTHER documents — the

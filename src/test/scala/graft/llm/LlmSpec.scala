@@ -244,6 +244,28 @@ class LlmSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 101L || p._1 == 101L), "unrelated doc matched")
   }
 
+  test("incremental simhash: re-crawl hits its original at distance 0") {
+    val corpus = docs.filter($"doc_id" =!= 5L)
+    val corpusFps = Dedup.simhash(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // = doc 1
+      (101L, "entirely novel content with no duplicate anywhere"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupSimhashIncremental(batch, "doc_id", "text",
+        corpusFps, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 100L && p._2 == 1L && p._3 == 0),
+      out.mkString(", "))
+    assert(!out.exists(p => p._1 == 101L), "unrelated batch doc matched")
+    // batch-internal duplicates pair once, a < b
+    val batch2 = batch.union(Seq(
+      (102L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val out2 = Dedup.nearDupSimhashIncremental(batch2, "doc_id", "text",
+        corpusFps, maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2.contains((100L, 102L)) && !out2.contains((102L, 100L)))
+  }
+
   test("incremental near-dup: empty corpus degrades to batch-internal pairs") {
     val corpus = docs.limit(0)
     val emptySigs = Dedup.signatureTable(corpus, "doc_id", "text",
@@ -569,6 +591,24 @@ class LlmSpec extends SparkSpec {
     val got = Contamination.detect(train, evalSet, "doc_id", "text", 0.99)
       .collect()
     assert(got.length == 1 && got(0).getDouble(2) == 1.0)
+  }
+
+  test("decontaminate cuts exactly the flagged docs; clean rows keep payload") {
+    val train = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "p1"),
+      (2L, "totally different words appear in this training document", "p2"))
+      .toDF("doc_id", "text", "payload")
+    val evalSet = Seq((10L, "alpha bravo charlie delta"))
+      .toDF("doc_id", "text")
+    val flags = Contamination.flag(train, evalSet, "doc_id", "text", 0.8)
+      .orderBy("doc_id").collect()
+    assert(flags.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+      === Seq((1L, 1L, false), (2L, 0L, true)))
+    assert(flags(0).getDouble(2) === 1.0 && flags(1).isNullAt(2))
+    val kept = Contamination.decontaminate(train, evalSet, "doc_id", "text", 0.8)
+      .collect()
+    assert(kept.length === 1 && kept(0).getLong(0) === 2L
+      && kept(0).getString(2) === "p2")
   }
 
   test("contamination: maxPostings cap drops only over-shared shingles") {
