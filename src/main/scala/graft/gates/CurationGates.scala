@@ -922,7 +922,78 @@ object CurationGates {
        |FROM ho h LEFT JOIN per USING (doc_id)
        |ORDER BY h.doc_id""".stripMargin
 
+  // ---- rules-then-model filter stack ------------------------------------
+
+  /** Pinned 33-weight classifier head for the stack gate — a
+    * deterministic small-magnitude pattern (literal on both sides, so
+    * the oracle needs no training chain; the TRAINED loop is
+    * `logreg_text`'s job).
+    */
+  private val StackW: Array[Double] =
+    Array.tabulate(33)(j => ((j * 29) % 11 - 5) / 50.0)
+
+  /** [[graft.llm.Curation.filterStack]] at natural thresholds
+    * (minStopwords 0 — the synthetic corpus has no English stopwords):
+    * Gopher battery ∧ not-repetitive, then the pinned classifier head
+    * scoring only rule survivors, `keep` at score ≥ 0.46 (the pinned head's scores sit near 0.46;
+    * the boundary is placed inside the distribution so both verdicts
+    * populate — 0.5 would vacuously reject every survivor).
+    */
+  def qualityStack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = s.createDataset(StackW.toSeq.zipWithIndex
+      .map { case (w, j) => (j, w) }).toDF("j", "w")
+    graft.llm.Curation.filterStack(Tables(s, dir, "documents"), "doc_id",
+        "text", model, minScore = 0.46, dim = 32, scale = 64.0,
+        minStopwords = 0)
+      .orderBy("doc_id")
+  }
+
+  val qualityStackSql: String = {
+    val wLit = StackW.mkString("[", ", ", "]::DOUBLE[]")
+    s"""WITH ${gopherCtes("documents", 0)},
+       |grules AS (SELECT doc_id, keep AS gopher_keep FROM gverd),
+       |rrules AS (
+       |  SELECT doc_id, repetitive
+       |  FROM (${PipelineGates.qualityRepetitionSql})),
+       |rules AS (
+       |  SELECT g.doc_id, g.gopher_keep, r.repetitive
+       |  FROM grules g JOIN rrules r ON g.doc_id = r.doc_id),
+       |surv AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN rules ru ON ru.doc_id = d.doc_id
+       |  WHERE ru.gopher_keep AND NOT ru.repetitive),
+       |stk AS (
+       |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS t
+       |  FROM surv),
+       |stfc AS (
+       |  SELECT doc_id, ${PipelineGates.shardFoldSql("t", 32)} AS i,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM stk WHERE t <> '' GROUP BY 1, 2),
+       |sax AS (
+       |  SELECT d.doc_id, js.j,
+       |    CASE WHEN js.j = 0 THEN 1.0::DOUBLE
+       |      ELSE CAST(coalesce(f.c, 0) AS DOUBLE) / 64.0 END AS x
+       |  FROM surv d
+       |  CROSS JOIN (SELECT unnest(range(0, 33)) AS j) js
+       |  LEFT JOIN stfc f ON f.doc_id = d.doc_id AND f.i = js.j - 1),
+       |smg AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(sum(CAST(CAST(x * ($wLit)[j + 1] AS VARCHAR) AS DECIMAL(28,15))) AS VARCHAR) AS DOUBLE) AS m
+       |  FROM sax GROUP BY doc_id),
+       |ssc AS (
+       |  SELECT doc_id,
+       |    floor((0.5 * (1.0 + m / (1.0 + abs(m)))) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM smg)
+       |SELECT ru.doc_id, ru.gopher_keep, ru.repetitive, s.score,
+       |  (ru.gopher_keep AND NOT ru.repetitive
+       |    AND coalesce(s.score >= 0.46, FALSE)) AS keep
+       |FROM rules ru LEFT JOIN ssc s ON s.doc_id = ru.doc_id
+       |ORDER BY ru.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_stack"      -> (qualityStack _),
     "gopher_rules"       -> (gopherRules _),
     "c4_filters"         -> (c4Filters _),
     "embed_gram"         -> (embedGram _),
@@ -944,6 +1015,7 @@ object CurationGates {
     "oov_rate"           -> (oovRateGate _))
 
   val oracleSql: Map[String, String] = Map(
+    "quality_stack"      -> qualityStackSql,
     "gopher_rules"       -> gopherRulesSql,
     "c4_filters"         -> c4FiltersSql,
     "embed_gram"         -> embedGramSql,

@@ -60,4 +60,40 @@ object Curation {
     graft.operators.Selection.byTokenBudget(best,
       Seq(col(scoreCol).desc, col(idCol).asc), "toks", tokenBudget)
   }
+
+  /** The rules-then-model FILTER STACK — the standard modern shape
+    * (RefinedWeb/Dolma/LLaMA-style): cheap distributional rules first
+    * ([[Gopher.profile]]'s battery and [[Repetition.profile]]'s
+    * repetition flags, both scan-speed), then the TRAINED classifier
+    * head ([[LogReg.scores]] over [[TextStats.hashedTfVector]], the
+    * `logreg_text` loop's model) scoring ONLY the rule survivors — the
+    * expensive stage never sees documents the rules already killed.
+    *
+    * Output: one row per input doc — `(idCol, gopher_keep, repetitive,
+    * score, keep)` with `score` null for rule-rejected docs (never
+    * computed) and `keep = rules pass ∧ score ≥ minScore`.
+    */
+  def filterStack(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame, minScore: Double,
+                  dim: Int = 32, scale: Double = 64.0,
+                  minStopwords: Int = 2): DataFrame = {
+    val g = Gopher.profile(docs, idCol, textCol, minStopwords = minStopwords)
+      .select(col(idCol), col("keep").as("gopher_keep"))
+    val r = Repetition.profile(docs, idCol, textCol)
+      .select(col(idCol), col("repetitive"))
+    val rules = g.join(r, Seq(idCol))
+    val survivors = docs.join(
+      rules.filter(col("gopher_keep") && !col("repetitive"))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val feats = TextStats.hashedTfVector(survivors, idCol, textCol, dim)
+      .select(col(idCol),
+        transform(col("vec"), x => x / lit(scale)).as("vec"))
+    val scored = LogReg.scores(feats, idCol, "vec", model)
+      .select(col(idCol), col("score"))
+    rules.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("gopher_keep"), col("repetitive"), col("score"),
+        (col("gopher_keep") && !col("repetitive")
+          && coalesce(col("score") >= minScore, lit(false))).as("keep"))
+  }
 }

@@ -51,6 +51,28 @@ class LlmSpec extends SparkSpec {
     assert(out == Seq(1L, 4L))
   }
 
+  test("filter stack: rules gate the classifier; rule-killed docs never score") {
+    // doc 1: passes gopher (60 words incl. a stopword) and is not repetitive
+    // doc 2: repetitive (one bigram dominates) -> rules kill it
+    // doc 3: too short for gopher's 50-word floor -> rules kill it
+    val good = (1 to 60).map(i => s"word$i").mkString("the ", " ", "")
+    val stack = Seq(
+      (1L, good),
+      (2L, ("spam ham " * 40).trim),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val model = (0 to 32).map(j => (j, 0.01)).toDF("j", "w")
+    val out = Curation.filterStack(stack, "doc_id", "text", model,
+        minScore = 0.0, minStopwords = 1)
+      .orderBy("doc_id").collect()
+    // doc 1: rules pass, scored, keep (score >= 0.0 always)
+    assert(out(0).getBoolean(1) && !out(0).getBoolean(2)
+      && !out(0).isNullAt(3) && out(0).getBoolean(4))
+    // doc 2: gopher passes words but repetition kills -> no score, no keep
+    assert(out(1).getBoolean(2) && out(1).isNullAt(3) && !out(1).getBoolean(4))
+    // doc 3: gopher kills -> no score, no keep
+    assert(!out(2).getBoolean(1) && out(2).isNullAt(3) && !out(2).getBoolean(4))
+  }
+
   test("cluster resolution: transitive pairs collapse to the component min (both regimes)") {
     val pairs = Seq((2L, 3L), (3L, 7L), (9L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
