@@ -71,8 +71,12 @@ object LogReg {
             iters: Int, lr: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // materialized ONCE: every iteration reads base twice (margin pass +
+    // gradient agg), so raw lineage would recompute the caller's feature
+    // prep (e.g. hashedTfVector's explode/assembly) 2·iters times.
+    // Bounded: n × (dim+1) doubles — the labeled training slice itself.
     val base = df.select(col(labelCol).cast("double").as("__y"),
-      augmented(vecCol).as("__x"))
+      augmented(vecCol).as("__x")).localCheckpoint(true)
     val dim = base.select(size(col("__x"))).head().getInt(0)
     val n = base.count().toDouble
     var w = Array.fill(dim)(0.0d)

@@ -154,8 +154,11 @@ object Sft {
     val w = Window.partitionBy(col("shard")).orderBy(col("conv_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(blockChars.toLong)
+    // null-safe: an external transcripts table may carry null mask_spans
+    // where [[transcripts]] renders ""; both mean "no masked turns"
     val spanStructs = transform(
-      filter(split(col("mask_spans"), "\\|"), x => x =!= ""),
+      filter(split(coalesce(col("mask_spans"), lit("")), "\\|"),
+        x => x =!= ""),
       x => struct(split(x, ":").getItem(0).cast("long").as("s"),
         split(x, ":").getItem(1).cast("long").as("e")))
     val base = transcripts.filter(col("n_chars") > 0)
