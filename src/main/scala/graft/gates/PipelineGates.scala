@@ -207,6 +207,33 @@ object PipelineGates {
        |      FROM documents)
        |GROUP BY sh ORDER BY shard""".stripMargin
 
+  /** [[Sharding.epochOrder]] over two epochs of the corpus: id-stable
+    * shards, an epoch-salted portable-hash permutation within each
+    * (shard, epoch) stream — different each epoch, identical on rerun.
+    */
+  def epochOrder(s: SparkSession, dir: String): DataFrame =
+    Sharding.epochOrder(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          explode(array(lit(0), lit(1))).as("epoch")),
+        "doc_id", "epoch", nShards = 4, portable = true)
+      .select(col("doc_id"), col("epoch"), col("shard"), col("seq"))
+      .orderBy("shard", "epoch", "seq")
+
+  val epochOrderSql: String =
+    s"""WITH de AS (
+       |  SELECT doc_id, CAST(unnest(range(0, 2)) AS INT) AS epoch
+       |  FROM documents),
+       |sk AS (
+       |  SELECT doc_id, epoch, ${shardFoldSql("doc_id", 4)} AS shard,
+       |    list_reduce([strpos('0123456789abcdef',
+       |        substr(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |      for j in range(1, 9)], (a, b) -> a * 16 + b) AS k
+       |  FROM de)
+       |SELECT doc_id, epoch, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, epoch
+       |    ORDER BY k, doc_id) AS INT) AS seq
+       |FROM sk ORDER BY shard, epoch, seq""".stripMargin
+
   // ---- concat-and-split training-block packing ------------------------
 
   private val BlockB = 256
@@ -969,6 +996,7 @@ object PipelineGates {
     "group_cardinality"  -> (groupCardinality _),
     "corpus_drift"       -> (corpusDrift _),
     "shard_assign"       -> (shardAssign _),
+    "epoch_order"        -> (epochOrder _),
     "pack_blocks"        -> (packBlocks _),
     "ngram_topk"         -> (ngramTopk _),
     "boilerplate_lines"  -> (boilerplateLines _),
@@ -997,6 +1025,7 @@ object PipelineGates {
     "group_cardinality"  -> groupCardinalitySql,
     "corpus_drift"       -> corpusDriftSql,
     "shard_assign"       -> shardAssignSql,
+    "epoch_order"        -> epochOrderSql,
     "pack_blocks"        -> packBlocksSql,
     "ngram_topk"         -> ngramTopkSql,
     "boilerplate_lines"  -> boilerplateLinesSql,

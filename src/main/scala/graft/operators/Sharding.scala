@@ -55,4 +55,32 @@ object Sharding {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
+
+  /** Deterministic per-epoch TRAINING ORDER — the "shuffled each epoch"
+    * contract trainers expect, without an RNG: rows are sharded by id
+    * (a document keeps its worker affinity across epochs) and ordered
+    * WITHIN (shard, epoch) by the portable hash of `"epoch:id"`, so
+    * every epoch draws a different-but-reproducible permutation —
+    * reruns, engines, and partitionings all agree, and growing the
+    * corpus never reorders the existing pairs' relative draw keys.
+    * Composes after [[graft.operators.Mixing.byRate]] (which emits the
+    * (row, epoch) multiset) and before [[graft.llm.Packing.blocks]].
+    *
+    * Output: input columns + `shard` + `seq` (1-based position within
+    * the (shard, epoch) stream). One shuffle on (shard, epoch); the
+    * rank window is per shard×epoch — trainer-file parallelism, no
+    * global sort.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochCol: String,
+                 nShards: Int, portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sid = if (portable) shardIdPortable(col(idCol), nShards)
+              else shardId(col(idCol), nShards)
+    val key = graft.functions.Hashes.u32OfMd5(concat_ws(":",
+      col(epochCol).cast("string"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"), col(epochCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("shard", sid)
+      .withColumn("seq", row_number().over(w))
+  }
 }

@@ -413,4 +413,32 @@ class PipelineSpec extends SparkSpec {
     assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L)
     assert(!out.exists(r => r.getString(0) == "a" && r.getString(1) == "c"))
   }
+
+  test("epochOrder: complete per-stream ranks, epoch-distinct permutations, deterministic") {
+    val rows = (0L until 200L).flatMap(id => Seq((id, 0), (id, 1)))
+      .toDF("id", "epoch")
+    val out = Sharding.epochOrder(rows, "id", "epoch", nShards = 4,
+      portable = true)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // each (shard, epoch) stream is ranked 1..n with no gaps
+    got.groupBy(t => (t._3, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // a document's shard never changes across epochs (worker affinity)
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // the two epochs draw DIFFERENT permutations of the same shard
+    val byEpoch = got.groupBy(_._2).map { case (e, g) =>
+      e -> g.filter(_._3 == g.head._3).sortBy(_._4).map(_._1).toSeq
+    }
+    assert(byEpoch(0) != byEpoch(1))
+    // rerun under a different partitioning is identical
+    val again = Sharding.epochOrder(rows.repartition(7), "id", "epoch",
+        nShards = 4, portable = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
