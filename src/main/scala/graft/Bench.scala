@@ -343,7 +343,7 @@ object Bench {
         "c4_blocklist", "sft_transcripts", "sft_pack", "sft_run",
         "bpe_fertility", "dpo_pairs", "grpo_advantage",
         "ann_recall_audit", "decontaminate", "dedup_incremental_simhash",
-        "quality_stack", "epoch_order")
+        "quality_stack", "epoch_order", "corpus_datasheet")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

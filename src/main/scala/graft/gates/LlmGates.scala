@@ -3,7 +3,7 @@ package graft.gates
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Ann, Contamination, Dedup, ImageIoDecoder, Multimodal, Pq, TextStats}
+import graft.llm.{Ann, Contamination, CorpusStats, Dedup, ImageIoDecoder, Multimodal, Pq, TextStats}
 
 /** Correctness gates for the LLM-data-pipeline operators over
   * `documents.parquet` / `embeddings.parquet`.
@@ -1519,6 +1519,25 @@ object LlmGates {
        |  CAST(sum(CAST($qualityExpr AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_quality
        |FROM qscored GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** [[graft.llm.CorpusStats.datasheet]] per language — the data-card
+    * row: composition plus char volume and the exact-duplicate
+    * fraction the dedup stage will reclaim.
+    */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.datasheet(Tables(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+
+  val corpusDatasheetSql: String =
+    s"""WITH ${qualityCtes("documents")}
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST($qualityExpr AS DECIMAL(14,4))) AS DOUBLE) / count(*) AS avg_quality,
+       |  CAST(count(*) - count(DISTINCT
+       |      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM qscored GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- duplicate-span profiling ---------------------------------------
 
   /** Per-doc duplicated-span coverage (8-word spans shared by >= 2 docs,
@@ -2001,6 +2020,7 @@ object LlmGates {
     "llm_budget_corpus"   -> (llmBudgetCorpus _),
     "llm_training_blocks" -> (llmTrainingBlocks _),
     "corpus_composition"  -> (corpusComposition _),
+    "corpus_datasheet"    -> (corpusDatasheet _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_near" -> (dedupIncrementalNear _),
@@ -2050,6 +2070,7 @@ object LlmGates {
     "llm_budget_corpus"   -> llmBudgetCorpusSql,
     "llm_training_blocks" -> llmTrainingBlocksSql,
     "corpus_composition"  -> corpusCompositionSql,
+    "corpus_datasheet"    -> corpusDatasheetSql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalBloomSql,
     "dedup_incremental_near" -> dedupIncrementalNearSql,

@@ -70,6 +70,28 @@ object CorpusStats {
         (sum(TextStats.qualityScore(col(textCol)).cast("decimal(14,4)"))
           .cast("double") / count(lit(1))).as("avg_quality"))
 
+  /** The per-group DATA-CARD row — [[composition]] plus the two numbers
+    * a datasheet reports that composition doesn't: raw char volume and
+    * the EXACT-DUPLICATE fraction (1 − distinct normalized digests /
+    * docs — what the dedup stage will reclaim, published before it
+    * runs). Still ONE partially-aggregated pass: the distinct-digest
+    * count plans as a single Expand, no join, no window; `dup_frac` is
+    * one IEEE division of exact longs.
+    */
+  def datasheet(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col(textCol), lit(""))).cast("long"))
+          .as("n_chars"),
+        sum(TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(TextStats.qualityScore(col(textCol)).cast("decimal(14,4)"))
+          .as("__qs"),
+        countDistinct(md5(Dedup.normalize(col(textCol)))).as("__nd"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"), col("n_tokens"),
+        (col("__qs").cast("double") / col("n_docs")).as("avg_quality"),
+        ((col("n_docs") - col("__nd")).cast("double")
+          / col("n_docs").cast("double")).as("dup_frac"))
+
   /** Per-group EXACT quartiles (plus min/max/count) of an integer
     * column — the length-distribution profile that picks chunking and
     * filter thresholds.

@@ -81,7 +81,11 @@ object Curation {
       .select(col(idCol), col("keep").as("gopher_keep"))
     val r = Repetition.profile(docs, idCol, textCol)
       .select(col(idCol), col("repetitive"))
-    val rules = g.join(r, Seq(idCol))
+    // materialized once: consumed by BOTH the survivor filter and the
+    // final report join — raw lineage would re-run the two profile
+    // scans (gopher + repetition, 3 passes over the text) twice.
+    // Bounded: three narrow columns per doc.
+    val rules = g.join(r, Seq(idCol)).localCheckpoint(true)
     val survivors = docs.join(
       rules.filter(col("gopher_keep") && !col("repetitive"))
         .select(col(idCol)),

@@ -326,6 +326,23 @@ class PipelineSpec extends SparkSpec {
     assert(r(0).getAs[Double]("avg_quality") == 1.0)
   }
 
+  test("datasheet adds char volume and the exact-dup fraction to composition") {
+    val df = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "  ALPHA   beta GAMMA "), // normalizes to doc 1's text
+      (3L, "en", "something else entirely"),
+      (4L, "fr", "unique french text")).toDF("id", "lang", "text")
+    val r = CorpusStats.datasheet(df, "lang", "text").orderBy("lang").collect()
+    val en = r(0); val fr = r(1)
+    // en: 3 docs, 2 distinct normalized digests -> dup_frac 1/3
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Double]("dup_frac") == 1.0 / 3.0)
+    assert(en.getAs[Long]("n_chars") ==
+      ("alpha beta gamma".length + "  ALPHA   beta GAMMA ".length
+        + "something else entirely".length).toLong)
+    assert(fr.getAs[Double]("dup_frac") == 0.0)
+  }
+
   // ---- Embeddings ------------------------------------------------------
 
   test("quantizeInt8 maps the max magnitude to ±127 and round-trips") {
