@@ -409,8 +409,8 @@ object TrainGates {
        |  CAST(sum(CASE WHEN masked THEN line_len ELSE 0 END) AS BIGINT) AS n_masked_chars,
        |  CAST(length(string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx)) AS INT) AS n_chars,
        |  string_agg(role || ': ' || content, chr(10) ORDER BY turn_idx) AS transcript,
-       |  string_agg(CASE WHEN masked THEN CAST(start_off AS VARCHAR) || ':' || CAST(end_off AS VARCHAR) END,
-       |    '|' ORDER BY turn_idx) AS mask_spans
+       |  coalesce(string_agg(CASE WHEN masked THEN CAST(start_off AS VARCHAR) || ':' || CAST(end_off AS VARCHAR) END,
+       |    '|' ORDER BY turn_idx), '') AS mask_spans
        |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
   // ---- Blocklist token join -------------------------------------------
@@ -667,8 +667,11 @@ object TrainGates {
        |    sqrt(greatest(m2 - m * m, 0.0)) AS sd
        |  FROM st)
        |SELECT c.lang, c.source, c.doc_id, c.score, g.n_group,
-       |  CASE WHEN g.sd = 0.0 OR round((c.score - g.m) / g.sd, 6) = 0.0
-       |    THEN 0.0 ELSE round((c.score - g.m) / g.sd, 6) END AS advantage
+       |  CASE WHEN g.sd = 0.0
+       |      OR floor((c.score - g.m) / g.sd * 1000000 + 0.5) / 1000000 = 0.0
+       |    THEN 0.0
+       |    ELSE floor((c.score - g.m) / g.sd * 1000000 + 0.5) / 1000000
+       |  END AS advantage
        |FROM cand c JOIN gsd g ON c.lang = g.lang AND c.source = g.source
        |ORDER BY c.doc_id""".stripMargin
 

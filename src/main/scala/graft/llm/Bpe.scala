@@ -99,10 +99,14 @@ object Bpe {
     val total = wc.count()
     val kept = wc.orderBy(col("cnt").desc, col("word").asc)
       .limit(vocabBudget).as[(String, Long)].collect()
+    // Assignment semantics, matching Dedup.fillCapStats (every other cap
+    // site overwrites, never accumulates — a CapStats instance reused
+    // across sites must not report mixed totals). droppedBuckets here is
+    // a 0/1 "budget hit" flag: the word table is one logical bucket.
     capStats.foreach { cs =>
       val dropped = math.max(0L, total - kept.length)
-      cs.droppedBuckets += (if (dropped > 0) 1L else 0L)
-      cs.droppedRows += dropped
+      cs.droppedBuckets = if (dropped > 0) 1L else 0L
+      cs.droppedRows = dropped
     }
     val merges = trainOnCounts(kept, numMerges)
     spark.createDataFrame(

@@ -104,7 +104,12 @@ object Dpo {
       .select(g ++ Seq(col("n_group"), col("__m"),
         sqrt(greatest(col("__m2") - col("__m") * col("__m"), lit(0.0)))
           .as("__sd")): _*)
-    val zRaw = round((x - col("__m")) / col("__sd"), 6)
+    // floor-based round-6 publish (NOT library round(x, 6)): Spark's
+    // round is HALF_UP on the decimal form while DuckDB multiplies and
+    // rounds the scaled double, so a z-score landing on a decimal
+    // midpoint would diverge between engines. floor(x*1e6 + 0.5)/1e6 is
+    // the same exactly-rounded IEEE op on both — the EmbedStats recipe.
+    val zRaw = floor((x - col("__m")) / col("__sd") * lit(1e6) + lit(0.5)) / lit(1e6)
     candidates.join(stats, groupCols)
       .select(g ++ Seq(col(idCol), x.as("score"), col("n_group"),
         when(col("__sd") === 0.0 || zRaw === 0.0, lit(0.0))

@@ -77,7 +77,16 @@ object LogReg {
     // Bounded: n × (dim+1) doubles — the labeled training slice itself.
     val base = df.select(col(labelCol).cast("double").as("__y"),
       augmented(vecCol).as("__x")).localCheckpoint(true)
-    val dim = base.select(size(col("__x"))).head().getInt(0)
+    // Fail loud, not opaque: an empty labeled slice would otherwise
+    // throw head()'s NoSuchElementException, and ragged vector lengths
+    // would silently null out margins via zip_with padding.
+    val dims = base.agg(min(size(col("__x"))), max(size(col("__x")))).head()
+    require(!dims.isNullAt(0),
+      "LogReg.train: empty training input — no labeled rows")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"LogReg.train: ragged feature vectors — lengths span " +
+        s"[${dims.getInt(0)}, ${dims.getInt(1)}] (must be uniform)")
+    val dim = dims.getInt(0)
     val n = base.count().toDouble
     var w = Array.fill(dim)(0.0d)
     var it = 0
