@@ -129,6 +129,20 @@ object TrainGates {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** [[Bpe.encodeWithMergesFast]] under [[PinnedMerges]] — the
+    * production encode kernel (heap-of-candidate-ranks, per-word cost
+    * independent of the merge-table size), verified against the SAME
+    * oracle as [[bpeEncode]]: token-for-token equality with the pass
+    * form is the kernel's contract (BpeSpec pins it adversarially; this
+    * gate pins it against the independent DuckDB restatement).
+    */
+  def bpeEncodeFast(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeWithMergesFast(Tables(s, dir, "documents"), "doc_id", "text",
+        PinnedMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
   /** [[Bpe.fertility]] under [[PinnedMerges]] grouped by language —
     * learned-subword tokens per word, the tokenizer-coverage metric.
     */
@@ -683,6 +697,7 @@ object TrainGates {
     "grpo_advantage"  -> (grpoAdvantage _),
     "bpe_train"       -> (bpeTrain _),
     "bpe_encode"      -> (bpeEncode _),
+    "bpe_encode_fast" -> (bpeEncodeFast _),
     "logreg_train"    -> (logregTrain _),
     "logreg_scores"   -> (logregScores _),
     "logreg_text"     -> (logregText _),
@@ -700,6 +715,7 @@ object TrainGates {
     "grpo_advantage"  -> grpoAdvantageSql,
     "bpe_train"       -> bpeTrainSql,
     "bpe_encode"      -> bpeEncodeSql,
+    "bpe_encode_fast" -> bpeEncodeSql,
     "logreg_train"    -> logregTrainSql,
     "logreg_scores"   -> logregScoresSql,
     "logreg_text"     -> logregTextSql,

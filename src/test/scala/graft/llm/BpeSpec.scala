@@ -85,6 +85,55 @@ class BpeSpec extends SparkSpec {
     assert(enc > 0)
   }
 
+  test("encodeWordFast equals the pass form on the adversarial re-creation table") {
+    // (ab,c) ranked BEFORE (a,b): a naive priority-queue encode would
+    // apply rank 0 after rank 1 re-creates its pair (-> [abc]); the
+    // pass form cannot revisit an earlier turn (-> [ab, c]). The fast
+    // kernel must agree with the pass form, not the priority queue.
+    val t = Array(("ab", "c"), ("a", "b"))
+    assert(Bpe.encodeWord("abc", t).toSeq == Seq("ab", "c"))
+    assert(Bpe.encodeWordFast("abc", new Bpe.MergeIndex(t)).toSeq ==
+      Seq("ab", "c"))
+    // destroyed-then-recreated pair keeps firing at its turn: (a,b) at
+    // rank 2 must still apply after (b,b) consumed and (bb-split never
+    // happens) — exercised via a table where rank 1 consumes the b that
+    // rank 2 would pair, then rank 0's output re-exposes one
+    val t2 = Array(("b", "b"), ("a", "bb"), ("a", "b"))
+    assert(Bpe.encodeWordFast("abbb", new Bpe.MergeIndex(t2)).toSeq ==
+      Bpe.encodeWord("abbb", t2).toSeq)
+    // duplicate pair at two ranks: both entries must be kept
+    val t3 = Array(("a", "b"), ("ab", "c"), ("a", "b"))
+    assert(Bpe.encodeWordFast("abcab", new Bpe.MergeIndex(t3)).toSeq ==
+      Bpe.encodeWord("abcab", t3).toSeq)
+  }
+
+  test("encodeWordFast == encodeWord across a seeded random-table sweep") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randSym(): String =
+      (0 until (1 + rnd.nextInt(2))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    for (trial <- 1 to 500) {
+      val word = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      val merges = Array.fill(rnd.nextInt(10))((randSym(), randSym()))
+      val idx = new Bpe.MergeIndex(merges)
+      assert(Bpe.encodeWordFast(word, idx).toSeq ==
+        Bpe.encodeWord(word, merges).toSeq,
+        s"trial=$trial word=$word merges=${merges.toSeq}")
+    }
+  }
+
+  test("encodeWithMergesFast matches encodeWithMerges document-for-document") {
+    val docs = Seq((1L, "The  Fast KEY order"), (2L, "  "),
+      (3L, "scan scan theater"), (4L, null: String)).toDF("doc_id", "text")
+    val merges = Array(("s", "c"), ("sc", "a"), ("t", "h"), ("th", "e"))
+    def render(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("t"),
+        col("n_tokens")).orderBy("doc_id").collect().toSeq
+    assert(render(Bpe.encodeWithMergesFast(docs, "doc_id", "text", merges)) ==
+      render(Bpe.encodeWithMerges(docs, "doc_id", "text", merges)))
+  }
+
   test("wordCounts matches a manual count and ignores blank docs") {
     val docs = Seq((1L, "a b a"), (2L, ""), (3L, "  b  ")).toDF("doc_id", "text")
     val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
