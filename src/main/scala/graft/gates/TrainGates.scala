@@ -485,8 +485,8 @@ object TrainGates {
     * `(conv_id, n_chars, mask_spans)` to the final block SELECT —
     * shared by the `sft_pack` and `sft_run` oracles.
     */
-  private def packChainFrom(rel: String): String = {
-    val b = PackChars
+  private def packChainFrom(rel: String, b: Int = PackChars,
+                            measure: String = "chars_in_block"): String = {
     s"""sb AS (
        |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
        |    conv_id, CAST(n_chars AS BIGINT) AS n,
@@ -507,7 +507,7 @@ object TrainGates {
        |SELECT shard, block_id, conv_id,
        |  greatest(conv_offset, block_id * $b) - block_id * $b AS start_in_block,
        |  least(conv_offset + n, (block_id + 1) * $b)
-       |    - greatest(conv_offset, block_id * $b) AS chars_in_block,
+       |    - greatest(conv_offset, block_id * $b) AS $measure,
        |  coalesce(array_to_string(
        |    [CAST(greatest(conv_offset + sp[1], block_id * $b) - block_id * $b
        |       AS VARCHAR) || ':' ||
@@ -525,6 +525,55 @@ object TrainGates {
        |  SELECT conv_id, n_chars, coalesce(mask_spans, '') AS mask_spans
        |  FROM ($sftTranscriptsSql)),
        |${packChainFrom("tr")}""".stripMargin
+
+  // ---- SFT packing in TOKEN space ---------------------------------------
+
+  private val TokBlock = 64
+
+  /** [[Sft.packTokens]] under [[PinnedMerges]]: blocks cut at learned-
+    * subword TOKEN boundaries (64-token blocks), mask spans clipped and
+    * re-based in token coordinates — the coordinate system the trainer's
+    * loss actually indexes.
+    */
+  def sftPackTokens(s: SparkSession, dir: String): DataFrame =
+    Sft.packTokens(sftTurnsDf(s, dir), PinnedMerges, blockTokens = TokBlock,
+        nShards = PackShards, portable = true)
+      .orderBy("shard", "block_id", "conv_id")
+
+  /** Oracle: per-turn line token counts via the same replace-chain
+    * encode as [[bpeEncodeSql]] (word boundaries → the newline
+    * sentinel, 4×-replace per pinned rank, sentinel dropped), token
+    * offsets as a separator-free per-conversation cumsum (the `\n`
+    * joints vanish under whitespace tokenization), then the shared
+    * packing CTE chain at the token block size.
+    */
+  val sftPackTokensSql: String = {
+    val inner =
+      "'  ' || array_to_string([n2[j] for j in range(1, len(n2)+1)], '  ') || '  '"
+    val chain = PinnedMerges.foldLeft(inner) { case (e, (l, r)) =>
+      rep4(e, s"'$l'", s"'$r'")
+    }
+    s"""WITH $sftTurnsCte,
+       |nm AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    replace(regexp_replace(trim(lower(role || ': ' || content)), '\\s+', ' ', 'g'), ' ', chr(10)) AS n2
+       |  FROM t),
+       |etok AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    CAST(len([x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)]) AS BIGINT) AS ntok
+       |  FROM nm),
+       |off AS (
+       |  SELECT *, CAST(coalesce(sum(ntok) OVER (PARTITION BY conv_id
+       |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+       |  FROM etok),
+       |trt AS (
+       |  SELECT conv_id, CAST(sum(ntok) AS BIGINT) AS n_chars,
+       |    coalesce(string_agg(CASE WHEN masked
+       |        THEN CAST(ts AS VARCHAR) || ':' || CAST(ts + ntok AS VARCHAR) END,
+       |      '|' ORDER BY turn_idx), '') AS mask_spans
+       |  FROM off GROUP BY conv_id),
+       |${packChainFrom("trt", TokBlock, "toks_in_block")}""".stripMargin
+  }
 
   // ---- SFT capstone: truncate -> transcripts -> pack as ONE chain ------
 
@@ -705,6 +754,7 @@ object TrainGates {
     "sft_truncate"    -> (sftTruncate _),
     "sft_transcripts" -> (sftTranscripts _),
     "sft_pack"        -> (sftPack _),
+    "sft_pack_tokens" -> (sftPackTokens _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
     "c4_blocklist"    -> (c4Blocklist _))
@@ -723,6 +773,7 @@ object TrainGates {
     "sft_truncate"    -> sftTruncateSql,
     "sft_transcripts" -> sftTranscriptsSql,
     "sft_pack"        -> sftPackSql,
+    "sft_pack_tokens" -> sftPackTokensSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,
     "c4_blocklist"    -> c4BlocklistSql)

@@ -122,6 +122,87 @@ object Sft {
         length(col("transcript")).as("n_chars"),
         col("transcript"), col("mask_spans"))
 
+  /** Token-space conversation rollup: [[transcripts]]' summary with
+    * every count and mask span in LEARNED-SUBWORD TOKEN coordinates
+    * under a pinned BPE merge table — the coordinate system the trainer
+    * actually consumes (blocks are token windows; a char-space span is
+    * useless to a loss over token logits).
+    *
+    * Coordinate semantics: a turn's token count is the BPE token count
+    * of its rendered line (`role ⧺ ": " ⧺ content`, normalized by the
+    * tokenizer's own trim/lower/whitespace-collapse convention). The
+    * transcript's `\n` joints vanish under whitespace tokenization, so
+    * the transcript token stream is exactly the per-turn streams
+    * concatenated: turn i's span = [Σ prior turns' counts, + own count)
+    * with NO joint term — unlike char space's `line_len + 1`.
+    *
+    * Scale shape: token counting encodes only the DISTINCT rendered
+    * lines ([[Bpe.encodeWordFast]] kernel — per-word cost independent
+    * of merge-table size) and hash-joins the counts back; offsets are
+    * the same per-conversation window as [[turns]]; the rollup is one
+    * sorted-struct aggregation. One extra shuffle (the distinct) over
+    * [[transcripts]].
+    */
+  def transcriptsTokens(turnsDf: DataFrame,
+                        merges: Array[(String, String)]): DataFrame = {
+    val spark = turnsDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
+    val lineNorm = regexp_replace(
+      trim(lower(lineOf(col("role"), col("content")))), "\\s+", " ")
+    val withLine = turnsDf.withColumn("__line", lineNorm)
+    val counted = withLine.select(col("__line")).distinct().as[String]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { t =>
+          val n =
+            if (t.isEmpty) 0
+            else t.split(" ").iterator.map { w =>
+              memo.getOrElseUpdate(w, Bpe.encodeWordFast(w, idx).length)
+            }.sum
+          (t, n)
+        }
+      }.toDF("__line", "__ntok")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val toks = withLine.join(counted, Seq("__line"))
+      .select(col("conv_id"), col("turn_idx"), col("masked"),
+        col("__ntok").cast("long").as("__ntok"))
+      .withColumn("tok_start", coalesce(
+        sum(col("__ntok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("__ntok"))
+    toks.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked_turns"),
+        sum(when(col("masked"), col("__ntok")).otherwise(0L))
+          .as("n_masked_tokens"),
+        sum(col("__ntok")).as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(when(col("masked"),
+            struct(col("turn_idx"), col("tok_start"), col("tok_end"))))),
+          s => concat(s.getField("tok_start"), lit(":"),
+            s.getField("tok_end"))), "|").as("mask_spans"))
+  }
+
+  /** [[pack]] in TOKEN space: conversations laid end to end per shard
+    * with ONE separator token between them (the EOS analogue of the
+    * char packer's `\n` joint) and cut into fixed `blockTokens` blocks,
+    * mask spans clipped and re-based in token coordinates — the packed
+    * form whose block boundaries and loss spans line up with what the
+    * trainer's token stream actually contains. Output mirrors [[pack]]
+    * with `toks_in_block` as the measure.
+    */
+  def packTokens(turnsDf: DataFrame, merges: Array[(String, String)],
+                 blockTokens: Int = 2048, nShards: Int = 16,
+                 portable: Boolean = false): DataFrame =
+    pack(transcriptsTokens(turnsDf, merges)
+        .select(col("conv_id"), col("n_tokens").as("n_chars"),
+          col("mask_spans")),
+        blockChars = blockTokens, nShards = nShards, portable = portable)
+      .withColumnRenamed("chars_in_block", "toks_in_block")
+
   /** Packed SFT blocks with loss-mask RE-OFFSETTING — the SFT analogue
     * of [[Packing.blocks]]: transcripts are laid end to end per shard
     * (one separator char between conversations, the same `\n` joint the

@@ -122,4 +122,52 @@ class SftSpec extends SparkSpec {
       .map(r => spanChars(r.getString(5))).sum
     assert(before > 0 && after === before)
   }
+
+  private val merges = Array(("c", "l"), ("cl", "i"), ("cli", "c"),
+    ("clic", "k"), ("e", "r"))
+
+  test("transcriptsTokens: separator-free token offsets matching a manual encode") {
+    def ntok(line: String): Long = line.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).map(w => Bpe.encodeWord(w, merges).length.toLong).sum
+    val t = Sft.turns(events, "user_id", "ts", "event_type", "props")
+    val lines = t.filter(col("conv_id") === 1L).orderBy("turn_idx")
+      .select(concat(col("role"), lit(": "), col("content"))).as[String]
+      .collect()
+    val counts = lines.map(ntok)
+    val r = Sft.transcriptsTokens(t, merges)
+      .filter(col("conv_id") === 1L).head()
+    assert(r.getAs[Long]("n_tokens") == counts.sum)
+    // token spans: [sum of prior counts, + own count) for assistant turns
+    // (turns 2 and 4, 1-based) — NO joint term between turns
+    val expected = Seq(
+      (counts.take(1).sum, counts.take(2).sum),
+      (counts.take(3).sum, counts.take(4).sum))
+      .map { case (a, b) => s"$a:$b" }.mkString("|")
+    assert(r.getAs[String]("mask_spans") == expected)
+    assert(r.getAs[Long]("n_masked_tokens") == counts(1) + counts(3))
+  }
+
+  test("packTokens: token conservation, block bounds, and mask clipping") {
+    val t = Sft.turns(events, "user_id", "ts", "event_type", "props")
+    val totals = Sft.transcriptsTokens(t, merges)
+      .select(col("conv_id"), col("n_tokens")).as[(Long, Long)]
+      .collect().toMap
+    val blocks = Sft.packTokens(t, merges, blockTokens = 5, nShards = 2)
+      .collect()
+    // every conversation's tokens are fully covered, once
+    val covered = blocks.groupBy(_.getAs[Long]("conv_id"))
+      .map { case (c, rs) => (c, rs.map(_.getAs[Long]("toks_in_block")).sum) }
+    assert(covered == totals.filter(_._2 > 0))
+    blocks.foreach { r =>
+      val n = r.getAs[Long]("toks_in_block")
+      assert(n > 0 && n <= 5)
+      val s = r.getAs[Long]("start_in_block")
+      assert(s >= 0 && s < 5)
+      r.getAs[String]("mask_spans_block").split("\\|").filter(_.nonEmpty)
+        .foreach { sp =>
+          val Array(a, b) = sp.split(":").map(_.toLong)
+          assert(a >= 0 && a < b && b <= 5)
+        }
+    }
+  }
 }
