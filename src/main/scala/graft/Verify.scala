@@ -20,13 +20,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall time (execution + single-file parquet write),
+    // recorded so the oracle-bench tool can pair each query's Spark
+    // time with its DuckDB oracle time (r10 verdict #1: the 2x-bar
+    // claim rested on a round-5 measurement over 74 of 206 queries).
+    // Single-shot and cold — tools/oracle_bench.py prefers the warm
+    // min-of-two timings from BENCH_FULL.json when available and falls
+    // back to these.
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/spark_times.json"),
+      times.map { case (k, v) => "\"" + k + "\": " + v }
+        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -6,11 +6,17 @@ the first non-table line after it, and rewrites the '"All N swept
 queries"' lead-in sentence count + worst-query line. Run after any
 bench: python3 tools/render_scale.py
 """
+import glob
 import json
 import re
 
 bench = json.load(open("BENCH_FULL.json"))
 sq = bench["scale"]["queries"]
+
+# round number = newest correctness artifact (the same source
+# render_readme_counts.py uses)
+arts = sorted(glob.glob("CORRECTNESS_r*.json"))
+rnd = int(re.search(r"r(\d+)", arts[-1]).group(1)) if arts else 0
 
 LABELS = {
     "warehouse_day": "`warehouse_day` (full `Apps.runWarehouseDay`, day 1 from empty dwh)",
@@ -41,7 +47,10 @@ s = pat.sub(table + "\n", s, count=1)
 
 # update the count + worst-query sentence that follows the table
 s = re.sub(r"All \d+ swept queries \(round-\d+ builder run\)",
-           f"All {len(sq)} swept queries (round-8 builder run)", s)
+           f"All {len(sq)} swept queries (round-{rnd} builder run)", s)
+# ...and the sweep section header's round stamp
+s = re.sub(r"## Measured 10× scale sweep \(round \d+ — machine-derived\)",
+           f"## Measured 10× scale sweep (round {rnd} — machine-derived)", s)
 wq, wr = worst
 s = re.sub(r"worst is `[^`]+` at [\d.]+×",
            f"worst is `{wq}` at {wr:.1f}×", s)
