@@ -89,10 +89,16 @@ def oracle_section():
         + (f"Biggest engine wins: {win_txt}.\n" if win_txt else "")
         + (f"Queries individually above 2× with Spark ≥ 1 s: "
            + (", ".join(f"`{k}`" for k in sorted(over2_big)) or "none")
-           + f"; the other {len(over2) - len(over2_big)} above-2× queries "
-           f"are sub-second on both engines,\ndominated by Spark's fixed "
-           f"~0.2–0.9 s job-scheduling floor — a per-query\nconstant that "
-           f"amortizes to zero as data grows.\n")
+           + " —\nthe iterative model-fit/serve gates (k-means/PQ/LogReg/"
+           "centroid chains),\nwhere the gate trains its own model as tens "
+           "of chained Spark jobs, each\npaying the scheduling floor, on a "
+           "corpus small enough that DuckDB's\nsingle-process chain runs in "
+           "seconds; the floor amortizes with volume\nwhile the oracle "
+           "formulations' cost grows super-linearly (the three DNF\ntiers "
+           "are the same effect at full size). The other "
+           f"{len(over2) - len(over2_big)} above-2× queries\nare sub-second "
+           "on both engines, dominated by the same fixed ~0.2–0.9 s\n"
+           "job-scheduling floor.\n")
     )
     s = open("SCALE.md").read()
     pat = re.compile(
