@@ -204,7 +204,7 @@ object Bpe {
       cs.droppedBuckets = if (dropped > 0) 1L else 0L
       cs.droppedRows = dropped
     }
-    val merges = trainOnCounts(kept, numMerges)
+    val merges = trainOnCountsFast(kept, numMerges)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.zipWithIndex.map {
         case ((l, r, c), i) => Row(i, l, r, c)
@@ -216,8 +216,12 @@ object Bpe {
   }
 
   /** The merge loop over a collected word-count table (driver-side by
-    * design — see the object header's budget argument). Exposed for
-    * spec-level verification against hand-computed merges.
+    * design — see the object header's budget argument) — the REFERENCE
+    * form: per-pair counts recomputed over every word each round.
+    * [[trainOnCountsFast]] is the production learner (merge-for-merge
+    * equal, cost per round tracks the affected words); this form
+    * survives for spec-level verification against hand-computed merges
+    * and the equality sweep.
     */
   private[llm] def trainOnCounts(wordCounts: Array[(String, Long)],
                                  numMerges: Int): Array[(String, String, Long)] = {
@@ -252,6 +256,106 @@ object Bpe {
         }
         round += 1
       }
+    }
+    out.toArray
+  }
+
+  /** Production-scale merge learner: merge-for-merge (and
+    * count-for-count) equal to [[trainOnCounts]], but per round costs
+    * the AFFECTED words, not the vocabulary. The reference form
+    * recomputes every pair count over every word each round —
+    * O(rounds × total chars), ~2×10¹⁰ symbol visits at a 32k-merge /
+    * 2¹⁶-word production configuration. This form maintains the global
+    * pair counts incrementally: a round picks the best pair from an
+    * ordered candidate set (count desc, left, right — the exact
+    * [[trainOnCounts]] argmax), then re-derives ONLY the words that
+    * contain that pair (subtract the word's old pair contributions,
+    * merge-pass it, add the new ones), updating the ordered set by
+    * delete+reinsert per touched pair. Zipf concentration makes the
+    * affected-word set shrink fast with rank, so total cost tracks
+    * Σ|affected| instead of rounds × vocabulary.
+    *
+    * Equality argument: the maintained totals are exactly the sums the
+    * reference recomputes (same per-word non-overlap counting
+    * function, exact integer deltas), and the TreeSet head under
+    * (-count, left, right) is the same selection as the reference's
+    * `minBy` over unique keys — BpeSpec pins both on hand-computed
+    * corpora and a seeded random-corpus sweep.
+    */
+  private[llm] def trainOnCountsFast(wordCounts: Array[(String, Long)],
+                                     numMerges: Int): Array[(String, String, Long)] = {
+    val n = wordCounts.length
+    val syms = Array.tabulate(n)(i => wordCounts(i)._1.map(_.toString).toArray)
+    val wcnt = wordCounts.map(_._2)
+    // per-word non-overlapping pair counts — the same counting rule as
+    // the reference's inline loop
+    def pairCountsOf(s: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      val lastEnd = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        if (i >= lastEnd.getOrElse(p, 0)) {
+          m.update(p, m.getOrElse(p, 0) + 1)
+          lastEnd.update(p, i + 2)
+        }
+        i += 1
+      }
+      m
+    }
+    val perWord = Array.tabulate(n)(i => pairCountsOf(syms(i)))
+    val total = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    var i = 0
+    while (i < n) {
+      perWord(i).foreach { case (p, c) =>
+        total.update(p, total.getOrElse(p, 0L) + c.toLong * wcnt(i))
+        occ.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      }
+      i += 1
+    }
+    // candidate set ordered by (count desc, left asc, right asc) — the
+    // reference argmax; keys are unique (count, l, r) triples because
+    // (l, r) appears once and carries its current count
+    val byBest = Ordering.by[(Long, String, String), (Long, String, String)] {
+      case (c, l, r) => (-c, l, r)
+    }
+    val tree = mutable.TreeSet.empty[(Long, String, String)](byBest)
+    total.foreach { case ((l, r), c) => tree += ((c, l, r)) }
+    def retract(p: (String, String), delta: Long): Unit = {
+      val old = total(p)
+      tree -= ((old, p._1, p._2))
+      val nw = old - delta
+      if (nw == 0L) total.remove(p)
+      else { total.update(p, nw); tree += ((nw, p._1, p._2)) }
+    }
+    def add(p: (String, String), delta: Long): Unit = {
+      val old = total.getOrElse(p, 0L)
+      if (old != 0L) tree -= ((old, p._1, p._2))
+      total.update(p, old + delta)
+      tree += ((old + delta, p._1, p._2))
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < numMerges && tree.nonEmpty) {
+      val (c, l, r) = tree.head
+      out += ((l, r, c))
+      val best = (l, r)
+      occ.get(best).map(_.toArray).foreach { affected =>
+        affected.foreach { w =>
+          perWord(w).foreach { case (p, pc) =>
+            retract(p, pc.toLong * wcnt(w))
+            val s = occ(p); s -= w; if (s.isEmpty) occ.remove(p)
+          }
+          syms(w) = mergePass(syms(w), l, r)
+          perWord(w) = pairCountsOf(syms(w))
+          perWord(w).foreach { case (p, pc) =>
+            add(p, pc.toLong * wcnt(w))
+            occ.getOrElseUpdate(p, mutable.BitSet.empty) += w
+          }
+        }
+      }
+      round += 1
     }
     out.toArray
   }

@@ -85,6 +85,38 @@ class BpeSpec extends SparkSpec {
     assert(enc > 0)
   }
 
+  test("trainOnCountsFast == trainOnCounts on the hand-computed corpora") {
+    val corpora = Seq(
+      Array(("low", 10L), ("lower", 5L), ("newest", 3L)),
+      Array(("aab", 2L)),
+      Array(("aabab", 1L)),
+      Array(("aaaa", 3L), ("aa", 7L)),      // same-symbol runs + re-merge
+      Array(("x", 5L)),                      // single-char words: no pairs
+      Array.empty[(String, Long)])
+    for (wc <- corpora; k <- Seq(0, 1, 3, 10)) {
+      assert(Bpe.trainOnCountsFast(wc, k).toSeq ==
+        Bpe.trainOnCounts(wc, k).toSeq, s"corpus=${wc.toSeq} k=$k")
+    }
+  }
+
+  test("trainOnCountsFast == trainOnCounts across a seeded random-corpus sweep") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    for (trial <- 1 to 200) {
+      val nWords = 1 + rnd.nextInt(12)
+      val wc = Array.fill(nWords)(
+        ((0 until (1 + rnd.nextInt(10)))
+          .map(_ => alphabet(rnd.nextInt(3))).mkString,
+          (1 + rnd.nextInt(5)).toLong))
+        // the learner contract: distinct words (wordCounts output)
+        .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val k = rnd.nextInt(10)
+      assert(Bpe.trainOnCountsFast(wc, k).toSeq ==
+        Bpe.trainOnCounts(wc, k).toSeq,
+        s"trial=$trial corpus=${wc.toSeq} k=$k")
+    }
+  }
+
   test("encodeWordFast equals the pass form on the adversarial re-creation table") {
     // (ab,c) ranked BEFORE (a,b): a naive priority-queue encode would
     // apply rank 0 after rank 1 re-creates its pair (-> [abc]); the
