@@ -112,22 +112,28 @@ object TrainGates {
     * match it), every char joined by the doubled separator, then the
     * 4×-replace per pinned rank, split back, sentinel dropped.
     */
-  val bpeEncodeSql: String = {
+  /** Shared document-encode CTE chain ending in `enc(doc_id, toks)` —
+    * used by the encode, fertility, and token-id oracles.
+    */
+  private val bpeEncCtes: String = {
     val inner =
       "'  ' || array_to_string([n2[j] for j in range(1, len(n2)+1)], '  ') || '  '"
     val chain = PinnedMerges.foldLeft(inner) { case (e, (l, r)) =>
       rep4(e, s"'$l'", s"'$r'")
     }
-    s"""WITH nm AS (
+    s"""nm AS (
        |  SELECT doc_id, replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ', chr(10)) AS n2
        |  FROM documents),
        |enc AS (
        |  SELECT doc_id, [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS toks
-       |  FROM nm)
+       |  FROM nm)""".stripMargin
+  }
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeEncCtes
        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
        |  array_to_string(toks, ' ') AS tok_str
        |FROM enc ORDER BY doc_id""".stripMargin
-  }
 
   /** [[Bpe.encodeWithMergesFast]] under [[PinnedMerges]] — the
     * production encode kernel (heap-of-candidate-ranks, per-word cost
@@ -142,6 +148,72 @@ object TrainGates {
       .select(col("doc_id"), col("n_tokens"),
         array_join(col("tokens"), " ").as("tok_str"))
       .orderBy("doc_id")
+
+  /** [[Bpe.vocab]] under [[PinnedMerges]]: base characters (ascending)
+    * then merge outputs in rank order — the deterministic
+    * GPT-2-style token-id assignment.
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.vocab(Tables(s, dir, "documents"), "text", PinnedMerges)
+      .orderBy("token_id")
+
+  /** Oracle: distinct normalized-word characters ranked ascending, the
+    * pinned merge outputs appended at `nBase + rank`.
+    */
+  val bpeVocabSql: String = {
+    val mvals = PinnedMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '$l$r')" }.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT DISTINCT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |  FROM documents),
+       |c AS (
+       |  SELECT DISTINCT unnest([word[j] for j in range(1, len(word)+1)]) AS ch
+       |  FROM w WHERE word <> ''),
+       |b AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS token_id, ch AS token
+       |  FROM c),
+       |nb AS (SELECT count(*) AS n FROM b),
+       |m(rank, token) AS (VALUES $mvals)
+       |SELECT token_id, token FROM b
+       |UNION ALL
+       |SELECT CAST(nb.n + m.rank AS INT) AS token_id, m.token FROM m, nb
+       |ORDER BY token_id""".stripMargin
+  }
+
+  /** [[Bpe.encodeIds]] under [[PinnedMerges]] against the corpus-built
+    * vocabulary: the trainer-contract integer-id streams.
+    */
+  def bpeEncodeIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val v = Bpe.vocab(docs, "text", PinnedMerges)
+    Bpe.encodeIds(docs, "doc_id", "text", PinnedMerges, v)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared encode chain's token lists positionally joined
+    * against the vocabulary CTE, ids re-assembled in token order.
+    */
+  val bpeEncodeIdsSql: String =
+    s"""WITH $bpeEncCtes,
+       |voc AS (SELECT token_id, token FROM ($bpeVocabSql)),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS j, toks
+       |  FROM enc),
+       |tok1 AS (SELECT doc_id, j, toks[j] AS tok FROM tk),
+       |ids AS (
+       |  SELECT t.doc_id, t.j, v.token_id
+       |  FROM tok1 t JOIN voc v ON v.token = t.tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY j) AS ids_str
+       |  FROM ids GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.ids_str, '') AS ids_str
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** [[Bpe.fertility]] under [[PinnedMerges]] grouped by language —
     * learned-subword tokens per word, the tokenizer-coverage metric.
@@ -747,6 +819,8 @@ object TrainGates {
     "bpe_train"       -> (bpeTrain _),
     "bpe_encode"      -> (bpeEncode _),
     "bpe_encode_fast" -> (bpeEncodeFast _),
+    "bpe_vocab"       -> (bpeVocab _),
+    "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
     "logreg_scores"   -> (logregScores _),
     "logreg_text"     -> (logregText _),
@@ -766,6 +840,8 @@ object TrainGates {
     "bpe_train"       -> bpeTrainSql,
     "bpe_encode"      -> bpeEncodeSql,
     "bpe_encode_fast" -> bpeEncodeSql,
+    "bpe_vocab"       -> bpeVocabSql,
+    "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,
     "logreg_scores"   -> logregScoresSql,
     "logreg_text"     -> logregTextSql,

@@ -433,6 +433,72 @@ object Bpe {
       size(col("tokens")).as("n_tokens"))
   }
 
+  /** Token vocabulary implied by a merge table over a corpus:
+    * `(token_id, token)` — base characters (every distinct character
+    * of the corpus's normalized words, ordered ascending) take ids
+    * `0..nBase-1`, then merge OUTPUTS in rank order (first rank wins
+    * when two merge trees produce the same string). The GPT-2-style
+    * deterministic assignment: no frequency dependence, so the same
+    * merge table + character set yields the same ids on any engine,
+    * any partitioning, any rerun. Bounded-model contract: the collect
+    * is |charset| + |merges| rows.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val baseChars = wordCounts(docs, textCol)
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .distinct().as[String].collect().sorted
+    val seen = mutable.LinkedHashSet.empty[String]
+    baseChars.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    spark.createDataset(seen.toSeq.zipWithIndex
+        .map { case (t, i) => (i, t) })
+      .toDF("token_id", "token")
+  }
+
+  /** Encode to TRAINER-CONTRACT integer ids: `(id, token_ids:
+    * array<int>, n_tokens)` — the fast kernel's tokens mapped through a
+    * broadcast `(token, token_id)` vocabulary ([[vocab]] output or a
+    * tokenizer's own table); tokens absent from the vocabulary map to
+    * −1 (impossible when the vocabulary was built from the same corpus
+    * and merge table — the spec pins both directions). Same narrow
+    * zero-shuffle shape as [[encodeWithMergesFast]], with the id lookup
+    * folded into the per-partition word memo.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: Array[(String, String)],
+                vocabDf: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Int] = vocabDf
+      .select(col("token"), col("token_id").cast("int"))
+      .as[(String, Int)].collect().toMap
+    val bcV = spark.sparkContext.broadcast(vmap)
+    val bcM = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    norm.as[(Long, String)].mapPartitions { rows =>
+      val idx = bcM.value
+      val vm = bcV.value
+      val memo = mutable.HashMap.empty[String, Array[Int]]
+      rows.map { case (id, t) =>
+        val ids =
+          if (t.isEmpty) Array.empty[Int]
+          else t.split(" ").iterator.flatMap { w =>
+            memo.getOrElseUpdate(w,
+              encodeWordFast(w, idx).map(s => vm.getOrElse(s, -1)))
+          }.toArray
+        (id, ids)
+      }
+    }.toDF(idCol, "token_ids")
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).as("n_tokens"))
+  }
+
   /** Exact learned-subword token counts: `(id, n_tokens)` — the
     * drop-in upgrade for every token-budget consumer. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,

@@ -166,6 +166,35 @@ class BpeSpec extends SparkSpec {
       render(Bpe.encodeWithMerges(docs, "doc_id", "text", merges)))
   }
 
+  test("vocab: base chars ascending, merge outputs in rank order, duplicates first-wins") {
+    val docs = Seq((1L, "cab  CAB"), (2L, "bc")).toDF("doc_id", "text")
+    // outputs: ab, abc (via (ab,c)), bc, and a DUPLICATE abc via (a,bc)
+    val merges = Array(("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc"))
+    val v = Bpe.vocab(docs, "text", merges)
+      .orderBy("token_id").as[(Int, String)].collect().toSeq
+    assert(v == Seq((0, "a"), (1, "b"), (2, "c"),
+      (3, "ab"), (4, "abc"), (5, "bc")))
+  }
+
+  test("encodeIds maps the fast kernel's tokens; unknown tokens map to -1") {
+    val docs = Seq((1L, "cab bc"), (2L, "")).toDF("doc_id", "text")
+    val merges = Array(("a", "b"), ("b", "c"))
+    val v = Bpe.vocab(docs, "text", merges)
+    val out = Bpe.encodeIds(docs, "doc_id", "text", merges, v)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("token_ids"), col("n_tokens"))
+      .as[(Long, Seq[Int], Int)].collect()
+    // vocab: a=0 b=1 c=2 ab=3 bc=4; "cab" -> [c, ab] -> [2, 3]; "bc" -> [4]
+    assert(out(0) == ((1L, Seq(2, 3, 4), 3)))
+    assert(out(1) == ((2L, Seq.empty[Int], 0)))
+    // a vocabulary missing 'c': the c token maps to -1, nothing drops
+    val partial = Seq((0, "a"), (1, "b"), (3, "ab"), (4, "bc"))
+      .toDF("token_id", "token")
+    val out2 = Bpe.encodeIds(docs, "doc_id", "text", merges, partial)
+      .orderBy("doc_id").select(col("token_ids")).as[Seq[Int]].head()
+    assert(out2 == Seq(-1, 3, 4))
+  }
+
   test("wordCounts matches a manual count and ignores blank docs") {
     val docs = Seq((1L, "a b a"), (2L, ""), (3L, "  b  ")).toDF("doc_id", "text")
     val wc = Bpe.wordCounts(docs, "text").as[(String, Long)].collect().toMap
