@@ -619,33 +619,82 @@ object TrainGates {
     * joints vanish under whitespace tokenization), then the shared
     * packing CTE chain at the token block size.
     */
-  val sftPackTokensSql: String = {
+  /** Shared per-turn token-count CTE chain (from the turns relation
+    * `t`) ending in `etok(conv_id, turn_idx, masked, ntok)` — the
+    * replace-chain encode of each rendered line.
+    */
+  private val sftTokCtes: String = {
     val inner =
       "'  ' || array_to_string([n2[j] for j in range(1, len(n2)+1)], '  ') || '  '"
     val chain = PinnedMerges.foldLeft(inner) { case (e, (l, r)) =>
       rep4(e, s"'$l'", s"'$r'")
     }
-    s"""WITH $sftTurnsCte,
-       |nm AS (
+    s"""nm2 AS (
        |  SELECT conv_id, turn_idx, masked,
        |    replace(regexp_replace(trim(lower(role || ': ' || content)), '\\s+', ' ', 'g'), ' ', chr(10)) AS n2
        |  FROM t),
        |etok AS (
        |  SELECT conv_id, turn_idx, masked,
        |    CAST(len([x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)]) AS BIGINT) AS ntok
-       |  FROM nm),
-       |off AS (
+       |  FROM nm2)""".stripMargin
+  }
+
+  /** The token-offset rollup + packing chain from an
+    * `(conv_id, turn_idx, masked, ntok)` relation: separator-free
+    * cumsum offsets, the `n_chars`/`mask_spans` rollup, then the
+    * shared packing CTEs at the token block size.
+    */
+  private def tokPackChainFrom(rel: String): String =
+    s"""off_$rel AS (
        |  SELECT *, CAST(coalesce(sum(ntok) OVER (PARTITION BY conv_id
        |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
-       |  FROM etok),
-       |trt AS (
+       |  FROM $rel),
+       |trt_$rel AS (
        |  SELECT conv_id, CAST(sum(ntok) AS BIGINT) AS n_chars,
        |    coalesce(string_agg(CASE WHEN masked
        |        THEN CAST(ts AS VARCHAR) || ':' || CAST(ts + ntok AS VARCHAR) END,
        |      '|' ORDER BY turn_idx), '') AS mask_spans
-       |  FROM off GROUP BY conv_id),
-       |${packChainFrom("trt", TokBlock, "toks_in_block")}""".stripMargin
-  }
+       |  FROM off_$rel GROUP BY conv_id),
+       |${packChainFrom(s"trt_$rel", TokBlock, "toks_in_block")}""".stripMargin
+
+  val sftPackTokensSql: String =
+    s"""WITH $sftTurnsCte,
+       |$sftTokCtes,
+       |${tokPackChainFrom("etok")}""".stripMargin
+
+  // ---- SFT token-space capstone: token truncate -> token pack ----------
+
+  private val SftTokBudget = 60
+
+  /** The token-space capstone: turns → [[Sft.truncateLatestTokens]]
+    * (drop-oldest whole turns at a 60-token budget) →
+    * [[Sft.packTokens]] — the full chain a trainer consumes, entirely
+    * in token coordinates.
+    */
+  def sftRunTokens(s: SparkSession, dir: String): DataFrame =
+    Sft.packTokens(
+        Sft.truncateLatestTokens(sftTurnsDf(s, dir), SftTokBudget,
+          PinnedMerges),
+        PinnedMerges, blockTokens = TokBlock, nShards = PackShards,
+        portable = true)
+      .orderBy("shard", "block_id", "conv_id")
+
+  /** Oracle: the token-count chain, a separator-free DESC suffix
+    * cumsum keeping the latest whole turns within the token budget
+    * (renumbering is order-preserving, so the kept rows feed the
+    * offset cumsum directly), then the shared token packing chain.
+    */
+  val sftRunTokensSql: String =
+    s"""WITH $sftTurnsCte,
+       |$sftTokCtes,
+       |sfxk AS (
+       |  SELECT *, sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+       |  FROM etok),
+       |keptk AS (
+       |  SELECT conv_id, turn_idx, masked, ntok FROM sfxk
+       |  WHERE sfx <= $SftTokBudget),
+       |${tokPackChainFrom("keptk")}""".stripMargin
 
   // ---- SFT capstone: truncate -> transcripts -> pack as ONE chain ------
 
@@ -829,6 +878,7 @@ object TrainGates {
     "sft_transcripts" -> (sftTranscripts _),
     "sft_pack"        -> (sftPack _),
     "sft_pack_tokens" -> (sftPackTokens _),
+    "sft_run_tokens"  -> (sftRunTokens _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
     "c4_blocklist"    -> (c4Blocklist _))
@@ -850,6 +900,7 @@ object TrainGates {
     "sft_transcripts" -> sftTranscriptsSql,
     "sft_pack"        -> sftPackSql,
     "sft_pack_tokens" -> sftPackTokensSql,
+    "sft_run_tokens"  -> sftRunTokensSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,
     "c4_blocklist"    -> c4BlocklistSql)

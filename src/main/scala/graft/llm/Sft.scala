@@ -122,6 +122,64 @@ object Sft {
         length(col("transcript")).as("n_chars"),
         col("transcript"), col("mask_spans"))
 
+  /** Per-turn token counts under a pinned merge table, joined back onto
+    * the turns rows as `__ntok` — the shared primitive of the
+    * token-space family: encode only the DISTINCT rendered lines
+    * ([[Bpe.encodeWordFast]] kernel) and hash-join counts back.
+    */
+  private def withLineTokens(turnsDf: DataFrame,
+                             merges: Array[(String, String)]): DataFrame = {
+    val spark = turnsDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
+    val lineNorm = regexp_replace(
+      trim(lower(lineOf(col("role"), col("content")))), "\\s+", " ")
+    val withLine = turnsDf.withColumn("__line", lineNorm)
+    val counted = withLine.select(col("__line")).distinct().as[String]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { t =>
+          val n =
+            if (t.isEmpty) 0
+            else t.split(" ").iterator.map { w =>
+              memo.getOrElseUpdate(w, Bpe.encodeWordFast(w, idx).length)
+            }.sum
+          (t, n)
+        }
+      }.toDF("__line", "__ntok")
+    withLine.join(counted, Seq("__line")).drop("__line")
+      .withColumn("__ntok", col("__ntok").cast("long"))
+  }
+
+  /** [[truncateLatest]] with a TOKEN budget: keep the latest whole
+    * turns whose learned-subword token counts sum to ≤ `maxTokens`
+    * (separator-free — the `\n` joints are zero tokens, unlike char
+    * space's `+1` per joint), then renumber and re-offset the CHAR
+    * fields so the output is a valid [[turns]] table that every
+    * downstream stage (char or token space) accepts.
+    */
+  def truncateLatestTokens(turnsDf: DataFrame, maxTokens: Int,
+                           merges: Array[(String, String)]): DataFrame = {
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc)
+    val kept = withLineTokens(turnsDf, merges)
+      .withColumn("__sfx", sum(col("__ntok")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__sfx") <= maxTokens)
+    val wAsc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    kept.select(col("conv_id"), col("role"), col("content"),
+        col("line_len"), col("masked"),
+        row_number().over(wAsc).as("turn_idx"),
+        sum(col("line_len") + lit(1))
+          .over(wAsc.rowsBetween(Window.unboundedPreceding, -1)).as("__pfx"))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("content"),
+        col("line_len"),
+        coalesce(col("__pfx"), lit(0L)).as("start_off"),
+        (coalesce(col("__pfx"), lit(0L)) + col("line_len")).as("end_off"),
+        col("masked"))
+  }
+
   /** Token-space conversation rollup: [[transcripts]]' summary with
     * every count and mask span in LEARNED-SUBWORD TOKEN coordinates
     * under a pinned BPE merge table — the coordinate system the trainer
@@ -145,29 +203,9 @@ object Sft {
     */
   def transcriptsTokens(turnsDf: DataFrame,
                         merges: Array[(String, String)]): DataFrame = {
-    val spark = turnsDf.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
-    val lineNorm = regexp_replace(
-      trim(lower(lineOf(col("role"), col("content")))), "\\s+", " ")
-    val withLine = turnsDf.withColumn("__line", lineNorm)
-    val counted = withLine.select(col("__line")).distinct().as[String]
-      .mapPartitions { it =>
-        val idx = bc.value
-        val memo = scala.collection.mutable.HashMap.empty[String, Int]
-        it.map { t =>
-          val n =
-            if (t.isEmpty) 0
-            else t.split(" ").iterator.map { w =>
-              memo.getOrElseUpdate(w, Bpe.encodeWordFast(w, idx).length)
-            }.sum
-          (t, n)
-        }
-      }.toDF("__line", "__ntok")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val toks = withLine.join(counted, Seq("__line"))
-      .select(col("conv_id"), col("turn_idx"), col("masked"),
-        col("__ntok").cast("long").as("__ntok"))
+    val toks = withLineTokens(turnsDf, merges)
+      .select(col("conv_id"), col("turn_idx"), col("masked"), col("__ntok"))
       .withColumn("tok_start", coalesce(
         sum(col("__ntok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))

@@ -147,6 +147,31 @@ class SftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_masked_tokens") == counts(1) + counts(3))
   }
 
+  test("truncateLatestTokens keeps the latest whole turns within the token budget") {
+    def ntok(line: String): Long = line.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).map(w => Bpe.encodeWord(w, merges).length.toLong).sum
+    val t = Sft.turns(events, "user_id", "ts", "event_type", "props")
+    val full = t.filter(col("conv_id") === 1L).orderBy("turn_idx").collect()
+    val lineToks = full.map(r =>
+      ntok(r.getAs[String]("role") + ": " + r.getAs[String]("content")))
+    // budget = exactly the last two turns' tokens (separator-free)
+    val budget = lineToks.takeRight(2).sum.toInt
+    val kept = Sft.truncateLatestTokens(t, budget, merges)
+      .filter(col("conv_id") === 1L).orderBy("turn_idx").collect()
+    assert(kept.length == 2)
+    assert(kept.map(_.getAs[String]("content")).toSeq ==
+      full.takeRight(2).map(_.getAs[String]("content")).toSeq)
+    // output is a valid turns table: renumbered, char offsets re-based
+    assert(kept.map(_.getAs[Int]("turn_idx")).toSeq == Seq(1, 2))
+    assert(kept(0).getAs[Long]("start_off") == 0L)
+    assert(kept(1).getAs[Long]("start_off") ==
+      kept(0).getAs[Long]("end_off") + 1)
+    // one token less than the last turn alone -> conversation vanishes
+    val none = Sft.truncateLatestTokens(t, lineToks.last.toInt - 1, merges)
+      .filter(col("conv_id") === 1L).count()
+    assert(none == 0L)
+  }
+
   test("packTokens: token conservation, block bounds, and mask clipping") {
     val t = Sft.turns(events, "user_id", "ts", "event_type", "props")
     val totals = Sft.transcriptsTokens(t, merges)
