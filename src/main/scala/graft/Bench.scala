@@ -387,9 +387,11 @@ object Bench {
         // would surface first — every stage is individually swept, but
         // the composition wasn't
         "llm_clean_corpus", "llm_budget_corpus", "llm_training_blocks",
-        // round-11 additions: token-space SFT packing (distinct-line
-        // encode join + the packing chain) and the fast BPE encode gate
-        "sft_pack_tokens", "bpe_encode_fast")
+        // round-11 additions: token-space SFT packing + capstone
+        // (distinct-line encode join + the packing chain), the fast
+        // BPE encode gate, and the token-id surface
+        "sft_pack_tokens", "sft_run_tokens", "bpe_encode_fast",
+        "bpe_vocab", "bpe_encode_ids")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())
