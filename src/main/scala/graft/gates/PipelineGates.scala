@@ -234,6 +234,39 @@ object PipelineGates {
        |    ORDER BY k, doc_id) AS INT) AS seq
        |FROM sk ORDER BY shard, epoch, seq""".stripMargin
 
+  /** [[Sharding.curriculumOrder]] over the same two epochs with a
+    * 3-band length tier (coarse difficulty proxy): within (shard,
+    * epoch) the stream runs easy-to-hard by band, salted-hash shuffled
+    * within each band.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    Sharding.curriculumOrder(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          explode(array(lit(0), lit(1))).as("epoch"),
+          when(col("n_chars") < 300, 0)
+            .when(col("n_chars") < 600, 1).otherwise(2).as("tier")),
+        "doc_id", "epoch", "tier", nShards = 4, portable = true)
+      .select(col("doc_id"), col("epoch"), col("tier"), col("shard"),
+        col("seq"))
+      .orderBy("shard", "epoch", "seq")
+
+  val curriculumOrderSql: String =
+    s"""WITH de AS (
+       |  SELECT doc_id, CAST(unnest(range(0, 2)) AS INT) AS epoch,
+       |    CAST(CASE WHEN n_chars < 300 THEN 0
+       |      WHEN n_chars < 600 THEN 1 ELSE 2 END AS INT) AS tier
+       |  FROM documents),
+       |sk AS (
+       |  SELECT doc_id, epoch, tier, ${shardFoldSql("doc_id", 4)} AS shard,
+       |    list_reduce([strpos('0123456789abcdef',
+       |        substr(md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), j, 1)) - 1
+       |      for j in range(1, 9)], (a, b) -> a * 16 + b) AS k
+       |  FROM de)
+       |SELECT doc_id, epoch, tier, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, epoch
+       |    ORDER BY tier, k, doc_id) AS INT) AS seq
+       |FROM sk ORDER BY shard, epoch, seq""".stripMargin
+
   // ---- concat-and-split training-block packing ------------------------
 
   private val BlockB = 256
@@ -997,6 +1030,7 @@ object PipelineGates {
     "corpus_drift"       -> (corpusDrift _),
     "shard_assign"       -> (shardAssign _),
     "epoch_order"        -> (epochOrder _),
+    "curriculum_order"   -> (curriculumOrder _),
     "pack_blocks"        -> (packBlocks _),
     "ngram_topk"         -> (ngramTopk _),
     "boilerplate_lines"  -> (boilerplateLines _),
@@ -1026,6 +1060,7 @@ object PipelineGates {
     "corpus_drift"       -> corpusDriftSql,
     "shard_assign"       -> shardAssignSql,
     "epoch_order"        -> epochOrderSql,
+    "curriculum_order"   -> curriculumOrderSql,
     "pack_blocks"        -> packBlocksSql,
     "ngram_topk"         -> ngramTopkSql,
     "boilerplate_lines"  -> boilerplateLinesSql,

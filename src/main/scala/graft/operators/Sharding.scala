@@ -83,4 +83,33 @@ object Sharding {
     df.withColumn("shard", sid)
       .withColumn("seq", row_number().over(w))
   }
+
+  /** CURRICULUM training order — [[epochOrder]] with a difficulty tier:
+    * within (shard, epoch), rows stream in `tierCol` order (ascending
+    * by default — the easy-to-hard curriculum; pass `ascending = false`
+    * for quality-descending annealing), with the salted per-epoch hash
+    * shuffling WITHIN each tier so equal-tier examples still draw a
+    * different-but-reproducible permutation every epoch. The tier
+    * column should be a coarse bucket (an integer band or a round-6
+    * score), not a raw float with corpus-unique values — a unique tier
+    * per row degenerates the within-tier shuffle to a fixed sort.
+    * Deterministic and RNG-free like [[epochOrder]]: reruns, engines,
+    * and partitionings agree; same one-shuffle scale shape (rank window
+    * per shard×epoch, no global sort).
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, epochCol: String,
+                      tierCol: String, nShards: Int,
+                      ascending: Boolean = true,
+                      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sid = if (portable) shardIdPortable(col(idCol), nShards)
+              else shardId(col(idCol), nShards)
+    val key = graft.functions.Hashes.u32OfMd5(concat_ws(":",
+      col(epochCol).cast("string"), col(idCol).cast("string")))
+    val tier = if (ascending) col(tierCol).asc else col(tierCol).desc
+    val w = Window.partitionBy(col("shard"), col(epochCol))
+      .orderBy(tier, key.asc, col(idCol).asc)
+    df.withColumn("shard", sid)
+      .withColumn("seq", row_number().over(w))
+  }
 }

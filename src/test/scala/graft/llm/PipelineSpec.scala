@@ -458,4 +458,35 @@ class PipelineSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2)).toSeq ==
       again.sortBy(t => (t._1, t._2)).toSeq)
   }
+
+  test("curriculumOrder: tier-monotonic streams, within-tier epoch shuffle, descending mode") {
+    val rows = (0L until 180L).flatMap(id => Seq((id, 0), (id, 1)))
+      .map { case (id, e) => (id, e, (id % 3).toInt) }
+      .toDF("id", "epoch", "tier")
+    val out = Sharding.curriculumOrder(rows, "id", "epoch", "tier",
+      nShards = 4, portable = true)
+    val got = out.select("id", "epoch", "tier", "shard", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    // within every (shard, epoch) stream: ranks complete, tier ascending
+    got.groupBy(t => (t._4, t._2)).foreach { case (_, g) =>
+      val bySeq = g.sortBy(_._5)
+      assert(bySeq.map(_._5).toSeq == (1 to g.length).toSeq)
+      assert(bySeq.map(_._3).toSeq == bySeq.map(_._3).sorted.toSeq)
+    }
+    // within one tier of one shard, the two epochs draw different orders
+    val tier0 = got.filter(t => t._3 == 0 && t._4 == got.head._4)
+    val e0 = tier0.filter(_._2 == 0).sortBy(_._5).map(_._1).toSeq
+    val e1 = tier0.filter(_._2 == 1).sortBy(_._5).map(_._1).toSeq
+    assert(e0.toSet == e1.toSet && e0 != e1)
+    // descending mode reverses the tier progression
+    val desc = Sharding.curriculumOrder(rows, "id", "epoch", "tier",
+        nShards = 4, ascending = false, portable = true)
+      .select("epoch", "tier", "shard", "seq").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    desc.groupBy(t => (t._3, t._1)).foreach { case (_, g) =>
+      val tiers = g.sortBy(_._4).map(_._2).toSeq
+      assert(tiers == tiers.sorted.reverse)
+    }
+  }
 }
