@@ -391,7 +391,7 @@ object Bench {
         // (distinct-line encode join + the packing chain), the fast
         // BPE encode gate, and the token-id surface
         "sft_pack_tokens", "sft_run_tokens", "bpe_encode_fast",
-        "bpe_vocab", "bpe_encode_ids", "curriculum_order")
+        "bpe_vocab", "bpe_encode_ids", "curriculum_order", "sft_mask_audit")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val s = minOfTwo(() => ())(fn(spark, scaleDir).count())

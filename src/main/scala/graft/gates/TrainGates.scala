@@ -499,6 +499,58 @@ object TrainGates {
        |    '|' ORDER BY turn_idx), '') AS mask_spans
        |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
+  /** [[Sft.maskAudit]] over the real transcripts UNION planted
+    * violations (the fixture's own masks are valid by construction, so
+    * every failure mode is planted: out-of-bounds end, overlap,
+    * inverted span, empty conversation, plus a legal touching-spans
+    * row) — both verdict polarities and the null fraction populate.
+    */
+  def sftMaskAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val real = Sft.transcripts(sftTurnsDf(s, dir))
+      .select(col("conv_id"), col("n_chars"), col("mask_spans"))
+    val planted = Seq(
+      (-5L, 12, "0:4|4:8"), // touching spans: legal
+      (-4L, 0, ""),         // empty conversation -> null fraction
+      (-3L, 10, "5:3"),     // inverted span
+      (-2L, 20, "2:5|4:8"), // overlap
+      (-1L, 10, "3:20"))    // end out of bounds
+      .toDF("conv_id", "n_chars", "mask_spans")
+    Sft.maskAudit(real.unionByName(planted)).orderBy("conv_id")
+  }
+
+  val sftMaskAuditSql: String =
+    s"""WITH tr AS (
+       |  SELECT conv_id, n_chars, mask_spans FROM ($sftTranscriptsSql)
+       |  UNION ALL
+       |  SELECT CAST(conv_id AS BIGINT), CAST(n_chars AS INT), mask_spans
+       |  FROM (VALUES (-5, 12, '0:4|4:8'), (-4, 0, ''), (-3, 10, '5:3'),
+       |    (-2, 20, '2:5|4:8'), (-1, 10, '3:20')) v(conv_id, n_chars, mask_spans)),
+       |sp AS (
+       |  SELECT conv_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |    [[CAST(string_split(x, ':')[1] AS BIGINT),
+       |      CAST(string_split(x, ':')[2] AS BIGINT)]
+       |     for x in string_split(mask_spans, '|') if x <> ''] AS spans
+       |  FROM tr),
+       |fl AS (
+       |  SELECT conv_id, n_chars,
+       |    CAST(len(spans) AS BIGINT) AS n_spans,
+       |    coalesce(list_aggregate([CASE WHEN sp[1] >= 0 AND sp[2] <= n_chars
+       |        AND sp[1] < sp[2] THEN 1 ELSE 0 END for sp in spans], 'min') = 1,
+       |      TRUE) AS in_bounds,
+       |    coalesce(list_aggregate([CASE WHEN i = 1 OR spans[i][1] >= spans[i-1][2]
+       |        THEN 1 ELSE 0 END for i in range(1, len(spans)+1)], 'min') = 1,
+       |      TRUE) AS ordered,
+       |    CAST(coalesce(list_aggregate([sp[2] - sp[1] for sp in spans], 'sum'), 0)
+       |      AS BIGINT) AS masked_units
+       |  FROM sp)
+       |SELECT conv_id, n_chars, n_spans, in_bounds, ordered, masked_units,
+       |  CASE WHEN n_chars = 0 THEN NULL
+       |    ELSE CAST(masked_units AS DOUBLE) / CAST(n_chars AS DOUBLE)
+       |  END AS masked_frac,
+       |  (in_bounds AND ordered) AS ok
+       |FROM fl ORDER BY conv_id""".stripMargin
+
   // ---- Blocklist token join -------------------------------------------
 
   /** Terms present in the corpus vocabulary, so both booleans of `keep`
@@ -879,6 +931,7 @@ object TrainGates {
     "sft_pack"        -> (sftPack _),
     "sft_pack_tokens" -> (sftPackTokens _),
     "sft_run_tokens"  -> (sftRunTokens _),
+    "sft_mask_audit"  -> (sftMaskAudit _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
     "c4_blocklist"    -> (c4Blocklist _))
@@ -901,6 +954,7 @@ object TrainGates {
     "sft_pack"        -> sftPackSql,
     "sft_pack_tokens" -> sftPackTokensSql,
     "sft_run_tokens"  -> sftRunTokensSql,
+    "sft_mask_audit"  -> sftMaskAuditSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,
     "c4_blocklist"    -> c4BlocklistSql)

@@ -241,6 +241,51 @@ object Sft {
         blockChars = blockTokens, nShards = nShards, portable = portable)
       .withColumnRenamed("chars_in_block", "toks_in_block")
 
+  /** Loss-mask AUDIT of a transcripts table (char- or token-coordinate
+    * — the checks are unit-agnostic): per conversation, whether every
+    * span is in-bounds (`0 ≤ s < e ≤ n_chars`) and the span list is
+    * strictly ordered and non-overlapping, plus the masked-unit count
+    * and fraction — the validation a pipeline runs before masks ship
+    * to a trainer, where a single out-of-bounds span is a crash and an
+    * overlapping one silently double-weights loss. One narrow pass
+    * (higher-order array functions over the parsed span list), no
+    * shuffle, composable with any `(conv_id, n_chars, mask_spans)`
+    * relation ([[transcripts]], [[transcriptsTokens]], or an external
+    * table).
+    */
+  def maskAudit(transcripts: DataFrame): DataFrame = {
+    val spans = transform(
+      filter(split(coalesce(col("mask_spans"), lit("")), "\\|"),
+        x => x =!= ""),
+      x => struct(split(x, ":").getItem(0).cast("long").as("s"),
+        split(x, ":").getItem(1).cast("long").as("e")))
+    val n = col("n_chars").cast("long")
+    val inBounds = forall(col("__spans"),
+      sp => sp.getField("s") >= 0L && sp.getField("e") <= n
+        && sp.getField("s") < sp.getField("e"))
+    // ordered + non-overlapping: fold carrying (prevEnd, okSoFar)
+    val ordered = aggregate(col("__spans"),
+      struct(lit(-1L).as("prev"), lit(true).as("ok")),
+      (acc, sp) => struct(sp.getField("e").as("prev"),
+        (acc.getField("ok") && sp.getField("s") >= acc.getField("prev"))
+          .as("ok")),
+      acc => acc.getField("ok"))
+    transcripts
+      .withColumn("__spans", spans)
+      .select(col("conv_id"), n.as("n_chars"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        inBounds.as("in_bounds"), ordered.as("ordered"),
+        coalesce(aggregate(col("__spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s")), lit(0L))
+          .as("masked_units"))
+      .select(col("conv_id"), col("n_chars"), col("n_spans"),
+        col("in_bounds"), col("ordered"), col("masked_units"),
+        when(col("n_chars") === 0L, lit(null).cast("double"))
+          .otherwise(col("masked_units").cast("double")
+            / col("n_chars").cast("double")).as("masked_frac"),
+        (col("in_bounds") && col("ordered")).as("ok"))
+  }
+
   /** Packed SFT blocks with loss-mask RE-OFFSETTING — the SFT analogue
     * of [[Packing.blocks]]: transcripts are laid end to end per shard
     * (one separator char between conversations, the same `\n` joint the

@@ -123,6 +123,27 @@ class SftSpec extends SparkSpec {
     assert(before > 0 && after === before)
   }
 
+  test("maskAudit: verdicts per failure mode, legal touching spans, null fraction") {
+    val t = Seq(
+      (1L, 10, "0:4|4:8"),  // touching: legal, frac 0.8
+      (2L, 10, "3:20"),     // out of bounds
+      (3L, 20, "2:5|4:8"),  // overlap
+      (4L, 10, "5:3"),      // inverted
+      (5L, 0, ""),          // empty conversation
+      (6L, 10, null: String)) // null spans == no masks
+      .toDF("conv_id", "n_chars", "mask_spans")
+    val out = Sft.maskAudit(t).orderBy("conv_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[Boolean]("ok") && row(0).getAs[Long]("masked_units") == 8L
+      && row(0).getAs[Double]("masked_frac") == 0.8)
+    assert(!row(1).getAs[Boolean]("in_bounds") && !row(1).getAs[Boolean]("ok"))
+    assert(row(2).getAs[Boolean]("in_bounds") && !row(2).getAs[Boolean]("ordered"))
+    assert(!row(3).getAs[Boolean]("in_bounds"))
+    assert(row(4).getAs[Boolean]("ok") && row(4).isNullAt(
+      out.head.fieldIndex("masked_frac")))
+    assert(row(5).getAs[Boolean]("ok") && row(5).getAs[Long]("n_spans") == 0L)
+  }
+
   private val merges = Array(("c", "l"), ("cl", "i"), ("cli", "c"),
     ("clic", "k"), ("e", "r"))
 
