@@ -42,6 +42,12 @@ def sweep_table():
     n = len(bench.get("scale", {}).get("queries", {}))
     if n < 20:
         raise RuntimeError(f"sweep has only {n} rows — not a full bench run")
+    # nor may a CONTAMINATED run (started under host load — the bench
+    # stamps this itself) overwrite the committed idle table with noisy
+    # ratios: the artifact keeps the evidence, the doc keeps the clean run
+    if bench.get("loadavg", {}).get("contaminated"):
+        raise RuntimeError("bench self-flagged contaminated — keeping the "
+                           "committed idle sweep table")
     subprocess.run([sys.executable, os.path.join(HERE, "render_scale.py")],
                    check=True, capture_output=True, text=True)
 
