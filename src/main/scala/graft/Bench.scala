@@ -6,6 +6,34 @@ import org.apache.spark.sql.SparkSession
   * query can never masquerade as a fast one.
   */
 object Bench {
+
+  /** Which file a finished bench run may write (r11 verdict #1: a
+    * post-commit contaminated run overwrote the authoritative idle
+    * artifact in place — the doc-refresh guard refused to render it,
+    * but the JSON itself shipped poisoned ratios). The authoritative
+    * `BENCH_FULL.json` is reserved for idle full-sweep runs; a run
+    * that self-flags contaminated (start load over threshold) goes to
+    * a `_contaminated` sidecar, and a smoke run (SCALE=1 / tiny sweep,
+    * the other historical clobber) to a `_smoke` sidecar. The sidecars
+    * keep the evidence; the authoritative file keeps the clean run.
+    */
+  def artifactTarget(contaminated: Boolean, fullSweep: Boolean): String =
+    if (contaminated) "BENCH_FULL_contaminated.json"
+    else if (!fullSweep) "BENCH_FULL_smoke.json"
+    else "BENCH_FULL.json"
+
+  /** Write the artifact under [[artifactTarget]]'s policy; returns the
+    * path written. A flagged or smoke run can never replace an
+    * existing authoritative artifact (BenchArtifactSpec pins this).
+    */
+  def writeArtifact(root: java.nio.file.Path, json: String,
+                    contaminated: Boolean,
+                    fullSweep: Boolean): java.nio.file.Path = {
+    val p = root.resolve(artifactTarget(contaminated, fullSweep))
+    java.nio.file.Files.writeString(p, json + "\n")
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,31 +95,86 @@ object Bench {
     // base timings with single-shot scaled timings, and a noisy-host
     // spike landing on a single-shot run inflated ratios up to 28×.
     val rerunBudgetSec = 20.0
-    def minOfTwo(reset: () => Unit)(body: => Unit): Double = {
+
+    // ---- data-movement metrics (r11 verdict #7): wall time at sf0.1
+    // cannot see a memory cliff, so every timed run also captures the
+    // task-metric DELTAS — shuffle read/write bytes and spill bytes —
+    // via a SparkListener. The 10x growth curve of the data MOVEMENT
+    // is what predicts 100 TB, not the 10x growth of the wall time.
+    // The listener bus is async: a snapshot is taken only once two
+    // 30 ms-apart reads agree (3 s cap) so late task-end events land
+    // in the run that produced them.
+    import java.util.concurrent.atomic.AtomicLong
+    val mShufR = new AtomicLong; val mShufW = new AtomicLong
+    val mSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mShufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            mShufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    def bytesSnapshot(): (Long, Long, Long) = {
+      var prev = (-1L, -1L, -1L)
+      var cur = (mShufR.get, mShufW.get, mSpill.get)
+      val deadline = System.nanoTime() + 3000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(30)
+        cur = (mShufR.get, mShufW.get, mSpill.get)
+      }
+      cur
+    }
+
+    // Returns (published seconds, first-run byte deltas). Bytes come
+    // from the FIRST trial only: shuffle/spill volume is deterministic
+    // across identical runs (plans are rebuilt per action, nothing is
+    // reused), so one capture suffices and the re-trials stay cheap.
+    def minOfTwoBytes(reset: () => Unit)(body: => Unit): (Double, (Long, Long, Long)) = {
       def once(): Double = {
         val t0 = System.nanoTime()
         body
         (System.nanoTime() - t0) / 1e9
       }
+      val b0 = bytesSnapshot()
       val first = once()
-      if (first >= rerunBudgetSec) first
-      else {
-        reset()
-        val second = once()
-        // Sustained-load defense (r10: the driver's contended run put
-        // 15-19x rows into the artifact): when the two trials disagree
-        // >2x, at least one was contended — a third trial breaks the
-        // tie and the min of three is published.
-        if (math.max(first, second) >
-            2.0 * math.max(math.min(first, second), 1e-9)) {
+      val b1 = bytesSnapshot()
+      val bytes = (b1._1 - b0._1, b1._2 - b0._2, b1._3 - b0._3)
+      val t =
+        if (first >= rerunBudgetSec) first
+        else {
           reset()
-          math.min(math.min(first, second), once())
-        } else math.min(first, second)
-      }
+          val second = once()
+          // Sustained-load defense (r10: the driver's contended run put
+          // 15-19x rows into the artifact): when the two trials disagree
+          // >2x, at least one was contended — a third trial breaks the
+          // tie and the min of three is published.
+          if (math.max(first, second) >
+              2.0 * math.max(math.min(first, second), 1e-9)) {
+            reset()
+            math.min(math.min(first, second), once())
+          } else math.min(first, second)
+        }
+      (t, bytes)
     }
+    def minOfTwo(reset: () => Unit)(body: => Unit): Double =
+      minOfTwoBytes(reset)(body)._1
+
+    // per-query (shuffle_read, shuffle_write, spill) at base scale and
+    // at sweep scale — emitted on the sweep rows as bytes_base/bytes_scaled
+    val bytesBase = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val bytesScaled = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        timings(name) = minOfTwo(() => ())(fn(spark, sfDir).count())
+        val (t, b) = minOfTwoBytes(() => ())(fn(spark, sfDir).count())
+        timings(name) = t
+        bytesBase(name) = b
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -128,6 +211,8 @@ object Bench {
     // name -> (base seconds, scaled seconds)
     val scaleQs = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     var scaleGen = 0.0
+    // per-day warehouse stage breakdowns, rendered into the scale object
+    var whStagesJson = ""
     if (scaleF > 1) {
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.functions._
@@ -243,32 +328,53 @@ object Bench {
       // re-run from a wiped warehouse — a single day can't be re-timed in
       // place. The cycle gets the same budgeted min-of-two policy as every
       // other timing: one cycle, and a second (with state reset) only when
-      // the first came in under the rerun budget.
-      def timeCycle(root: String): Option[(Double, Double)] =
+      // the first came in under the rerun budget. Each day also records
+      // its PER-STAGE wall times (scd2 dims / dim_date / fact / bridge /
+      // writes — r11 verdict #3: warehouse_day2 is the suite's closest
+      // number to the 2x sweep guideline and was one opaque figure).
+      case class Cycle(d1: Double, d2: Double,
+                       st1: Seq[(String, Double)], st2: Seq[(String, Double)])
+      def timeCycle(root: String): Option[Cycle] =
         try {
           deleteRecursive(s"$root/dwh")
+          val st1 = scala.collection.mutable.LinkedHashMap[String, Double]()
           val t0 = System.nanoTime()
-          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-01")
+          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-01",
+            (n, s) => st1(n) = st1.getOrElse(n, 0.0) + s)
           val d1 = (System.nanoTime() - t0) / 1e9
           // Day 2 on the day-1 state: carry-forward dominant, only the 5%
           // revision slice mints new ids — the every-day production path.
+          val st2 = scala.collection.mutable.LinkedHashMap[String, Double]()
           val t1 = System.nanoTime()
-          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-02")
+          graft.app.Apps.runWarehouseDay(spark, root, "2026-01-02",
+            (n, s) => st2(n) = st2.getOrElse(n, 0.0) + s)
           val d2 = (System.nanoTime() - t1) / 1e9
-          Some((d1, d2))
+          Some(Cycle(d1, d2, st1.toSeq, st2.toSeq))
         } catch { case _: Throwable => None }
-      def bestCycle(root: String): Option[(Double, Double)] =
-        timeCycle(root).map { case (a1, a2) =>
-          if (a1 + a2 >= rerunBudgetSec) (a1, a2)
+      def bestCycle(root: String): Option[Cycle] =
+        timeCycle(root).map { a =>
+          if (a.d1 + a.d2 >= rerunBudgetSec) a
           else timeCycle(root) match {
-            case Some((b1, b2)) => (math.min(a1, b1), math.min(a2, b2))
-            case None => (a1, a2)
+            case Some(b) =>
+              // per-day min for the published timings; the stage
+              // breakdown comes whole from the faster cycle (mixing
+              // per-stage mins across cycles wouldn't sum to any run)
+              val src = if (b.d1 + b.d2 < a.d1 + a.d2) b else a
+              Cycle(math.min(a.d1, b.d1), math.min(a.d2, b.d2),
+                src.st1, src.st2)
+            case None => a
           }
         }
       (bestCycle(whBase), bestCycle(whScaled)) match {
-        case (Some((b1, b2)), Some((s1, s2))) =>
-          scaleQs("warehouse_day") = (b1, s1)
-          scaleQs("warehouse_day2") = (b2, s2)
+        case (Some(b), Some(s)) =>
+          scaleQs("warehouse_day") = (b.d1, s.d1)
+          scaleQs("warehouse_day2") = (b.d2, s.d2)
+          def stJson(m: Seq[(String, Double)]): String =
+            m.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+              .mkString("{", ",", "}")
+          whStagesJson = s""","warehouse_stages":{""" +
+            s""""base":{"day1":${stJson(b.st1)},"day2":${stJson(b.st2)}},""" +
+            s""""scaled":{"day1":${stJson(s.st1)},"day2":${stJson(s.st2)}}}"""
         case _ => errors("scale_warehouse_day") = "warehouse day-build failed"
       }
 
@@ -391,10 +497,14 @@ object Bench {
         // (distinct-line encode join + the packing chain), the fast
         // BPE encode gate, and the token-id surface
         "sft_pack_tokens", "sft_run_tokens", "bpe_encode_fast",
-        "bpe_vocab", "bpe_encode_ids", "curriculum_order", "sft_mask_audit")
+        "bpe_vocab", "bpe_encode_ids", "curriculum_order", "sft_mask_audit",
+        // round-12 additions: the byte-level tokenizer tier (narrow
+        // encode scan + its exact-round-trip inverse — both linear)
+        "bpe_encode_bytes", "bpe_bytes_roundtrip")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
-          val s = minOfTwo(() => ())(fn(spark, scaleDir).count())
+          val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())
+          bytesScaled(name) = b
           // base = -1 when the base-scale run errored: keep the scaled
           // timing visible rather than silently dropping the query
           scaleQs(name) = (timings.getOrElse(name, -1.0), s)
@@ -504,11 +614,20 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
+    def bJson(b: (Long, Long, Long)): String =
+      s"""{"shuffle_read":${b._1},"shuffle_write":${b._2},"spill":${b._3}}"""
     val sq = scaleQs.map { case (k, (b, s)) =>
       val ratio = if (b > 0) s / b else -1.0
-      "\"" + esc(k) + "\":{\"base\":" + b + ",\"scaled\":" + s + ",\"ratio\":" + ratio + "}"
+      val bytes = (bytesBase.get(k), bytesScaled.get(k)) match {
+        case (Some(bb), Some(sb)) =>
+          s""","bytes_base":${bJson(bb)},"bytes_scaled":${bJson(sb)}"""
+        case (None, Some(sb)) => s""","bytes_scaled":${bJson(sb)}"""
+        case _ => ""
+      }
+      "\"" + esc(k) + "\":{\"base\":" + b + ",\"scaled\":" + s +
+        ",\"ratio\":" + ratio + bytes + "}"
     }.mkString("{", ",", "}")
-    val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq}"""
+    val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq$whStagesJson}"""
     stampLoad("end")
     val phasesJson = phaseLoads.map { case (k, v) =>
       "\"" + esc(k) + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
@@ -520,7 +639,15 @@ object Bench {
     // to a repo-root artifact: the driver only keeps the LAST 2000 chars
     // of stdout, so the ~8 KB full line can never survive there (r5/r6
     // round artifacts stored parsed:null for exactly this reason).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    // Routed through the artifactTarget guard: a contaminated or smoke
+    // run lands in a sidecar and can never replace the idle artifact.
+    val artifactPath = writeArtifact(java.nio.file.Paths.get("."), full,
+      contaminated = contaminated, fullSweep = scaleQs.size >= 20)
+    val artifactName = artifactPath.getFileName.toString
+    if (artifactName != "BENCH_FULL.json")
+      System.err.println(s"[bench] run self-flagged (contaminated=" +
+        s"$contaminated, sweep=${scaleQs.size} rows) — artifact routed " +
+        s"to $artifactName; BENCH_FULL.json untouched")
     // Doc rendering runs INSIDE the bench flow (r10 verdict #2: the
     // README/SCALE counts drifted by one commit three rounds running
     // because the render tools were invoked on request, not in the
@@ -559,7 +686,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$q,""" +
         s""""queries_omitted":$omitted$e,"scale":{"factor":$scaleF,"ratios":${ratios.take(nr).mkString("{", ",", "}")}},""" +
-        s""""detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}"""
+        s""""detail":"${esc(artifactName)}","sf":"${esc(sfDir)}"}"""
     }
     val line = Seq((timings.size, ratios.size), (45, ratios.size), (30, ratios.size),
         (20, ratios.size), (12, ratios.size), (12, 20), (6, 10), (0, 0))

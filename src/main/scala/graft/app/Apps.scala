@@ -102,8 +102,13 @@ object Apps {
   /** `jobinsight_dwh` (§3.2): read today's staging partition
     * (partition-pruned, S4), run the warehouse day, write dims as
     * snapshots and fact/bridge with dynamic partition overwrite.
+    * `onStage` receives the per-stage wall times from
+    * [[WarehouseJob.runDay]] plus a final `writes` stage covering the
+    * snapshot/partition writes — the composite's regression localizer.
     */
-  def runWarehouseDay(spark: SparkSession, warehouseRoot: String, runDate: String): Unit =
+  def runWarehouseDay(spark: SparkSession, warehouseRoot: String,
+                      runDate: String,
+                      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
     Metrics.instrument(spark, warehouseRoot, "jobinsight_dwh", "load_dwh",
       runDate) {
       val staging = spark.read.parquet(s"$warehouseRoot/staging_jobs")
@@ -113,8 +118,10 @@ object Apps {
       val state = WarehouseJob.State(readStar(spark, warehouseRoot))
       // checkpoint = true: materialize results BEFORE the writes below
       // replace the very files their plans read from.
-      val next = WarehouseJob.runDay(spark, state, staging, runDate, checkpoint = true)
+      val next = WarehouseJob.runDay(spark, state, staging, runDate,
+        checkpoint = true, onStage = onStage)
 
+      val tWrites = System.nanoTime()
       val dwh = s"$warehouseRoot/dwh"
       TableStore.writeSnapshot(next.star.dimJob, s"$dwh/DimJob")
       TableStore.writeSnapshot(next.star.dimCompany, s"$dwh/DimCompany")
@@ -126,6 +133,7 @@ object Apps {
       TableStore.replacePartitions(
         todaysFact, s"$dwh/FactJobPostingDaily", Seq("date_id"))
       TableStore.writeSnapshot(next.star.bridge, s"$dwh/FactJobLocationBridge")
+      onStage("writes", (System.nanoTime() - tWrites) / 1e9)
       // counts on checkpointed frames — no plan re-execution
       ((), staging.count(), todaysFact.count())
     }

@@ -158,7 +158,14 @@ object TrainGates {
       .orderBy("token_id")
 
   /** Oracle: distinct normalized-word characters ranked ascending, the
-    * pinned merge outputs appended at `nBase + rank`.
+    * pinned merge outputs appended after them. Mirrors [[Bpe.vocab]]'s
+    * LinkedHashSet contract exactly: duplicate merge OUTPUTS keep the
+    * first (lowest) rank only, outputs colliding with a base character
+    * are dropped, and the surviving outputs take COMPACTED sequential
+    * ids (row_number over first-rank order) — not their raw ranks. The
+    * current [[PinnedMerges]] happen to be collision-free, so this
+    * also passes with the naive per-merge emit, but the oracle must
+    * restate the contract, not the coincidence.
     */
   val bpeVocabSql: String = {
     val mvals = PinnedMerges.zipWithIndex
@@ -173,10 +180,17 @@ object TrainGates {
        |  SELECT CAST(row_number() OVER (ORDER BY ch) - 1 AS INT) AS token_id, ch AS token
        |  FROM c),
        |nb AS (SELECT count(*) AS n FROM b),
-       |m(rank, token) AS (VALUES $mvals)
+       |m0(rank, token) AS (VALUES $mvals),
+       |m1 AS (
+       |  SELECT token, min(rank) AS rank FROM m0
+       |  WHERE token NOT IN (SELECT token FROM b)
+       |  GROUP BY token),
+       |m AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY rank) - 1 AS BIGINT) AS seq, token
+       |  FROM m1)
        |SELECT token_id, token FROM b
        |UNION ALL
-       |SELECT CAST(nb.n + m.rank AS INT) AS token_id, m.token FROM m, nb
+       |SELECT CAST(nb.n + m.seq AS INT) AS token_id, m.token FROM m, nb
        |ORDER BY token_id""".stripMargin
   }
 
@@ -244,6 +258,156 @@ object TrainGates {
        |  END AS fertility
        |FROM wds w JOIN enc e ON w.doc_id = e.doc_id
        |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+
+  // ---- Byte-level BPE ---------------------------------------------------
+
+  /** [[Bpe.byteSyms]] shorthand for pinning byte-symbol merge tables. */
+  private def bs(s: String): String = Bpe.byteSyms(s)
+
+  /** Pinned BYTE-symbol merge list — hand-chosen to exercise every
+    * byte-level regime: ascii rank chaining (`th`+`e`), the `Ġ`
+    * word-boundary symbol merging into a word start, 2-byte UTF-8
+    * assembly (`à` from its two byte symbols, then chained into `hà`),
+    * 3-byte Vietnamese assembly (`ộ`), 4-byte astral assembly (`🙂`),
+    * and a dead merge whose right side never exists as a token.
+    * Literal on BOTH sides (the oracle embeds the same symbol strings),
+    * like [[PinnedMerges]].
+    */
+  private val PinnedByteMerges: Array[(String, String)] = {
+    val aGrave = bs("à")   // 2 symbols (0xC3 0xA0)
+    val oDotCirc = bs("ộ") // 3 symbols (0xE1 0xBB 0x99)
+    val smile = bs("🙂")   // 4 symbols (0xF0 0x9F 0x99 0x82)
+    Array(
+      (bs("t"), bs("h")),
+      (bs("th"), bs("e")),
+      (bs(" "), bs("t")),
+      (aGrave.substring(0, 1), aGrave.substring(1)),
+      (bs("h"), aGrave),
+      (oDotCirc.substring(0, 1), oDotCirc.substring(1, 2)),
+      (oDotCirc.substring(0, 2), oDotCirc.substring(2)),
+      (smile.substring(0, 1), smile.substring(1, 2)),
+      (smile.substring(0, 2), smile.substring(2, 3)),
+      (smile.substring(0, 3), smile.substring(3)),
+      (bs(" t"), bs("he")))
+  }
+
+  /** Planted byte-tier docs: multi-byte Vietnamese, an astral-plane
+    * emoji, an empty doc, and ascii words hitting the pinned ranks —
+    * the corpus itself is pure ascii, so every multi-byte regime is
+    * planted (identical VALUES on both sides, the standard trick).
+    * Texts are pre-normalized (lowercase, single-spaced) so the gate
+    * exercises the BYTE mapping, not engine lowercasing edge cases.
+    */
+  private val PlantedByteDocs: Seq[(Long, String)] = Seq(
+    (-4L, "the table hà nội"),
+    (-3L, "hồ chí minh 🙂"),
+    (-2L, ""),
+    (-1L, "thà thê ộ ộộộ"))
+
+  private def byteDocsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(PlantedByteDocs.toDF("doc_id", "text"))
+  }
+
+  private val byteDocsSql: String = {
+    val vals = PlantedByteDocs
+      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""bd AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text
+       |  FROM (VALUES $vals) v(doc_id, text))""".stripMargin
+  }
+
+  /** UTF-8 byte list of code point `p` (DuckDB expression) — the
+    * standard UTF-8 packing formula, one CASE per encoded length.
+    */
+  private def sqlUtf8Bytes(p: String): String =
+    s"CASE WHEN $p < 128 THEN [$p] " +
+      s"WHEN $p < 2048 THEN [192 + $p//64, 128 + $p%64] " +
+      s"WHEN $p < 65536 THEN [224 + $p//4096, 128 + ($p//64)%64, 128 + $p%64] " +
+      s"ELSE [240 + $p//262144, 128 + ($p//4096)%64, 128 + ($p//64)%64, 128 + $p%64] END"
+
+  /** Byte → symbol char (DuckDB expression): the same closed formula as
+    * [[Bpe.byteSym]] — printable bytes keep their code point, excluded
+    * bytes shift to 256 + their ascending index.
+    */
+  private def sqlByteSym(b: String): String =
+    s"CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172) " +
+      s"OR ($b >= 174) THEN chr($b) " +
+      s"WHEN $b <= 32 THEN chr(256 + $b) " +
+      s"WHEN $b <= 160 THEN chr(256 + 33 + $b - 127) ELSE chr(323) END"
+
+  /** Shared byte-tier CTE chain ending in `benc(doc_id, toks)`: the
+    * union corpus normalized, each word mapped char→UTF-8 bytes→symbols
+    * (nested list_transform over the two formulas above), non-first
+    * words prefixed with `Ġ` (chr(288) = byteSym(32)), words joined by
+    * a chr(10) sentinel no merge can match, then the standard
+    * doubled-separator replace chain over [[PinnedByteMerges]].
+    */
+  private val bpeBytesEncCtes: String = {
+    val wsym = "coalesce(array_to_string(flatten(list_transform(" +
+      "range(1, len(w)+1), j -> list_transform(" +
+      sqlUtf8Bytes("unicode(w[j])") + ", b -> " + sqlByteSym("b") +
+      "))), ''), '')"
+    val inner = "'  ' || coalesce(array_to_string(list_transform(" +
+      "range(1, len(s)+1), j -> s[j]), '  '), '') || '  '"
+    val chain = PinnedByteMerges.foldLeft(inner) { case (e, (l, r)) =>
+      rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
+    }
+    s"""$byteDocsSql,
+       |bnm AS (
+       |  SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS n2
+       |  FROM bd),
+       |bws AS (
+       |  SELECT doc_id, list_transform(string_split(n2, ' '), w -> $wsym) AS wsyms
+       |  FROM bnm),
+       |bsy AS (
+       |  SELECT doc_id, coalesce(array_to_string(list_transform(range(1, len(wsyms)+1), i ->
+       |    CASE WHEN i = 1 THEN wsyms[i] ELSE chr(288) || wsyms[i] END), chr(10)), '') AS s
+       |  FROM bws),
+       |benc AS (
+       |  SELECT doc_id, [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS toks
+       |  FROM bsy)""".stripMargin
+  }
+
+  /** [[Bpe.encodeBytes]] under [[PinnedByteMerges]] over the union
+    * corpus — byte-level tokens and counts, hash-matched on multi-byte
+    * Vietnamese and astral input.
+    */
+  def bpeEncodeBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeBytes(byteDocsDf(s, dir), "doc_id", "text",
+        PinnedByteMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
+  val bpeEncodeBytesSql: String =
+    s"""WITH $bpeBytesEncCtes
+       |SELECT doc_id, CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
+       |  coalesce(array_to_string(toks, ' '), '') AS tok_str
+       |FROM benc ORDER BY doc_id""".stripMargin
+
+  /** Byte-level EXACT ROUND-TRIP: encode then decode every doc; the
+    * oracle is just the independent normalization — if any byte of any
+    * UTF-8 sequence survived wrong, the hash breaks. The property the
+    * byte tier exists for (no OOV, lossless arbitrary text).
+    */
+  def bpeBytesRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Bpe.decodeBytes(
+        Bpe.encodeBytes(byteDocsDf(s, dir), "doc_id", "text",
+          PinnedByteMerges),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val bpeBytesRoundtripSql: String =
+    s"""WITH $byteDocsSql
+       |SELECT doc_id,
+       |  regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS text_rt
+       |FROM bd ORDER BY doc_id""".stripMargin
 
   // ---- Logistic regression --------------------------------------------
 
@@ -920,6 +1084,8 @@ object TrainGates {
     "bpe_train"       -> (bpeTrain _),
     "bpe_encode"      -> (bpeEncode _),
     "bpe_encode_fast" -> (bpeEncodeFast _),
+    "bpe_encode_bytes" -> (bpeEncodeBytes _),
+    "bpe_bytes_roundtrip" -> (bpeBytesRoundtrip _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -943,6 +1109,8 @@ object TrainGates {
     "bpe_train"       -> bpeTrainSql,
     "bpe_encode"      -> bpeEncodeSql,
     "bpe_encode_fast" -> bpeEncodeSql,
+    "bpe_encode_bytes" -> bpeEncodeBytesSql,
+    "bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,

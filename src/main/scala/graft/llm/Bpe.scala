@@ -499,6 +499,122 @@ object Bpe {
         size(col("token_ids")).as("n_tokens"))
   }
 
+  // ---- Byte-level tier --------------------------------------------------
+
+  /** GPT-2-style byte→unicode symbol mapping (Radford et al. 2019's
+    * `bytes_to_unicode`, restated as a closed formula): every
+    * "printable" byte — 33..126, 161..172, 174..255 — maps to its own
+    * code point; the 68 remaining bytes (0..32 control+space, 127..160,
+    * 173 soft hyphen) map to `256 + k` where `k` is the byte's index
+    * among the excluded bytes ascending. Space (32) becomes `Ġ` (U+0120)
+    * — the visible word-boundary marker of every production byte-level
+    * tokenizer. The mapping is a bijection byte↔symbol, so byte-level
+    * BPE has NO out-of-vocabulary symbol at all and round-trips
+    * arbitrary UTF-8 exactly — the property the char-within-word tier
+    * above cannot offer (an unseen character there is an unsplittable
+    * singleton token).
+    */
+  private def keepByte(b: Int): Boolean =
+    (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+
+  /** Byte (0..255) → symbol character. */
+  def byteSym(b: Int): Char =
+    if (keepByte(b)) b.toChar
+    else if (b <= 32) (256 + b).toChar
+    else if (b == 127) (256 + 33).toChar
+    else if (b <= 160) (256 + 34 + (b - 128)).toChar
+    else (256 + 67).toChar // b == 173
+
+  /** Symbol character → byte; exact inverse of [[byteSym]]. */
+  def symByte(c: Char): Int = {
+    val ci = c.toInt
+    if (ci < 256) ci
+    else {
+      val k = ci - 256
+      if (k <= 32) k
+      else if (k == 33) 127
+      else if (k <= 66) 128 + (k - 34)
+      else 173 // k == 67
+    }
+  }
+
+  /** UTF-8 bytes of `s`, one symbol character per byte. */
+  def byteSyms(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = byteSym(bytes(i) & 0xff); i += 1 }
+    new String(out)
+  }
+
+  /** Inverse of [[byteSyms]]: symbol characters → bytes → UTF-8. */
+  def symsToString(syms: String): String = {
+    val bytes = new Array[Byte](syms.length)
+    var i = 0
+    while (i < syms.length) { bytes(i) = symByte(syms(i)).toByte; i += 1 }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** BYTE-LEVEL encode — the production-tokenizer tier: words are the
+    * same whitespace-normalized split as the char tier, but each word
+    * is pre-mapped to its UTF-8 byte symbols (non-first words carry
+    * their LEADING SPACE into the word, GPT-2's `Ġword` convention, so
+    * the token stream is losslessly invertible), then fed to the SAME
+    * heap-indexed fast kernel under a byte-symbol merge table. Exact
+    * round-trip for arbitrary UTF-8 ([[decodeBytes]]; BpeBytesSpec and
+    * the `bpe_bytes_roundtrip` gate pin it on multi-byte Vietnamese +
+    * astral-plane input), no OOV symbol, per-word cost tracks the word.
+    * Same narrow zero-shuffle shape as [[encodeWithMergesFast]]:
+    * broadcast merge table, per-partition word memo.
+    */
+  def encodeBytes(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    val encoded = norm.as[(Long, String)].mapPartitions { rows =>
+      val idx = bc.value
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val toks =
+          if (t.isEmpty) Array.empty[String]
+          else {
+            val words = t.split(" ")
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < words.length) {
+              val w = if (i == 0) words(i) else " " + words(i)
+              out ++= memo.getOrElseUpdate(w, encodeWordFast(byteSyms(w), idx))
+              i += 1
+            }
+            out.toArray
+          }
+        (id, toks)
+      }
+    }.toDF(idCol, "tokens")
+    encoded.select(col(idCol), col("tokens"),
+      size(col("tokens")).as("n_tokens"))
+  }
+
+  /** Decode an [[encodeBytes]] token table back to text:
+    * `(id, text_rt)`. Tokens concatenate with NO separator (the space
+    * lives inside the `Ġ` symbols), then symbols → bytes → UTF-8 — the
+    * exact inverse, independent of which merges fired. Narrow, no
+    * shuffle, no model.
+    */
+  def decodeBytes(enc: DataFrame, idCol: String): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    enc.select(col(idCol).cast("long"),
+        concat_ws("", col("tokens")).as("__s"))
+      .as[(Long, String)]
+      .map { case (id, s) => (id, symsToString(s)) }
+      .toDF(idCol, "text_rt")
+  }
+
   /** Exact learned-subword token counts: `(id, n_tokens)` — the
     * drop-in upgrade for every token-budget consumer. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,

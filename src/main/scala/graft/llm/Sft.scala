@@ -263,9 +263,14 @@ object Sft {
     val inBounds = forall(col("__spans"),
       sp => sp.getField("s") >= 0L && sp.getField("e") <= n
         && sp.getField("s") < sp.getField("e"))
-    // ordered + non-overlapping: fold carrying (prevEnd, okSoFar)
+    // ordered + non-overlapping: fold carrying (prevEnd, okSoFar).
+    // Seeded with Long.MinValue so the FIRST span is unconditionally
+    // in order (only inter-span order is this check's contract —
+    // in_bounds owns the s >= 0 check); a -1 seed would flag a
+    // negative-start first span as unordered while the oracle's
+    // `i = 1 OR ...` form treats it as ordered.
     val ordered = aggregate(col("__spans"),
-      struct(lit(-1L).as("prev"), lit(true).as("ok")),
+      struct(lit(Long.MinValue).as("prev"), lit(true).as("ok")),
       (acc, sp) => struct(sp.getField("e").as("prev"),
         (acc.getField("ok") && sp.getField("s") >= acc.getField("prev"))
           .as("ok")),

@@ -39,19 +39,40 @@ object WarehouseJob {
     * production). `skewSalts > 1` routes the fact dedup through the
     * salted two-phase variant (identical output; for skewed day slices);
     * [[FactDaily.AutoSalts]] profiles the slice and decides per day.
+    *
+    * Stages are checkpointed IN DEPENDENCY ORDER and each later stage is
+    * built from the already-checkpointed frames, so (a) the dim merges
+    * execute once instead of being re-derived inside the fact/bridge
+    * plans, and (b) `onStage` receives a per-stage wall time
+    * (`scd2_dim_job`, `scd2_dim_company`, `dim_location`, `dim_date`,
+    * `fact`, `bridge`) — the instrumentation that localizes a regression
+    * inside the otherwise-opaque day-build composite. With
+    * `checkpoint = false` the frames stay lazy and the stage times are
+    * construction-only (~0) — callers wanting timings need eager mode.
     */
   def runDay(spark: SparkSession, state: State, staging: DataFrame,
              runDate: String, checkpoint: Boolean = true,
-             skewSalts: Int = 0): State = {
+             skewSalts: Int = 0,
+             onStage: (String, Double) => Unit = (_, _) => ()): State = {
     val rd = lit(runDate)
     val today = java.sql.Date.valueOf(runDate)
     val yesterday = java.sql.Date.valueOf(today.toLocalDate.minusDays(1))
 
-    val dimJob = Dimensions.mergeDimJob(state.star.dimJob, staging, rd)
-    val dimCompany = Dimensions.mergeDimCompany(state.star.dimCompany, staging, rd)
-    val dimLocation = Dimensions.mergeDimLocation(state.star.dimLocation, staging)
-    val dimDate = DimDate.mergeInto(state.star.dimDate, staging,
-      Seq(col("posted_time"), col("due_date"), col("crawled_at")), rd)
+    def staged(name: String)(df: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = if (checkpoint) df.localCheckpoint(eager = true) else df
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      out
+    }
+
+    val dimJob = staged("scd2_dim_job")(
+      Dimensions.mergeDimJob(state.star.dimJob, staging, rd))
+    val dimCompany = staged("scd2_dim_company")(
+      Dimensions.mergeDimCompany(state.star.dimCompany, staging, rd))
+    val dimLocation = staged("dim_location")(
+      Dimensions.mergeDimLocation(state.star.dimLocation, staging))
+    val dimDate = staged("dim_date")(DimDate.mergeInto(state.star.dimDate,
+      staging, Seq(col("posted_time"), col("due_date"), col("crawled_at")), rd))
 
     val factYesterday = state.star.fact.filter(col("date_id") === lit(yesterday))
     val factOther = state.star.fact.filter(col("date_id") =!= lit(runDate).cast("date"))
@@ -62,16 +83,13 @@ object WarehouseJob {
       factYesterday, factTodayExisting, staging, dimJob, dimCompany,
       runDate = rd, crawledAt = lit(runDate + " 07:00:00"), maxFactId = maxFactId,
       skewSalts = skewSalts)
-    val fact = factOther.unionByName(factToday)
+    val fact = staged("fact")(factOther.unionByName(factToday))
 
-    val bridge = Bridge.buildDay(
+    val bridge = staged("bridge")(Bridge.buildDay(
       state.star.bridge, fact, factToday, factYesterday, staging,
-      dimJob, dimLocation, maxBridgeId = maxOf(state.star.bridge, "bridge_id"))
+      dimJob, dimLocation, maxBridgeId = maxOf(state.star.bridge, "bridge_id")))
 
-    def cp(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(eager = true) else df
-    State(Star(cp(dimJob), cp(dimCompany), cp(dimLocation), cp(dimDate),
-      cp(fact), cp(bridge)))
+    State(Star(dimJob, dimCompany, dimLocation, dimDate, fact, bridge))
   }
 
   private def maxOf(df: DataFrame, c: String): Long =

@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Byte-level BPE tier: the GPT-2 byte↔unicode bijection, encode under
+  * a byte-symbol merge table, and the exact round-trip law on
+  * arbitrary UTF-8 (multi-byte Vietnamese, astral-plane emoji, every
+  * single byte value).
+  */
+class BpeBytesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("byteSym/symByte is a bijection over all 256 bytes") {
+    val syms = (0 until 256).map(Bpe.byteSym)
+    assert(syms.distinct.size === 256)
+    (0 until 256).foreach(b => assert(Bpe.symByte(Bpe.byteSym(b)) === b))
+    // pinned anchors of the published mapping
+    assert(Bpe.byteSym(' '.toInt) === 'Ġ')        // Ġ
+    assert(Bpe.byteSym('a'.toInt) === 'a')             // printable: identity
+    assert(Bpe.byteSym(0) === 'Ā')                // Ā
+    assert(Bpe.byteSym(127) === 'ġ')              // first of 127..160
+    assert(Bpe.byteSym(173) === 'Ń')              // soft hyphen, last slot
+  }
+
+  test("byteSyms/symsToString round-trips arbitrary UTF-8 exactly") {
+    val samples = Seq("", "ascii only", "hà nội — hồ chí minh",
+      "🙂 astral 🙂🙂", "mixed ộ🙂đa\nควบคุม")
+    samples.foreach { s =>
+      assert(Bpe.symsToString(Bpe.byteSyms(s)) === s)
+    }
+    // symbol length = UTF-8 byte length, never the char length
+    assert(Bpe.byteSyms("ộ").length === 3)
+    assert(Bpe.byteSyms("🙂").length === 4)
+  }
+
+  test("encodeBytes merges assemble multi-byte chars and Ġ-words") {
+    val oSyms = Bpe.byteSyms("ộ")
+    val merges = Array(
+      (Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (Bpe.byteSyms(" "), Bpe.byteSyms("t")),
+      (oSyms.substring(0, 1), oSyms.substring(1, 2)),
+      (oSyms.substring(0, 2), oSyms.substring(2)))
+    val docs = Seq((1L, "th ộ the t"), (2L, "")).toDF("doc_id", "text")
+    val enc = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("tokens"))
+      .as[(Long, Seq[String])].collect()
+    // doc 1: "th" merges; " ộ" -> Ġ + full ộ token; " the": rank 0
+    // (t,h) fires FIRST so rank 1 (Ġ,t) can no longer (rank order);
+    // the lone " t" is where (Ġ,t) fires
+    assert(enc(0)._2 === Seq("th", "Ġ", oSyms, "Ġ", "th", "e", "Ġt"))
+    assert(enc(1)._2 === Seq.empty[String])
+  }
+
+  test("encode→decode round-trips the normalized text for every doc") {
+    val docs = Seq(
+      (1L, "  The   Table  hà   nội "),  // normalization applies first
+      (2L, "hồ chí minh 🙂"),
+      (3L, ""),
+      (4L, "đà nẵng — cần thơ 🙂ộ")).toDF("doc_id", "text")
+    val merges = Array((Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (Bpe.byteSyms(" "), Bpe.byteSyms("t")))
+    val rt = Bpe.decodeBytes(
+        Bpe.encodeBytes(docs, "doc_id", "text", merges), "doc_id")
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(rt(1L) === "the table hà nội")
+    assert(rt(2L) === "hồ chí minh 🙂")
+    assert(rt(3L) === "")
+    assert(rt(4L) === "đà nẵng — cần thơ 🙂ộ")
+  }
+
+  test("round-trip holds under ANY merge table (merges never lose bytes)") {
+    // adversarial: merges over every regime at once; tokens differ,
+    // decoded text must not
+    val oSyms = Bpe.byteSyms("ộ"); val smile = Bpe.byteSyms("🙂")
+    val merges = Array(
+      (Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (Bpe.byteSyms("th"), Bpe.byteSyms("e")),
+      (oSyms.substring(0, 1), oSyms.substring(1, 2)),
+      (smile.substring(0, 1), smile.substring(1, 2)),
+      (smile.substring(0, 2), smile.substring(2, 3)))
+    val text = "the ộ🙂 thộ 🙂🙂 end"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rt = Bpe.decodeBytes(
+        Bpe.encodeBytes(docs, "doc_id", "text", merges), "doc_id")
+      .as[(Long, String)].collect().head._2
+    assert(rt === text)
+  }
+}

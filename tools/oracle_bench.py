@@ -7,14 +7,25 @@ machine record behind SCALE.md's "Measured vs the DuckDB oracle"
 section (regenerated from this artifact by tools/refresh_docs.py).
 
 Spark times: the warm min-of-two timings from BENCH_FULL.json when that
-artifact exists for the same sf dir (count-materialized, the bench's
-measurement policy); otherwise the cold single-shot write-inclusive
-times from <outDir>/spark_times.json (written by graft.Verify).
+artifact exists for the same sf dir AND does not self-flag contaminated
+(a bench that started under host load publishes inflated rows — its
+timings must not feed the 2x-bar claim); otherwise the cold single-shot
+write-inclusive times from <outDir>/spark_times.json (written by
+graft.Verify).
 
 DuckDB times: one process, per-query watchdog interrupt (default 120 s;
 a timed-out oracle records duck_s = null, timeout = true and is
-EXCLUDED from the completed-queries totals, the same rule the round-5
-measurement used for dedup_jaccard's all-pairs DNF).
+EXCLUDED from the completed-queries totals). Queries finishing under
+the rerun budget get a SECOND trial and publish the min — the same
+warm-min policy the Spark side uses, so neither axis gets a cold-cache
+handicap (the residual bias is disclosed in the artifact:
+Spark times are count()-materialized, DuckDB times are full fetchall).
+
+Three oracle tiers are EXPECTED DNFs at the default timeout — their
+oracles are deliberately brute-force all-pairs restatements. They carry
+an `expected_dnf` reason so the completed-queries denominator is
+auditable; any OTHER timeout is stamped `unexpected: true` and is a
+regression signal, not an exclusion.
 
 Usage:
     python3 tools/oracle_bench.py <outDir> <sfDir> [timeout_s]
@@ -31,17 +42,35 @@ import duckdb
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
+# Oracles that restate banded/bucketed operators as exact all-pairs
+# scans — tractability is not their contract, independence is. A
+# timeout here is the expected cost of the brute-force tier, not a
+# regression (they complete at sf0.01, where the correctness gate
+# hash-compares them).
+EXPECTED_DNF = {
+    "dedup_audit": "brute-force all-pairs recall-audit oracle tier",
+    "dedup_jaccard": "exact all-pairs n-gram Jaccard oracle tier",
+    "entity_resolution": "all-pairs blocked-linkage oracle tier",
+}
+
+# DuckDB-side warm-min policy: a second trial only when the first came
+# in under this budget (mirrors graft.Bench's rerunBudgetSec).
+RERUN_BUDGET_S = 20.0
+
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-    spark_times, spark_source = {}, None
+    spark_times, spark_source, contaminated = {}, None, False
     bench_path = "BENCH_FULL.json"
     if os.path.exists(bench_path):
         bench = json.load(open(bench_path))
-        if bench.get("sf") == sf_dir and bench.get("queries"):
+        if bench.get("loadavg", {}).get("contaminated"):
+            print("[oracle_bench] BENCH_FULL.json self-flags contaminated "
+                  "— ignoring its Spark timings", flush=True)
+        elif bench.get("sf") == sf_dir and bench.get("queries"):
             spark_times = dict(bench["queries"])
             spark_source = "BENCH_FULL.json (warm min-of-two, count-materialized)"
     if not spark_times:
@@ -49,6 +78,10 @@ def main():
         if os.path.exists(st_path):
             spark_times = json.load(open(st_path))
             spark_source = "spark_times.json (cold single-shot, write-inclusive)"
+    if not spark_times:
+        sys.exit("[oracle_bench] no usable Spark timings (BENCH_FULL.json "
+                 "missing/contaminated/wrong-sf and no spark_times.json) — "
+                 "refusing to write a one-sided ORACLE_BENCH.json")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -56,8 +89,8 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    results = {}
-    for name, sql in sorted(oracle.items()):
+    def run_once(sql):
+        """One timed run: (seconds, timed_out, err)."""
         timer = threading.Timer(timeout, con.interrupt)
         timer.start()
         t0 = time.time()
@@ -72,19 +105,36 @@ def main():
                 err = msg[:160]
         finally:
             timer.cancel()
-        dt = time.time() - t0
+        return time.time() - t0, timed_out, err
+
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        dt, timed_out, err = run_once(sql)
+        # warm-min second trial (ADVICE r11: the Spark side publishes a
+        # warm min; a cold single-shot DuckDB side biases both axes)
+        if not timed_out and not err and dt < RERUN_BUDGET_S:
+            dt2, to2, err2 = run_once(sql)
+            if not to2 and not err2:
+                dt = min(dt, dt2)
         row = {"spark_s": spark_times.get(name),
                "duck_s": None if (timed_out or err) else round(dt, 4)}
         if timed_out:
             row["timeout"] = True
+            if name in EXPECTED_DNF:
+                row["expected_dnf"] = EXPECTED_DNF[name]
+            else:
+                row["unexpected"] = True
         if err:
             row["error"] = err
         results[name] = row
-        status = ("TIMEOUT" if timed_out else
-                  f"ERROR {err}" if err else f"{dt:.2f}s")
+        status = ("TIMEOUT (expected DNF)" if timed_out and name in EXPECTED_DNF
+                  else "TIMEOUT (UNEXPECTED)" if timed_out
+                  else f"ERROR {err}" if err else f"{dt:.2f}s")
         print(f"[{name}] duck={status} spark={spark_times.get(name)}",
               flush=True)
 
+    # expected DNFs that DID complete are fine; expected DNFs that are
+    # MISSING from the oracle set should not silently shrink the list
     both = {k: v for k, v in results.items()
             if v.get("spark_s") is not None and v.get("duck_s") is not None}
     spark_total = sum(v["spark_s"] for v in both.values())
@@ -93,9 +143,14 @@ def main():
         "sf": sf_dir,
         "timeout_s": timeout,
         "spark_source": spark_source,
+        "contaminated": contaminated,
+        "duck_policy": f"warm min-of-two under {RERUN_BUDGET_S:.0f}s budget, "
+                       "full fetchall materialization",
         "n_queries": len(results),
         "n_both": len(both),
         "n_timeout": sum(1 for v in results.values() if v.get("timeout")),
+        "n_unexpected_timeout": sum(
+            1 for v in results.values() if v.get("unexpected")),
         "spark_total_s": round(spark_total, 3),
         "duck_total_s": round(duck_total, 3),
         "ratio": round(spark_total / duck_total, 4) if duck_total else None,
@@ -105,6 +160,9 @@ def main():
     print(f"\nORACLE_BENCH.json: {len(both)} completed on both engines, "
           f"Spark {spark_total:.1f}s vs DuckDB {duck_total:.1f}s = "
           f"{spark_total / duck_total:.2f}x" if duck_total else "no totals")
+    if art["n_unexpected_timeout"]:
+        print(f"WARNING: {art['n_unexpected_timeout']} UNEXPECTED oracle "
+              "timeout(s) — regression signal, inspect before publishing")
 
 
 if __name__ == "__main__":

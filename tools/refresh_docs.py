@@ -64,6 +64,16 @@ def oracle_section():
     if not os.path.exists("ORACLE_BENCH.json"):
         raise RuntimeError("no ORACLE_BENCH.json")
     ob = json.load(open("ORACLE_BENCH.json"))
+    # same contamination policy as sweep_table (ADVICE r11): an oracle
+    # comparison built from contaminated timings must not feed the
+    # rendered 2x-bar claim
+    if ob.get("contaminated"):
+        raise RuntimeError("ORACLE_BENCH.json self-flagged contaminated — "
+                           "keeping the committed idle oracle section")
+    if ob.get("n_unexpected_timeout"):
+        raise RuntimeError(
+            f"{ob['n_unexpected_timeout']} UNEXPECTED oracle timeout(s) — "
+            "regression signal; not rendering until adjudicated")
     arts = sorted(glob.glob("CORRECTNESS_r*.json"))
     rnd = int(re.search(r"r(\d+)", arts[-1]).group(1)) if arts else 0
     qs = ob["queries"]
@@ -84,12 +94,18 @@ def oracle_section():
         f"Rendered from `ORACLE_BENCH.json` (tools/oracle_bench.py: every\n"
         f"oracle run in one DuckDB process with a {ob['timeout_s']:.0f} s "
         f"per-query\ninterrupt; Spark side = "
-        f"{ob.get('spark_source', 'BENCH_FULL.json')}).\n"
+        f"{ob.get('spark_source', 'BENCH_FULL.json')};\nDuckDB side = "
+        f"{ob.get('duck_policy', 'cold single-shot fetchall')}.\n"
+        f"Residual bias: Spark timings are count()-materialized, which can\n"
+        f"prune output-only expressions the fetchall oracle must compute —\n"
+        f"a pro-Spark bias on expression-heavy rows, disclosed here because\n"
+        f"it cannot be removed without changing the bench's own policy).\n"
         f"Completed-queries basis: over the **{ob['n_both']} queries both "
         f"engines\nfinish, Spark {ob['spark_total_s']:.1f} s vs DuckDB "
         f"{ob['duck_total_s']:.1f} s = {ob['ratio']:.2f}×** — "
         f"{'inside' if ob['ratio'] <= 2.0 else 'OUTSIDE'} the 2× bar.\n"
-        + (f"Excluded as oracle DNFs ({ob['timeout_s']:.0f} s timeout): "
+        + (f"Excluded as EXPECTED oracle DNFs ({ob['timeout_s']:.0f} s "
+           f"timeout; each carries its reason in the artifact): "
            + ", ".join(f"`{t}`" for t in timeouts) + ".\n"
            if timeouts else "")
         + (f"Biggest engine wins: {win_txt}.\n" if win_txt else "")
