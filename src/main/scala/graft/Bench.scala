@@ -499,8 +499,12 @@ object Bench {
         "sft_pack_tokens", "sft_run_tokens", "bpe_encode_fast",
         "bpe_vocab", "bpe_encode_ids", "curriculum_order", "sft_mask_audit",
         // round-12 additions: the byte-level tokenizer tier (narrow
-        // encode scan + its exact-round-trip inverse — both linear)
-        "bpe_encode_bytes", "bpe_bytes_roundtrip")
+        // encode scan + its exact-round-trip inverse — both linear),
+        // the byte-space merge learner (one word-count agg + driver
+        // loop over the bounded word table), and the encoding-damage
+        // scan (three regexp counts, pure codegen'd projection)
+        "bpe_encode_bytes", "bpe_bytes_roundtrip", "bpe_train_bytes",
+        "mojibake_scan")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -226,6 +226,58 @@ object LlmGates {
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- encoding-damage (mojibake) scan ---------------------------------
+
+  /** [[TextStats.encodingScan]] over documents ∪ planted damage — the
+    * corpus is clean ascii, so every damage signature is planted
+    * (identical VALUES both sides), plus a CLEAN Vietnamese row proving
+    * legitimate multi-byte text does not false-positive, and an empty
+    * row for the null fraction.
+    */
+  def mojibakeScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-5L, "hà nội tuyển dụng kỹ sư dữ liệu"),       // clean Vietnamese
+      (-4L, "caf� menu �� here"),       // replacement chars
+      (-3L, "cafÃ© rÃ©sumÃ© naÂ¯ve"), // mojibake digraphs
+      (-2L, "bad\u0085break\u0092quote\u009Fend"),     // C1 controls
+      (-1L, ""))                                        // empty -> null frac
+      .toDF("doc_id", "text")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(planted)
+    TextStats.encodingScan(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Oracle: the three regexp counts restated with RE2 `\x{…}` classes
+    * (planted rows assembled with `chr()` so no control byte lands in
+    * the SQL text), the weighted damage fraction, and the verdict.
+    */
+  val mojibakeScanSql: String =
+    """WITH md AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT), text FROM (VALUES
+      |    (-5, 'hà nội tuyển dụng kỹ sư dữ liệu'),
+      |    (-4, 'caf' || chr(65533) || ' menu ' || chr(65533) || chr(65533) || ' here'),
+      |    (-3, 'caf' || chr(195) || chr(169) || ' r' || chr(195) || chr(169) ||
+      |         'sum' || chr(195) || chr(169) || ' na' || chr(194) || chr(175) || 've'),
+      |    (-2, 'bad' || chr(133) || 'break' || chr(146) || 'quote' || chr(159) || 'end'),
+      |    (-1, '')) v(doc_id, text)),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(coalesce(text, ''), '\x{FFFD}')) AS BIGINT) AS n_replacement,
+      |    CAST(len(regexp_extract_all(coalesce(text, ''), '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1_controls,
+      |    CAST(len(regexp_extract_all(coalesce(text, ''), '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT) AS n_mojibake
+      |  FROM md)
+      |SELECT doc_id, n_chars, n_replacement, n_c1_controls, n_mojibake,
+      |  CASE WHEN n_chars = 0 THEN NULL
+      |    ELSE CAST(n_replacement + n_c1_controls + n_mojibake * 2 AS DOUBLE)
+      |      / CAST(n_chars AS DOUBLE) END AS damage_frac,
+      |  (n_replacement = 0 AND n_c1_controls = 0 AND n_mojibake = 0) AS ok
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- brute-force ANN (unchanged, already oracle-green) --------------
 
   /** Brute-force cosine top-5 for queries vec_id < 5, with a DuckDB
@@ -2012,6 +2064,7 @@ object LlmGates {
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_exact"         -> (dedupExact _),
     "text_stats"          -> (textStats _),
+    "mojibake_scan"       -> (mojibakeScan _),
     "ann_topk"            -> (annTopK _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -2062,6 +2115,7 @@ object LlmGates {
     "sample_stratified"   -> sampleStratifiedSql,
     "dedup_exact"         -> dedupExactSql,
     "text_stats"          -> textStatsSql,
+    "mojibake_scan"       -> mojibakeScanSql,
     "ann_topk"            -> annTopKSql,
     "dedup_minhash"       -> dedupMinhashSql,
     "dedup_clusters"      -> dedupClustersSql,

@@ -53,14 +53,21 @@ object TrainGates {
     * asc, right asc), then the replace-trick apply feeding the next
     * round.
     */
-  val bpeTrainSql: String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      """wc AS (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS word
-        |    FROM documents) WHERE word <> '' GROUP BY 1)""".stripMargin,
-      """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM wc)""")
-    for (k <- 0 until BpeRounds) {
+  val bpeTrainSql: String = trainRoundsSql(Seq(
+    """wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS word
+      |    FROM documents) WHERE word <> '' GROUP BY 1)""".stripMargin,
+    """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM wc)"""),
+    BpeRounds)
+
+  /** The unrolled merge-learning rounds over a `(word, cnt, s)` base:
+    * shared by the char-level and byte-level train oracles — only the
+    * word-table CTEs differ.
+    */
+  private def trainRoundsSql(baseCtes: Seq[String], rounds: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(baseCtes: _*)
+    for (k <- 0 until rounds) {
       ctes += s"""px$k AS (
         |  SELECT word, cnt, unnest(range(1, len(s))) AS i, s FROM s$k)""".stripMargin
       ctes += s"""pr$k AS (
@@ -81,7 +88,7 @@ object TrainGates {
         |  SELECT word, cnt, [x for x in string_split(trim($applied), '  ') if x <> ''] AS s
         |  FROM s$k, w$k AS w)""".stripMargin
     }
-    val union = (0 until BpeRounds).map(k =>
+    val union = (0 until rounds).map(k =>
       s"""SELECT $k AS rank, a AS "left", b AS "right", pc AS pair_count FROM w$k""")
       .mkString("\nUNION ALL\n")
     "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY rank"
@@ -341,30 +348,39 @@ object TrainGates {
       s"WHEN $b <= 32 THEN chr(256 + $b) " +
       s"WHEN $b <= 160 THEN chr(256 + 33 + $b - 127) ELSE chr(323) END"
 
-  /** Shared byte-tier CTE chain ending in `benc(doc_id, toks)`: the
-    * union corpus normalized, each word mapped char→UTF-8 bytes→symbols
-    * (nested list_transform over the two formulas above), non-first
-    * words prefixed with `Ġ` (chr(288) = byteSym(32)), words joined by
-    * a chr(10) sentinel no merge can match, then the standard
-    * doubled-separator replace chain over [[PinnedByteMerges]].
+  /** Byte-tier word CTEs ending in `bws(doc_id, wsyms)`: the union
+    * corpus normalized, each word mapped char→UTF-8 bytes→symbols
+    * (nested list_transform over the two formulas above). Shared by
+    * the encode/round-trip chain and the byte-train oracle.
     */
-  private val bpeBytesEncCtes: String = {
+  private val byteWordCtes: String = {
     val wsym = "coalesce(array_to_string(flatten(list_transform(" +
       "range(1, len(w)+1), j -> list_transform(" +
       sqlUtf8Bytes("unicode(w[j])") + ", b -> " + sqlByteSym("b") +
       "))), ''), '')"
-    val inner = "'  ' || coalesce(array_to_string(list_transform(" +
-      "range(1, len(s)+1), j -> s[j]), '  '), '') || '  '"
-    val chain = PinnedByteMerges.foldLeft(inner) { case (e, (l, r)) =>
-      rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
-    }
     s"""$byteDocsSql,
        |bnm AS (
        |  SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS n2
        |  FROM bd),
        |bws AS (
        |  SELECT doc_id, list_transform(string_split(n2, ' '), w -> $wsym) AS wsyms
-       |  FROM bnm),
+       |  FROM bnm)""".stripMargin
+  }
+
+  /** Shared byte-tier CTE chain ending in `benc(doc_id, toks)`: the
+    * word symbols above, non-first words prefixed with `Ġ`
+    * (chr(288) = byteSym(32)), words joined by a chr(10) sentinel no
+    * merge can match, then the standard doubled-separator replace
+    * chain over [[PinnedByteMerges]].
+    */
+  private val bpeBytesEncCtes: String = {
+    val chain = PinnedByteMerges.foldLeft(
+      "'  ' || coalesce(array_to_string(list_transform(" +
+        "range(1, len(s)+1), j -> s[j]), '  '), '') || '  '") {
+      case (e, (l, r)) =>
+        rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
+    }
+    s"""$byteWordCtes,
        |bsy AS (
        |  SELECT doc_id, coalesce(array_to_string(list_transform(range(1, len(wsyms)+1), i ->
        |    CASE WHEN i = 1 THEN wsyms[i] ELSE chr(288) || wsyms[i] END), chr(10)), '') AS s
@@ -408,6 +424,29 @@ object TrainGates {
        |SELECT doc_id,
        |  regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS text_rt
        |FROM bd ORDER BY doc_id""".stripMargin
+
+  /** [[Bpe.trainBytes]] over the union corpus — merges learned in byte
+    * symbol space over exactly the word forms [[Bpe.encodeBytes]]
+    * consumes (`Ġ`-prefixed non-first words), completing the byte tier:
+    * train → vocab → encode → decode all byte-level.
+    */
+  def bpeTrainBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainBytes(byteDocsDf(s, dir), "text", BpeRounds)
+      .orderBy("rank")
+
+  /** Oracle: the SAME unrolled merge-learning rounds as [[bpeTrainSql]],
+    * over the byte-symbol word table (per-doc words with ordinality —
+    * first bare, rest `Ġ`-prefixed — from the shared [[byteWordCtes]]).
+    */
+  val bpeTrainBytesSql: String = trainRoundsSql(Seq(
+    byteWordCtes,
+    """bwc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(wsyms)+1), i ->
+      |      CASE WHEN i = 1 THEN wsyms[i] ELSE chr(288) || wsyms[i] END)) AS word
+      |    FROM bws) WHERE word <> '' GROUP BY 1)""".stripMargin,
+    """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM bwc)"""),
+    BpeRounds)
 
   // ---- Logistic regression --------------------------------------------
 
@@ -1086,6 +1125,7 @@ object TrainGates {
     "bpe_encode_fast" -> (bpeEncodeFast _),
     "bpe_encode_bytes" -> (bpeEncodeBytes _),
     "bpe_bytes_roundtrip" -> (bpeBytesRoundtrip _),
+    "bpe_train_bytes" -> (bpeTrainBytes _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -1111,6 +1151,7 @@ object TrainGates {
     "bpe_encode_fast" -> bpeEncodeSql,
     "bpe_encode_bytes" -> bpeEncodeBytesSql,
     "bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
+    "bpe_train_bytes" -> bpeTrainBytesSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,

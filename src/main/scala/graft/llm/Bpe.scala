@@ -188,10 +188,46 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             vocabBudget: Int = 1 << 16,
-            capStats: Option[CapStats] = None): DataFrame = {
+            capStats: Option[CapStats] = None): DataFrame =
+    trainFromWordCounts(wordCounts(docs, textCol), numMerges,
+      vocabBudget, capStats)
+
+  /** BYTE-LEVEL train: merges learned over exactly the word forms
+    * [[encodeBytes]] consumes — whitespace-normalized words, non-first
+    * words carrying their leading space (`Ġword`), each mapped to UTF-8
+    * byte symbols — through the same budget + incremental learner, so
+    * the learned table's application domain is the encoder's input
+    * domain (a table trained on bare words would never learn the
+    * `Ġ`-boundary merges production tokenizers live on). The
+    * corpus-sized work stays ONE distributed word-count aggregation;
+    * the byte mapping is a narrow per-row kernel inside it.
+    */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                 vocabBudget: Int = 1 << 16,
+                 capStats: Option[CapStats] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = wordCounts(docs, textCol)
+    val norm = docs.select(
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    val words = norm.as[String].flatMap { t =>
+      if (t.isEmpty) Iterator.empty[String]
+      else t.split(" ").iterator.zipWithIndex.map { case (w, i) =>
+        byteSyms(if (i == 0) w else " " + w)
+      }
+    }.toDF("word")
+    val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    trainFromWordCounts(wc, numMerges, vocabBudget, capStats)
+  }
+
+  /** Shared budget + learner tail of [[train]]/[[trainBytes]]:
+    * `(word, cnt)` in, `(rank, left, right, pair_count)` out.
+    */
+  private def trainFromWordCounts(wc: DataFrame, numMerges: Int,
+                                  vocabBudget: Int,
+                                  capStats: Option[CapStats]): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
     val total = wc.count()
     val kept = wc.orderBy(col("cnt").desc, col("word").asc)
       .limit(vocabBudget).as[(String, Long)].collect()
@@ -367,13 +403,21 @@ object Bpe {
     * centroids, then broadcast into a narrow memoized kernel.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val ms: Array[(String, String)] = merges
-      .select(col("rank").cast("int"), col("left"), col("right"))
+             merges: DataFrame): DataFrame =
+    encodeWithMergesFast(docs, idCol, textCol, mergesOf(merges))
+
+  /** Rank-ordered merge list from a [[train]]/[[trainBytes]]-shaped
+    * table (`rank, left, right`) — the LOAD half of model persistence:
+    * the model is rows, so `merges.write.parquet(path)` saves it and
+    * `mergesOf(spark.read.parquet(path))` restores it on any engine
+    * with the same rank order (BpeBytesSpec pins the disk round-trip
+    * for both tiers). Bounded-model contract: |merges| rows collected.
+    */
+  def mergesOf(merges: DataFrame): Array[(String, String)] = {
+    import merges.sparkSession.implicits._
+    merges.select(col("rank").cast("int"), col("left"), col("right"))
       .as[(Int, String, String)].collect().sortBy(_._1)
       .map { case (_, l, r) => (l, r) }
-    encodeWithMergesFast(docs, idCol, textCol, ms)
   }
 
   /** [[encode]] over an in-memory merge list (rank order = array

@@ -98,6 +98,57 @@ object TextStats {
     round(lengthOk * punctOk * digitOk * stopOk, 4)
   }
 
+  // ---- Encoding-damage (mojibake) detection ---------------------------
+  // Web-scale corpora carry three classic decode-damage signatures, each
+  // detectable WITHOUT any language model: U+FFFD replacement chars (a
+  // decoder already gave up), C1 control chars U+0080–U+009F (CP1252
+  // bytes decoded as Latin-1 — never legitimate in text), and the
+  // UTF-8-read-as-Latin-1 digraphs (a UTF-8 lead byte Â/Ã decoded as its
+  // own char followed by a continuation byte's char, e.g. "Ã©" for "é").
+  // All three are plain regexp counts — codegen'd, scan-speed, and
+  // exactly restatable in any engine. Legitimate multi-byte text (the
+  // Vietnamese the pipeline actually carries) triggers NONE of them.
+
+  /** Non-overlapping occurrences of U+FFFD. */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(coalesce(text, lit("")), lit("\uFFFD")).cast("long")
+
+  /** Non-overlapping occurrences of C1 controls U+0080–U+009F. */
+  def c1ControlCount(text: Column): Column =
+    regexp_count(coalesce(text, lit("")), lit("[\u0080-\u009F]"))
+      .cast("long")
+
+  /** Non-overlapping UTF-8-as-Latin-1 digraphs: Â/Ã (the 2-byte UTF-8
+    * lead bytes decoded as chars) followed by a char in U+0080–U+00BF
+    * (a continuation byte decoded as a char).
+    */
+  def mojibakeDigraphCount(text: Column): Column =
+    regexp_count(coalesce(text, lit("")),
+      lit("[\u00C2\u00C3][\u0080-\u00BF]")).cast("long")
+
+  /** Per-document encoding-damage audit: the three counts, the damage
+    * fraction (damaged-signature chars over chars; null for empty
+    * docs), and the `ok` verdict. A doc failing this never reaches a
+    * tokenizer — replacement chars poison dedup fingerprints and
+    * mojibake inflates byte-level token counts ~2× on affected spans.
+    */
+  def encodingScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val rep = replacementCharCount(col(textCol))
+    val c1 = c1ControlCount(col(textCol))
+    val moj = mojibakeDigraphCount(col(textCol))
+    docs.select(col(idCol), length(t).cast("long").as("n_chars"),
+        rep.as("n_replacement"), c1.as("n_c1_controls"),
+        moj.as("n_mojibake"))
+      .withColumn("damage_frac",
+        when(col("n_chars") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_replacement") + col("n_c1_controls")
+            + col("n_mojibake") * 2L).cast("double")
+            / col("n_chars").cast("double")))
+      .withColumn("ok", col("n_replacement") === 0L &&
+        col("n_c1_controls") === 0L && col("n_mojibake") === 0L)
+  }
+
   /** Content fingerprint: md5 of the normalized text (stable under
     * whitespace/case noise). For shift-tolerant fingerprints use
     * [[rollingFingerprint]] (substring-stable) or [[Dedup.simhash]]

@@ -70,6 +70,36 @@ class BpeBytesSpec extends SparkSpec {
     assert(rt(4L) === "đà nẵng — cần thơ 🙂ộ")
   }
 
+  test("trainBytes learns Ġ-boundary merges and the model survives disk") {
+    val docs = Seq(
+      (1L, "the theme the theme"),
+      (2L, "the ộ the ộ the"),
+      (3L, "theme ộ the")).toDF("doc_id", "text")
+    val model = Bpe.trainBytes(docs, "text", numMerges = 4)
+    val merges = Bpe.mergesOf(model)
+    assert(merges.length === 4)
+    // word forms are the encoder's: "Ġthe" (x7 as a non-first word) has
+    // the corpus's hottest pairs — (Ġ,t) ties (t,h) at 9 and wins
+    // lexicographically (Ġ = U+0120 > ascii... no: count decides first)
+    // — just pin that the boundary symbol participates at all and that
+    // training is deterministic across runs
+    assert(merges.exists { case (l, r) => (l + r).contains("Ġ") })
+    val again = Bpe.mergesOf(Bpe.trainBytes(docs, "text", numMerges = 4))
+    assert(merges.toSeq === again.toSeq)
+
+    // disk round-trip: rows are the model
+    val dir = java.nio.file.Files.createTempDirectory("bpe_bytes_model")
+    val path = dir.resolve("merges.parquet").toString
+    model.write.mode("overwrite").parquet(path)
+    val reloaded = Bpe.mergesOf(spark.read.parquet(path))
+    assert(reloaded.toSeq === merges.toSeq)
+    val direct = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect().toSeq
+    val viaDisk = Bpe.encodeBytes(docs, "doc_id", "text", reloaded)
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(direct === viaDisk)
+  }
+
   test("round-trip holds under ANY merge table (merges never lose bytes)") {
     // adversarial: merges over every regime at once; tokens differ,
     // decoded text must not
