@@ -318,16 +318,16 @@ object TrainGates {
       .unionByName(PlantedByteDocs.toDF("doc_id", "text"))
   }
 
-  private val byteDocsSql: String = {
-    val vals = PlantedByteDocs
-      .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
-      .mkString(", ")
+  private val byteDocVals: String = PlantedByteDocs
+    .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+    .mkString(", ")
+
+  private val byteDocsSql: String =
     s"""bd AS (
        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
        |  UNION ALL
        |  SELECT CAST(doc_id AS BIGINT), text
-       |  FROM (VALUES $vals) v(doc_id, text))""".stripMargin
-  }
+       |  FROM (VALUES $byteDocVals) v(doc_id, text))""".stripMargin
 
   /** UTF-8 byte list of code point `p` (DuckDB expression) — the
     * standard UTF-8 packing formula, one CASE per encoded length.
@@ -424,6 +424,116 @@ object TrainGates {
        |SELECT doc_id,
        |  regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS text_rt
        |FROM bd ORDER BY doc_id""".stripMargin
+
+  /** [[Bpe.vocabBytes]] under [[PinnedByteMerges]] — the closed
+    * byte-alphabet token-id table: ids 0..255 = the byte symbols (id =
+    * byte value), merge outputs at 256+rank (first-rank-wins, ids
+    * compacted). Corpus-independent; the oracle rebuilds it from
+    * `range(0, 256)` through the same symbol formula.
+    */
+  def bpeVocabBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.vocabBytes(s, PinnedByteMerges).orderBy("token_id")
+
+  val bpeVocabBytesSql: String = {
+    val mvals = PinnedByteMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${(l + r).replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH r AS (SELECT CAST(i AS INT) AS i FROM range(0, 256) t(i)),
+       |b AS (
+       |  SELECT i AS token_id, ${sqlByteSym("i")} AS token
+       |  FROM r),
+       |m0(rank, token) AS (VALUES $mvals),
+       |m1 AS (
+       |  SELECT token, min(rank) AS rank FROM m0
+       |  WHERE token NOT IN (SELECT token FROM b)
+       |  GROUP BY token),
+       |m AS (
+       |  SELECT CAST(255 + row_number() OVER (ORDER BY rank) AS INT) AS token_id, token
+       |  FROM m1)
+       |SELECT token_id, token FROM b
+       |UNION ALL
+       |SELECT token_id, token FROM m
+       |ORDER BY token_id""".stripMargin
+  }
+
+  /** [[Bpe.encodeIdsBytes]] under [[PinnedByteMerges]] against
+    * [[Bpe.vocabBytes]] — the byte-tier trainer-contract id streams
+    * (−1 impossible by construction: the byte alphabet is closed).
+    */
+  def bpeEncodeIdsBytes(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeIdsBytes(byteDocsDf(s, dir), "doc_id", "text",
+        PinnedByteMerges, Bpe.vocabBytes(s, PinnedByteMerges))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("doc_id")
+
+  /** Oracle: the shared byte encode chain's token lists positionally
+    * joined against the byte vocabulary, ids re-assembled in order.
+    */
+  val bpeEncodeIdsBytesSql: String =
+    s"""WITH $bpeBytesEncCtes,
+       |voc AS (SELECT token_id, token FROM ($bpeVocabBytesSql)),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS j, toks
+       |  FROM benc),
+       |tok1 AS (SELECT doc_id, j, toks[j] AS tok FROM tk),
+       |ids AS (
+       |  SELECT t.doc_id, t.j, v.token_id
+       |  FROM tok1 t JOIN voc v ON v.token = t.tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY j) AS ids_str
+       |  FROM ids GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.ids_str, '') AS ids_str
+       |FROM (SELECT doc_id FROM bd) d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** [[Bpe.fertilityBytes]] under [[PinnedByteMerges]] grouped by
+    * language (planted rows grouped as 'planted') — byte-level tokens
+    * per word, the multi-byte-script coverage audit.
+    */
+  def bpeFertilityBytes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = PlantedByteDocs
+      .map { case (id, t) => (id, t, "planted") }
+      .toDF("doc_id", "text", "lang")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"))
+      .unionByName(planted)
+    Bpe.fertilityBytes(docs, "doc_id", "text", "lang", PinnedByteMerges)
+      .orderBy("lang")
+  }
+
+  /** Oracle: the byte encode chain nested for token counts, word
+    * counts recomputed with the same normalization over the langed
+    * union, exact long sums, one final IEEE division.
+    */
+  val bpeFertilityBytesSql: String =
+    s"""WITH enc AS (SELECT doc_id, n_tokens FROM ($bpeEncodeBytesSql)),
+       |bl AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), 'planted', text
+       |  FROM (VALUES $byteDocVals) v(doc_id, text)),
+       |wds AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') = ''
+       |      THEN 0
+       |      ELSE len(string_split(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g'), ' '))
+       |    END AS nw
+       |  FROM bl)
+       |SELECT w.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN sum(w.nw) = 0 THEN NULL
+       |    ELSE CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(w.nw) AS DOUBLE)
+       |  END AS fertility
+       |FROM wds w JOIN enc e ON w.doc_id = e.doc_id
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 
   /** [[Bpe.trainBytes]] over the union corpus — merges learned in byte
     * symbol space over exactly the word forms [[Bpe.encodeBytes]]
@@ -1126,6 +1236,9 @@ object TrainGates {
     "bpe_encode_bytes" -> (bpeEncodeBytes _),
     "bpe_bytes_roundtrip" -> (bpeBytesRoundtrip _),
     "bpe_train_bytes" -> (bpeTrainBytes _),
+    "bpe_vocab_bytes" -> (bpeVocabBytes _),
+    "bpe_encode_ids_bytes" -> (bpeEncodeIdsBytes _),
+    "bpe_fertility_bytes" -> (bpeFertilityBytes _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -1152,6 +1265,9 @@ object TrainGates {
     "bpe_encode_bytes" -> bpeEncodeBytesSql,
     "bpe_bytes_roundtrip" -> bpeBytesRoundtripSql,
     "bpe_train_bytes" -> bpeTrainBytesSql,
+    "bpe_vocab_bytes" -> bpeVocabBytesSql,
+    "bpe_encode_ids_bytes" -> bpeEncodeIdsBytesSql,
+    "bpe_fertility_bytes" -> bpeFertilityBytesSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,

@@ -643,6 +643,104 @@ object Bpe {
       size(col("tokens")).as("n_tokens"))
   }
 
+  /** Byte-tier vocabulary implied by a merge table: `(token_id,
+    * token)` — ids 0..255 are the 256 byte symbols themselves (id =
+    * byte value, the GPT-2 convention), merge OUTPUTS follow at 256+
+    * in rank order (first rank wins on duplicates, ids compacted).
+    * Corpus-INDEPENDENT, unlike the char tier's [[vocab]]: the byte
+    * alphabet is closed, so the same merge table yields the same ids
+    * with no corpus scan at all — and no token can ever be out of
+    * vocabulary. |merges| + 256 rows; a driver-side literal.
+    */
+  def vocabBytes(spark: org.apache.spark.sql.SparkSession,
+                 merges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val seen = mutable.LinkedHashSet.empty[String]
+    (0 until 256).foreach(b => seen += byteSym(b).toString)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    spark.createDataset(seen.toSeq.zipWithIndex
+        .map { case (t, i) => (i, t) })
+      .toDF("token_id", "token")
+  }
+
+  /** [[encodeBytes]] to TRAINER-CONTRACT integer ids: `(id, token_ids:
+    * array<int>, n_tokens)` — the byte-tier analogue of [[encodeIds]].
+    * When `vocabDf` is [[vocabBytes]] of the same merge table, −1 is
+    * IMPOSSIBLE by construction (the byte alphabet is closed); it
+    * remains the out-of-vocabulary marker under a foreign table. Same
+    * narrow zero-shuffle shape: broadcast merges + vocab map, id
+    * lookup folded into the per-partition word memo.
+    */
+  def encodeIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Array[(String, String)],
+                     vocabDf: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Int] = vocabDf
+      .select(col("token"), col("token_id").cast("int"))
+      .as[(String, Int)].collect().toMap
+    val bcV = spark.sparkContext.broadcast(vmap)
+    val bcM = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    norm.as[(Long, String)].mapPartitions { rows =>
+      val idx = bcM.value
+      val vm = bcV.value
+      val memo = mutable.HashMap.empty[String, Array[Int]]
+      rows.map { case (id, t) =>
+        val ids =
+          if (t.isEmpty) Array.empty[Int]
+          else {
+            val words = t.split(" ")
+            val out = mutable.ArrayBuffer.empty[Int]
+            var i = 0
+            while (i < words.length) {
+              val w = if (i == 0) words(i) else " " + words(i)
+              out ++= memo.getOrElseUpdate(w,
+                encodeWordFast(byteSyms(w), idx).map(s => vm.getOrElse(s, -1)))
+              i += 1
+            }
+            out.toArray
+          }
+        (id, ids)
+      }
+    }.toDF(idCol, "token_ids")
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).as("n_tokens"))
+  }
+
+  /** Byte-tier [[fertility]]: learned-subword tokens per word under a
+    * BYTE merge table, per group — the coverage metric that shows a
+    * byte-level vocabulary under-serving a script (fertility near the
+    * UTF-8 byte length of a word means the table fell back to raw
+    * bytes there — the multi-byte-script failure mode byte tokenizers
+    * must be audited for). Words counted with the same normalization;
+    * one encode scan + one narrow count scan, exact long sums, ONE
+    * IEEE division.
+    */
+  def fertilityBytes(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String,
+                     merges: Array[(String, String)]): DataFrame = {
+    val enc = encodeBytes(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens").cast("long").as("__nt"))
+    val t = regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+      "\\s+", " ")
+    val words = docs.select(col(idCol).cast("long").as(idCol),
+      col(groupCol),
+      when(t === "", lit(0L)).otherwise(size(split(t, " ")).cast("long"))
+        .as("__nw"))
+    words.join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_tokens").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
+  }
+
   /** Decode an [[encodeBytes]] token table back to text:
     * `(id, text_rt)`. Tokens concatenate with NO separator (the space
     * lives inside the `Ġ` symbols), then symbols → bytes → UTF-8 — the

@@ -194,6 +194,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("byte-level BPE encode is a narrow zero-shuffle scan") {
+    val docs = Tables(spark, dir, "documents")
+    val merges = Array(("t", "h"), ("Ġ", "t"))
+    val p = plan(graft.llm.Bpe.encodeBytes(docs, "doc_id", "text", merges))
+    assert(!p.contains("Exchange"), p.take(800))
+    val p2 = plan(graft.llm.Bpe.decodeBytes(
+      graft.llm.Bpe.encodeBytes(docs, "doc_id", "text", merges), "doc_id"))
+    assert(!p2.contains("Exchange"), p2.take(800))
+  }
+
+  test("encoding-damage scan is a pure codegen'd projection, no shuffle") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(graft.llm.TextStats.encodingScan(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      p.take(800))
+  }
+
   test("whole-stage codegen covers the scalar-function chains") {
     // AQE wraps the plan and reports zero codegen subtrees before
     // execution — disable it for the static inspection only.

@@ -100,6 +100,37 @@ class BpeBytesSpec extends SparkSpec {
     assert(direct === viaDisk)
   }
 
+  test("vocabBytes: ids 0..255 are the byte symbols, merges follow compacted") {
+    val oSyms = Bpe.byteSyms("ộ")
+    val merges = Array(
+      (Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (oSyms.substring(0, 1), oSyms.substring(1, 2)),
+      (Bpe.byteSyms("t"), Bpe.byteSyms("h")))  // duplicate output: dropped
+    val v = Bpe.vocabBytes(spark, merges)
+      .orderBy("token_id").as[(Int, String)].collect()
+    assert(v.length === 256 + 2)               // 3 merges, 1 duplicate
+    (0 until 256).foreach(b => assert(v(b) === ((b, Bpe.byteSym(b).toString))))
+    assert(v(256) === ((256, "th")))
+    assert(v(257) === ((257, oSyms.substring(0, 2))))
+  }
+
+  test("encodeIdsBytes: closed alphabet means no -1, ids round through vocab") {
+    val merges = Array((Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (Bpe.byteSyms(" "), Bpe.byteSyms("t")))
+    val vocab = Bpe.vocabBytes(spark, merges)
+    val docs = Seq((1L, "th ộ 🙂 t"), (2L, "")).toDF("doc_id", "text")
+    val ids = Bpe.encodeIdsBytes(docs, "doc_id", "text", merges, vocab)
+      .orderBy("doc_id").as[(Long, Seq[Int], Int)].collect()
+    assert(ids(0)._2.forall(_ >= 0))           // closed alphabet: no OOV ever
+    assert(ids(1)._2.isEmpty && ids(1)._3 === 0)
+    // the id stream decodes back through the vocab to the token stream
+    val idOf = vocab.as[(Int, String)].collect().map(_.swap).toMap
+    val tokOf = idOf.map(_.swap)
+    val toks = Bpe.encodeBytes(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect()
+    assert(ids(0)._2.map(tokOf) === toks(0))
+  }
+
   test("round-trip holds under ANY merge table (merges never lose bytes)") {
     // adversarial: merges over every regime at once; tokens differ,
     // decoded text must not
