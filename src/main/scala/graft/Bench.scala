@@ -504,7 +504,10 @@ object Bench {
         // loop over the bounded word table), and the encoding-damage
         // scan (three regexp counts, pure codegen'd projection)
         "bpe_encode_bytes", "bpe_bytes_roundtrip", "bpe_train_bytes",
-        "bpe_encode_ids_bytes", "bpe_fertility_bytes", "mojibake_scan")
+        "bpe_encode_ids_bytes", "bpe_fertility_bytes", "mojibake_scan",
+        // exact-count stratified split: one strata-partitioned
+        // rank+count window — cost tracks the largest stratum
+        "split_stratified")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

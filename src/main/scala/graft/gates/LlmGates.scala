@@ -1344,6 +1344,36 @@ object LlmGates {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[graft.operators.Sampling.splitStratified]]: EXACT-count
+    * stratified split over (lang, source) strata — each stratum
+    * contributes exactly floor(n·0.1) rows to test and floor(n·0.2) to
+    * val, in portable-hash rank order. The oracle restates the
+    * rank/count windows and the same floor(n·frac) cuts (identical
+    * IEEE double multiply on both engines).
+    */
+  def splitStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.splitStratified(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", Seq("lang", "source"),
+        Seq(("test", 0.1), ("val", 0.2), ("train", 0.7)))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy("doc_id")
+
+  val splitStratifiedSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+      |  CASE WHEN rn <= CAST(floor(n * 0.1) AS BIGINT) THEN 'test'
+      |       WHEN rn <= CAST(floor(n * 0.1) AS BIGINT)
+      |                 + CAST(floor(n * 0.2) AS BIGINT) THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** [[graft.operators.Sampling.temporalSplit]]: per-user temporal
     * holdout over events — first ceil(80% · n) events by (ts, event_id)
     * train, the rest holdout. The oracle restates the rank/count
@@ -2081,6 +2111,7 @@ object LlmGates {
     "split_assign"        -> (splitAssign _),
     "split_by_cluster"    -> (splitByCluster _),
     "split_temporal"      -> (splitTemporal _),
+    "split_stratified"    -> (splitStratified _),
     "mix_rates"           -> (mixRates _),
     "dup_spans"           -> (dupSpans _),
     "span_trim"           -> (spanTrim _),
@@ -2132,6 +2163,7 @@ object LlmGates {
     "split_assign"        -> splitAssignSql,
     "split_by_cluster"    -> splitByClusterSql,
     "split_temporal"      -> splitTemporalSql,
+    "split_stratified"    -> splitStratifiedSql,
     "mix_rates"           -> mixRatesSql,
     "dup_spans"           -> dupSpansSql,
     "span_trim"           -> spanTrimSql,

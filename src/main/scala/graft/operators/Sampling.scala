@@ -150,6 +150,73 @@ object Sampling {
     df.orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc).limit(n)
   }
 
+  /** Portable within-stratum hash rank + stratum size: the shared
+    * machinery of [[splitStratified]]/[[sampleStratified]]. Rank order
+    * is `(md5(id), id)` — a deterministic uniform permutation PER
+    * stratum, identical on any engine/partitioning/rerun. One window
+    * partitioned by the strata (no global funnel; cost tracks the
+    * largest stratum, which for lang/source strata is corpus-sized
+    * only when the strata are degenerate — the caller's modeling
+    * error, not a plan hazard).
+    */
+  private def strataRank(df: DataFrame, idCol: String,
+                         strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+  }
+
+  /** EXACT-count stratified split: within each stratum, hash-ranked
+    * rows fill each non-final split with exactly `floor(n_s · frac)`
+    * rows (in the given order), remainder to the final split — the
+    * "exactly 10% of EVERY language in the eval set" contract that
+    * [[hashSplit]]'s per-row thresholds cannot give (binomial noise is
+    * ±√n per stratum, and a rare stratum can miss a split entirely).
+    * Deterministic and engine/rerun-stable; NOT accretion-stable
+    * (adding rows re-ranks the stratum — inherent to exact counts; use
+    * [[hashSplit]] when membership stability under growth matters more
+    * than exact sizes). Null ids fail loudly, same contract as
+    * [[hashSplit]]; null STRATA values form their own stratum (SQL
+    * grouping semantics). Output: input columns + `split`.
+    */
+  def splitStratified(df: DataFrame, idCol: String,
+                      strataCols: Seq[String],
+                      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val ranked = strataRank(df, idCol, strataCols)
+    // cumulative EXACT floor counts per non-final split; floor(n·frac)
+    // is the same double multiply + floor on any IEEE engine, so the
+    // oracle reproduces the cut bit-for-bit
+    val cuts = splits.init.scanLeft(lit(0L).cast("long")) {
+      case (acc, (_, frac)) => acc + floor(col("__n") * lit(frac)).cast("long")
+    }.tail
+    val chain = splits.init.zip(cuts)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), els) =>
+          when(col("__rn") <= cut, lit(name)).otherwise(els)
+      }
+    // the null-id guard lives INSIDE the published column so column
+    // pruning can never skip it (a null id has a null hash: its rank
+    // among fellow null-id rows would be a nondeterministic tie)
+    ranked.withColumn("split",
+        when(col(idCol).isNull, raise_error(lit(
+          s"splitStratified: null $idCol — membership is a pure function " +
+            "of the id"))).otherwise(chain))
+      .drop("__rn", "__n")
+  }
+
+  // (exact-count stratified SAMPLING already exists above as
+  // [[stratified]] — group-limit form, no window; splitStratified is
+  // its SPLIT counterpart, which needs the per-stratum size and so
+  // pays the rank+count windows)
+
   def weightedSystematic(df: DataFrame, idCol: String, weightCol: String,
                          n: Int): DataFrame = {
     import org.apache.spark.sql.Row
