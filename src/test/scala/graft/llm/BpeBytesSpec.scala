@@ -131,6 +131,31 @@ class BpeBytesSpec extends SparkSpec {
     assert(ids(0)._2.map(tokOf) === toks(0))
   }
 
+  test("fuzz: byteSyms/symsToString round-trips 500 random unicode strings") {
+    // raw ScalaCheck with fixed seeds (no scalatest bridge in the
+    // offline cache — the PropertySpec convention). Pure JVM-side laws,
+    // so the case count can be high. Surrogate-pair handling matters:
+    // generate from code POINTS (including astral) and build strings
+    // with Character.toChars, never from raw Char (a lone surrogate is
+    // not valid UTF-8 input).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cp = Gen.frequency(
+      (4, Gen.choose(0x20, 0x7e)),          // ascii
+      (2, Gen.choose(0xa0, 0x2ff)),         // latin supplement / IPA
+      (2, Gen.choose(0x1e00, 0x1eff)),      // latin extended (Vietnamese)
+      (1, Gen.choose(0x4e00, 0x4fff)),      // CJK
+      (1, Gen.choose(0x1f300, 0x1f6ff)),    // astral emoji
+      (1, Gen.oneOf(0x00, 0x09, 0x0a, 0x7f, 0xad, 0xfffd)))
+    val strGen = Gen.listOf(cp).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    (1 to 500).foreach { i =>
+      val s = strGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val syms = Bpe.byteSyms(s)
+      assert(Bpe.symsToString(syms) === s, s"seed $i")
+      assert(syms.length === s.getBytes("UTF-8").length, s"seed $i")
+    }
+  }
+
   test("round-trip holds under ANY merge table (merges never lose bytes)") {
     // adversarial: merges over every regime at once; tokens differ,
     // decoded text must not
