@@ -46,6 +46,31 @@ import scala.collection.mutable
   */
 object Bpe {
 
+  /** Per-partition encode-memo entry cap. The word→tokens memos in the
+    * encode kernels are unbounded by Zipf assumption (distinct words per
+    * 128 MB split ≪ this); a pathological high-entropy partition (random
+    * strings) would otherwise grow one without limit. At the cap the
+    * memo is cleared wholesale — O(1) amortized, no LRU bookkeeping on
+    * the hot path — and output is unaffected (the memo is a pure cache).
+    * BpeSpec proves output equality with distinct-word volume > cap.
+    */
+  val MemoCap: Int = 100000
+
+  /** Cap-aware memo lookup: compute-and-insert on miss, clearing the
+    * memo first when it is full. Pure-cache contract: `f` must be
+    * deterministic in `k`.
+    */
+  private[llm] def memoized[V](memo: mutable.HashMap[String, V], k: String)
+                              (f: => V): V =
+    memo.get(k) match {
+      case Some(v) => v
+      case None =>
+        if (memo.size >= MemoCap) memo.clear()
+        val v = f
+        memo.update(k, v)
+        v
+    }
+
   /** Distributed `(word, cnt)` table over the corpus — BPE training
     * input, ordered (cnt desc, word asc) for deterministic budgeting.
     */
@@ -439,7 +464,7 @@ object Bpe {
         val toks =
           if (t.isEmpty) Array.empty[String]
           else t.split(" ").iterator.flatMap { w =>
-            memo.getOrElseUpdate(w, encodeWord(w, ms))
+            memoized(memo, w)(encodeWord(w, ms))
           }.toArray
         (id, toks)
       }
@@ -468,7 +493,7 @@ object Bpe {
         val toks =
           if (t.isEmpty) Array.empty[String]
           else t.split(" ").iterator.flatMap { w =>
-            memo.getOrElseUpdate(w, encodeWordFast(w, idx))
+            memoized(memo, w)(encodeWordFast(w, idx))
           }.toArray
         (id, toks)
       }
@@ -533,7 +558,7 @@ object Bpe {
         val ids =
           if (t.isEmpty) Array.empty[Int]
           else t.split(" ").iterator.flatMap { w =>
-            memo.getOrElseUpdate(w,
+            memoized(memo, w)(
               encodeWordFast(w, idx).map(s => vm.getOrElse(s, -1)))
           }.toArray
         (id, ids)
@@ -631,7 +656,7 @@ object Bpe {
             var i = 0
             while (i < words.length) {
               val w = if (i == 0) words(i) else " " + words(i)
-              out ++= memo.getOrElseUpdate(w, encodeWordFast(byteSyms(w), idx))
+              out ++= memoized(memo, w)(encodeWordFast(byteSyms(w), idx))
               i += 1
             }
             out.toArray
@@ -644,18 +669,31 @@ object Bpe {
   }
 
   /** Byte-tier vocabulary implied by a merge table: `(token_id,
-    * token)` — ids 0..255 are the 256 byte symbols themselves (id =
-    * byte value, the GPT-2 convention), merge OUTPUTS follow at 256+
-    * in rank order (first rank wins on duplicates, ids compacted).
-    * Corpus-INDEPENDENT, unlike the char tier's [[vocab]]: the byte
-    * alphabet is closed, so the same merge table yields the same ids
-    * with no corpus scan at all — and no token can ever be out of
-    * vocabulary. |merges| + 256 rows; a driver-side literal.
+    * token)` — `specials` (reserved BOS/EOS/PAD strings, optional)
+    * take ids 0..k-1, the 256 byte symbols follow at k..k+255 (id =
+    * k + byte value; the GPT-2 convention when k = 0), merge OUTPUTS
+    * after that in rank order (first token string wins on duplicates,
+    * ids compacted). Corpus-INDEPENDENT, unlike the char tier's
+    * [[vocab]]: the byte alphabet is closed, so the same merge table +
+    * special list yields the same ids with no corpus scan at all — and
+    * no token can ever be out of vocabulary. |specials| + |merges| +
+    * 256 rows; a driver-side literal.
     */
   def vocabBytes(spark: org.apache.spark.sql.SparkSession,
-                 merges: Array[(String, String)]): DataFrame = {
+                 merges: Array[(String, String)],
+                 specials: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val seen = mutable.LinkedHashSet.empty[String]
+    // Reserved special tokens (BOS/EOS/PAD…) pin ids 0..k-1 — the
+    // trainer-contract slots every id consumer downstream can rely on
+    // (`Sft.packTokens`' separator threads the EOS id from here). Byte
+    // symbols shift to k..k+255 (id = k + byte value), merge outputs
+    // follow. First-wins on collision: a special is a multi-char
+    // string, so it can never collide with a byte symbol, and a merge
+    // output that equals a special keeps the special's id (the token
+    // STRING is the identity, exactly the LinkedHashSet contract the
+    // char tier documents).
+    specials.foreach(seen += _)
     (0 until 256).foreach(b => seen += byteSym(b).toString)
     merges.foreach { case (l, r) => seen += (l + r) }
     spark.createDataset(seen.toSeq.zipWithIndex
@@ -697,7 +735,7 @@ object Bpe {
             var i = 0
             while (i < words.length) {
               val w = if (i == 0) words(i) else " " + words(i)
-              out ++= memo.getOrElseUpdate(w,
+              out ++= memoized(memo, w)(
                 encodeWordFast(byteSyms(w), idx).map(s => vm.getOrElse(s, -1)))
               i += 1
             }
@@ -755,6 +793,158 @@ object Bpe {
       .as[(Long, String)]
       .map { case (id, s) => (id, symsToString(s)) }
       .toDF(idCol, "text_rt")
+  }
+
+  // ---- Raw byte-level tier (pre-tokenized, normalization-free) ---------
+
+  /** GPT-2-style pre-tokenizer pattern (Radford et al. 2019's
+    * tokenizer regex, restated LOOKAHEAD-FREE so it is portable across
+    * Java regex and RE2 — the same Java ∩ RE2 discipline as the PII
+    * set): lowercase contraction suffixes, ` ?letters+`, ` ?digits+`,
+    * ` ?punctuation-run`, then `\s+` for whitespace runs. The original
+    * `\s+(?!\S)` lookahead branch (splitting a trailing space off a
+    * whitespace run) is dropped — RE2 has no lookahead — so here a
+    * whitespace RUN is one piece while a SINGLE space attaches to the
+    * following word (the `Ġword` convention). The alternation is a
+    * PARTITION of any string: every character class is covered by some
+    * branch and matches never skip, so the pieces concatenate back to
+    * exactly the input — the invariant raw round-trip rests on
+    * (BpeRawSpec fuzzes it over random unicode).
+    */
+  val PreTokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  @transient private lazy val preTokCompiled =
+    java.util.regex.Pattern.compile(PreTokPattern)
+
+  /** Pieces of `s` under [[PreTokPattern]] — a lossless partition
+    * (pieces concatenate back to exactly `s`); empty input → no pieces.
+    */
+  def preTokenize(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty[String]
+    val m = preTokCompiled.matcher(s)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** RAW byte-level train: merges learned over the [[preTokenize]]
+    * pieces of the UNNORMALIZED text, each mapped to UTF-8 byte
+    * symbols — the application domain of [[encodeBytesRaw]]. This is
+    * the production byte-BPE regime (GPT-2/cl100k): case- and
+    * whitespace-preserving, word-vs-punctuation splits from the regex,
+    * no normalizer anywhere — where [[trainBytes]] learns over the
+    * whitespace-normalized shared-word forms the analytics tier uses.
+    * Same scale shape: ONE distributed piece-count aggregation, the
+    * budgeted driver-side learner on the collected counts.
+    */
+  def trainBytesRaw(docs: DataFrame, textCol: String, numMerges: Int,
+                    vocabBudget: Int = 1 << 16,
+                    capStats: Option[CapStats] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(coalesce(col(textCol), lit("")).as("__t"))
+      .as[String].flatMap(t => preTokenize(t).iterator.map(byteSyms))
+      .toDF("word")
+    val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    trainFromWordCounts(wc, numMerges, vocabBudget, capStats)
+  }
+
+  /** RAW byte-level encode — [[encodeBytes]] minus the normalizer: the
+    * text is split into [[preTokenize]] pieces (case- and
+    * whitespace-preserving; single spaces ride into the following
+    * piece, GPT-2's `Ġword`; whitespace RUNS are their own pieces), each
+    * piece mapped to byte symbols and fed to the fast kernel. Because
+    * the pieces partition the text and the byte mapping is a bijection,
+    * `decodeBytes ∘ encodeBytesRaw` is the IDENTITY on arbitrary UTF-8
+    * — the headline byte-tier property, with no normalization proviso
+    * (the `bpe_bytes_roundtrip_raw` gate hash-compares against the raw
+    * input column). Same narrow zero-shuffle shape: broadcast merges,
+    * cap-bounded per-partition piece memo.
+    */
+  def encodeBytesRaw(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val raw = docs.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val encoded = raw.as[(Long, String)].mapPartitions { rows =>
+      val idx = bc.value
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val toks = preTokenize(t).iterator.flatMap { p =>
+          memoized(memo, p)(encodeWordFast(byteSyms(p), idx))
+        }.toArray
+        (id, toks)
+      }
+    }.toDF(idCol, "tokens")
+    encoded.select(col(idCol), col("tokens"),
+      size(col("tokens")).as("n_tokens"))
+  }
+
+  /** [[encodeBytesRaw]] to TRAINER-CONTRACT integer ids — the raw-tier
+    * analogue of [[encodeIdsBytes]]. Under a [[vocabBytes]] table of
+    * the same merges (any `specials` prefix — the lookup is by token
+    * string, so shifted ids thread through untouched), −1 is impossible
+    * by construction.
+    */
+  def encodeIdsBytesRaw(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Array[(String, String)],
+                        vocabDf: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Int] = vocabDf
+      .select(col("token"), col("token_id").cast("int"))
+      .as[(String, Int)].collect().toMap
+    val bcV = spark.sparkContext.broadcast(vmap)
+    val bcM = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val raw = docs.select(col(idCol).cast("long"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    raw.as[(Long, String)].mapPartitions { rows =>
+      val idx = bcM.value
+      val vm = bcV.value
+      val memo = mutable.HashMap.empty[String, Array[Int]]
+      rows.map { case (id, t) =>
+        val ids = preTokenize(t).iterator.flatMap { p =>
+          memoized(memo, p)(
+            encodeWordFast(byteSyms(p), idx).map(s => vm.getOrElse(s, -1)))
+        }.toArray
+        (id, ids)
+      }
+    }.toDF(idCol, "token_ids")
+      .select(col(idCol), col("token_ids"),
+        size(col("token_ids")).as("n_tokens"))
+  }
+
+  /** RAW-tier [[fertilityBytes]]: tokens per WORD PIECE under a raw
+    * byte merge table, per group — words here are the [[preTokenize]]
+    * pieces containing at least one non-whitespace character
+    * (whitespace-run pieces are token-bearing but not words; counting
+    * them would flatter fertility on airy text). Cased scripts change
+    * fertility vs the normalized tier — the audit this raw re-run
+    * exists for. Same shape: one encode scan + one narrow
+    * `regexp_extract_all` count scan, exact long sums, ONE division.
+    */
+  def fertilityBytesRaw(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String,
+                        merges: Array[(String, String)]): DataFrame = {
+    val enc = encodeBytesRaw(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens").cast("long").as("__nt"))
+    val pieces = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(PreTokPattern), lit(0))
+    val words = docs.select(col(idCol).cast("long").as(idCol),
+      col(groupCol),
+      size(filter(pieces, p => p.rlike("\\S"))).cast("long").as("__nw"))
+    words.join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_tokens").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
   }
 
   /** Exact learned-subword token counts: `(id, n_tokens)` — the

@@ -126,24 +126,39 @@ object Sft {
     * the turns rows as `__ntok` — the shared primitive of the
     * token-space family: encode only the DISTINCT rendered lines
     * ([[Bpe.encodeWordFast]] kernel) and hash-join counts back.
+    *
+    * Two token coordinate systems, selected by `byteLevel`:
+    * `false` = the char tier (whitespace-normalized words, merges over
+    * character symbols — the shared-word analytics convention);
+    * `true` = the RAW byte tier ([[Bpe.preTokenize]] pieces of the
+    * UNNORMALIZED rendered line → byte symbols → the same kernel) —
+    * the production-tokenizer coordinates a real trainer's loss
+    * actually indexes, case- and whitespace-preserving.
     */
   private def withLineTokens(turnsDf: DataFrame,
-                             merges: Array[(String, String)]): DataFrame = {
+                             merges: Array[(String, String)],
+                             byteLevel: Boolean = false): DataFrame = {
     val spark = turnsDf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
-    val lineNorm = regexp_replace(
-      trim(lower(lineOf(col("role"), col("content")))), "\\s+", " ")
-    val withLine = turnsDf.withColumn("__line", lineNorm)
+    val line = lineOf(col("role"), col("content"))
+    val lineKey = if (byteLevel) line
+      else regexp_replace(trim(lower(line)), "\\s+", " ")
+    val withLine = turnsDf.withColumn("__line", lineKey)
     val counted = withLine.select(col("__line")).distinct().as[String]
       .mapPartitions { it =>
         val idx = bc.value
         val memo = scala.collection.mutable.HashMap.empty[String, Int]
         it.map { t =>
           val n =
-            if (t.isEmpty) 0
+            if (byteLevel)
+              Bpe.preTokenize(t).iterator.map { p =>
+                Bpe.memoized(memo, p)(
+                  Bpe.encodeWordFast(Bpe.byteSyms(p), idx).length)
+              }.sum
+            else if (t.isEmpty) 0
             else t.split(" ").iterator.map { w =>
-              memo.getOrElseUpdate(w, Bpe.encodeWordFast(w, idx).length)
+              Bpe.memoized(memo, w)(Bpe.encodeWordFast(w, idx).length)
             }.sum
           (t, n)
         }
@@ -160,10 +175,11 @@ object Sft {
     * downstream stage (char or token space) accepts.
     */
   def truncateLatestTokens(turnsDf: DataFrame, maxTokens: Int,
-                           merges: Array[(String, String)]): DataFrame = {
+                           merges: Array[(String, String)],
+                           byteLevel: Boolean = false): DataFrame = {
     val wDesc = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx").desc)
-    val kept = withLineTokens(turnsDf, merges)
+    val kept = withLineTokens(turnsDf, merges, byteLevel)
       .withColumn("__sfx", sum(col("__ntok")).over(
         wDesc.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("__sfx") <= maxTokens)
@@ -202,9 +218,10 @@ object Sft {
     * [[transcripts]].
     */
   def transcriptsTokens(turnsDf: DataFrame,
-                        merges: Array[(String, String)]): DataFrame = {
+                        merges: Array[(String, String)],
+                        byteLevel: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val toks = withLineTokens(turnsDf, merges)
+    val toks = withLineTokens(turnsDf, merges, byteLevel)
       .select(col("conv_id"), col("turn_idx"), col("masked"), col("__ntok"))
       .withColumn("tok_start", coalesce(
         sum(col("__ntok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -234,12 +251,20 @@ object Sft {
     */
   def packTokens(turnsDf: DataFrame, merges: Array[(String, String)],
                  blockTokens: Int = 2048, nShards: Int = 16,
-                 portable: Boolean = false): DataFrame =
-    pack(transcriptsTokens(turnsDf, merges)
+                 portable: Boolean = false, byteLevel: Boolean = false,
+                 eosId: Option[Int] = None): DataFrame = {
+    val packed = pack(transcriptsTokens(turnsDf, merges, byteLevel)
         .select(col("conv_id"), col("n_tokens").as("n_chars"),
           col("mask_spans")),
         blockChars = blockTokens, nShards = nShards, portable = portable)
       .withColumnRenamed("chars_in_block", "toks_in_block")
+    // The packer's +1 joint between conversations IS one separator
+    // token; `eosId` pins WHICH id that joint carries (a reserved
+    // special from [[Bpe.vocabBytes]]'s prefix), published per row so
+    // the trainer's materializer never guesses. None keeps the legacy
+    // schema (joint id left to the consumer).
+    eosId.fold(packed)(id => packed.withColumn("eos_id", lit(id)))
+  }
 
   /** Loss-mask AUDIT of a transcripts table (char- or token-coordinate
     * — the checks are unit-agnostic): per conversation, whether every
