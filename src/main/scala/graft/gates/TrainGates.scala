@@ -348,16 +348,23 @@ object TrainGates {
       s"WHEN $b <= 32 THEN chr(256 + $b) " +
       s"WHEN $b <= 160 THEN chr(256 + 33 + $b - 127) ELSE chr(323) END"
 
+  /** `w` (one word/piece string) → its UTF-8 byte-symbol string — the
+    * DuckDB restatement of [[Bpe.byteSyms]], shared by the normalized
+    * and raw word CTEs (both bind the lambda variable `w`).
+    */
+  private val wsymExpr: String =
+    "coalesce(array_to_string(flatten(list_transform(" +
+      "range(1, len(w)+1), j -> list_transform(" +
+      sqlUtf8Bytes("unicode(w[j])") + ", b -> " + sqlByteSym("b") +
+      "))), ''), '')"
+
   /** Byte-tier word CTEs ending in `bws(doc_id, wsyms)`: the union
     * corpus normalized, each word mapped char→UTF-8 bytes→symbols
     * (nested list_transform over the two formulas above). Shared by
     * the encode/round-trip chain and the byte-train oracle.
     */
   private val byteWordCtes: String = {
-    val wsym = "coalesce(array_to_string(flatten(list_transform(" +
-      "range(1, len(w)+1), j -> list_transform(" +
-      sqlUtf8Bytes("unicode(w[j])") + ", b -> " + sqlByteSym("b") +
-      "))), ''), '')"
+    val wsym = wsymExpr
     s"""$byteDocsSql,
        |bnm AS (
        |  SELECT doc_id, regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g') AS n2
@@ -557,6 +564,342 @@ object TrainGates {
       |    FROM bws) WHERE word <> '' GROUP BY 1)""".stripMargin,
     """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM bwc)"""),
     BpeRounds)
+
+  // ---- RAW byte-level BPE (pre-tokenized, normalization-free) ----------
+
+  /** [[Bpe.PreTokPattern]] as a DuckDB string literal (contraction
+    * apostrophes doubled). The SAME pattern string runs under Java
+    * regex engine-side and RE2 oracle-side — the Java ∩ RE2 portability
+    * the pattern was designed lookahead-free for.
+    */
+  private val preTokSqlLit: String =
+    "'" + Bpe.PreTokPattern.replace("'", "''") + "'"
+
+  /** A Scala string as a DuckDB EXPRESSION: control characters (the
+    * tab/newline regimes a quoted literal cannot carry) render as
+    * `chr(n)` concatenations, everything else as a quoted literal.
+    */
+  private def sqlStrExpr(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) {
+        parts += "'" + sb.toString.replace("'", "''") + "'"
+        sb.clear()
+      }
+    s.foreach { c =>
+      if (c < ' ') { flush(); parts += s"chr(${c.toInt})" }
+      else sb += c
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** Planted RAW-tier docs: every regime the normalized tier erases —
+    * mixed case, double/triple space runs, tab, newline, leading and
+    * trailing whitespace, contractions, cased Vietnamese, astral — plus
+    * the empty doc. Max same-char run is 3, inside the 4×-replace
+    * fixpoint bound. Identical VALUES (via [[sqlStrExpr]]) on both
+    * sides.
+    */
+  private val PlantedRawDocs: Seq[(Long, String)] = Seq(
+    (-8L, "Hello  World"),
+    (-7L, "don't STOP it's 2024!!"),
+    (-6L, "xin chào Hà Nội ộ 🙂🙂 Abc"),
+    (-5L, "a\tb\nc   d"),
+    (-4L, " The   Table "),
+    (-3L, ""),
+    (-2L, "CamelCase123abc...x!?"),
+    (-1L, "Ω≈ç√∫ µ∂ƒ"))
+
+  private def rawDocsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(PlantedRawDocs.toDF("doc_id", "text"))
+  }
+
+  private val rawDocVals: String = PlantedRawDocs
+    .map { case (id, t) => s"($id, ${sqlStrExpr(t)})" }
+    .mkString(", ")
+
+  private val rawDocsSql: String =
+    s"""rd AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), CAST(text AS VARCHAR)
+       |  FROM (VALUES $rawDocVals) v(doc_id, text))""".stripMargin
+
+  /** [[Bpe.preTokenize]] over the raw union corpus — the JVM KERNEL
+    * (the exact function every raw-tier operator calls) against the
+    * independent RE2 `regexp_extract_all` of the same pattern: the
+    * cross-engine pin of the lossless-partition pre-tokenizer. Pieces
+    * joined by chr(31) (absent from the corpus and the planted rows).
+    */
+  def bpePretok(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rawDocsDf(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ps = Bpe.preTokenize(t)
+        (id, ps.length, ps.mkString("\u001f"))
+      }
+      .toDF("doc_id", "n_pieces", "pieces_str")
+      .orderBy("doc_id")
+  }
+
+  val bpePretokSql: String =
+    s"""WITH $rawDocsSql,
+       |pc AS (
+       |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), $preTokSqlLit) AS ps
+       |  FROM rd)
+       |SELECT doc_id, CAST(len(ps) AS INT) AS n_pieces,
+       |  coalesce(array_to_string(ps, chr(31)), '') AS pieces_str
+       |FROM pc ORDER BY doc_id""".stripMargin
+
+  /** Pinned RAW byte-symbol merges — the normalized tier's regimes PLUS
+    * the ones only raw text has: cased ascii (`Th`+`e` vs `t`+`h`),
+    * the `ĠT` cased word boundary, the `ĠĠ` whitespace-run compression
+    * merge (the multi-space tokens production byte-BPE vocabularies
+    * learn), and a dead merge whose right side is never assembled.
+    */
+  private val PinnedRawMerges: Array[(String, String)] = {
+    val aGrave = bs("à")
+    val oDotCirc = bs("ộ")
+    val smile = bs("🙂")
+    Array(
+      (bs("T"), bs("h")),
+      (bs("Th"), bs("e")),
+      (bs("t"), bs("h")),
+      (bs(" "), bs("T")),
+      (bs(" "), bs(" ")),
+      (aGrave.substring(0, 1), aGrave.substring(1)),
+      (bs("h"), aGrave),
+      (oDotCirc.substring(0, 1), oDotCirc.substring(1, 2)),
+      (oDotCirc.substring(0, 2), oDotCirc.substring(2)),
+      (smile.substring(0, 1), smile.substring(1, 2)),
+      (smile.substring(0, 2), smile.substring(2, 3)),
+      (smile.substring(0, 3), smile.substring(3)),
+      (bs(" T"), bs("he")))
+  }
+
+  /** Raw-tier word CTEs ending in `rws(doc_id, wsyms)`: [[preTokSqlLit]]
+    * pieces of the UNNORMALIZED text, each mapped to byte symbols —
+    * no lowercasing, no whitespace collapse, no `Ġ` prefixing (the
+    * space rides inside the piece). Shared by the raw encode chain and
+    * the raw train oracle.
+    */
+  private val rawWordCtes: String =
+    s"""$rawDocsSql,
+       |rpc AS (
+       |  SELECT doc_id, regexp_extract_all(coalesce(text, ''), $preTokSqlLit) AS ps
+       |  FROM rd),
+       |rws AS (
+       |  SELECT doc_id, list_transform(ps, w -> $wsymExpr) AS wsyms
+       |  FROM rpc)""".stripMargin
+
+  /** Raw byte-tier CTE chain ending in `rben(doc_id, toks)`: piece
+    * symbols joined by the chr(10) sentinel (no byte symbol is a
+    * control character, so the sentinel is unmatchable even though raw
+    * TEXT may contain newlines — those are symbols chr(266) by then),
+    * then the standard doubled-separator replace chain over
+    * [[PinnedRawMerges]].
+    */
+  private val bpeBytesRawEncCtes: String = {
+    val chain = PinnedRawMerges.foldLeft(
+      "'  ' || coalesce(array_to_string(list_transform(" +
+        "range(1, len(s)+1), j -> s[j]), '  '), '') || '  '") {
+      case (e, (l, r)) =>
+        rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
+    }
+    s"""$rawWordCtes,
+       |rsy AS (
+       |  SELECT doc_id, coalesce(array_to_string(wsyms, chr(10)), '') AS s
+       |  FROM rws),
+       |rben AS (
+       |  SELECT doc_id, [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS toks
+       |  FROM rsy)""".stripMargin
+  }
+
+  /** [[Bpe.encodeBytesRaw]] under [[PinnedRawMerges]] over the raw
+    * union corpus — case- and whitespace-preserving byte tokens.
+    */
+  def bpeEncodeBytesRaw(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+        PinnedRawMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
+  val bpeEncodeBytesRawSql: String =
+    s"""WITH $bpeBytesRawEncCtes
+       |SELECT doc_id, CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
+       |  coalesce(array_to_string(toks, ' '), '') AS tok_str
+       |FROM rben ORDER BY doc_id""".stripMargin
+
+  /** RAW exact round-trip: encode then decode every doc; the oracle is
+    * the RAW INPUT COLUMN itself — no normalization proviso. The
+    * headline raw-tier property: `decodeBytes ∘ encodeBytesRaw` is the
+    * identity on arbitrary UTF-8 (mixed case, space runs, tab/newline,
+    * Vietnamese, astral — all planted).
+    */
+  def bpeBytesRoundtripRaw(s: SparkSession, dir: String): DataFrame =
+    Bpe.decodeBytes(
+        Bpe.encodeBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+          PinnedRawMerges),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val bpeBytesRoundtripRawSql: String =
+    s"""WITH $rawDocsSql
+       |SELECT doc_id, coalesce(text, '') AS text_rt
+       |FROM rd ORDER BY doc_id""".stripMargin
+
+  /** [[Bpe.trainBytesRaw]] over the raw union corpus — merges learned
+    * over exactly the pre-tokenized piece forms [[Bpe.encodeBytesRaw]]
+    * consumes, routed through [[Bpe.preTokenize]] end to end.
+    */
+  def bpeTrainBytesRaw(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainBytesRaw(rawDocsDf(s, dir), "text", BpeRounds)
+      .orderBy("rank")
+
+  /** Oracle: the SAME unrolled merge-learning rounds as
+    * [[bpeTrainBytesSql]], over the raw piece-symbol word table.
+    */
+  val bpeTrainBytesRawSql: String = trainRoundsSql(Seq(
+    rawWordCtes,
+    """rwc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(wsyms) AS word FROM rws) WHERE word <> '' GROUP BY 1)""".stripMargin,
+    """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM rwc)"""),
+    BpeRounds)
+
+  /** [[Bpe.fertilityBytesRaw]] grouped by language (planted rows as
+    * 'planted'): tokens per NON-WHITESPACE piece under the raw table —
+    * the cased-script coverage audit the round-12 verdict asked the
+    * fertility metric to re-run in raw coordinates.
+    */
+  def bpeFertilityBytesRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = PlantedRawDocs
+      .map { case (id, t) => (id, t, "planted") }
+      .toDF("doc_id", "text", "lang")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"))
+      .unionByName(planted)
+    Bpe.fertilityBytesRaw(docs, "doc_id", "text", "lang", PinnedRawMerges)
+      .orderBy("lang")
+  }
+
+  val bpeFertilityBytesRawSql: String =
+    s"""WITH enc AS (SELECT doc_id, n_tokens FROM ($bpeEncodeBytesRawSql)),
+       |rl AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), 'planted', CAST(text AS VARCHAR)
+       |  FROM (VALUES $rawDocVals) v(doc_id, text)),
+       |wds AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len([p for p in regexp_extract_all(coalesce(text, ''), $preTokSqlLit) if regexp_matches(p, '\\S')]) AS BIGINT) AS nw
+       |  FROM rl)
+       |SELECT w.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN sum(w.nw) = 0 THEN NULL
+       |    ELSE CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(w.nw) AS DOUBLE)
+       |  END AS fertility
+       |FROM wds w JOIN enc e ON w.doc_id = e.doc_id
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+
+  // ---- Reserved specials + raw trainer-contract ids ---------------------
+
+  /** Reserved special tokens for the id tiers — BOS/EOS/PAD pinned at
+    * ids 0/1/2 by [[Bpe.vocabBytes]]'s prefix contract. [[EosId]] is
+    * what [[Sft.packTokens]]'s separator joint threads through.
+    */
+  private val Specials = Seq("<|bos|>", "<|eos|>", "<|pad|>")
+  private val EosId = Specials.indexOf("<|eos|>")
+
+  /** The specials-prefixed byte vocabulary SQL for any pinned merge
+    * table: specials at 0..k-1, byte symbols at k..k+255, surviving
+    * merge outputs compacted after — [[bpeVocabBytesSql]]'s contract
+    * with the prefix shift.
+    */
+  private def vocabSpecialsSqlFor(merges: Array[(String, String)]): String = {
+    val k = Specials.size
+    val svals = Specials.zipWithIndex
+      .map { case (t, i) => s"($i, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    val mvals = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${(l + r).replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH sp(token_id, token) AS (VALUES $svals),
+       |r AS (SELECT CAST(i AS INT) AS i FROM range(0, 256) t(i)),
+       |b AS (
+       |  SELECT CAST(i + $k AS INT) AS token_id, ${sqlByteSym("i")} AS token
+       |  FROM r),
+       |m0(rank, token) AS (VALUES $mvals),
+       |m1 AS (
+       |  SELECT token, min(rank) AS rank FROM m0
+       |  WHERE token NOT IN (SELECT token FROM b)
+       |    AND token NOT IN (SELECT token FROM sp)
+       |  GROUP BY token),
+       |m AS (
+       |  SELECT CAST(${255 + k} + row_number() OVER (ORDER BY rank) AS INT) AS token_id, token
+       |  FROM m1)
+       |SELECT CAST(token_id AS INT) AS token_id, token FROM sp
+       |UNION ALL
+       |SELECT token_id, token FROM b
+       |UNION ALL
+       |SELECT token_id, token FROM m
+       |ORDER BY token_id""".stripMargin
+  }
+
+  /** [[Bpe.vocabBytes]] under [[PinnedByteMerges]] with the reserved
+    * [[Specials]] prefix: BOS/EOS/PAD at 0..2, byte ids shifted to
+    * 3..258, merges compacted after.
+    */
+  def bpeVocabSpecials(s: SparkSession, dir: String): DataFrame =
+    Bpe.vocabBytes(s, PinnedByteMerges, Specials).orderBy("token_id")
+
+  val bpeVocabSpecialsSql: String = vocabSpecialsSqlFor(PinnedByteMerges)
+
+  /** [[Bpe.encodeIdsBytesRaw]] under [[PinnedRawMerges]] against the
+    * SPECIALS-prefixed vocabulary — the raw-tier trainer-contract id
+    * streams, proving the shifted ids thread through the string-keyed
+    * lookup untouched (content ids ≥ 3, −1 impossible).
+    */
+  def bpeEncodeIdsBytesRaw(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeIdsBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+        PinnedRawMerges, Bpe.vocabBytes(s, PinnedRawMerges, Specials))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"))
+      .orderBy("doc_id")
+
+  val bpeEncodeIdsBytesRawSql: String =
+    s"""WITH $bpeBytesRawEncCtes,
+       |voc AS (SELECT token_id, token FROM (${vocabSpecialsSqlFor(PinnedRawMerges)})),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS j, toks
+       |  FROM rben),
+       |tok1 AS (SELECT doc_id, j, toks[j] AS tok FROM tk),
+       |ids AS (
+       |  SELECT t.doc_id, t.j, v.token_id
+       |  FROM tok1 t JOIN voc v ON v.token = t.tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY j) AS ids_str
+       |  FROM ids GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.ids_str, '') AS ids_str
+       |FROM (SELECT doc_id FROM rd) d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- Logistic regression --------------------------------------------
 
@@ -1061,6 +1404,91 @@ object TrainGates {
        |  WHERE sfx <= $SftTokBudget),
        |${tokPackChainFrom("keptk")}""".stripMargin
 
+  // ---- SFT packing in RAW BYTE-TOKEN space ------------------------------
+
+  private val SftTokBudgetBytes = 120
+
+  /** Per-turn RAW BYTE token-count CTE chain (from the turns relation
+    * `t`) ending in `etokb(conv_id, turn_idx, masked, ntok)`: each
+    * rendered line pre-tokenized ([[preTokSqlLit]]), pieces mapped to
+    * byte symbols, the [[PinnedRawMerges]] replace chain, token count —
+    * the oracle restatement of `Sft.withLineTokens(byteLevel = true)`.
+    */
+  private val sftTokBytesCtes: String = {
+    val chain = PinnedRawMerges.foldLeft(
+      "'  ' || coalesce(array_to_string(list_transform(" +
+        "range(1, len(s2)+1), j -> s2[j]), '  '), '') || '  '") {
+      case (e, (l, r)) =>
+        rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
+    }
+    s"""lnr AS (
+       |  SELECT conv_id, turn_idx, masked, role || ': ' || content AS line
+       |  FROM t),
+       |lps AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    list_transform(regexp_extract_all(line, $preTokSqlLit), w -> $wsymExpr) AS wsyms
+       |  FROM lnr),
+       |lsy AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    coalesce(array_to_string(wsyms, chr(10)), '') AS s2
+       |  FROM lps),
+       |etokb AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    CAST(len([x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)]) AS BIGINT) AS ntok
+       |  FROM lsy)""".stripMargin
+  }
+
+  /** [[Sft.packTokens]] in RAW BYTE coordinates under
+    * [[PinnedRawMerges]], the [[EosId]] separator id threaded from the
+    * [[Specials]] vocabulary prefix — the production-tokenizer-accurate
+    * packing (case- and whitespace-preserving counts; the packer's +1
+    * joint between conversations is one `<|eos|>` token, and every
+    * block row says so).
+    */
+  def sftPackTokensBytes(s: SparkSession, dir: String): DataFrame =
+    Sft.packTokens(sftTurnsDf(s, dir), PinnedRawMerges,
+        blockTokens = TokBlock, nShards = PackShards, portable = true,
+        byteLevel = true, eosId = Some(EosId))
+      .orderBy("shard", "block_id", "conv_id")
+
+  val sftPackTokensBytesSql: String = {
+    val inner =
+      s"""WITH $sftTurnsCte,
+         |$sftTokBytesCtes,
+         |${tokPackChainFrom("etokb")}""".stripMargin
+    s"""SELECT q.*, CAST($EosId AS INT) AS eos_id FROM ($inner) q
+       |ORDER BY shard, block_id, conv_id""".stripMargin
+  }
+
+  /** The RAW BYTE token-space capstone: turns →
+    * [[Sft.truncateLatestTokens]] (byte coordinates, 120-token budget)
+    * → [[Sft.packTokens]] (byte coordinates, EOS threaded) — the full
+    * chain a byte-tokenizer trainer consumes, verified end to end.
+    */
+  def sftRunTokensBytes(s: SparkSession, dir: String): DataFrame =
+    Sft.packTokens(
+        Sft.truncateLatestTokens(sftTurnsDf(s, dir), SftTokBudgetBytes,
+          PinnedRawMerges, byteLevel = true),
+        PinnedRawMerges, blockTokens = TokBlock, nShards = PackShards,
+        portable = true, byteLevel = true, eosId = Some(EosId))
+      .orderBy("shard", "block_id", "conv_id")
+
+  val sftRunTokensBytesSql: String = {
+    val inner =
+      s"""WITH $sftTurnsCte,
+         |$sftTokBytesCtes,
+         |sfxb AS (
+         |  SELECT *, sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+         |  FROM etokb),
+         |keptb AS (
+         |  SELECT conv_id, turn_idx, masked, ntok FROM sfxb
+         |  WHERE sfx <= $SftTokBudgetBytes),
+         |${tokPackChainFrom("keptb")}""".stripMargin
+    s"""SELECT q.*, CAST($EosId AS INT) AS eos_id FROM ($inner) q
+       |ORDER BY shard, block_id, conv_id""".stripMargin
+  }
+
   // ---- SFT capstone: truncate -> transcripts -> pack as ONE chain ------
 
   /** The trainable-tier capstone composition: turns →
@@ -1239,6 +1667,13 @@ object TrainGates {
     "bpe_vocab_bytes" -> (bpeVocabBytes _),
     "bpe_encode_ids_bytes" -> (bpeEncodeIdsBytes _),
     "bpe_fertility_bytes" -> (bpeFertilityBytes _),
+    "bpe_pretok"      -> (bpePretok _),
+    "bpe_encode_bytes_raw" -> (bpeEncodeBytesRaw _),
+    "bpe_bytes_roundtrip_raw" -> (bpeBytesRoundtripRaw _),
+    "bpe_train_bytes_raw" -> (bpeTrainBytesRaw _),
+    "bpe_fertility_bytes_raw" -> (bpeFertilityBytesRaw _),
+    "bpe_vocab_specials" -> (bpeVocabSpecials _),
+    "bpe_encode_ids_bytes_raw" -> (bpeEncodeIdsBytesRaw _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -1250,6 +1685,8 @@ object TrainGates {
     "sft_pack"        -> (sftPack _),
     "sft_pack_tokens" -> (sftPackTokens _),
     "sft_run_tokens"  -> (sftRunTokens _),
+    "sft_pack_tokens_bytes" -> (sftPackTokensBytes _),
+    "sft_run_tokens_bytes" -> (sftRunTokensBytes _),
     "sft_mask_audit"  -> (sftMaskAudit _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
@@ -1268,6 +1705,13 @@ object TrainGates {
     "bpe_vocab_bytes" -> bpeVocabBytesSql,
     "bpe_encode_ids_bytes" -> bpeEncodeIdsBytesSql,
     "bpe_fertility_bytes" -> bpeFertilityBytesSql,
+    "bpe_pretok"      -> bpePretokSql,
+    "bpe_encode_bytes_raw" -> bpeEncodeBytesRawSql,
+    "bpe_bytes_roundtrip_raw" -> bpeBytesRoundtripRawSql,
+    "bpe_train_bytes_raw" -> bpeTrainBytesRawSql,
+    "bpe_fertility_bytes_raw" -> bpeFertilityBytesRawSql,
+    "bpe_vocab_specials" -> bpeVocabSpecialsSql,
+    "bpe_encode_ids_bytes_raw" -> bpeEncodeIdsBytesRawSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,
@@ -1279,6 +1723,8 @@ object TrainGates {
     "sft_pack"        -> sftPackSql,
     "sft_pack_tokens" -> sftPackTokensSql,
     "sft_run_tokens"  -> sftRunTokensSql,
+    "sft_pack_tokens_bytes" -> sftPackTokensBytesSql,
+    "sft_run_tokens_bytes" -> sftRunTokensBytesSql,
     "sft_mask_audit"  -> sftMaskAuditSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,
