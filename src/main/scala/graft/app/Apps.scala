@@ -10,6 +10,7 @@ import graft.quality.{QualityGate, Validators}
 import graft.storage.TableStore
 import graft.views.{Star, Views}
 import graft.warehouse.WarehouseJob
+import scala.jdk.CollectionConverters._
 
 /** DAG-equivalent entry points (SURVEY.md §3): each app is the Spark
   * counterpart of one reference Airflow DAG, wired over the parquet table
@@ -108,7 +109,8 @@ object Apps {
     */
   def runWarehouseDay(spark: SparkSession, warehouseRoot: String,
                       runDate: String,
-                      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+                      onStage: (String, Double) => Unit = (_, _) => (),
+                      pin: Boolean = false): Unit = {
     Metrics.instrument(spark, warehouseRoot, "jobinsight_dwh", "load_dwh",
       runDate) {
       val staging = spark.read.parquet(s"$warehouseRoot/staging_jobs")
@@ -137,6 +139,122 @@ object Apps {
       // counts on checkpointed frames — no plan re-execution
       ((), staging.count(), todaysFact.count())
     }
+    if (pin) pinWarehouse(spark, warehouseRoot, runDate)
+  }
+
+  // ---- Late-data correction: pinned snapshots + bounded replay ---------
+
+  private val PinTables = Seq("DimJob", "DimCompany", "DimLocation",
+    "DimDate", "FactJobPostingDaily", "FactJobLocationBridge")
+
+  /** Pin the on-disk star as an immutable end-of-`runDate` snapshot:
+    * each table [[graft.storage.Versioned.write]]n under
+    * `<root>/pins/<table>/`, then a `day=<runDate>.pin` manifest
+    * (table=version lines) written LAST — the manifest is the day
+    * pin's commit marker, same write-then-publish invariant as the
+    * Versioned pointer itself. Pins are what turn a late-arriving row
+    * for a CLOSED day from "rebuild the warehouse from day zero" into
+    * the bounded [[rebuildFromDay]] replay.
+    */
+  def pinWarehouse(spark: SparkSession, warehouseRoot: String,
+                   runDate: String): Unit = {
+    val star = readStar(spark, warehouseRoot)
+    val dfs = Map(
+      "DimJob" -> star.dimJob, "DimCompany" -> star.dimCompany,
+      "DimLocation" -> star.dimLocation, "DimDate" -> star.dimDate,
+      "FactJobPostingDaily" -> star.fact,
+      "FactJobLocationBridge" -> star.bridge)
+    val lines = PinTables.map { t =>
+      t + "=" + graft.storage.Versioned.write(dfs(t),
+        s"$warehouseRoot/pins/$t")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$warehouseRoot/pins/day=$runDate.pin"),
+      lines.mkString("\n"))
+  }
+
+  /** Committed pin days (ascending ISO dates — lexicographic = temporal). */
+  def pinnedDays(warehouseRoot: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$warehouseRoot/pins")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toList.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("day=") && n.endsWith(".pin") =>
+        n.stripPrefix("day=").stripSuffix(".pin") }
+      .sorted
+    finally s.close()
+  }
+
+  /** Staged days on disk (`crawl_date=` partition directories, ascending). */
+  def stagedDays(warehouseRoot: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(s"$warehouseRoot/staging_jobs")
+    if (!java.nio.file.Files.exists(p)) return Nil
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toList.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("crawl_date=") =>
+        n.stripPrefix("crawl_date=") }
+      .sorted
+    finally s.close()
+  }
+
+  /** Restore the on-disk dwh from the `day` pin manifest: the whole
+    * `<root>/dwh` is replaced wholesale (stale fact partitions from the
+    * overwritten timeline must not linger), dims/bridge as snapshots,
+    * the fact re-laid date_id-partitioned.
+    */
+  private def restorePin(spark: SparkSession, warehouseRoot: String,
+                         day: String): Unit = {
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$warehouseRoot/pins/day=$day.pin"))
+    val versions: Map[String, Long] = manifest.linesIterator
+      .filter(_.contains("=")).map { l =>
+        val Array(t, v) = l.split("=", 2); (t, v.trim.toLong)
+      }.toMap
+    TableStore.deleteRecursively(
+      java.nio.file.Paths.get(s"$warehouseRoot/dwh"))
+    def pinned(t: String): DataFrame =
+      graft.storage.Versioned.read(spark, s"$warehouseRoot/pins/$t",
+        versions(t))
+    val dwh = s"$warehouseRoot/dwh"
+    Seq("DimJob", "DimCompany", "DimLocation", "DimDate",
+        "FactJobLocationBridge")
+      .foreach(t => TableStore.writeSnapshot(pinned(t), s"$dwh/$t"))
+    val fact = pinned("FactJobPostingDaily")
+    if (!fact.isEmpty)
+      TableStore.replacePartitions(fact, s"$dwh/FactJobPostingDaily",
+        Seq("date_id"))
+  }
+
+  /** LATE-DATA CORRECTION (§2.10's "late rows for a closed day =
+    * snapshot rebuild", now an operator): after staging partitions ≤
+    * some already-run `fromDay` changed, restore the newest pin
+    * STRICTLY BEFORE `fromDay` and replay every staged day after that
+    * pin through the REAL [[runWarehouseDay]] — the rebuilt warehouse
+    * equals the from-scratch run over the corrected staging (RebuildSpec
+    * pins the equality). With no eligible pin, the dwh resets to empty
+    * and the whole timeline replays (the documented unbounded
+    * fallback). Returns the replayed days.
+    *
+    * Scale bound: cost = (#days after the newest pin < fromDay) ×
+    * one day-run — pin cadence directly caps the replay window, so a
+    * daily-pinned warehouse corrects any single late day in ≤ 2
+    * day-runs. Each replayed day re-appends its monitoring rows (a
+    * rerun IS a run; the health views see the correction).
+    */
+  def rebuildFromDay(spark: SparkSession, warehouseRoot: String,
+                     fromDay: String,
+                     pin: Boolean = false): Seq[String] = {
+    val base = pinnedDays(warehouseRoot).filter(_ < fromDay).lastOption
+    base match {
+      case Some(d) => restorePin(spark, warehouseRoot, d)
+      case None => TableStore.deleteRecursively(
+        java.nio.file.Paths.get(s"$warehouseRoot/dwh"))
+    }
+    val replay = stagedDays(warehouseRoot)
+      .filter(d => base.forall(_ < d))
+    replay.foreach(d => runWarehouseDay(spark, warehouseRoot, d, pin = pin))
+    replay
+  }
 
   /** Read the star schema back from disk (empty frames before day 1). */
   def readStar(spark: SparkSession, warehouseRoot: String): Star = {
