@@ -63,7 +63,25 @@ def main():
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-    spark_times, spark_source, contaminated = {}, None, False
+    # `contaminated` records the verdict of the run that SUPPLIED the
+    # Spark timings (r12 advice: it was initialized False and never
+    # recomputed, making the refresh_docs guard on it dead code). A
+    # contaminated BENCH_FULL.json is never used as the timing source
+    # (the branch below skips it), so reaching the artifact with
+    # contaminated=True is only possible via this oracle run itself
+    # starting under load — checked right here, the same
+    # /proc/loadavg-vs-threshold policy as graft.Bench.
+    load_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "2.0"))
+    try:
+        start_load = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        start_load = -1.0
+    contaminated = start_load > load_threshold
+    if contaminated:
+        print(f"[oracle_bench] start load {start_load} > {load_threshold} "
+              "— artifact will self-flag contaminated", flush=True)
+
+    spark_times, spark_source = {}, None
     bench_path = "BENCH_FULL.json"
     if os.path.exists(bench_path):
         bench = json.load(open(bench_path))
@@ -82,6 +100,16 @@ def main():
         sys.exit("[oracle_bench] no usable Spark timings (BENCH_FULL.json "
                  "missing/contaminated/wrong-sf and no spark_times.json) — "
                  "refusing to write a one-sided ORACLE_BENCH.json")
+
+    # EXPECTED_DNF names must exist in the oracle set: a renamed or
+    # dropped gate would otherwise silently shrink the exclusion list
+    # and a surprise timeout would be mislabeled (r12 advice — the old
+    # comment promised this check without implementing it).
+    missing_dnf = sorted(set(EXPECTED_DNF) - set(oracle))
+    if missing_dnf:
+        print(f"WARNING: EXPECTED_DNF entries absent from oracle_sql.json: "
+              f"{missing_dnf} — stale exclusion list, update EXPECTED_DNF",
+              flush=True)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -133,8 +161,6 @@ def main():
         print(f"[{name}] duck={status} spark={spark_times.get(name)}",
               flush=True)
 
-    # expected DNFs that DID complete are fine; expected DNFs that are
-    # MISSING from the oracle set should not silently shrink the list
     both = {k: v for k, v in results.items()
             if v.get("spark_s") is not None and v.get("duck_s") is not None}
     spark_total = sum(v["spark_s"] for v in both.values())
@@ -144,6 +170,9 @@ def main():
         "timeout_s": timeout,
         "spark_source": spark_source,
         "contaminated": contaminated,
+        "start_load": start_load,
+        "load_threshold": load_threshold,
+        "expected_dnf_missing": missing_dnf,
         "duck_policy": f"warm min-of-two under {RERUN_BUDGET_S:.0f}s budget, "
                        "full fetchall materialization",
         "n_queries": len(results),
