@@ -1404,6 +1404,44 @@ object TrainGates {
        |  WHERE sfx <= $SftTokBudget),
        |${tokPackChainFrom("keptk")}""".stripMargin
 
+  /** [[graft.operators.Selection.byTokenBudget]] with counts from the
+    * RAW BYTE tier ([[Bpe.encodeBytesRaw]] under [[PinnedRawMerges]]) —
+    * the production wiring: training budgets are byte-tokenizer-
+    * accurate, not whitespace-proxy counts. Rank (n_chars desc,
+    * doc_id), budget 60k byte tokens.
+    */
+  private val ByteBudget = 60000L
+
+  def selectBudgetBytes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = Bpe.encodeBytesRaw(docs, "doc_id", "text", PinnedRawMerges)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("toks"))
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_chars"))
+      .join(toks, Seq("doc_id"))
+    graft.operators.Selection.byTokenBudget(
+        d, Seq(col("n_chars").desc, col("doc_id").asc), "toks",
+        budget = ByteBudget)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the raw byte encode chain (planted rows filtered — the
+    * budget runs over the corpus), one ordered cumsum, the budget cut.
+    */
+  val selectBudgetBytesSql: String =
+    s"""WITH enc AS (
+       |  SELECT doc_id, n_tokens FROM ($bpeEncodeBytesRawSql)
+       |  WHERE doc_id >= 0),
+       |t AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars, CAST(e.n_tokens AS BIGINT) AS toks
+       |  FROM documents d JOIN enc e USING (doc_id)),
+       |c AS (
+       |  SELECT *, CAST(sum(toks) OVER (ORDER BY n_chars DESC, doc_id)
+       |    AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, lang, n_chars, toks, cum_tokens
+       |FROM c WHERE cum_tokens <= $ByteBudget ORDER BY doc_id""".stripMargin
+
   // ---- SFT packing in RAW BYTE-TOKEN space ------------------------------
 
   private val SftTokBudgetBytes = 120
@@ -1674,6 +1712,7 @@ object TrainGates {
     "bpe_fertility_bytes_raw" -> (bpeFertilityBytesRaw _),
     "bpe_vocab_specials" -> (bpeVocabSpecials _),
     "bpe_encode_ids_bytes_raw" -> (bpeEncodeIdsBytesRaw _),
+    "select_budget_bytes" -> (selectBudgetBytes _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -1712,6 +1751,7 @@ object TrainGates {
     "bpe_fertility_bytes_raw" -> bpeFertilityBytesRawSql,
     "bpe_vocab_specials" -> bpeVocabSpecialsSql,
     "bpe_encode_ids_bytes_raw" -> bpeEncodeIdsBytesRawSql,
+    "select_budget_bytes" -> selectBudgetBytesSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,
