@@ -202,6 +202,13 @@ class PlanAuditSpec extends SparkSpec {
     val p2 = plan(graft.llm.Bpe.decodeBytes(
       graft.llm.Bpe.encodeBytes(docs, "doc_id", "text", merges), "doc_id"))
     assert(!p2.contains("Exchange"), p2.take(800))
+    // the RAW tier keeps the same shape: preTokenize runs inside the
+    // same mapPartitions kernel, so no new boundary appears
+    val p3 = plan(graft.llm.Bpe.encodeBytesRaw(docs, "doc_id", "text", merges))
+    assert(!p3.contains("Exchange"), p3.take(800))
+    val p4 = plan(graft.llm.Bpe.decodeBytes(
+      graft.llm.Bpe.encodeBytesRaw(docs, "doc_id", "text", merges), "doc_id"))
+    assert(!p4.contains("Exchange"), p4.take(800))
   }
 
   test("encoding-damage scan is a pure codegen'd projection, no shuffle") {
