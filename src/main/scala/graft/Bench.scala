@@ -354,10 +354,17 @@ object Bench {
           val d2 = (System.nanoTime() - t1) / 1e9
           Some(Cycle(d1, d2, st1.toSeq, st2.toSeq))
         } catch { case _: Throwable => None }
+      // The warehouse cycles are EXEMPT from the rerun budget: always
+      // two cycles, per-day min published (round 13). The single-shot
+      // cold cycle varied 32→55 s on identical code purely from JVM
+      // state (an isolated fresh-JVM probe measured trial 1 at 49.7 s
+      // and trial 2 at 32.0 s — the warm number matching the prior
+      // round exactly), and the composite is the suite's headline
+      // scale figure; +~2 min of bench wall-clock buys a steady-state
+      // number instead of a JIT/GC lottery.
       def bestCycle(root: String): Option[Cycle] =
         timeCycle(root).map { a =>
-          if (a.d1 + a.d2 >= rerunBudgetSec) a
-          else timeCycle(root) match {
+          timeCycle(root) match {
             case Some(b) =>
               // per-day min for the published timings; the stage
               // breakdown comes whole from the faster cycle (mixing
@@ -510,7 +517,19 @@ object Bench {
         "bpe_encode_ids_bytes", "bpe_fertility_bytes", "mojibake_scan",
         // exact-count stratified split: one strata-partitioned
         // rank+count window — cost tracks the largest stratum
-        "split_stratified")
+        "split_stratified",
+        // round-13 raw byte-BPE tier: pre-tokenize is a narrow regexp
+        // scan, raw encode/decode/ids the same zero-shuffle kernel
+        // shape as the normalized tier, raw train one piece-count agg
+        // + the bounded driver learner, fertility one encode + one
+        // narrow count scan, and the byte-budget selection the same
+        // two-pass range-sort cut as select_budget
+        "bpe_pretok", "bpe_encode_bytes_raw", "bpe_bytes_roundtrip_raw",
+        "bpe_train_bytes_raw", "bpe_fertility_bytes_raw",
+        "bpe_encode_ids_bytes_raw", "select_budget_bytes",
+        // byte-coordinate SFT packing: distinct-line raw encode join +
+        // the same per-conversation windows and per-shard cumsum
+        "sft_pack_tokens_bytes", "sft_run_tokens_bytes")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())
