@@ -529,7 +529,11 @@ object Bench {
         "bpe_encode_ids_bytes_raw", "select_budget_bytes",
         // byte-coordinate SFT packing: distinct-line raw encode join +
         // the same per-conversation windows and per-shard cumsum
-        "sft_pack_tokens_bytes", "sft_run_tokens_bytes")
+        "sft_pack_tokens_bytes", "sft_run_tokens_bytes",
+        // materialized trainer blocks: the same distinct-line encode
+        // join + per-shard cumsum, plus one (shard, block) agg whose
+        // state is bounded by blockTokens ids
+        "sft_materialize_blocks")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

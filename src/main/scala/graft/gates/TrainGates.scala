@@ -1470,10 +1470,14 @@ object TrainGates {
        |  SELECT conv_id, turn_idx, masked,
        |    coalesce(array_to_string(wsyms, chr(10)), '') AS s2
        |  FROM lps),
+       |lts AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS lt
+       |  FROM lsy),
        |etokb AS (
        |  SELECT conv_id, turn_idx, masked,
-       |    CAST(len([x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)]) AS BIGINT) AS ntok
-       |  FROM lsy)""".stripMargin
+       |    CAST(len(lt) AS BIGINT) AS ntok
+       |  FROM lts)""".stripMargin
   }
 
   /** [[Sft.packTokens]] in RAW BYTE coordinates under
@@ -1525,6 +1529,113 @@ object TrainGates {
          |${tokPackChainFrom("keptb")}""".stripMargin
     s"""SELECT q.*, CAST($EosId AS INT) AS eos_id FROM ($inner) q
        |ORDER BY shard, block_id, conv_id""".stripMargin
+  }
+
+  /** [[Sft.materializeBlocks]] in RAW BYTE coordinates: the packed
+    * layout joined back to the ACTUAL id streams — one row per
+    * `(shard, block)` with the concatenated token ids and the
+    * positional 0/1 loss mask, `<|eos|>` materialized at every
+    * conversation joint, tail blocks padded with `<|pad|>` — the
+    * literal tensors a dataloader ships.
+    */
+  def sftMaterializeBlocks(s: SparkSession, dir: String): DataFrame =
+    Sft.materializeBlocks(sftTurnsDf(s, dir), PinnedRawMerges,
+        Bpe.vocabBytes(s, PinnedRawMerges, Specials),
+        blockTokens = TokBlock, nShards = PackShards, portable = true,
+        byteLevel = true, eosId = EosId,
+        padId = Some(Specials.indexOf("<|pad|>")))
+      .select(col("shard"), col("block_id"), col("n_tokens"), col("n_pad"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"),
+        array_join(transform(col("loss_mask"), i => i.cast("string")), " ")
+          .as("mask_str"))
+      .orderBy("shard", "block_id")
+
+  /** Oracle: per-turn token LISTS ([[sftTokBytesCtes]]' `lts`) mapped
+    * to ids through the specials-prefixed vocabulary, conversation
+    * streams assembled by ordered flatten, the same conv_offset/block
+    * math as the packing chain, per-block ordered flatten of id
+    * slices + span-derived mask bits, `<|eos|>` rows at `off − 1`,
+    * `<|pad|>` comprehension to the block size.
+    */
+  val sftMaterializeBlocksSql: String = {
+    val B = TokBlock
+    val pad = Specials.indexOf("<|pad|>")
+    s"""WITH $sftTurnsCte,
+       |$sftTokBytesCtes,
+       |voc AS (SELECT token_id, token FROM (${vocabSpecialsSqlFor(PinnedRawMerges)})),
+       |tkx AS (
+       |  SELECT conv_id, turn_idx, masked, unnest(range(1, len(lt)+1)) AS j, lt
+       |  FROM lts),
+       |tk1 AS (SELECT conv_id, turn_idx, masked, j, lt[j] AS tok FROM tkx),
+       |tid AS (
+       |  SELECT t.conv_id, t.turn_idx, t.masked, t.j, v.token_id
+       |  FROM tk1 t JOIN voc v ON v.token = t.tok),
+       |tl AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    list(token_id ORDER BY j) AS ids
+       |  FROM tid GROUP BY 1, 2, 3),
+       |cv AS (
+       |  SELECT conv_id, flatten(list(ids ORDER BY turn_idx)) AS ids,
+       |    CAST(sum(len(ids)) AS BIGINT) AS n
+       |  FROM tl GROUP BY conv_id),
+       |offs AS (
+       |  SELECT conv_id, turn_idx, masked,
+       |    CAST(coalesce(sum(len(ids)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts,
+       |    CAST(len(ids) AS BIGINT) AS nt
+       |  FROM tl),
+       |spn AS (
+       |  SELECT conv_id,
+       |    list([ts, ts + nt] ORDER BY turn_idx) FILTER (WHERE masked) AS spans
+       |  FROM offs GROUP BY conv_id),
+       |cvs AS (
+       |  SELECT c.conv_id, c.ids, c.n,
+       |    coalesce(s.spans, CAST([] AS BIGINT[][])) AS spans
+       |  FROM cv c LEFT JOIN spn s USING (conv_id)
+       |  WHERE c.n > 0),
+       |sb2 AS (
+       |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
+       |    conv_id, ids, n, spans
+       |  FROM cvs),
+       |so2 AS (
+       |  SELECT *, CAST(coalesce(sum(n + 1) OVER (PARTITION BY shard
+       |    ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS off
+       |  FROM sb2),
+       |pe2 AS (
+       |  SELECT shard, off, n, ids, spans,
+       |    unnest(range(off // $B, (off + n - 1) // $B + 1)) AS block_id
+       |  FROM so2),
+       |ct AS (
+       |  SELECT shard, block_id,
+       |    greatest(off, block_id * $B) - block_id * $B AS sib,
+       |    greatest(off, block_id * $B) - off AS lo,
+       |    least(off + n, (block_id + 1) * $B) - off AS hi,
+       |    ids, spans
+       |  FROM pe2),
+       |cslice AS (
+       |  SELECT shard, block_id, sib,
+       |    ids[lo + 1 : hi] AS piece,
+       |    [CASE WHEN len([sp for sp in spans if p >= sp[1] AND p < sp[2]]) > 0
+       |       THEN 1 ELSE 0 END for p in range(lo, hi)] AS mask
+       |  FROM ct),
+       |jt AS (
+       |  SELECT shard, (off - 1) // $B AS block_id, (off - 1) % $B AS sib,
+       |    [CAST($EosId AS INT)] AS piece, [0] AS mask
+       |  FROM so2 WHERE off > 0),
+       |allp AS (SELECT * FROM cslice UNION ALL SELECT * FROM jt),
+       |blk AS (
+       |  SELECT shard, block_id,
+       |    flatten(list(piece ORDER BY sib)) AS tids,
+       |    flatten(list(mask ORDER BY sib)) AS lms
+       |  FROM allp GROUP BY 1, 2)
+       |SELECT shard, block_id,
+       |  CAST(len(tids) AS INT) AS n_tokens,
+       |  CAST($B - len(tids) AS INT) AS n_pad,
+       |  array_to_string(tids || [CAST($pad AS INT) for i in range($B - len(tids))], ' ') AS ids_str,
+       |  array_to_string(lms || [0 for i in range($B - len(tids))], ' ') AS mask_str
+       |FROM blk ORDER BY shard, block_id""".stripMargin
   }
 
   // ---- SFT capstone: truncate -> transcripts -> pack as ONE chain ------
@@ -1726,6 +1837,7 @@ object TrainGates {
     "sft_run_tokens"  -> (sftRunTokens _),
     "sft_pack_tokens_bytes" -> (sftPackTokensBytes _),
     "sft_run_tokens_bytes" -> (sftRunTokensBytes _),
+    "sft_materialize_blocks" -> (sftMaterializeBlocks _),
     "sft_mask_audit"  -> (sftMaskAudit _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
@@ -1765,6 +1877,7 @@ object TrainGates {
     "sft_run_tokens"  -> sftRunTokensSql,
     "sft_pack_tokens_bytes" -> sftPackTokensBytesSql,
     "sft_run_tokens_bytes" -> sftRunTokensBytesSql,
+    "sft_materialize_blocks" -> sftMaterializeBlocksSql,
     "sft_mask_audit"  -> sftMaskAuditSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,

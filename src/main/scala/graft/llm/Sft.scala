@@ -266,6 +266,170 @@ object Sft {
     eosId.fold(packed)(id => packed.withColumn("eos_id", lit(id)))
   }
 
+  /** Per-turn token-ID arrays under a pinned merge table + vocabulary,
+    * joined back as `__ids` — [[withLineTokens]]' sibling for the
+    * MATERIALIZATION path: same distinct-line kernel, but the ids
+    * themselves survive instead of collapsing to a count.
+    */
+  private def withLineIds(turnsDf: DataFrame,
+                          merges: Array[(String, String)],
+                          vocabDf: DataFrame,
+                          byteLevel: Boolean): DataFrame = {
+    val spark = turnsDf.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Int] = {
+      import org.apache.spark.sql.functions.{col => c}
+      vocabDf.select(c("token"), c("token_id").cast("int"))
+        .as[(String, Int)].collect().toMap
+    }
+    val bcV = spark.sparkContext.broadcast(vmap)
+    val bcM = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
+    val line = lineOf(col("role"), col("content"))
+    val lineKey = if (byteLevel) line
+      else regexp_replace(trim(lower(line)), "\\s+", " ")
+    val withLine = turnsDf.withColumn("__line", lineKey)
+    val counted = withLine.select(col("__line")).distinct().as[String]
+      .mapPartitions { it =>
+        val idx = bcM.value
+        val vm = bcV.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { t =>
+          val ids =
+            if (byteLevel)
+              Bpe.preTokenize(t).iterator.flatMap { p =>
+                Bpe.memoized(memo, p)(
+                  Bpe.encodeWordFast(Bpe.byteSyms(p), idx)
+                    .map(s => vm.getOrElse(s, -1)))
+              }.toArray
+            else if (t.isEmpty) Array.empty[Int]
+            else t.split(" ").iterator.flatMap { w =>
+              Bpe.memoized(memo, w)(
+                Bpe.encodeWordFast(w, idx).map(s => vm.getOrElse(s, -1)))
+            }.toArray
+          (t, ids)
+        }
+      }.toDF("__line", "__ids")
+    withLine.join(counted, Seq("__line")).drop("__line")
+  }
+
+  /** MATERIALIZED trainer blocks — the last step before the trainer:
+    * [[packTokens]]' block layout joined back to the actual id streams.
+    * One row per `(shard, block_id)` with `token_ids` (the
+    * concatenated ids of everything the block contains) and a
+    * positional 0/1 `loss_mask` — the literal tensors a dataloader
+    * ships, not offsets into something else.
+    *
+    * Pinned semantics (all inherited from the token-coordinate family
+    * so the layout is IDENTICAL to [[packTokens]]' blocks):
+    *   - a conversation's id stream = its turns' rendered-line id
+    *     arrays concatenated in turn order, NO joint token between
+    *     turns (the coordinate system [[transcriptsTokens]] pins);
+    *   - conversations lay end to end per shard with exactly ONE
+    *     `eosId` token between them (the packer's `+1` joint — here it
+    *     is materialized: `eosId` precedes every non-first
+    *     conversation, mask 0); zero-token conversations pack to
+    *     nothing;
+    *   - blocks are `[b·B, (b+1)·B)` windows of the shard stream; the
+    *     tail block is ragged unless `padId` is given, in which case
+    *     it pads to `B` with mask 0 and `n_pad` says how much;
+    *   - `loss_mask(i) = 1` iff position `i` falls inside a masked
+    *     (assistant) turn's token span, clipped to the block.
+    *
+    * Output: `(shard, block_id, n_tokens, n_pad, token_ids,
+    * loss_mask)` — `n_tokens` is the content size before padding.
+    *
+    * Scale shape: the distinct-line encode join + the per-shard offset
+    * cumsum (both shared with [[packTokens]]); block assembly is one
+    * `(shard, block)` aggregation whose state is bounded by
+    * `blockTokens` ids — never a transcript, never the corpus.
+    */
+  def materializeBlocks(turnsDf: DataFrame,
+                        merges: Array[(String, String)],
+                        vocabDf: DataFrame,
+                        blockTokens: Int, nShards: Int = 16,
+                        portable: Boolean = false,
+                        byteLevel: Boolean = false,
+                        eosId: Int, padId: Option[Int] = None): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
+    import graft.operators.Sharding
+    val b = lit(blockTokens.toLong)
+    val wT = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val toks = withLineIds(turnsDf, merges, vocabDf, byteLevel)
+      .withColumn("__nt", size(col("__ids")).cast("long"))
+      .withColumn("tok_start", coalesce(
+        sum(col("__nt")).over(wT.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("__nt"))
+    val conv = toks.groupBy(col("conv_id"))
+      .agg(
+        sum(col("__nt")).as("__n"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("turn_idx"), col("__ids")))),
+          s => s.getField("__ids"))).as("__ids"),
+        transform(
+          sort_array(collect_list(when(col("masked"),
+            struct(col("turn_idx"), col("tok_start"), col("tok_end"))))),
+          s => struct(s.getField("tok_start").as("s"),
+            s.getField("tok_end").as("e"))).as("__spans"))
+      .filter(col("__n") > 0)
+    val sid = if (portable) Sharding.shardIdPortable(col("conv_id"), nShards)
+              else Sharding.shardId(col("conv_id"), nShards)
+    val wS = Window.partitionBy(col("shard")).orderBy(col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = conv.select(sid.as("shard"), col("conv_id"), col("__n"),
+        col("__ids"), col("__spans"))
+      .withColumn("conv_offset",
+        coalesce(sum(col("__n") + lit(1L)).over(wS), lit(0L)))
+    val kb = col("block_id") * b
+    val content = base
+      .select(col("shard"), col("conv_offset"), col("__n"), col("__ids"),
+        col("__spans"),
+        explode(sequence(floor(col("conv_offset") / b),
+          floor((col("conv_offset") + col("__n") - 1) / b))).as("block_id"))
+      .select(col("shard"), col("block_id"),
+        (greatest(col("conv_offset"), kb) - kb).as("start_in_block"),
+        (greatest(col("conv_offset"), kb) - col("conv_offset")).as("__lo"),
+        (least(col("conv_offset") + col("__n"), kb + b)
+          - col("conv_offset")).as("__hi"),
+        col("__ids"), col("__spans"))
+      .select(col("shard"), col("block_id"), col("start_in_block"),
+        slice(col("__ids"), (col("__lo") + 1).cast("int"),
+          (col("__hi") - col("__lo")).cast("int")).as("__piece"),
+        transform(sequence(col("__lo"), col("__hi") - 1),
+          p => when(exists(col("__spans"),
+            sp => p >= sp.getField("s") && p < sp.getField("e")),
+            lit(1)).otherwise(lit(0))).as("__mask"))
+    val joints = base.filter(col("conv_offset") > 0)
+      .select(col("shard"),
+        floor((col("conv_offset") - 1) / b).as("block_id"),
+        ((col("conv_offset") - 1) % b).as("start_in_block"),
+        array(lit(eosId)).as("__piece"),
+        array(lit(0)).as("__mask"))
+    val blocks = content.unionByName(joints)
+      .groupBy(col("shard"), col("block_id"))
+      .agg(
+        flatten(transform(sort_array(collect_list(
+          struct(col("start_in_block"), col("__piece"), col("__mask")))),
+          s => s.getField("__piece"))).as("token_ids"),
+        flatten(transform(sort_array(collect_list(
+          struct(col("start_in_block"), col("__piece"), col("__mask")))),
+          s => s.getField("__mask"))).as("loss_mask"))
+      .withColumn("n_tokens", size(col("token_ids")))
+    padId match {
+      case Some(pid) =>
+        val pad = (b.cast("int") - col("n_tokens"))
+        blocks.select(col("shard"), col("block_id"), col("n_tokens"),
+          pad.as("n_pad"),
+          concat(col("token_ids"),
+            array_repeat(lit(pid), pad)).as("token_ids"),
+          concat(col("loss_mask"),
+            array_repeat(lit(0), pad)).as("loss_mask"))
+      case None =>
+        blocks.select(col("shard"), col("block_id"), col("n_tokens"),
+          lit(0).as("n_pad"), col("token_ids"), col("loss_mask"))
+    }
+  }
+
   /** Loss-mask AUDIT of a transcripts table (char- or token-coordinate
     * — the checks are unit-agnostic): per conversation, whether every
     * span is in-bounds (`0 ≤ s < e ≤ n_chars`) and the span list is

@@ -1,0 +1,106 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sft.materializeBlocks]]: the packed layout joined back to real id
+  * streams — conservation laws against the token-coordinate rollup,
+  * EOS joint placement, padding, and the decode-back property.
+  */
+class SftMaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = Array(
+    (Bpe.byteSyms("c"), Bpe.byteSyms("l")),
+    (Bpe.byteSym(' ').toString, Bpe.byteSyms("c")))
+  private val specials = Seq("<|bos|>", "<|eos|>", "<|pad|>")
+  private val Eos = 1
+  private val Pad = 2
+
+  private def turnsOf(rows: Seq[(Long, Long, Long, String, String)]) =
+    Sft.turns(rows.toDF("user_id", "ts", "event_id", "event_type", "props"),
+      "user_id", "ts", "event_type", "props")
+
+  test("conservation: block content = conversation streams + one EOS per joint") {
+    val turnsDf = turnsOf(Seq(
+      (1L, 1L, 101L, "click", "Home Page"),
+      (1L, 2L, 102L, "reply", "OK  sure"),
+      (2L, 1L, 201L, "view", null.asInstanceOf[String]),
+      (3L, 1L, 301L, "error", "{\"k\": 7}")))
+    val vocab = Bpe.vocabBytes(spark, merges, specials)
+    val blocks = Sft.materializeBlocks(turnsDf, merges, vocab,
+      blockTokens = 8, nShards = 1, portable = true, byteLevel = true,
+      eosId = Eos, padId = Some(Pad)).cache()
+    val tt = Sft.transcriptsTokens(turnsDf, merges, byteLevel = true)
+      .select(col("n_tokens").cast("long"), col("n_masked_tokens").cast("long"))
+      .as[(Long, Long)].collect()
+    val nConvs = tt.length
+    val contentTotal = blocks.agg(sum(col("n_tokens"))).as[Long].head()
+    // one shard: (nConvs - 1) joints
+    assert(contentTotal === tt.map(_._1).sum + (nConvs - 1))
+    // every EOS in the stream is a joint (content lines never map to id 1:
+    // specials are multi-char strings no merge output equals here)
+    val eosCount = blocks.select(explode(col("token_ids")).as("id"))
+      .filter(col("id") === Eos).count()
+    assert(eosCount === (nConvs - 1).toLong)
+    // mask conservation: spans survive block clipping exactly
+    val maskTotal = blocks
+      .select(explode(col("loss_mask")).as("m")).agg(sum(col("m")))
+      .as[Long].head()
+    assert(maskTotal === tt.map(_._2).sum)
+    // padding: every block exactly blockTokens long, pad ids mask 0
+    val sizes = blocks.select(size(col("token_ids")), size(col("loss_mask")),
+      col("n_tokens") + col("n_pad")).as[(Int, Int, Int)].collect()
+    sizes.foreach { case (a, b, c) => assert(a === 8 && b === 8 && c === 8) }
+  }
+
+  test("layout matches packTokens block for block") {
+    val turnsDf = turnsOf(Seq(
+      (1L, 1L, 101L, "click", "alpha beta gamma delta"),
+      (1L, 2L, 102L, "reply", "epsilon zeta"),
+      (2L, 1L, 201L, "view", "eta theta iota kappa lambda"),
+      (5L, 1L, 501L, "buy", "mu nu xi")))
+    val vocab = Bpe.vocabBytes(spark, merges, specials)
+    val mat = Sft.materializeBlocks(turnsDf, merges, vocab,
+      blockTokens = 16, nShards = 2, portable = true, byteLevel = true,
+      eosId = Eos)
+    val packed = Sft.packTokens(turnsDf, merges, blockTokens = 16,
+      nShards = 2, portable = true, byteLevel = true, eosId = Some(Eos))
+    // per (shard, block): materialized content size = packed pieces +
+    // the joints that LAND in that block (joint position = the packed
+    // row whose conversation starts at start_in_block > 0 carries a
+    // preceding EOS at start_in_block - 1; a joint on a block boundary
+    // lands in the PREVIOUS block)
+    val packAgg = packed.groupBy("shard", "block_id")
+      .agg(sum("toks_in_block").as("content"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (s, b, c) => ((s, b), c) }.toMap
+    val matAgg = mat.select(col("shard"), col("block_id"), col("n_tokens"))
+      .as[(Int, Long, Int)].collect()
+      .map { case (s, b, n) => ((s, b), n.toLong) }.toMap
+    assert(matAgg.keySet === packAgg.keySet ||
+      matAgg.keySet.subsetOf(packAgg.keySet) || packAgg.keySet.subsetOf(matAgg.keySet))
+    val jointsPerBlock = matAgg.map { case (k, n) => (k, n - packAgg.getOrElse(k, 0L)) }
+    // joints are nonnegative and total (#convs - #nonempty shards)
+    assert(jointsPerBlock.values.forall(_ >= 0))
+    val nConvs = turnsDf.select("conv_id").distinct().count()
+    val nShardsUsed = matAgg.keySet.map(_._1).size
+    assert(jointsPerBlock.values.sum === nConvs - nShardsUsed)
+  }
+
+  test("single conversation decodes back to its rendered lines") {
+    val turnsDf = turnsOf(Seq(
+      (1L, 1L, 101L, "click", "Hà Nội 🙂"),
+      (1L, 2L, 102L, "reply", "OK")))
+    val vocab = Bpe.vocabBytes(spark, merges, specials)
+    val blocks = Sft.materializeBlocks(turnsDf, merges, vocab,
+      blockTokens = 1000, nShards = 1, portable = true, byteLevel = true,
+      eosId = Eos)
+    val ids = blocks.orderBy("block_id")
+      .select(col("token_ids")).as[Seq[Int]].collect().flatten
+    val tokOf = vocab.as[(Int, String)].collect().map(_.swap).map(_.swap).toMap
+    val text = Bpe.symsToString(ids.map(tokOf).mkString)
+    // turn boundary carries no token: lines concatenate directly
+    assert(text === "user: click Hà Nội 🙂" + "assistant: reply OK")
+  }
+}
