@@ -533,7 +533,10 @@ object Bench {
         // materialized trainer blocks: the same distinct-line encode
         // join + per-shard cumsum, plus one (shard, block) agg whose
         // state is bounded by blockTokens ids
-        "sft_materialize_blocks")
+        "sft_materialize_blocks",
+        // FIM example prep: a pure narrow projection (hash cuts +
+        // three substrings), scan-speed like span_corrupt
+        "fim_transform")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -816,6 +816,51 @@ object TrainGates {
        |FROM wds w JOIN enc e ON w.doc_id = e.doc_id
        |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 
+  /** u32-of-md5 over a SQL string expression — the DuckDB restatement
+    * of [[graft.functions.Hashes.u32OfMd5]] (first 8 hex digits as a
+    * base-16 integer), shared with [[PipelineGates.shardFoldSql]]'s
+    * fold form.
+    */
+  private def u32Sql(strExpr: String): String =
+    "list_reduce([strpos('0123456789abcdef', substr(md5(" + strExpr +
+      "), j, 1)) - 1 for j in range(1, 9)], (a, b) -> a * 16 + b)"
+
+  /** [[graft.llm.SpanCorrupt.fim]] over the raw union corpus (mixed
+    * case / whitespace / astral regimes planted): deterministic
+    * 1-in-2 selection, hash-derived character cuts, PSM rendering —
+    * non-selected docs pass through verbatim.
+    */
+  def fimTransform(s: SparkSession, dir: String): DataFrame =
+    graft.llm.SpanCorrupt.fim(rawDocsDf(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val fimTransformSql: String = {
+    val hF = u32Sql("CAST(doc_id AS VARCHAR) || ':fim'")
+    val h1 = u32Sql("CAST(doc_id AS VARCHAR) || ':cut1'")
+    val h2 = u32Sql("CAST(doc_id AS VARCHAR) || ':cut2'")
+    s"""WITH $rawDocsSql,
+       |d AS (SELECT doc_id, coalesce(text, '') AS tx FROM rd),
+       |h AS (
+       |  SELECT doc_id, tx, CAST(len(tx) AS INT) AS n,
+       |    ($hF % 2 = 0 AND len(tx) >= 2) AS ap,
+       |    CAST($h1 % (len(tx) + 1) AS INT) AS c1,
+       |    CAST($h2 % (len(tx) + 1) AS INT) AS c2
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id, tx, n, ap,
+       |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+       |  FROM h)
+       |SELECT doc_id, ap AS fim_applied, n AS n_chars,
+       |  CASE WHEN ap THEN lo END AS fim_lo,
+       |  CASE WHEN ap THEN hi END AS fim_hi,
+       |  CASE WHEN ap THEN
+       |    '<|fim_pre|>' || substr(tx, 1, lo) ||
+       |    '<|fim_suf|>' || substr(tx, hi + 1, n - hi) ||
+       |    '<|fim_mid|>' || substr(tx, lo + 1, hi - lo)
+       |  ELSE tx END AS fim_text
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Reserved specials + raw trainer-contract ids ---------------------
 
   /** Reserved special tokens for the id tiers — BOS/EOS/PAD pinned at
@@ -1824,6 +1869,7 @@ object TrainGates {
     "bpe_vocab_specials" -> (bpeVocabSpecials _),
     "bpe_encode_ids_bytes_raw" -> (bpeEncodeIdsBytesRaw _),
     "select_budget_bytes" -> (selectBudgetBytes _),
+    "fim_transform"   -> (fimTransform _),
     "bpe_vocab"       -> (bpeVocab _),
     "bpe_encode_ids"  -> (bpeEncodeIds _),
     "logreg_train"    -> (logregTrain _),
@@ -1864,6 +1910,7 @@ object TrainGates {
     "bpe_vocab_specials" -> bpeVocabSpecialsSql,
     "bpe_encode_ids_bytes_raw" -> bpeEncodeIdsBytesRawSql,
     "select_budget_bytes" -> selectBudgetBytesSql,
+    "fim_transform"   -> fimTransformSql,
     "bpe_vocab"       -> bpeVocabSql,
     "bpe_encode_ids"  -> bpeEncodeIdsSql,
     "logreg_train"    -> logregTrainSql,

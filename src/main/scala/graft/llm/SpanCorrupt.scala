@@ -61,4 +61,49 @@ object SpanCorrupt {
       when(empty, lit("")).otherwise(input).as("input_text"),
       when(empty, lit("<extra_id_0>")).otherwise(target).as("target_text"))
   }
+
+  /** FIM — fill-in-the-middle example prep (Bavarian et al. 2022): a
+    * deterministic 1-in-`applyEvery` selection of documents is split at
+    * two hash-derived CHARACTER cuts into prefix/middle/suffix and
+    * re-rendered in PSM order
+    * (`preTok ⧺ prefix ⧺ sufTok ⧺ suffix ⧺ midTok ⧺ middle`) — the
+    * code-model transform that teaches infilling. Published pipelines
+    * draw the cuts from a batch-time RNG; here selection AND cuts are
+    * pure functions of the doc id via the portable md5 hash (the same
+    * reproducibility argument as [[spanCorrupt]]): a re-run regenerates
+    * identical examples and the oracle restates the whole transform.
+    *
+    * Pinned semantics: `applied ⇔ u32(md5(id:fim)) % applyEvery = 0 ∧
+    * n ≥ 2`; cuts `cᵢ = u32(md5(id:cutᵢ)) % (n+1)`, `lo = min, hi =
+    * max` (empty middle/prefix/suffix legal — the trainer sees those
+    * regimes too); non-selected docs pass through verbatim with null
+    * cut columns. Character coordinates are CODE POINTS on the raw
+    * (unnormalized) text — both engines index astral characters as one.
+    *
+    * Output: `(idCol, fim_applied, n_chars, fim_lo, fim_hi, fim_text)`.
+    * Entirely narrow: one projection, no explode, no shuffle.
+    */
+  def fim(docs: DataFrame, idCol: String, textCol: String,
+          applyEvery: Int = 2,
+          preTok: String = "<|fim_pre|>", sufTok: String = "<|fim_suf|>",
+          midTok: String = "<|fim_mid|>"): DataFrame = {
+    require(applyEvery >= 1, s"applyEvery must be >= 1, got $applyEvery")
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val n = length(t)
+    def h(tag: String) = graft.functions.Hashes.u32OfMd5(
+      concat(col(idCol).cast("string"), lit(":" + tag)))
+    val applied = (h("fim") % applyEvery === 0) && (n >= 2)
+    val c1 = (h("cut1") % (n + 1)).cast("int")
+    val c2 = (h("cut2") % (n + 1)).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val rendered = concat(lit(preTok), t.substr(lit(1), lo),
+      lit(sufTok), t.substr(hi + 1, n - hi),
+      lit(midTok), t.substr(lo + 1, hi - lo))
+    docs.select(col(idCol), applied.as("fim_applied"),
+      n.cast("int").as("n_chars"),
+      when(applied, lo).otherwise(lit(null).cast("int")).as("fim_lo"),
+      when(applied, hi).otherwise(lit(null).cast("int")).as("fim_hi"),
+      when(applied, rendered).otherwise(t).as("fim_text"))
+  }
 }

@@ -67,4 +67,57 @@ class SpanCorruptSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
     assert(!plan.contains("Generate"), plan.take(400))
   }
+
+  test("fim: PSM pieces splice back to the original; pass-through is verbatim") {
+    import spark.implicits._
+    val fdocs = (0L to 40L).map(i =>
+        (i, s"Doc $i — xin chào 🙂 content ${"x" * (i % 7).toInt}"))
+      .toDF("doc_id", "text")
+    val out = SpanCorrupt.fim(fdocs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = (0L to 40L).map(i =>
+      i -> s"Doc $i — xin chào 🙂 content ${"x" * (i % 7).toInt}").toMap
+    var applied = 0
+    out.foreach { case (id, r) =>
+      val t = texts(id)
+      if (r.getAs[Boolean]("fim_applied")) {
+        applied += 1
+        val s = r.getAs[String]("fim_text")
+        // parse the PSM rendering back out
+        val pre = s.stripPrefix("<|fim_pre|>")
+        val Array(prefix, rest) = pre.split(java.util.regex.Pattern.quote("<|fim_suf|>"), 2)
+        val Array(suffix, middle) = rest.split(java.util.regex.Pattern.quote("<|fim_mid|>"), 2)
+        assert(prefix + middle + suffix === t, s"doc $id")
+        val lo = r.getAs[Int]("fim_lo"); val hi = r.getAs[Int]("fim_hi")
+        assert(lo >= 0 && lo <= hi && hi <= t.codePointCount(0, t.length), s"doc $id")
+      } else {
+        assert(r.getAs[String]("fim_text") === t, s"doc $id")
+        assert(r.isNullAt(r.fieldIndex("fim_lo")))
+      }
+    }
+    // the 1-in-2 hash selection actually selects a nontrivial subset
+    assert(applied > 5 && applied < 36)
+    // deterministic across runs
+    val again = SpanCorrupt.fim(fdocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.toString
+    val first = SpanCorrupt.fim(fdocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.toString
+    assert(again === first)
+  }
+
+  test("fim plans narrow and handles the degenerate sizes") {
+    import spark.implicits._
+    val fdocs = Seq((1L, ""), (2L, "a"), (3L, "ab"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = SpanCorrupt.fim(fdocs, "doc_id", "text", applyEvery = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // n < 2 never applies, null coalesces to empty
+    assert(!out(1L).getAs[Boolean]("fim_applied"))
+    assert(!out(4L).getAs[Boolean]("fim_applied"))
+    assert(out(4L).getAs[String]("fim_text") === "")
+    assert(out(3L).getAs[Boolean]("fim_applied"))
+    val plan = SpanCorrupt.fim(fdocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
 }
