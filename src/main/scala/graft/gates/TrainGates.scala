@@ -1596,12 +1596,15 @@ object TrainGates {
           .as("mask_str"))
       .orderBy("shard", "block_id")
 
-  /** Oracle: per-turn token LISTS ([[sftTokBytesCtes]]' `lts`) mapped
-    * to ids through the specials-prefixed vocabulary, conversation
-    * streams assembled by ordered flatten, the same conv_offset/block
-    * math as the packing chain, per-block ordered flatten of id
-    * slices + span-derived mask bits, `<|eos|>` rows at `off − 1`,
-    * `<|pad|>` comprehension to the block size.
+  /** Oracle: POSITION-BASED restatement — every token gets its global
+    * shard-stream position (`conv_offset + turn prefix + j − 1`), its
+    * mask bit comes straight from its turn's `masked` flag (a position
+    * is masked iff the turn that emitted it is — definitionally the
+    * same as the span form), `<|eos|>` rows at `off − 1`, blocks are a
+    * `pos // B` GROUP BY with ordered list aggregation, `<|pad|>`
+    * comprehension to the block size. O(total tokens) flat: the first
+    * (list-slicing) form carried each conversation's FULL id list into
+    * every block row it touched and OOM'd DuckDB at sf0.1.
     */
   val sftMaterializeBlocksSql: String = {
     val B = TokBlock
@@ -1616,65 +1619,36 @@ object TrainGates {
        |tid AS (
        |  SELECT t.conv_id, t.turn_idx, t.masked, t.j, v.token_id
        |  FROM tk1 t JOIN voc v ON v.token = t.tok),
-       |tl AS (
-       |  SELECT conv_id, turn_idx, masked,
-       |    list(token_id ORDER BY j) AS ids
-       |  FROM tid GROUP BY 1, 2, 3),
-       |cv AS (
-       |  SELECT conv_id, flatten(list(ids ORDER BY turn_idx)) AS ids,
-       |    CAST(sum(len(ids)) AS BIGINT) AS n
-       |  FROM tl GROUP BY conv_id),
        |offs AS (
-       |  SELECT conv_id, turn_idx, masked,
-       |    CAST(coalesce(sum(len(ids)) OVER (PARTITION BY conv_id ORDER BY turn_idx
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts,
-       |    CAST(len(ids) AS BIGINT) AS nt
-       |  FROM tl),
-       |spn AS (
-       |  SELECT conv_id,
-       |    list([ts, ts + nt] ORDER BY turn_idx) FILTER (WHERE masked) AS spans
-       |  FROM offs GROUP BY conv_id),
-       |cvs AS (
-       |  SELECT c.conv_id, c.ids, c.n,
-       |    coalesce(s.spans, CAST([] AS BIGINT[][])) AS spans
-       |  FROM cv c LEFT JOIN spn s USING (conv_id)
-       |  WHERE c.n > 0),
-       |sb2 AS (
-       |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
-       |    conv_id, ids, n, spans
-       |  FROM cvs),
+       |  SELECT conv_id, turn_idx,
+       |    CAST(coalesce(sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts
+       |  FROM etokb),
+       |cv AS (
+       |  SELECT conv_id, CAST(sum(ntok) AS BIGINT) AS n
+       |  FROM etokb GROUP BY conv_id HAVING sum(ntok) > 0),
        |so2 AS (
-       |  SELECT *, CAST(coalesce(sum(n + 1) OVER (PARTITION BY shard
-       |    ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |    AS BIGINT) AS off
-       |  FROM sb2),
-       |pe2 AS (
-       |  SELECT shard, off, n, ids, spans,
-       |    unnest(range(off // $B, (off + n - 1) // $B + 1)) AS block_id
-       |  FROM so2),
-       |ct AS (
-       |  SELECT shard, block_id,
-       |    greatest(off, block_id * $B) - block_id * $B AS sib,
-       |    greatest(off, block_id * $B) - off AS lo,
-       |    least(off + n, (block_id + 1) * $B) - off AS hi,
-       |    ids, spans
-       |  FROM pe2),
-       |cslice AS (
-       |  SELECT shard, block_id, sib,
-       |    ids[lo + 1 : hi] AS piece,
-       |    [CASE WHEN len([sp for sp in spans if p >= sp[1] AND p < sp[2]]) > 0
-       |       THEN 1 ELSE 0 END for p in range(lo, hi)] AS mask
-       |  FROM ct),
-       |jt AS (
-       |  SELECT shard, (off - 1) // $B AS block_id, (off - 1) % $B AS sib,
-       |    [CAST($EosId AS INT)] AS piece, [0] AS mask
+       |  SELECT ${PipelineGates.shardFoldSql("conv_id", PackShards)} AS shard,
+       |    conv_id, n,
+       |    CAST(coalesce(sum(n + 1) OVER (
+       |      PARTITION BY ${PipelineGates.shardFoldSql("conv_id", PackShards)}
+       |      ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM cv),
+       |posed AS (
+       |  SELECT s.shard, s.off + o.ts + t.j - 1 AS pos, t.token_id,
+       |    CASE WHEN t.masked THEN 1 ELSE 0 END AS mbit
+       |  FROM tid t
+       |  JOIN offs o ON o.conv_id = t.conv_id AND o.turn_idx = t.turn_idx
+       |  JOIN so2 s ON s.conv_id = t.conv_id
+       |  UNION ALL
+       |  SELECT shard, off - 1 AS pos, CAST($EosId AS INT) AS token_id, 0 AS mbit
        |  FROM so2 WHERE off > 0),
-       |allp AS (SELECT * FROM cslice UNION ALL SELECT * FROM jt),
        |blk AS (
-       |  SELECT shard, block_id,
-       |    flatten(list(piece ORDER BY sib)) AS tids,
-       |    flatten(list(mask ORDER BY sib)) AS lms
-       |  FROM allp GROUP BY 1, 2)
+       |  SELECT shard, pos // $B AS block_id,
+       |    list(token_id ORDER BY pos) AS tids,
+       |    list(mbit ORDER BY pos) AS lms
+       |  FROM posed GROUP BY 1, 2)
        |SELECT shard, block_id,
        |  CAST(len(tids) AS INT) AS n_tokens,
        |  CAST($B - len(tids) AS INT) AS n_pad,
