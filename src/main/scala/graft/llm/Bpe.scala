@@ -41,8 +41,16 @@ import scala.collection.mutable
   * count — the same bounded-collect contract as [[Ann]]'s 2^16
   * centroid budget; dropped tail words are reported, not silent).
   * Encoding is a narrow mapPartitions over a broadcast merge list with
-  * a per-partition word→tokens memo — Zipf repetition makes the memo
-  * hit rate extreme, and there is no shuffle at all.
+  * a per-partition word→tokens memo ([[MemoCap]]-bounded) — Zipf
+  * repetition makes the memo hit rate extreme, and there is no shuffle
+  * at all.
+  *
+  * Three tiers share the kernels: the CHAR tier above (normalized
+  * shared-word analytics), the NORMALIZED BYTE tier ([[encodeBytes]] —
+  * GPT-2 byte symbols under the same word convention), and the RAW
+  * BYTE tier ([[encodeBytesRaw]] — [[preTokenize]] pieces,
+  * normalization-free, exact identity round-trip; the production
+  * tokenizer regime).
   */
 object Bpe {
 
