@@ -168,19 +168,44 @@ object Apps {
       t + "=" + graft.storage.Versioned.write(dfs(t),
         s"$warehouseRoot/pins/$t")
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$warehouseRoot/pins/day=$runDate.pin"),
-      lines.mkString("\n"))
+    // Publish the manifest atomically (temp file + ATOMIC_MOVE, the same
+    // write-then-publish as the Versioned pointer): a crash mid-write
+    // must never leave a truncated day=<date>.pin that [[pinnedDays]]
+    // would treat as committed and [[rebuildFromDay]] would choke on.
+    val pinPath =
+      java.nio.file.Paths.get(s"$warehouseRoot/pins/day=$runDate.pin")
+    val tmp = java.nio.file.Files.createTempFile(
+      pinPath.getParent, s"day=$runDate", ".pin.tmp")
+    java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
+    java.nio.file.Files.move(tmp, pinPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed pin days (ascending ISO dates — lexicographic = temporal). */
+  /** Committed pin days (ascending ISO dates — lexicographic =
+    * temporal). Defense in depth behind [[pinWarehouse]]'s atomic
+    * publish: a manifest that does not parse (every [[PinTables]] key
+    * present with a long version) is skipped rather than surfaced, so
+    * a damaged pin can never block [[rebuildFromDay]] — the rebuild
+    * just falls back to the previous (or no) pin.
+    */
   def pinnedDays(warehouseRoot: String): Seq[String] = {
     val p = java.nio.file.Paths.get(s"$warehouseRoot/pins")
     if (!java.nio.file.Files.exists(p)) return Nil
     val s = java.nio.file.Files.list(p)
+    def parses(day: String): Boolean =
+      try {
+        val versions = java.nio.file.Files.readString(
+            p.resolve(s"day=$day.pin")).linesIterator
+          .filter(_.contains("=")).map { l =>
+            val Array(t, v) = l.split("=", 2); (t, v.trim.toLong)
+          }.toMap
+        PinTables.forall(versions.contains)
+      } catch { case scala.util.control.NonFatal(_) => false }
     try s.iterator().asScala.toList.map(_.getFileName.toString)
       .collect { case n if n.startsWith("day=") && n.endsWith(".pin") =>
         n.stripPrefix("day=").stripSuffix(".pin") }
+      .filter(parses)
       .sorted
     finally s.close()
   }

@@ -804,7 +804,7 @@ object TrainGates {
        |  FROM (VALUES $rawDocVals) v(doc_id, text)),
        |wds AS (
        |  SELECT doc_id, lang,
-       |    CAST(len([p for p in regexp_extract_all(coalesce(text, ''), $preTokSqlLit) if regexp_matches(p, '\\S')]) AS BIGINT) AS nw
+       |    CAST(len([p for p in regexp_extract_all(coalesce(text, ''), $preTokSqlLit) if regexp_matches(p, '${Bpe.NonWsClass}')]) AS BIGINT) AS nw
        |  FROM rl)
        |SELECT w.lang,
        |  CAST(count(*) AS BIGINT) AS n_docs,

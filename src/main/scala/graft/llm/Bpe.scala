@@ -696,11 +696,27 @@ object Bpe {
     // trainer-contract slots every id consumer downstream can rely on
     // (`Sft.packTokens`' separator threads the EOS id from here). Byte
     // symbols shift to k..k+255 (id = k + byte value), merge outputs
-    // follow. First-wins on collision: a special is a multi-char
-    // string, so it can never collide with a byte symbol, and a merge
-    // output that equals a special keeps the special's id (the token
-    // STRING is the identity, exactly the LinkedHashSet contract the
-    // char tier documents).
+    // follow. The specials list is VALIDATED, not trusted: a duplicate
+    // special would silently shift every later id; a single-char
+    // special could collide with a byte symbol and shift the whole
+    // byte block; and a merge OUTPUT equal to a special would (under
+    // the LinkedHashSet's first-wins) alias ordinary content onto the
+    // special's id — special-token injection into trainer id streams.
+    // All three fail loudly here instead.
+    require(specials.distinct.size == specials.size,
+      s"duplicate special tokens: ${specials.mkString(", ")}")
+    specials.foreach { sp =>
+      require(sp.length >= 2,
+        s"special token '$sp' must be >= 2 chars (a single char could " +
+          "collide with a byte symbol and silently shift byte ids)")
+    }
+    val specialSet = specials.toSet
+    merges.foreach { case (l, r) =>
+      require(!specialSet.contains(l + r),
+        s"merge output '${l + r}' collides with a reserved special " +
+          "token — encoding would emit the special's id for ordinary " +
+          "content; rename the special or drop the merge")
+    }
     specials.foreach(seen += _)
     (0 until 256).foreach(b => seen += byteSym(b).toString)
     merges.foreach { case (l, r) => seen += (l + r) }
@@ -809,18 +825,32 @@ object Bpe {
     * tokenizer regex, restated LOOKAHEAD-FREE so it is portable across
     * Java regex and RE2 — the same Java ∩ RE2 discipline as the PII
     * set): lowercase contraction suffixes, ` ?letters+`, ` ?digits+`,
-    * ` ?punctuation-run`, then `\s+` for whitespace runs. The original
+    * ` ?punctuation-run`, then a whitespace-run branch. The original
     * `\s+(?!\S)` lookahead branch (splitting a trailing space off a
     * whitespace run) is dropped — RE2 has no lookahead — so here a
     * whitespace RUN is one piece while a SINGLE space attaches to the
-    * following word (the `Ġword` convention). The alternation is a
-    * PARTITION of any string: every character class is covered by some
-    * branch and matches never skip, so the pieces concatenate back to
-    * exactly the input — the invariant raw round-trip rests on
-    * (BpeRawSpec fuzzes it over random unicode).
+    * following word (the `Ġword` convention); [[preTokenizeGpt2]]
+    * restores the exact GPT-2 split. The whitespace class is spelled
+    * EXPLICITLY as `[ \t\n\x0B\f\r]` rather than `\s`, because the two
+    * engines disagree on `\s` at exactly one code point: Java's
+    * (ASCII) `\s` includes U+000B vertical tab while RE2's excludes
+    * it — the explicit class preserves Java semantics bit-for-bit and
+    * makes RE2 agree. The alternation is a PARTITION of any string:
+    * every character class is covered by some branch and matches never
+    * skip, so the pieces concatenate back to exactly the input — the
+    * invariant raw round-trip rests on (BpeRawSpec fuzzes it over
+    * random unicode).
     */
   val PreTokPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** The pattern's explicit whitespace class as a NEGATED match — "this
+    * piece contains a non-whitespace char", the engine∩RE2-portable
+    * spelling of `\S` (which the engines likewise disagree on at
+    * U+000B). Used wherever a piece is classified word vs whitespace.
+    */
+  val NonWsClass: String = "[^ \\t\\n\\x0B\\f\\r]"
 
   @transient private lazy val preTokCompiled =
     java.util.regex.Pattern.compile(PreTokPattern)
@@ -943,7 +973,7 @@ object Bpe {
       lit(PreTokPattern), lit(0))
     val words = docs.select(col(idCol).cast("long").as(idCol),
       col(groupCol),
-      size(filter(pieces, p => p.rlike("\\S"))).cast("long").as("__nw"))
+      size(filter(pieces, p => p.rlike(NonWsClass))).cast("long").as("__nw"))
     words.join(enc, Seq(idCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),

@@ -339,9 +339,19 @@ object Sft {
     * loss_mask)` — `n_tokens` is the content size before padding.
     *
     * Scale shape: the distinct-line encode join + the per-shard offset
-    * cumsum (both shared with [[packTokens]]); block assembly is one
-    * `(shard, block)` aggregation whose state is bounded by
-    * `blockTokens` ids — never a transcript, never the corpus.
+    * cumsum (both shared with [[packTokens]]). Block assembly is one
+    * `(shard, block)` aggregation; its per-ROW state before the final
+    * slice is O(conversation tokens) — the conv rollup carries one
+    * conversation's whole id stream, and the explode re-ships that
+    * array into every block the conversation touches (duplication
+    * factor ⌈conv/blockTokens⌉ + 1). The bound is therefore
+    * per-CONVERSATION (the same per-entity assumption the whole Sft
+    * family documents — sessionize unbounded entities first), NOT
+    * `blockTokens`; only the post-slice aggregation state is bounded
+    * by the block size. The `sft_materialize_blocks` oracle restates
+    * the chain position-based (one row per token) precisely because
+    * carrying the list per exploded row OOMs engines without
+    * array-slice pushdown.
     */
   def materializeBlocks(turnsDf: DataFrame,
                         merges: Array[(String, String)],
