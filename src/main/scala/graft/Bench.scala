@@ -536,7 +536,11 @@ object Bench {
         "sft_materialize_blocks",
         // FIM example prep: a pure narrow projection (hash cuts +
         // three substrings), scan-speed like span_corrupt
-        "fim_transform")
+        "fim_transform",
+        // round-14: the HF min-rank encode kernel — same zero-shuffle
+        // broadcast+memo scan shape as the raw encode, per-word cost
+        // O(len^2) worst-case but memoized over distinct pieces
+        "bpe_encode_hf")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -946,6 +946,85 @@ object TrainGates {
        |FROM (SELECT doc_id FROM rd) d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- HF/GPT-2-compatible encode (min-rank-first, re-probing) ---------
+
+  /** Pinned merge table where the HF priority-queue semantics PROVABLY
+    * diverge from the rank-ascending pass form — a three-level
+    * re-creation chain: rank 3 (`h`+`e`) assembles `he`, which rank 1/2
+    * (`T|t`+`he`) consume, whose output `The` rank 0 (`Ġ`+`The`)
+    * consumes. The pass form has already passed ranks 0–2 when rank 3
+    * first fires, so it leaves `T he` split where HF re-probes back to
+    * `ĠThe` — every "the"/"The" in the corpus separates the two
+    * algorithms. Ranks 4–5 are agreement-domain merges (no pair
+    * re-creation) proving the kernels coincide there.
+    */
+  private val PinnedHfMerges: Array[(String, String)] = Array(
+    (bs(" "), bs("The")),
+    (bs("T"), bs("he")),
+    (bs("t"), bs("he")),
+    (bs("h"), bs("e")),
+    (bs("a"), bs("n")),
+    (bs("i"), bs("n")))
+
+  /** [[Bpe.encodeBytesRaw]] in `hf = true` mode under [[PinnedHfMerges]]
+    * over the raw union corpus — the [[Bpe.encodeWordHf]] kernel (the
+    * published GPT-2/HuggingFace min-rank-first algorithm) against an
+    * oracle that independently unrolls the min-rank merge steps. A
+    * pass-form kernel here would hash-mismatch on every document
+    * containing "the".
+    */
+  def bpeEncodeHf(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+        PinnedHfMerges, hf = true)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
+  /** Oracle: a RECURSIVE CTE running the literal HF loop — each step
+    * finds the LOWEST rank whose doubled-separator pair pattern occurs
+    * anywhere in the document's symbol string (the chr(10) piece
+    * sentinel keeps pairs from crossing piece boundaries, and the
+    * global min restricted to any one piece is that piece's own min
+    * whenever it fires there, so whole-document scheduling ≡ per-piece
+    * HF) and applies that ONE rank's 4×-replace merge pass, recursing
+    * until no listed pair remains. Every step strictly shrinks the
+    * string (a merge drops two separator chars), so the final state is
+    * the unique minimum-length row per document and termination is
+    * structural, not a depth guess.
+    */
+  val bpeEncodeHfSql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val whens = PinnedHfMerges.map { case (l, r) =>
+      s"WHEN contains(s, '  ${esc(l)}  ${esc(r)}  ') THEN " +
+        rep4("s", s"'${esc(l)}'", s"'${esc(r)}'")
+    }.mkString("\n      ")
+    val anyPresent = PinnedHfMerges.map { case (l, r) =>
+      s"contains(s, '  ${esc(l)}  ${esc(r)}  ')"
+    }.mkString(" OR ")
+    s"""WITH RECURSIVE $rawWordCtes,
+       |hs0 AS (
+       |  SELECT doc_id,
+       |    '  ' || coalesce(array_to_string(list_transform(range(1, len(s)+1), j -> s[j]), '  '), '') || '  ' AS s
+       |  FROM (SELECT doc_id, coalesce(array_to_string(wsyms, chr(10)), '') AS s FROM rws) t),
+       |hf AS (
+       |  SELECT doc_id, s FROM hs0
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE $whens ELSE s END AS s
+       |  FROM hf
+       |  WHERE $anyPresent),
+       |fin AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY len(s) ASC) AS rn
+       |  FROM hf),
+       |henc AS (
+       |  SELECT doc_id, [x for x in string_split(trim(s), '  ') if x <> '' AND x <> chr(10)] AS toks
+       |  FROM fin WHERE rn = 1)
+       |SELECT doc_id, CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
+       |  coalesce(array_to_string(toks, ' '), '') AS tok_str
+       |FROM henc ORDER BY doc_id""".stripMargin
+  }
+
   // ---- Logistic regression --------------------------------------------
 
   private val LrIters = 3
@@ -1842,6 +1921,7 @@ object TrainGates {
     "bpe_fertility_bytes_raw" -> (bpeFertilityBytesRaw _),
     "bpe_vocab_specials" -> (bpeVocabSpecials _),
     "bpe_encode_ids_bytes_raw" -> (bpeEncodeIdsBytesRaw _),
+    "bpe_encode_hf"   -> (bpeEncodeHf _),
     "select_budget_bytes" -> (selectBudgetBytes _),
     "fim_transform"   -> (fimTransform _),
     "bpe_vocab"       -> (bpeVocab _),
@@ -1883,6 +1963,7 @@ object TrainGates {
     "bpe_fertility_bytes_raw" -> bpeFertilityBytesRawSql,
     "bpe_vocab_specials" -> bpeVocabSpecialsSql,
     "bpe_encode_ids_bytes_raw" -> bpeEncodeIdsBytesRawSql,
+    "bpe_encode_hf"   -> bpeEncodeHfSql,
     "select_budget_bytes" -> selectBudgetBytesSql,
     "fim_transform"   -> fimTransformSql,
     "bpe_vocab"       -> bpeVocabSql,

@@ -193,6 +193,60 @@ object Bpe {
     syms
   }
 
+  /** HF/GPT-2-COMPATIBLE encode of one word: repeatedly find the
+    * LOWEST-RANK merge whose pair is currently adjacent anywhere in the
+    * symbol sequence and apply it as one non-overlapping left-to-right
+    * [[mergePass]], until no listed pair remains — the published
+    * GPT-2/HuggingFace BPE runtime algorithm (Radford et al. 2019's
+    * `bpe()` loop: `min(pairs, key=rank)` then merge-all, re-probe).
+    *
+    * This is NOT [[encodeWordFast]]: the pass form applies ranks
+    * ascending ONCE each and never revisits, so when applying rank k
+    * re-creates the pair of an earlier rank j < k, the pass form leaves
+    * it unmerged while this form goes back and merges it. The two agree
+    * exactly when no merge's application can re-create an earlier
+    * merge's pair — true of typical self-trained tables on their own
+    * corpus, false for adversarial or imported tables (BpeSpec pins a
+    * table where they provably differ; the `bpe_encode_hf` gate pins
+    * this form against a DuckDB oracle that unrolls the min-rank
+    * steps). WHICH TIER CONSUMES WHICH: tables trained HERE
+    * ([[train]]/[[trainBytes]]/[[trainBytesRaw]]) are encoded with the
+    * pass-form kernels (the trainer applies merges as ranked passes, so
+    * the pass form reproduces the train-time segmentation); an IMPORTED
+    * production vocabulary ([[loadMerges]] of a published `merges.txt`)
+    * must be encoded with THIS kernel — the artifact's publisher ran
+    * this algorithm, and the pass form mistokenizes on exactly the
+    * re-creation tables above.
+    *
+    * Cost: each step is one O(|syms|) min-scan + one merge pass, and
+    * every step shortens the sequence, so a word costs O(len²) hash
+    * probes worst-case — per WORD, independent of the merge-table size
+    * (the property that matters at a 32k-merge production vocabulary),
+    * and amortized away by the per-partition word memo like the other
+    * kernels.
+    */
+  private[llm] def encodeWordHf(word: String,
+                                idx: MergeIndex): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    if (syms.length < 2 || idx.merges.isEmpty) return syms
+    val ranks = idx.pairRanks
+    while (syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < syms.length) {
+        val rs = ranks.get(syms(i) + " " + syms(i + 1))
+        // ranks arrays are ascending by construction; rs(0) is the
+        // lowest rank mapping to this pair
+        if (rs != null && rs(0) < best) best = rs(0)
+        i += 1
+      }
+      if (best == Int.MaxValue) return syms
+      val (l, r) = idx.merges(best)
+      syms = mergePass(syms, l, r)
+    }
+    syms
+  }
+
   /** Rank-order application of a merge list to one word — the
     * oracle-checkable REFERENCE form (one pass per merge, cost
     * O(|merges|) per word); [[encodeWordFast]] is the production
@@ -899,12 +953,22 @@ object Bpe {
     * (the `bpe_bytes_roundtrip_raw` gate hash-compares against the raw
     * input column). Same narrow zero-shuffle shape: broadcast merges,
     * cap-bounded per-partition piece memo.
+    *
+    * `hf = true` swaps the kernel for [[encodeWordHf]] — REQUIRED when
+    * `merges` is an imported production vocabulary ([[loadMerges]]);
+    * the default pass form is for tables trained here (the kernel docs
+    * carry the which-consumes-which contract). The round-trip identity
+    * holds under either kernel (tokens partition the symbols either
+    * way).
     */
   def encodeBytesRaw(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Array[(String, String)]): DataFrame = {
+                     merges: Array[(String, String)],
+                     hf: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val encodeOne: (String, MergeIndex) => Array[String] =
+      if (hf) encodeWordHf else encodeWordFast
     val raw = docs.select(col(idCol).cast("long"),
       coalesce(col(textCol), lit("")).as("__t"))
     val encoded = raw.as[(Long, String)].mapPartitions { rows =>
@@ -912,7 +976,7 @@ object Bpe {
       val memo = mutable.HashMap.empty[String, Array[String]]
       rows.map { case (id, t) =>
         val toks = preTokenize(t).iterator.flatMap { p =>
-          memoized(memo, p)(encodeWordFast(byteSyms(p), idx))
+          memoized(memo, p)(encodeOne(byteSyms(p), idx))
         }.toArray
         (id, toks)
       }
@@ -925,11 +989,13 @@ object Bpe {
     * analogue of [[encodeIdsBytes]]. Under a [[vocabBytes]] table of
     * the same merges (any `specials` prefix — the lookup is by token
     * string, so shifted ids thread through untouched), −1 is impossible
-    * by construction.
+    * by construction. `hf = true` swaps in the [[encodeWordHf]] kernel
+    * — required for imported production vocabularies ([[loadMerges]]).
     */
   def encodeIdsBytesRaw(docs: DataFrame, idCol: String, textCol: String,
                         merges: Array[(String, String)],
-                        vocabDf: DataFrame): DataFrame = {
+                        vocabDf: DataFrame,
+                        hf: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vmap: Map[String, Int] = vocabDf
@@ -937,6 +1003,8 @@ object Bpe {
       .as[(String, Int)].collect().toMap
     val bcV = spark.sparkContext.broadcast(vmap)
     val bcM = spark.sparkContext.broadcast(new MergeIndex(merges))
+    val encodeOne: (String, MergeIndex) => Array[String] =
+      if (hf) encodeWordHf else encodeWordFast
     val raw = docs.select(col(idCol).cast("long"),
       coalesce(col(textCol), lit("")).as("__t"))
     raw.as[(Long, String)].mapPartitions { rows =>
@@ -946,7 +1014,7 @@ object Bpe {
       rows.map { case (id, t) =>
         val ids = preTokenize(t).iterator.flatMap { p =>
           memoized(memo, p)(
-            encodeWordFast(byteSyms(p), idx).map(s => vm.getOrElse(s, -1)))
+            encodeOne(byteSyms(p), idx).map(s => vm.getOrElse(s, -1)))
         }.toArray
         (id, ids)
       }

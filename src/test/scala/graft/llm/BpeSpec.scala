@@ -139,6 +139,65 @@ class BpeSpec extends SparkSpec {
       Bpe.encodeWord("abcab", t3).toSeq)
   }
 
+  test("encodeWordHf diverges from the pass form exactly on re-creation tables") {
+    // the same adversarial table as above: HF min-rank-first re-probes
+    // after (a,b) re-creates rank 0's pair, the pass form cannot
+    val t = Array(("ab", "c"), ("a", "b"))
+    assert(Bpe.encodeWordHf("abc", new Bpe.MergeIndex(t)).toSeq ==
+      Seq("abc"))
+    assert(Bpe.encodeWord("abc", t).toSeq == Seq("ab", "c"))
+    // three-level re-creation chain (the bpe_encode_hf gate's table
+    // shape): h+e -> T+he -> Ġ+The, declared in REVERSE rank order
+    val g = Array(
+      (Bpe.byteSyms(" "), "The"), ("T", "he"), ("t", "he"), ("h", "e"))
+    val gi = new Bpe.MergeIndex(g)
+    assert(Bpe.encodeWordHf(Bpe.byteSyms(" The"), gi).toSeq ==
+      Seq(Bpe.byteSyms(" The")))
+    assert(Bpe.encodeWord(Bpe.byteSyms(" The"), g).toSeq ==
+      Seq(Bpe.byteSyms(" "), "T", "he"))
+    // agreement domain: a trained-order table (outputs built bottom-up,
+    // no pair re-creation) — the two semantics coincide
+    val a = Array(("a", "b"), ("ab", "c"))
+    assert(Bpe.encodeWordHf("abcab", new Bpe.MergeIndex(a)).toSeq ==
+      Bpe.encodeWord("abcab", a).toSeq)
+  }
+
+  test("encodeWordHf == a naive min-rank restatement across a seeded sweep") {
+    // independent slow restatement of the GPT-2 bpe() loop: linear-scan
+    // the merge table ascending for the first rank whose pair is
+    // adjacent, merge-pass it, repeat
+    def naiveHf(word: String, merges: Array[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toArray
+      var go = true
+      while (go && syms.length > 1) {
+        val hit = merges.indices.find { k =>
+          val (l, r) = merges(k)
+          (0 until syms.length - 1).exists(i =>
+            syms(i) == l && syms(i + 1) == r)
+        }
+        hit match {
+          case Some(k) =>
+            val (l, r) = merges(k)
+            syms = Bpe.mergePass(syms, l, r)
+          case None => go = false
+        }
+      }
+      syms.toSeq
+    }
+    val rnd = new scala.util.Random(271)
+    val alphabet = "abc"
+    def randSym(): String =
+      (0 until (1 + rnd.nextInt(2))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    for (trial <- 1 to 500) {
+      val word = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      val merges = Array.fill(rnd.nextInt(10))((randSym(), randSym()))
+      val idx = new Bpe.MergeIndex(merges)
+      assert(Bpe.encodeWordHf(word, idx).toSeq == naiveHf(word, merges),
+        s"trial=$trial word=$word merges=${merges.toSeq}")
+    }
+  }
+
   test("encodeWordFast == encodeWord across a seeded random-table sweep") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abc"
