@@ -540,7 +540,12 @@ object Bench {
         // round-14: the HF min-rank encode kernel — same zero-shuffle
         // broadcast+memo scan shape as the raw encode, per-word cost
         // O(len^2) worst-case but memoized over distinct pieces
-        "bpe_encode_hf")
+        "bpe_encode_hf",
+        // round-14: exact GPT-2 split — the same narrow scan shapes as
+        // their portable-split siblings (segmenting is one linear char
+        // scan per row before the same regex)
+        "bpe_pretok_gpt2", "bpe_encode_bytes_gpt2",
+        "bpe_bytes_roundtrip_gpt2", "bpe_train_bytes_gpt2")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

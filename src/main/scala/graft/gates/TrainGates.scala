@@ -604,6 +604,7 @@ object TrainGates {
     * sides.
     */
   private val PlantedRawDocs: Seq[(Long, String)] = Seq(
+    (-9L, "deep\n\n\nnest  'llama isn't\u000B ok"),
     (-8L, "Hello  World"),
     (-7L, "don't STOP it's 2024!!"),
     (-6L, "xin chào Hà Nội ộ 🙂🙂 Abc"),
@@ -1024,6 +1025,136 @@ object TrainGates {
        |  coalesce(array_to_string(toks, ' '), '') AS tok_str
        |FROM henc ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Exact GPT-2 pre-tokenization (trailing-space split) -------------
+
+  /** GPT-2-split raw word CTEs ending in `gws(doc_id, wsyms)`: the
+    * oracle restatement of [[Bpe.preTokenizeGpt2]]'s lookahead-free
+    * construction — a sentinel `regexp_replace` inserts chr(1)
+    * immediately before every whitespace char whose successor is
+    * non-whitespace (exactly the last whitespace of each run followed
+    * by non-whitespace; the two-char matches are disjoint, so one
+    * global pass suffices), `string_split` on the sentinel yields the
+    * segments, and each segment is independently
+    * `regexp_extract_all`'d with the plain portable pattern. chr(1)
+    * is absent from the corpus and every planted row.
+    */
+  private val gpt2WordCtes: String =
+    s"""$rawDocsSql,
+       |gsg AS (
+       |  SELECT doc_id, string_split(
+       |    regexp_replace(coalesce(text, ''),
+       |      '(${Bpe.WsClass})(${Bpe.NonWsClass})', chr(1) || '\\1\\2', 'g'),
+       |    chr(1)) AS segs
+       |  FROM rd),
+       |gpc AS (
+       |  SELECT doc_id, flatten(list_transform(segs,
+       |    g -> regexp_extract_all(g, $preTokSqlLit))) AS ps
+       |  FROM gsg),
+       |gws AS (
+       |  SELECT doc_id, list_transform(ps, w -> $wsymExpr) AS wsyms
+       |  FROM gpc)""".stripMargin
+
+  /** [[Bpe.preTokenizeGpt2]] over the raw union corpus — the JVM
+    * segment-retokenize kernel against the independent RE2 sentinel
+    * surgery: the cross-engine pin of the EXACT GPT-2 split (a
+    * whitespace run followed by a word donates its last space — the
+    * `bpe_pretok` gate pins the portable split, this one the
+    * production split; the planted multi-space/indentation/contraction
+    * rows separate the two).
+    */
+  def bpePretokGpt2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rawDocsDf(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("text"), lit("")).as("__t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ps = Bpe.preTokenizeGpt2(t)
+        (id, ps.length, ps.mkString("\u001f"))
+      }
+      .toDF("doc_id", "n_pieces", "pieces_str")
+      .orderBy("doc_id")
+  }
+
+  val bpePretokGpt2Sql: String =
+    s"""WITH $gpt2WordCtes
+       |SELECT doc_id, CAST(len(ps) AS INT) AS n_pieces,
+       |  coalesce(array_to_string(ps, chr(31)), '') AS pieces_str
+       |FROM gpc ORDER BY doc_id""".stripMargin
+
+  /** Raw byte-tier encode chain over the GPT-2 split, ending in
+    * `gen(doc_id, toks)` — [[bpeBytesRawEncCtes]] with `gws` as the
+    * word table (same sentinel join, same doubled-separator replace
+    * chain over [[PinnedRawMerges]]).
+    */
+  private val bpeBytesGpt2EncCtes: String = {
+    val chain = PinnedRawMerges.foldLeft(
+      "'  ' || coalesce(array_to_string(list_transform(" +
+        "range(1, len(s)+1), j -> s[j]), '  '), '') || '  '") {
+      case (e, (l, r)) =>
+        rep4(e, s"'${l.replace("'", "''")}'", s"'${r.replace("'", "''")}'")
+    }
+    s"""$gpt2WordCtes,
+       |gsy AS (
+       |  SELECT doc_id, coalesce(array_to_string(wsyms, chr(10)), '') AS s
+       |  FROM gws),
+       |gen AS (
+       |  SELECT doc_id, [x for x in string_split(trim($chain), '  ') if x <> '' AND x <> chr(10)] AS toks
+       |  FROM gsy)""".stripMargin
+  }
+
+  /** [[Bpe.encodeBytesRaw]] with `gpt2Ws = true` under
+    * [[PinnedRawMerges]] — raw byte tokens over the EXACT GPT-2 pieces
+    * (the `ĠĠ` whitespace-run merge now sees run[0..n−2] pieces, and
+    * every post-run word carries its donated `Ġ`).
+    */
+  def bpeEncodeBytesGpt2(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+        PinnedRawMerges, gpt2Ws = true)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("tok_str"))
+      .orderBy("doc_id")
+
+  val bpeEncodeBytesGpt2Sql: String =
+    s"""WITH $bpeBytesGpt2EncCtes
+       |SELECT doc_id, CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
+       |  coalesce(array_to_string(toks, ' '), '') AS tok_str
+       |FROM gen ORDER BY doc_id""".stripMargin
+
+  /** GPT-2-split exact round-trip: the split is still a lossless
+    * partition (segments concatenate to the input, each segment's
+    * pieces to the segment), so `decodeBytes ∘ encodeBytesRaw(gpt2Ws)`
+    * stays the identity on arbitrary UTF-8 — the oracle is again the
+    * raw input column.
+    */
+  def bpeBytesRoundtripGpt2(s: SparkSession, dir: String): DataFrame =
+    Bpe.decodeBytes(
+        Bpe.encodeBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+          PinnedRawMerges, gpt2Ws = true),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val bpeBytesRoundtripGpt2Sql: String = bpeBytesRoundtripRawSql
+
+  /** [[Bpe.trainBytesRaw]] with `gpt2Ws = true` — merges learned over
+    * exactly the GPT-2 pieces [[bpeEncodeBytesGpt2]] consumes: the
+    * trailing-space split changes the learned vocabulary on
+    * indentation-heavy text (multi-space tokens shrink by one, donated
+    * spaces fatten the ` word` forms), which is the whole reason the
+    * exact split exists.
+    */
+  def bpeTrainBytesGpt2(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainBytesRaw(rawDocsDf(s, dir), "text", BpeRounds, gpt2Ws = true)
+      .orderBy("rank")
+
+  val bpeTrainBytesGpt2Sql: String = trainRoundsSql(Seq(
+    gpt2WordCtes,
+    """gwc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(wsyms) AS word FROM gws) WHERE word <> '' GROUP BY 1)""".stripMargin,
+    """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM gwc)"""),
+    BpeRounds)
 
   // ---- Logistic regression --------------------------------------------
 
@@ -1922,6 +2053,10 @@ object TrainGates {
     "bpe_vocab_specials" -> (bpeVocabSpecials _),
     "bpe_encode_ids_bytes_raw" -> (bpeEncodeIdsBytesRaw _),
     "bpe_encode_hf"   -> (bpeEncodeHf _),
+    "bpe_pretok_gpt2" -> (bpePretokGpt2 _),
+    "bpe_encode_bytes_gpt2" -> (bpeEncodeBytesGpt2 _),
+    "bpe_bytes_roundtrip_gpt2" -> (bpeBytesRoundtripGpt2 _),
+    "bpe_train_bytes_gpt2" -> (bpeTrainBytesGpt2 _),
     "select_budget_bytes" -> (selectBudgetBytes _),
     "fim_transform"   -> (fimTransform _),
     "bpe_vocab"       -> (bpeVocab _),
@@ -1964,6 +2099,10 @@ object TrainGates {
     "bpe_vocab_specials" -> bpeVocabSpecialsSql,
     "bpe_encode_ids_bytes_raw" -> bpeEncodeIdsBytesRawSql,
     "bpe_encode_hf"   -> bpeEncodeHfSql,
+    "bpe_pretok_gpt2" -> bpePretokGpt2Sql,
+    "bpe_encode_bytes_gpt2" -> bpeEncodeBytesGpt2Sql,
+    "bpe_bytes_roundtrip_gpt2" -> bpeBytesRoundtripGpt2Sql,
+    "bpe_train_bytes_gpt2" -> bpeTrainBytesGpt2Sql,
     "select_budget_bytes" -> selectBudgetBytesSql,
     "fim_transform"   -> fimTransformSql,
     "bpe_vocab"       -> bpeVocabSql,

@@ -906,6 +906,18 @@ object Bpe {
     */
   val NonWsClass: String = "[^ \\t\\n\\x0B\\f\\r]"
 
+  /** The positive whitespace class (the pattern's own spelling). */
+  val WsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** Is `c` in [[WsClass]] — the pattern's (Java-ASCII-`\s`) whitespace
+    * set, NOT `Character.isWhitespace` (which adds unicode spaces the
+    * pattern deliberately treats as punctuation, exactly as GPT-2's
+    * `\s` does).
+    */
+  private def isPatWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
   @transient private lazy val preTokCompiled =
     java.util.regex.Pattern.compile(PreTokPattern)
 
@@ -920,6 +932,70 @@ object Bpe {
     out.toArray
   }
 
+  /** [[PreTokPattern]] pieces of `s[from, until)` appended to `out`. */
+  private def preTokenizeInto(s: String, from: Int, until: Int,
+                              out: mutable.ArrayBuffer[String]): Unit = {
+    if (from >= until) return
+    val m = preTokCompiled.matcher(s)
+    m.region(from, until)
+    while (m.find()) out += m.group()
+  }
+
+  /** GPT-2's EXACT pre-tokenization — [[preTokenize]] plus the
+    * `\s+(?!\S)` trailing-space split the portable pattern drops: a
+    * whitespace RUN followed by non-whitespace yields `run[0..n−2]` as
+    * one piece and donates its LAST whitespace char to the following
+    * piece (so indentation tokenizes as one multi-space token plus a
+    * ` word`-style piece — the vocabulary shape production byte-BPE
+    * tables learn on code). Runs at end of input stay one piece.
+    *
+    * Restated LOOKAHEAD-FREE so the DuckDB oracle (RE2 — no lookahead)
+    * can follow the same construction: split the input into SEGMENTS
+    * immediately before the last whitespace character of every maximal
+    * whitespace run that is followed by non-whitespace (equivalently:
+    * before every whitespace char whose successor is non-whitespace —
+    * only a run's last char has that property), then tokenize each
+    * segment independently with the plain [[PreTokPattern]].
+    *
+    * Why this equals the lookahead pattern: GPT-2's extra branch only
+    * acts at such a run, where it matches exactly `run[0..n−2]` and
+    * resumes at the donated char — i.e. precisely at the segment
+    * boundary; at a segment start (one whitespace then non-whitespace)
+    * the lookahead branch cannot match, so both patterns agree
+    * branch-for-branch, and no match of either pattern can cross a
+    * boundary (the run piece ends there by construction). Pieces must
+    * be RE-tokenized per segment, not spliced — a donated space can
+    * reshape downstream matches (` 'llama` → `[" '", "llama"]`, where
+    * the run-less tokenization had `["'ll", "ama"]`). BpeRawSpec
+    * fuzz-proves equality against the literal lookahead pattern under
+    * Java, plus the lossless-partition invariant.
+    *
+    * Oracle-side the same surgery is one sentinel
+    * `regexp_replace((ws)(nonws) → 0x01 + captures)` + per-segment
+    * `regexp_extract_all` — see TrainGates' gpt2 word CTEs.
+    */
+  def preTokenizeGpt2(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty[String]
+    val out = mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < s.length - 1) {
+      if (isPatWs(s.charAt(i)) && !isPatWs(s.charAt(i + 1))) {
+        preTokenizeInto(s, start, i, out)
+        start = i
+      }
+      i += 1
+    }
+    preTokenizeInto(s, start, s.length, out)
+    out.toArray
+  }
+
+  /** Kernel-side pre-tokenizer selection — `gpt2Ws = true` is the
+    * exact-GPT-2 split, false the portable single-pattern split.
+    */
+  private def pretokOf(gpt2Ws: Boolean): String => Array[String] =
+    if (gpt2Ws) preTokenizeGpt2 else preTokenize
+
   /** RAW byte-level train: merges learned over the [[preTokenize]]
     * pieces of the UNNORMALIZED text, each mapped to UTF-8 byte
     * symbols — the application domain of [[encodeBytesRaw]]. This is
@@ -932,11 +1008,13 @@ object Bpe {
     */
   def trainBytesRaw(docs: DataFrame, textCol: String, numMerges: Int,
                     vocabBudget: Int = 1 << 16,
-                    capStats: Option[CapStats] = None): DataFrame = {
+                    capStats: Option[CapStats] = None,
+                    gpt2Ws: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val pretok = pretokOf(gpt2Ws)
     val words = docs.select(coalesce(col(textCol), lit("")).as("__t"))
-      .as[String].flatMap(t => preTokenize(t).iterator.map(byteSyms))
+      .as[String].flatMap(t => pretok(t).iterator.map(byteSyms))
       .toDF("word")
     val wc = words.groupBy("word").agg(count(lit(1)).as("cnt"))
     trainFromWordCounts(wc, numMerges, vocabBudget, capStats)
@@ -963,19 +1041,21 @@ object Bpe {
     */
   def encodeBytesRaw(docs: DataFrame, idCol: String, textCol: String,
                      merges: Array[(String, String)],
-                     hf: Boolean = false): DataFrame = {
+                     hf: Boolean = false,
+                     gpt2Ws: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(new MergeIndex(merges))
     val encodeOne: (String, MergeIndex) => Array[String] =
       if (hf) encodeWordHf else encodeWordFast
+    val pretok = pretokOf(gpt2Ws)
     val raw = docs.select(col(idCol).cast("long"),
       coalesce(col(textCol), lit("")).as("__t"))
     val encoded = raw.as[(Long, String)].mapPartitions { rows =>
       val idx = bc.value
       val memo = mutable.HashMap.empty[String, Array[String]]
       rows.map { case (id, t) =>
-        val toks = preTokenize(t).iterator.flatMap { p =>
+        val toks = pretok(t).iterator.flatMap { p =>
           memoized(memo, p)(encodeOne(byteSyms(p), idx))
         }.toArray
         (id, toks)
@@ -995,7 +1075,8 @@ object Bpe {
   def encodeIdsBytesRaw(docs: DataFrame, idCol: String, textCol: String,
                         merges: Array[(String, String)],
                         vocabDf: DataFrame,
-                        hf: Boolean = false): DataFrame = {
+                        hf: Boolean = false,
+                        gpt2Ws: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vmap: Map[String, Int] = vocabDf
@@ -1005,6 +1086,7 @@ object Bpe {
     val bcM = spark.sparkContext.broadcast(new MergeIndex(merges))
     val encodeOne: (String, MergeIndex) => Array[String] =
       if (hf) encodeWordHf else encodeWordFast
+    val pretok = pretokOf(gpt2Ws)
     val raw = docs.select(col(idCol).cast("long"),
       coalesce(col(textCol), lit("")).as("__t"))
     raw.as[(Long, String)].mapPartitions { rows =>
@@ -1012,7 +1094,7 @@ object Bpe {
       val vm = bcV.value
       val memo = mutable.HashMap.empty[String, Array[Int]]
       rows.map { case (id, t) =>
-        val ids = preTokenize(t).iterator.flatMap { p =>
+        val ids = pretok(t).iterator.flatMap { p =>
           memoized(memo, p)(
             encodeOne(byteSyms(p), idx).map(s => vm.getOrElse(s, -1)))
         }.toArray

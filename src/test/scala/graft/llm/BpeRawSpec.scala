@@ -61,6 +61,73 @@ class BpeRawSpec extends SparkSpec {
     }
   }
 
+  test("preTokenizeGpt2 restores the trailing-space split on the pinned regimes") {
+    assert(Bpe.preTokenizeGpt2("Hello  World").toSeq ===
+      Seq("Hello", " ", " World"))
+    assert(Bpe.preTokenizeGpt2("a\tb\nc   d").toSeq ===
+      Seq("a", "\t", "b", "\n", "c", "  ", " d"))
+    assert(Bpe.preTokenizeGpt2(" The   Table ").toSeq ===
+      Seq(" The", "  ", " Table", " "))
+    // the donated space RESHAPES downstream matches: a contraction
+    // branch that fired run-less ('ll then ama) must be re-tokenized
+    // as punctuation + whole word
+    assert(Bpe.preTokenize("  'llama").toSeq === Seq("  ", "'ll", "ama"))
+    assert(Bpe.preTokenizeGpt2("  'llama").toSeq ===
+      Seq(" ", " '", "llama"))
+    // single space already attaches; trailing run stays one piece
+    assert(Bpe.preTokenizeGpt2("a b").toSeq === Seq("a", " b"))
+    assert(Bpe.preTokenizeGpt2("ab   ").toSeq === Seq("ab", "   "))
+    assert(Bpe.preTokenizeGpt2("").toSeq === Seq.empty[String])
+    // non-space whitespace never attaches (` ?` matches only a space):
+    // the donated newline stands alone, exactly as GPT-2 splits it
+    assert(Bpe.preTokenizeGpt2("a\n\nb").toSeq === Seq("a", "\n", "\n", "b"))
+  }
+
+  test("fuzz: preTokenizeGpt2 == the literal GPT-2 lookahead pattern") {
+    // the true Radford et al. 2019 pattern with its `\s+(?!\S)` branch,
+    // runnable under Java (the oracle side cannot run it — RE2 — which
+    // is why the segment construction exists); whitespace spelled with
+    // the same explicit class as PreTokPattern
+    val gpt2 = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+        "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+" +
+        "|[ \\t\\n\\x0B\\f\\r]+(?![^ \\t\\n\\x0B\\f\\r])" +
+        "|[ \\t\\n\\x0B\\f\\r]+")
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cp = Gen.frequency(
+      (4, Gen.choose(0x20, 0x7e)),
+      (4, Gen.oneOf(0x20, 0x09, 0x0a, 0x0d, 0x0c, 0x0b)), // ws runs + VT
+      (2, Gen.choose(0xa0, 0x2ff)),
+      (1, Gen.choose(0x1e00, 0x1eff)),
+      (1, Gen.choose(0x1f300, 0x1f6ff)))
+    val strGen = Gen.listOf(cp).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    (1 to 500).foreach { i =>
+      val s = strGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val m = gpt2.matcher(s)
+      val want = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) want += m.group()
+      val got = Bpe.preTokenizeGpt2(s)
+      assert(got.toSeq === want.toSeq, s"seed $i input=${s.map(_.toInt)}")
+      assert(got.mkString === s, s"seed $i not a partition")
+      assert(got.forall(_.nonEmpty), s"seed $i")
+    }
+  }
+
+  test("encodeBytesRaw(gpt2Ws)→decodeBytes is still the identity") {
+    val merges = Array(
+      (Bpe.byteSyms("t"), Bpe.byteSyms("h")),
+      (Bpe.byteSym(' ').toString, Bpe.byteSym(' ').toString),
+      (Bpe.byteSyms("e"), Bpe.byteSyms("r")))
+    val docs = nasty.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rt = Bpe.decodeBytes(
+        Bpe.encodeBytesRaw(docs, "doc_id", "text", merges, gpt2Ws = true),
+        "doc_id")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    rt.foreach { case (id, s) => assert(s === nasty(id.toInt), s"doc $id") }
+  }
+
   test("encodeBytesRaw→decodeBytes is the IDENTITY (no normalization)") {
     val oSyms = Bpe.byteSyms("ộ"); val smile = Bpe.byteSyms("🙂")
     val merges = Array(
@@ -145,13 +212,29 @@ class BpeRawSpec extends SparkSpec {
     assert(ids.head === 259)  // "th" is the first token
   }
 
-  test("a merge output colliding with a special keeps the special's id") {
-    // merge output "ab" planted as a special too: first-wins
+  test("vocabBytes validates the specials list instead of aliasing ids") {
+    // merge output equal to a special: silently first-winning would
+    // emit the special's id for ordinary content (special-token
+    // injection into trainer id streams) — must fail loudly
     val merges = Array((Bpe.byteSyms("a"), Bpe.byteSyms("b")))
-    val v = Bpe.vocabBytes(spark, merges, Seq("ab"))
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytes(spark, merges, Seq("ab"))
+    }
+    // duplicate specials would silently shift every later id
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytes(spark, Array.empty, Seq("<|eos|>", "<|eos|>"))
+    }
+    // a single-char special could collide with a byte symbol and shift
+    // the whole byte block
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytes(spark, Array.empty, Seq("x"))
+    }
+    // a valid list still pins ids 0..k-1 with bytes shifted after
+    val v = Bpe.vocabBytes(spark, merges, Seq("<|eos|>"))
       .orderBy("token_id").as[(Int, String)].collect()
-    assert(v.length === 1 + 256)        // merge output deduped away
-    assert(v(0) === ((0, "ab")))
+    assert(v.length === 1 + 256 + 1)
+    assert(v(0) === ((0, "<|eos|>")))
+    assert(v(257) === ((257, "ab")))
   }
 
   test("memo cap: output unchanged with distinct-piece volume > MemoCap") {
