@@ -545,7 +545,10 @@ object Bench {
         // their portable-split siblings (segmenting is one linear char
         // scan per row before the same regex)
         "bpe_pretok_gpt2", "bpe_encode_bytes_gpt2",
-        "bpe_bytes_roundtrip_gpt2", "bpe_train_bytes_gpt2")
+        "bpe_bytes_roundtrip_gpt2", "bpe_train_bytes_gpt2",
+        // round-14: import boundary — two tiny file reads + the same
+        // hf-kernel id encode scan
+        "bpe_import_vocab")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -947,6 +947,66 @@ object TrainGates {
        |FROM (SELECT doc_id FROM rd) d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Vocabulary import boundary (merges.txt / vocab.json) ------------
+
+  /** The full import → encode path: [[PinnedRawMerges]] and its
+    * specials-prefixed byte vocabulary are RENDERED to the standard
+    * `merges.txt` / `vocab.json` interchange files, read back through
+    * [[Bpe.loadMerges]]/[[Bpe.loadVocab]], and the loaded model drives
+    * `encodeIdsBytesRaw(hf = true)` — the documented kernel for
+    * imported vocabularies. The oracle never sees the files: it
+    * restates the expected END result from the pinned table, so any
+    * loss in render→parse (rank order, multi-byte symbols, specials,
+    * JSON escaping) breaks the hash.
+    */
+  def bpeImportVocab(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vocab_import")
+    try {
+      val mPath = tmp.resolve("merges.txt")
+      val vPath = tmp.resolve("vocab.json")
+      java.nio.file.Files.writeString(mPath,
+        Bpe.renderMerges(PinnedRawMerges))
+      java.nio.file.Files.writeString(vPath,
+        Bpe.renderVocab(Bpe.vocabBytes(s, PinnedRawMerges, Specials)))
+      // loadMerges/loadVocab/encodeIdsBytesRaw all collect the model
+      // EAGERLY (bounded-model contract), so the temp files can be
+      // deleted before the returned frame is ever evaluated
+      val merges = Bpe.mergesOf(Bpe.loadMerges(s, mPath.toString))
+      val vocab = Bpe.loadVocab(s, vPath.toString)
+      Bpe.encodeIdsBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+          merges, vocab, hf = true)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .as("ids_str"))
+        .orderBy("doc_id")
+    } finally {
+      graft.storage.TableStore.deleteRecursively(tmp)
+    }
+  }
+
+  /** Oracle: the recursive HF chain under the pinned table, ids joined
+    * through the same specials-prefixed vocabulary SQL — the
+    * [[bpeEncodeIdsBytesRawSql]] id-assembly tail over `henc`.
+    */
+  val bpeImportVocabSql: String =
+    s"""WITH RECURSIVE ${hfChainCtes(PinnedRawMerges)},
+       |voc AS (SELECT token_id, token FROM (${vocabSpecialsSqlFor(PinnedRawMerges)})),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS j, toks
+       |  FROM henc),
+       |tok1 AS (SELECT doc_id, j, toks[j] AS tok FROM tk),
+       |ids AS (
+       |  SELECT t.doc_id, t.j, v.token_id
+       |  FROM tok1 t JOIN voc v ON v.token = t.tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY j) AS ids_str
+       |  FROM ids GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.ids_str, '') AS ids_str
+       |FROM (SELECT doc_id FROM rd) d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- HF/GPT-2-compatible encode (min-rank-first, re-probing) ---------
 
   /** Pinned merge table where the HF priority-queue semantics PROVABLY
@@ -993,16 +1053,20 @@ object TrainGates {
     * the unique minimum-length row per document and termination is
     * structural, not a depth guess.
     */
-  val bpeEncodeHfSql: String = {
+  /** The recursive min-rank CTE chain for an arbitrary pinned merge
+    * table, ending in `henc(doc_id, toks)` — shared by the HF encode
+    * gate and the import-boundary gate.
+    */
+  private def hfChainCtes(merges: Array[(String, String)]): String = {
     def esc(x: String) = x.replace("'", "''")
-    val whens = PinnedHfMerges.map { case (l, r) =>
+    val whens = merges.map { case (l, r) =>
       s"WHEN contains(s, '  ${esc(l)}  ${esc(r)}  ') THEN " +
         rep4("s", s"'${esc(l)}'", s"'${esc(r)}'")
     }.mkString("\n      ")
-    val anyPresent = PinnedHfMerges.map { case (l, r) =>
+    val anyPresent = merges.map { case (l, r) =>
       s"contains(s, '  ${esc(l)}  ${esc(r)}  ')"
     }.mkString(" OR ")
-    s"""WITH RECURSIVE $rawWordCtes,
+    s"""$rawWordCtes,
        |hs0 AS (
        |  SELECT doc_id,
        |    '  ' || coalesce(array_to_string(list_transform(range(1, len(s)+1), j -> s[j]), '  '), '') || '  ' AS s
@@ -1020,11 +1084,14 @@ object TrainGates {
        |  FROM hf),
        |henc AS (
        |  SELECT doc_id, [x for x in string_split(trim(s), '  ') if x <> '' AND x <> chr(10)] AS toks
-       |  FROM fin WHERE rn = 1)
+       |  FROM fin WHERE rn = 1)""".stripMargin
+  }
+
+  val bpeEncodeHfSql: String =
+    s"""WITH RECURSIVE ${hfChainCtes(PinnedHfMerges)}
        |SELECT doc_id, CAST(coalesce(len(toks), 0) AS INT) AS n_tokens,
        |  coalesce(array_to_string(toks, ' '), '') AS tok_str
        |FROM henc ORDER BY doc_id""".stripMargin
-  }
 
   // ---- Exact GPT-2 pre-tokenization (trailing-space split) -------------
 
@@ -2057,6 +2124,7 @@ object TrainGates {
     "bpe_encode_bytes_gpt2" -> (bpeEncodeBytesGpt2 _),
     "bpe_bytes_roundtrip_gpt2" -> (bpeBytesRoundtripGpt2 _),
     "bpe_train_bytes_gpt2" -> (bpeTrainBytesGpt2 _),
+    "bpe_import_vocab" -> (bpeImportVocab _),
     "select_budget_bytes" -> (selectBudgetBytes _),
     "fim_transform"   -> (fimTransform _),
     "bpe_vocab"       -> (bpeVocab _),
@@ -2103,6 +2171,7 @@ object TrainGates {
     "bpe_encode_bytes_gpt2" -> bpeEncodeBytesGpt2Sql,
     "bpe_bytes_roundtrip_gpt2" -> bpeBytesRoundtripGpt2Sql,
     "bpe_train_bytes_gpt2" -> bpeTrainBytesGpt2Sql,
+    "bpe_import_vocab" -> bpeImportVocabSql,
     "select_budget_bytes" -> selectBudgetBytesSql,
     "fim_transform"   -> fimTransformSql,
     "bpe_vocab"       -> bpeVocabSql,

@@ -1135,6 +1135,111 @@ object Bpe {
             / col("n_words").cast("double")).as("fertility"))
   }
 
+  // ---- Vocabulary interchange (merges.txt / vocab.json) ----------------
+
+  /** Render a merge table in the standard `merges.txt` interchange
+    * format (the GPT-2/HuggingFace artifact layout): one optional
+    * `#version:` header line, then one `left right` line per rank,
+    * rank order = line order. Validates the format's implicit
+    * contract — no symbol may contain a space or newline (byte-level
+    * symbols never do: the space byte is `Ġ`, control bytes are
+    * remapped ≥ U+0100) — and fails loudly rather than writing an
+    * ambiguous file.
+    */
+  def renderMerges(merges: Array[(String, String)],
+                   header: String = "#version: 0.2"): String = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty,
+        "merges.txt cannot represent empty symbols")
+      require(!l.exists(c => c == ' ' || c == '\n' || c == '\r') &&
+          !r.exists(c => c == ' ' || c == '\n' || c == '\r'),
+        s"merges.txt cannot represent a symbol containing a space or " +
+          s"newline: ('$l', '$r')")
+    }
+    (header +: merges.map { case (l, r) => s"$l $r" }).mkString("\n")
+  }
+
+  /** Parse `merges.txt` content: skip a leading `#version` header and
+    * blank lines; every other line must be exactly `left right`.
+    */
+  def parseMerges(content: String): Array[(String, String)] = {
+    val lines = content.linesIterator.toArray
+    val body =
+      if (lines.nonEmpty && lines.head.startsWith("#version")) lines.tail
+      else lines
+    body.iterator.filter(_.nonEmpty).map { ln =>
+      val parts = ln.split(" ", -1)
+      require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+        s"malformed merges.txt line: '$ln'")
+      (parts(0), parts(1))
+    }.toArray
+  }
+
+  /** Load a published `merges.txt` into the model-as-rows form
+    * ([[train]]'s `(rank, left, right)` shape, `pair_count` absent —
+    * the artifact does not carry counts); `mergesOf` of the result is
+    * the in-memory table [[encodeBytesRaw]]/[[encodeIdsBytesRaw]]
+    * consume — in `hf = true` mode, ALWAYS: the artifact's publisher
+    * ran the min-rank algorithm, see [[encodeWordHf]]. Reads through
+    * the Hadoop filesystem layer (any `wholeTextFiles`-able URI);
+    * bounded-model contract — a merges.txt is a model artifact, not a
+    * dataset.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    val content = spark.sparkContext.wholeTextFiles(path)
+      .map(_._2).collect().mkString("\n")
+    val ms = parseMerges(content)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ms.zipWithIndex.map {
+        case ((l, r), i) => Row(i, l, r)
+      }.toSeq, 1),
+      StructType(Seq(StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false))))
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Render a `(token_id, token)` vocabulary as the standard
+    * `vocab.json` interchange object (`{"token": id, …}`, raw UTF-8
+    * with minimal JSON escaping), ordered by id. Bounded-model
+    * contract: the vocabulary is collected.
+    */
+  def renderVocab(vocabDf: DataFrame): String = {
+    import vocabDf.sparkSession.implicits._
+    val rows = vocabDf.select(col("token_id").cast("int"), col("token"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    rows.map { case (id, t) => s""""${jsonEscape(t)}": $id""" }
+      .mkString("{", ", ", "}")
+  }
+
+  /** Load a published `vocab.json` into the `(token_id, token)`
+    * model-as-rows form — the inverse of [[renderVocab]], and the
+    * reader for HF tokenizer artifacts. The whole object parses as a
+    * `map<string,int>` via Spark's own JSON reader (`from_json`), so
+    * `\uXXXX` escapes and raw UTF-8 both work.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = {
+    import spark.implicits._
+    val content = spark.sparkContext.wholeTextFiles(path)
+      .map(_._2).collect().mkString
+    Seq(content).toDF("__j")
+      .select(explode(from_json(col("__j"),
+        MapType(StringType, IntegerType))).as(Seq("token", "token_id")))
+      .select(col("token_id"), col("token"))
+  }
+
   /** Exact learned-subword token counts: `(id, n_tokens)` — the
     * drop-in upgrade for every token-budget consumer. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,

@@ -237,6 +237,37 @@ class BpeRawSpec extends SparkSpec {
     assert(v(257) === ((257, "ab")))
   }
 
+  test("merges.txt / vocab.json interchange round-trips the model") {
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_interchange")
+    try {
+      val docs = Seq((1L, "The Theme tàu 🙂 The tàu"),
+        (2L, "the   theme isn't")).toDF("doc_id", "text")
+      val merges = Bpe.mergesOf(Bpe.trainBytesRaw(docs, "text", 5))
+      val mPath = tmp.resolve("merges.txt")
+      java.nio.file.Files.writeString(mPath, Bpe.renderMerges(merges))
+      // mergesOf ∘ loadMerges ∘ renderMerges = identity (multi-byte
+      // symbols, Ġ boundaries, rank order = line order)
+      assert(Bpe.mergesOf(Bpe.loadMerges(spark, mPath.toString)).toSeq ===
+        merges.toSeq)
+      // header + blank lines skipped; malformed lines and
+      // unrepresentable symbols fail loudly
+      assert(Bpe.parseMerges("#version: 0.2\nX y\n\nth e").toSeq ===
+        Seq(("X", "y"), ("th", "e")))
+      intercept[IllegalArgumentException](Bpe.parseMerges("a b c"))
+      intercept[IllegalArgumentException](
+        Bpe.renderMerges(Array(("a b", "x"))))
+      // vocab.json: specials + all 256 byte symbols (incl. '"' and
+      // '\' — the JSON-escaping regime) + merge outputs
+      val v = Bpe.vocabBytes(spark, merges, Seq("<|bos|>", "<|eos|>"))
+      val vPath = tmp.resolve("vocab.json")
+      java.nio.file.Files.writeString(vPath, Bpe.renderVocab(v))
+      val got = Bpe.loadVocab(spark, vPath.toString)
+        .orderBy("token_id").as[(Int, String)].collect().toSeq
+      val want = v.orderBy("token_id").as[(Int, String)].collect().toSeq
+      assert(got === want)
+    } finally graft.storage.TableStore.deleteRecursively(tmp)
+  }
+
   test("memo cap: output unchanged with distinct-piece volume > MemoCap") {
     // one partition, > MemoCap distinct pieces: the memo clears mid-
     // stream; tokens must equal the direct kernel computation
