@@ -12,12 +12,13 @@ import graft.operators.Sharding
   * feeds; contrast [[Chunking]], which windows each document alone).
   *
   * The stream is sharded first ([[Sharding]] hash of the id), and the
-  * token-offset cumsum runs per shard — so the one window is
-  * partitioned by shard and the operator parallelizes across however
-  * many shards the trainer wants files. No global ordering: block ids
-  * are per-shard, which is exactly the trainer contract (each worker
-  * reads its own shard). A 100 TB corpus at 1024 shards gives ~100 GB
-  * per window partition — one task each, all independent.
+  * token-offset cumsum runs through [[graft.operators.Cumsum]]'s
+  * funnel-free two-pass form — a per-shard running-sum WINDOW would
+  * cap parallelism at the shard count (16 sequential cumsums at the
+  * default), where the range-partitioned two-pass numbers every
+  * partition independently at full cluster parallelism. No global
+  * ordering: block ids are per-shard, which is exactly the trainer
+  * contract (each worker reads its own shard).
   *
   * Output: one row per (document × block it touches) — `shard`,
   * `block_id` (per-shard, 0-based), the document id, `doc_offset` (the
@@ -43,15 +44,14 @@ object Packing {
     val sid = if (portable) Sharding.shardIdPortable(col(idCol), nShards)
               else Sharding.shardId(col(idCol), nShards)
     val toks = size(split(Dedup.normalize(col(textCol)), " ")).cast("long")
-    val byShard = Window.partitionBy(col("shard")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(blockSize.toLong)
-    val withOffset = docs
-      // empty/null docs have zero tokens under TextStats.tokenCount's
-      // convention — they pack to nothing, not to a phantom token
-      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(sid.as("shard"), col(idCol), toks.as("__t"))
-      .withColumn("doc_offset", coalesce(sum(col("__t")).over(byShard), lit(0L)))
+    val withOffset = graft.operators.Cumsum.exclusivePerShard(
+      docs
+        // empty/null docs have zero tokens under TextStats.tokenCount's
+        // convention — they pack to nothing, not to a phantom token
+        .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .select(sid.as("shard"), col(idCol), toks.as("__t")),
+      "shard", idCol, "__t", "doc_offset")
     withOffset
       .select(col("shard"), col(idCol), col("doc_offset"), col("__t"),
         // `/` on longs is double division in Spark SQL; floor() brings the

@@ -338,8 +338,8 @@ object Sft {
     * Output: `(shard, block_id, n_tokens, n_pad, token_ids,
     * loss_mask)` — `n_tokens` is the content size before padding.
     *
-    * Scale shape: the distinct-line encode join + the per-shard offset
-    * cumsum (both shared with [[packTokens]]). Block assembly is one
+    * Scale shape: the distinct-line encode join + the funnel-free
+    * offset cumsum (both shared with [[packTokens]]). Block assembly is one
     * `(shard, block)` aggregation; its per-ROW state before the final
     * slice is O(conversation tokens) — the conv rollup carries one
     * conversation's whole id stream, and the explode re-ships that
@@ -384,12 +384,13 @@ object Sft {
       .filter(col("__n") > 0)
     val sid = if (portable) Sharding.shardIdPortable(col("conv_id"), nShards)
               else Sharding.shardId(col("conv_id"), nShards)
-    val wS = Window.partitionBy(col("shard")).orderBy(col("conv_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val base = conv.select(sid.as("shard"), col("conv_id"), col("__n"),
-        col("__ids"), col("__spans"))
-      .withColumn("conv_offset",
-        coalesce(sum(col("__n") + lit(1L)).over(wS), lit(0L)))
+    // funnel-free offsets, as in [[pack]]; the id arrays ride through
+    // the two-pass checkpoint (one materialization, both passes local)
+    val base = graft.operators.Cumsum.exclusivePerShard(
+      conv.select(sid.as("shard"), col("conv_id"), col("__n"),
+          col("__ids"), col("__spans"))
+        .withColumn("__w", col("__n") + lit(1L)),
+      "shard", "conv_id", "__w", "conv_offset").drop("__w")
     val kb = col("block_id") * b
     val content = base
       .select(col("shard"), col("conv_offset"), col("__n"), col("__ids"),
@@ -508,10 +509,12 @@ object Sft {
     * `mask_spans_block` in the same `start:end|…` rendering, block
     * coordinates.
     *
-    * Scale shape mirrors [[Packing.blocks]]: the one cumsum window is
-    * partitioned by shard (trainer-file parallelism), span clipping is
-    * a narrow per-row array transform, and block membership is an
-    * `explode(sequence)` — no join, no global order.
+    * Scale shape mirrors [[Packing.blocks]]: conversation offsets come
+    * from [[graft.operators.Cumsum]]'s funnel-free two-pass cumsum
+    * (full cluster parallelism — a per-shard window would serialize
+    * each shard through one task), span clipping is a narrow per-row
+    * array transform, and block membership is an `explode(sequence)` —
+    * no join, no global order.
     */
   def pack(transcripts: DataFrame, blockChars: Int = 2048,
            nShards: Int = 16, portable: Boolean = false): DataFrame = {
@@ -519,8 +522,6 @@ object Sft {
     import graft.operators.Sharding
     val sid = if (portable) Sharding.shardIdPortable(col("conv_id"), nShards)
               else Sharding.shardId(col("conv_id"), nShards)
-    val w = Window.partitionBy(col("shard")).orderBy(col("conv_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(blockChars.toLong)
     // null-safe: an external transcripts table may carry null mask_spans
     // where [[transcripts]] renders ""; both mean "no masked turns"
@@ -529,11 +530,14 @@ object Sft {
         x => x =!= ""),
       x => struct(split(x, ":").getItem(0).cast("long").as("s"),
         split(x, ":").getItem(1).cast("long").as("e")))
-    val base = transcripts.filter(col("n_chars") > 0)
-      .select(sid.as("shard"), col("conv_id"),
-        col("n_chars").cast("long").as("__n"), spanStructs.as("__spans"))
-      .withColumn("conv_offset",
-        coalesce(sum(col("__n") + lit(1L)).over(w), lit(0L)))
+    // funnel-free offsets (graft.operators.Cumsum): a per-shard window
+    // would cap the cumsum's parallelism at nShards
+    val base = graft.operators.Cumsum.exclusivePerShard(
+      transcripts.filter(col("n_chars") > 0)
+        .select(sid.as("shard"), col("conv_id"),
+          col("n_chars").cast("long").as("__n"), spanStructs.as("__spans"))
+        .withColumn("__w", col("__n") + lit(1L)),
+      "shard", "conv_id", "__w", "conv_offset").drop("__w")
     val kb = col("block_id") * b
     base
       .select(col("shard"), col("conv_id"), col("conv_offset"), col("__n"),
