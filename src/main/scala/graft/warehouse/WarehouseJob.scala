@@ -86,8 +86,9 @@ object WarehouseJob {
     val fact = staged("fact")(factOther.unionByName(factToday))
 
     val bridge = staged("bridge")(Bridge.buildDay(
-      state.star.bridge, fact, factToday, factYesterday, staging,
-      dimJob, dimLocation, maxBridgeId = maxOf(state.star.bridge, "bridge_id")))
+      state.star.bridge, factToday, factTodayExisting, factYesterday,
+      staging, dimJob, dimLocation,
+      maxBridgeId = maxOf(state.star.bridge, "bridge_id")))
 
     State(Star(dimJob, dimCompany, dimLocation, dimDate, fact, bridge))
   }

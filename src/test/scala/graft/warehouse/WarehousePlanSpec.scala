@@ -53,7 +53,8 @@ class WarehousePlanSpec extends SparkSpec {
       s1.star.fact.filter(col("date_id") === "2026-01-01"),
       s1.star.fact.limit(0), staging, s1.star.dimJob, s1.star.dimCompany,
       lit("2026-01-02"), lit("2026-01-02 07:00:00"), 100L)
-    val bridge2 = Bridge.buildDay(s1.star.bridge, fact2, fact2,
+    val bridge2 = Bridge.buildDay(s1.star.bridge, fact2,
+      s1.star.fact.limit(0),
       s1.star.fact.filter(col("date_id") === "2026-01-01"), staging,
       s1.star.dimJob, s1.star.dimLocation, 100L)
     for ((name, df) <- Seq("fact" -> fact2, "bridge" -> bridge2)) {
