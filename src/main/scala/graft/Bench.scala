@@ -548,7 +548,10 @@ object Bench {
         "bpe_bytes_roundtrip_gpt2", "bpe_train_bytes_gpt2",
         // round-14: import boundary — two tiny file reads + the same
         // hf-kernel id encode scan
-        "bpe_import_vocab")
+        "bpe_import_vocab",
+        // round-14: interpolated bigram LM — the lm_backoff shape
+        // verbatim (pair/token explodes + broadcast-model joins)
+        "lm_score_bigram")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

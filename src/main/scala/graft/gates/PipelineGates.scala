@@ -735,6 +735,64 @@ object PipelineGates {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- bigram Jelinek-Mercer interpolated scoring ----------------------
+
+  /** [[graft.llm.LmScore.bigramInterpolatedScore]] at minPair = 3: the
+    * SMOOTHED tier — λ = 0.5 mixes the bigram MLE and the unigram on
+    * EVERY position (backoff above only consults the unigram when the
+    * pair is pruned); pruned pairs contribute the unigram term alone.
+    * The oracle restates both exact-integer-product divisions, their
+    * one double add, and the VARCHAR-routed decimal(28,15) quantization
+    * with identical parenthesization.
+    */
+  def lmInterpolated(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.bigramInterpolatedScore(
+        Tables(s, dir, "documents"), "doc_id", "text", minPair = 3L)
+      .orderBy("doc_id")
+
+  val lmInterpolatedSql: String =
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+       |dtf AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       |  FROM pairs GROUP BY 1, 2, 3),
+       |pc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+       |       FROM dtf GROUP BY 1, 2),
+       |cc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx
+       |       FROM pc GROUP BY 1),
+       |kept AS (SELECT * FROM pc WHERE n_pair >= 3),
+       |uni AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS term FROM toks)
+       |  WHERE term <> '' GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM uni),
+       |contrib AS (
+       |  -- both tiers exact-integer-product divisions; ONE double add
+       |  -- before the VARCHAR-routed decimal quantization (the Spark
+       |  -- shortest-repr convention, as in lm_backoff)
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(
+       |      (CASE WHEN k.n_pair IS NOT NULL
+       |        THEN CAST(tf * k.n_pair AS DOUBLE) / CAST(2 * cc.n_ctx AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END)
+       |      + CAST(tf * coalesce(u.c, 1) AS DOUBLE) /
+       |        CAST(2 * (SELECT nn FROM n) AS DOUBLE)
+       |    AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dtf
+       |  LEFT JOIN kept k USING (w1, w2)
+       |  LEFT JOIN cc ON dtf.w1 = cc.w1
+       |  LEFT JOIN uni u ON dtf.w2 = u.term),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS ilm_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.ilm_score
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- token-budget selection -----------------------------------------
 
   /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
@@ -1041,6 +1099,7 @@ object PipelineGates {
     "text_normalize"     -> (textNormalize _),
     "lm_score"           -> (lmScore _),
     "lm_backoff"         -> (lmBackoff _),
+    "lm_score_bigram"    -> (lmInterpolated _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1071,6 +1130,7 @@ object PipelineGates {
     "text_normalize"     -> textNormalizeSql,
     "lm_score"           -> lmScoreSql,
     "lm_backoff"         -> lmBackoffSql,
+    "lm_score_bigram"    -> lmInterpolatedSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

@@ -196,17 +196,102 @@ object LmScore {
         col("sb_score"))
   }
 
+  /** JELINEK-MERCER INTERPOLATED bigram score — the smoothed-LM upgrade
+    * the CCNet regime actually runs (Wenzek et al. 2020 filter on a
+    * smoothed KenLM; [[bigramBackoffScore]]'s stupid backoff only
+    * consults the unigram when the bigram is absent, interpolation
+    * ALWAYS mixes both): per document, the mean over positions of
+    *
+    *   S(w2|w1) = λ·P(w2|w1) + (1−λ)·P(w2)
+    *            = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N
+    *
+    * with an unseen (or pruned) bigram contributing only the unigram
+    * term — the standard pruned-interpolation semantics, and what keeps
+    * the broadcast pair model Zipf-bounded ([[bigramBackoffScore]]'s
+    * `minPair` argument verbatim; context totals `c(w1·)` stay
+    * UNPRUNED so matched probabilities are true MLE).
+    *
+    * λ = 0.5 — exactly representable, so each tier is ONE division of
+    * exact integer products (`tf·c(w1,w2) / (2·c(w1·))` and
+    * `tf·c(w2) / (2N)`), their sum one exactly-rounded add, and the
+    * [[score]] portability argument carries verbatim: quantize to
+    * `decimal(28,15)`, sum exactly, ONE final IEEE division. No `ln`
+    * anywhere — the linear-space perplexity analogue (higher = more
+    * predictable), banded by [[bandOn]] like every score here.
+    *
+    * Scale shape identical to [[bigramBackoffScore]]: one pair explode
+    * + one token explode, `(doc, w1, w2)` tf agg, corpus models with
+    * map-side partials, broadcast model joins, one per-doc decimal-sum
+    * agg. No window, no global sort.
+    *
+    * Output: `(idCol, n_bigrams, ilm_score)`; `ilm_score` ∈ (0, 1],
+    * null for documents with fewer than two tokens.
+    */
+  def bigramInterpolatedScore(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              minPair: Long = 1L,
+                              broadcastModel: Boolean = true): DataFrame = {
+    require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val pairs = docs.select(col(idCol), explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull)
+    val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pairCounts = docPairTf.groupBy("w1", "w2")
+      .agg(sum(col("tf")).as("n_pair"))
+    val ctx = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))
+    val kept = pairCounts.where(col("n_pair") >= minPair)
+    val uni = unigramCounts(docs, textCol, pruneHapax = false)
+      .withColumnRenamed("term", "w2").withColumnRenamed("c", "__c2")
+    val n = uni.agg(sum(col("__c2"))).head().getLong(0)
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    // both tiers as exact-integer-product divisions; the bigram tier
+    // contributes 0 (not a fallback boost) when the pair is unseen —
+    // interpolation, not backoff
+    val bigramTerm = when(col("n_pair").isNotNull,
+      (col("tf") * col("n_pair")).cast("double") /
+        (lit(2L) * col("n_ctx")).cast("double")).otherwise(lit(0.0d))
+    val unigramTerm = (col("tf") * coalesce(col("__c2"), lit(1L)))
+      .cast("double") / lit(2L * n).cast("double")
+    val contrib = docPairTf
+      .join(maybeB(kept), Seq("w1", "w2"), "left")
+      .join(maybeB(ctx), Seq("w1"), "left")
+      .join(maybeB(uni), Seq("w2"), "left")
+      .select(col(idCol), col("tf"),
+        (bigramTerm + unigramTerm).cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("ilm_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ilm_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-
     * deterministic score, so banding is deterministic too.
     */
-  def band(scored: DataFrame, lo: Double, hi: Double): DataFrame = {
+  def band(scored: DataFrame, lo: Double, hi: Double): DataFrame =
+    bandOn(scored, "lm_score", lo, hi, "lm_band")
+
+  /** [[band]] over any score column (the interpolated tier's
+    * `ilm_score`, an external model's column) — same semantics, caller
+    * names the in and out columns.
+    */
+  def bandOn(scored: DataFrame, scoreCol: String, lo: Double, hi: Double,
+             outCol: String): DataFrame = {
     require(lo <= hi, s"need lo <= hi, got lo=$lo hi=$hi")
-    scored.withColumn("lm_band",
-      when(col("lm_score").isNull, "empty")
-        .when(col("lm_score") < lo, "common")
-        .when(col("lm_score") > hi, "rare")
+    scored.withColumn(outCol,
+      when(col(scoreCol).isNull, "empty")
+        .when(col(scoreCol) < lo, "common")
+        .when(col(scoreCol) > hi, "rare")
         .otherwise("mid"))
   }
 }

@@ -117,6 +117,68 @@ class SelectionSpec extends SparkSpec {
     assert(pruned < full)
   }
 
+  test("interpolated bigram: separation on the planted-language corpus") {
+    // 20 fluent docs of one planted language, one scrambled-bag doc of
+    // the SAME words, one cross-language gibberish doc. Interpolation
+    // must rank fluent > scrambled > cross-language (the smoothed-LM
+    // separation a CCNet-style filter keys on), with every score in
+    // (0, 1] and sub-2-token docs null.
+    val fluent = (1L to 20L).map(i =>
+      (i, "the quick fox jumps over the lazy dog and the quick fox sleeps"))
+    val scrambled = Seq((21L,
+      "fox the dog quick lazy the jumps and sleeps fox quick the over"))
+    val cross = Seq((22L,
+      "dog xylophone the banana over quantum fox helix jumps"))
+    val docs = (fluent ++ scrambled ++ cross ++
+        Seq((23L, "solo"), (24L, "")))
+      .toDF("id", "text")
+    // minPair = 3: a hapax context makes its one observed continuation
+    // "fully predictable" (P = 1/1) under the self-trained model, which
+    // would flatter gibberish — pruning sends those to the unigram tier
+    val out = LmScore.bigramInterpolatedScore(docs, "id", "text",
+        minPair = 3L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val fluentScore = out(0)._3
+    val scrambledScore = out(20)._3
+    val crossScore = out(21)._3
+    assert(fluentScore > scrambledScore,
+      s"fluent $fluentScore !> scrambled $scrambledScore")
+    assert(scrambledScore > crossScore,
+      s"scrambled $scrambledScore !> cross $crossScore")
+    assert(out.take(22).forall(t => t._3 > 0.0 && t._3 <= 1.0))
+    assert(out(22)._2 == 0L && out(22)._3.isNaN)
+    assert(out(23)._2 == 0L)
+    // bands over the interpolated column: thresholds straddling the
+    // measured scores put each regime in its own band
+    val banded = LmScore.bandOn(
+        LmScore.bigramInterpolatedScore(docs, "id", "text", minPair = 3L),
+        "ilm_score", lo = crossScore + 1e-12, hi = scrambledScore + 1e-12,
+        "ilm_band")
+      .select("id", "ilm_band").as[(Long, String)].collect().toMap
+    assert(banded(1L) === "rare")      // most predictable
+    assert(banded(21L) === "mid")
+    assert(banded(22L) === "common")
+    assert(banded(24L) === "empty")
+  }
+
+  test("interpolated bigram: smoothing beats backoff on seen-pair mass") {
+    // on a corpus where every pair is seen, backoff's matched path is
+    // the pure bigram MLE while interpolation mixes in the unigram —
+    // the two must DIFFER (smoothing is not a no-op) and interpolation
+    // must equal 0.5*(backoff matched) + 0.5*(unigram mass) per doc
+    val docs = Seq((1L, "a b a b a b")).toDF("id", "text")
+    val sb = LmScore.bigramBackoffScore(docs, "id", "text")
+      .select("sb_score").as[Double].head()
+    val il = LmScore.bigramInterpolatedScore(docs, "id", "text")
+      .select("ilm_score").as[Double].head()
+    assert(math.abs(sb - 1.0) < 1e-12) // every pair fully predictable
+    // unigram mass: positions (b,a,b,a,b) wait — pairs are (a,b)x3,(b,a)x2
+    // mean unigram P(w2) over 5 positions = (3*(3/6) + 2*(3/6))/5 = 0.5
+    assert(math.abs(il - (0.5 * 1.0 + 0.5 * 0.5)) < 1e-9, s"il=$il")
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
