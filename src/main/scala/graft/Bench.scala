@@ -172,6 +172,11 @@ object Bench {
     // at sweep scale — emitted on the sweep rows as bytes_base/bytes_scaled
     val bytesBase = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val bytesScaled = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    // sweep rows whose published scaled timing came from ONE trial
+    // (first run >= rerun budget and not re-timed by the top-k
+    // exemption) — stamped into the artifact so a future reader never
+    // chases single-shot ratio noise against the canonical idle sweep
+    val sweepSingleShot = scala.collection.mutable.LinkedHashSet[String]()
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -556,6 +561,12 @@ object Bench {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())
           bytesScaled(name) = b
+          // provenance tracking (r13 verdict #8): a scaled timing kept
+          // from ONE trial (first run >= rerun budget) is single-shot
+          // noise until the top-k exemption below re-times it — the
+          // artifact must say which rows those are, so nobody reads a
+          // one-trial ratio against the canonical min-of-two sweep
+          if (s >= rerunBudgetSec) sweepSingleShot += name
           // base = -1 when the base-scale run errored: keep the scaled
           // timing visible rather than silently dropping the query
           scaleQs(name) = (timings.getOrElse(name, -1.0), s)
@@ -575,6 +586,7 @@ object Bench {
               val t0 = System.nanoTime()
               fn(spark, scaleDir).count()
               scaleQs(name) = (b, math.min(s, (System.nanoTime() - t0) / 1e9))
+              sweepSingleShot -= name // got its second trial after all
             } catch { case _: Throwable => () }
           }
         }
@@ -710,7 +722,15 @@ object Bench {
       "\"" + esc(k) + "\":{\"base\":" + b + ",\"scaled\":" + s +
         ",\"ratio\":" + ratio + bytes + "}"
     }.mkString("{", ",", "}")
-    val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq$whStagesJson}"""
+    // self-describing sweep provenance (r13 verdict #8): policy +
+    // which rows are one-trial — BENCH_r{N}.json embeds this line, so
+    // its ratios carry their own noise disclaimer
+    val provenance =
+      s""","provenance":{"policy":"min-of-two, third on >2x disagreement; """ +
+        s"""first trial kept when >= rerun_budget_sec","rerun_budget_sec":""" +
+        s"""$rerunBudgetSec,"single_shot_rows":[""" +
+        sweepSingleShot.map(n => "\"" + esc(n) + "\"").mkString(",") + "]}"
+    val scale = s"""{"factor":$scaleF,"gen_sec":$scaleGen,"queries":$sq$whStagesJson$provenance}"""
     stampLoad("end")
     val phasesJson = phaseLoads.map { case (k, v) =>
       "\"" + esc(k) + "\":[" + v.mkString(",") + "]" }.mkString("{", ",", "}")
@@ -777,7 +797,8 @@ object Bench {
         .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v.take(60)) + "\"" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$q,""" +
-        s""""queries_omitted":$omitted$e,"scale":{"factor":$scaleF,"ratios":${ratios.take(nr).mkString("{", ",", "}")}},""" +
+        s""""queries_omitted":$omitted$e,"scale":{"factor":$scaleF,"ratios":${ratios.take(nr).mkString("{", ",", "}")},""" +
+        s""""single_shot":[${sweepSingleShot.map(n => "\"" + esc(n) + "\"").mkString(",")}]},""" +
         s""""detail":"${esc(artifactName)}","sf":"${esc(sfDir)}"}"""
     }
     val line = Seq((timings.size, ratios.size), (45, ratios.size), (30, ratios.size),
