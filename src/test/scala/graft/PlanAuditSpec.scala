@@ -165,13 +165,15 @@ class PlanAuditSpec extends SparkSpec {
     // optimizer's size estimate auto-broadcasts the df agg anyway)
   }
 
-  test("block packing windows per shard, never globally") {
+  test("block packing has NO window at all: offsets are the two-pass cumsum") {
+    // round 14: the per-shard running-sum window (parallelism capped at
+    // nShards) was replaced by Cumsum.exclusivePerShard — the plan must
+    // contain no WindowExec of any kind
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = Tables(spark, dir, "documents")
     val ws = graft.llm.Packing.blocks(docs, "doc_id", "text", 256, 8)
       .queryExecution.sparkPlan.collect { case w: WindowExec => w }
-    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
-      ws.mkString("\n"))
+    assert(ws.isEmpty, ws.mkString("\n"))
   }
 
   test("rule batteries and span corruption plan as narrow scans") {
