@@ -556,7 +556,10 @@ object Bench {
         "bpe_import_vocab",
         // round-14: interpolated bigram LM — the lm_backoff shape
         // verbatim (pair/token explodes + broadcast-model joins)
-        "lm_score_bigram")
+        "lm_score_bigram",
+        // round-14 capstone: GPT-2 split + HF kernel + imported vocab
+        // in one chain — still the narrow encode scan shape
+        "bpe_gpt2_e2e")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -1055,9 +1055,13 @@ object TrainGates {
     */
   /** The recursive min-rank CTE chain for an arbitrary pinned merge
     * table, ending in `henc(doc_id, toks)` — shared by the HF encode
-    * gate and the import-boundary gate.
+    * gate, the import-boundary gate, and the end-to-end production
+    * chain (which swaps in the GPT-2-split word CTEs via
+    * `wordCtes`/`wordsRel`).
     */
-  private def hfChainCtes(merges: Array[(String, String)]): String = {
+  private def hfChainCtes(merges: Array[(String, String)],
+                          wordCtes: String = rawWordCtes,
+                          wordsRel: String = "rws"): String = {
     def esc(x: String) = x.replace("'", "''")
     val whens = merges.map { case (l, r) =>
       s"WHEN contains(s, '  ${esc(l)}  ${esc(r)}  ') THEN " +
@@ -1066,11 +1070,11 @@ object TrainGates {
     val anyPresent = merges.map { case (l, r) =>
       s"contains(s, '  ${esc(l)}  ${esc(r)}  ')"
     }.mkString(" OR ")
-    s"""$rawWordCtes,
+    s"""$wordCtes,
        |hs0 AS (
        |  SELECT doc_id,
        |    '  ' || coalesce(array_to_string(list_transform(range(1, len(s)+1), j -> s[j]), '  '), '') || '  ' AS s
-       |  FROM (SELECT doc_id, coalesce(array_to_string(wsyms, chr(10)), '') AS s FROM rws) t),
+       |  FROM (SELECT doc_id, coalesce(array_to_string(wsyms, chr(10)), '') AS s FROM $wordsRel) t),
        |hf AS (
        |  SELECT doc_id, s FROM hs0
        |  UNION ALL
@@ -1222,6 +1226,60 @@ object TrainGates {
       |    SELECT unnest(wsyms) AS word FROM gws) WHERE word <> '' GROUP BY 1)""".stripMargin,
     """s0 AS (SELECT word, cnt, [word[j] for j in range(1, len(word)+1)] AS s FROM gwc)"""),
     BpeRounds)
+
+  /** THE PRODUCTION TOKENIZER, END TO END: the exact GPT-2 pre-split
+    * ([[Bpe.preTokenizeGpt2]]) + the HF min-rank encode kernel
+    * ([[Bpe.encodeWordHf]]) + a vocabulary IMPORTED through the
+    * standard `merges.txt`/`vocab.json` interchange — the composition a
+    * real user runs the first time they load a published GPT-2-family
+    * artifact, every piece of which round 14 added, chained in one
+    * gate. A wrong kernel, wrong split, or lossy import anywhere in
+    * the chain breaks the id-stream hash.
+    */
+  def bpeGpt2E2e(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gpt2_e2e")
+    try {
+      val mPath = tmp.resolve("merges.txt")
+      val vPath = tmp.resolve("vocab.json")
+      java.nio.file.Files.writeString(mPath,
+        Bpe.renderMerges(PinnedRawMerges))
+      java.nio.file.Files.writeString(vPath,
+        Bpe.renderVocab(Bpe.vocabBytes(s, PinnedRawMerges, Specials)))
+      val merges = Bpe.mergesOf(Bpe.loadMerges(s, mPath.toString))
+      val vocab = Bpe.loadVocab(s, vPath.toString)
+      Bpe.encodeIdsBytesRaw(rawDocsDf(s, dir), "doc_id", "text",
+          merges, vocab, hf = true, gpt2Ws = true)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+            .as("ids_str"))
+        .orderBy("doc_id")
+    } finally {
+      graft.storage.TableStore.deleteRecursively(tmp)
+    }
+  }
+
+  /** Oracle: the recursive min-rank chain over the GPT-2-SPLIT word
+    * CTEs, ids joined through the specials-prefixed vocabulary — the
+    * [[bpeImportVocabSql]] tail with `gws` as the piece table.
+    */
+  val bpeGpt2E2eSql: String =
+    s"""WITH RECURSIVE ${hfChainCtes(PinnedRawMerges, gpt2WordCtes, "gws")},
+       |voc AS (SELECT token_id, token FROM (${vocabSpecialsSqlFor(PinnedRawMerges)})),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS j, toks
+       |  FROM henc),
+       |tok1 AS (SELECT doc_id, j, toks[j] AS tok FROM tk),
+       |ids AS (
+       |  SELECT t.doc_id, t.j, v.token_id
+       |  FROM tok1 t JOIN voc v ON v.token = t.tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY j) AS ids_str
+       |  FROM ids GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.ids_str, '') AS ids_str
+       |FROM (SELECT doc_id FROM rd) d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- Logistic regression --------------------------------------------
 
@@ -2125,6 +2183,7 @@ object TrainGates {
     "bpe_bytes_roundtrip_gpt2" -> (bpeBytesRoundtripGpt2 _),
     "bpe_train_bytes_gpt2" -> (bpeTrainBytesGpt2 _),
     "bpe_import_vocab" -> (bpeImportVocab _),
+    "bpe_gpt2_e2e"    -> (bpeGpt2E2e _),
     "select_budget_bytes" -> (selectBudgetBytes _),
     "fim_transform"   -> (fimTransform _),
     "bpe_vocab"       -> (bpeVocab _),
@@ -2172,6 +2231,7 @@ object TrainGates {
     "bpe_bytes_roundtrip_gpt2" -> bpeBytesRoundtripGpt2Sql,
     "bpe_train_bytes_gpt2" -> bpeTrainBytesGpt2Sql,
     "bpe_import_vocab" -> bpeImportVocabSql,
+    "bpe_gpt2_e2e"    -> bpeGpt2E2eSql,
     "select_budget_bytes" -> selectBudgetBytesSql,
     "fim_transform"   -> fimTransformSql,
     "bpe_vocab"       -> bpeVocabSql,
