@@ -134,10 +134,22 @@ object Sft {
     * UNNORMALIZED rendered line → byte symbols → the same kernel) —
     * the production-tokenizer coordinates a real trainer's loss
     * actually indexes, case- and whitespace-preserving.
+    *
+    * Byte-tier fidelity knobs (ignored at the char tier), mirroring
+    * [[Bpe.encodeBytesRaw]]: `hf = true` swaps the encode kernel for
+    * [[Bpe.encodeWordHf]] (REQUIRED under an imported production merge
+    * table — [[Bpe.loadMerges]]); `gpt2Ws = true` swaps the
+    * pre-tokenizer for [[Bpe.preTokenizeGpt2]]'s exact trailing-space
+    * split. Every token-coordinate consumer below threads both, so a
+    * trainer's budgets, spans, and materialized blocks can be computed
+    * in EXACTLY the coordinates a published GPT-2-family tokenizer
+    * produces.
     */
   private def withLineTokens(turnsDf: DataFrame,
                              merges: Array[(String, String)],
-                             byteLevel: Boolean = false): DataFrame = {
+                             byteLevel: Boolean = false,
+                             hf: Boolean = false,
+                             gpt2Ws: Boolean = false): DataFrame = {
     val spark = turnsDf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(new Bpe.MergeIndex(merges))
@@ -145,6 +157,10 @@ object Sft {
     val lineKey = if (byteLevel) line
       else regexp_replace(trim(lower(line)), "\\s+", " ")
     val withLine = turnsDf.withColumn("__line", lineKey)
+    val encodeOne: (String, Bpe.MergeIndex) => Array[String] =
+      if (hf) Bpe.encodeWordHf else Bpe.encodeWordFast
+    val pretok: String => Array[String] =
+      if (gpt2Ws) Bpe.preTokenizeGpt2 else Bpe.preTokenize
     val counted = withLine.select(col("__line")).distinct().as[String]
       .mapPartitions { it =>
         val idx = bc.value
@@ -152,9 +168,9 @@ object Sft {
         it.map { t =>
           val n =
             if (byteLevel)
-              Bpe.preTokenize(t).iterator.map { p =>
+              pretok(t).iterator.map { p =>
                 Bpe.memoized(memo, p)(
-                  Bpe.encodeWordFast(Bpe.byteSyms(p), idx).length)
+                  encodeOne(Bpe.byteSyms(p), idx).length)
               }.sum
             else if (t.isEmpty) 0
             else t.split(" ").iterator.map { w =>
@@ -176,10 +192,12 @@ object Sft {
     */
   def truncateLatestTokens(turnsDf: DataFrame, maxTokens: Int,
                            merges: Array[(String, String)],
-                           byteLevel: Boolean = false): DataFrame = {
+                           byteLevel: Boolean = false,
+                           hf: Boolean = false,
+                           gpt2Ws: Boolean = false): DataFrame = {
     val wDesc = Window.partitionBy(col("conv_id"))
       .orderBy(col("turn_idx").desc)
-    val kept = withLineTokens(turnsDf, merges, byteLevel)
+    val kept = withLineTokens(turnsDf, merges, byteLevel, hf, gpt2Ws)
       .withColumn("__sfx", sum(col("__ntok")).over(
         wDesc.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("__sfx") <= maxTokens)
@@ -219,9 +237,11 @@ object Sft {
     */
   def transcriptsTokens(turnsDf: DataFrame,
                         merges: Array[(String, String)],
-                        byteLevel: Boolean = false): DataFrame = {
+                        byteLevel: Boolean = false,
+                        hf: Boolean = false,
+                        gpt2Ws: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val toks = withLineTokens(turnsDf, merges, byteLevel)
+    val toks = withLineTokens(turnsDf, merges, byteLevel, hf, gpt2Ws)
       .select(col("conv_id"), col("turn_idx"), col("masked"), col("__ntok"))
       .withColumn("tok_start", coalesce(
         sum(col("__ntok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -252,8 +272,9 @@ object Sft {
   def packTokens(turnsDf: DataFrame, merges: Array[(String, String)],
                  blockTokens: Int = 2048, nShards: Int = 16,
                  portable: Boolean = false, byteLevel: Boolean = false,
-                 eosId: Option[Int] = None): DataFrame = {
-    val packed = pack(transcriptsTokens(turnsDf, merges, byteLevel)
+                 eosId: Option[Int] = None,
+                 hf: Boolean = false, gpt2Ws: Boolean = false): DataFrame = {
+    val packed = pack(transcriptsTokens(turnsDf, merges, byteLevel, hf, gpt2Ws)
         .select(col("conv_id"), col("n_tokens").as("n_chars"),
           col("mask_spans")),
         blockChars = blockTokens, nShards = nShards, portable = portable)
@@ -274,7 +295,9 @@ object Sft {
   private def withLineIds(turnsDf: DataFrame,
                           merges: Array[(String, String)],
                           vocabDf: DataFrame,
-                          byteLevel: Boolean): DataFrame = {
+                          byteLevel: Boolean,
+                          hf: Boolean = false,
+                          gpt2Ws: Boolean = false): DataFrame = {
     val spark = turnsDf.sparkSession
     import spark.implicits._
     val vmap: Map[String, Int] = {
@@ -288,6 +311,10 @@ object Sft {
     val lineKey = if (byteLevel) line
       else regexp_replace(trim(lower(line)), "\\s+", " ")
     val withLine = turnsDf.withColumn("__line", lineKey)
+    val encodeOne: (String, Bpe.MergeIndex) => Array[String] =
+      if (hf) Bpe.encodeWordHf else Bpe.encodeWordFast
+    val pretok: String => Array[String] =
+      if (gpt2Ws) Bpe.preTokenizeGpt2 else Bpe.preTokenize
     val counted = withLine.select(col("__line")).distinct().as[String]
       .mapPartitions { it =>
         val idx = bcM.value
@@ -296,9 +323,9 @@ object Sft {
         it.map { t =>
           val ids =
             if (byteLevel)
-              Bpe.preTokenize(t).iterator.flatMap { p =>
+              pretok(t).iterator.flatMap { p =>
                 Bpe.memoized(memo, p)(
-                  Bpe.encodeWordFast(Bpe.byteSyms(p), idx)
+                  encodeOne(Bpe.byteSyms(p), idx)
                     .map(s => vm.getOrElse(s, -1)))
               }.toArray
             else if (t.isEmpty) Array.empty[Int]
@@ -338,6 +365,13 @@ object Sft {
     * Output: `(shard, block_id, n_tokens, n_pad, token_ids,
     * loss_mask)` — `n_tokens` is the content size before padding.
     *
+    * `hf`/`gpt2Ws` (byte tier only) select the PRODUCTION tokenizer
+    * regime — [[Bpe.encodeWordHf]] + [[Bpe.preTokenizeGpt2]] — so
+    * blocks can be materialized in exactly the id coordinates of an
+    * IMPORTED published vocabulary ([[Bpe.loadMerges]]/[[Bpe.loadVocab]]
+    * + [[Bpe.vocabBytes]] specials); SftMaterializeSpec pins the
+    * decode-back law under the full imported-GPT-2 regime.
+    *
     * Scale shape: the distinct-line encode join + the funnel-free
     * offset cumsum (both shared with [[packTokens]]). Block assembly is one
     * `(shard, block)` aggregation; its per-ROW state before the final
@@ -359,12 +393,14 @@ object Sft {
                         blockTokens: Int, nShards: Int = 16,
                         portable: Boolean = false,
                         byteLevel: Boolean = false,
-                        eosId: Int, padId: Option[Int] = None): DataFrame = {
+                        eosId: Int, padId: Option[Int] = None,
+                        hf: Boolean = false,
+                        gpt2Ws: Boolean = false): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive, got $blockTokens")
     import graft.operators.Sharding
     val b = lit(blockTokens.toLong)
     val wT = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val toks = withLineIds(turnsDf, merges, vocabDf, byteLevel)
+    val toks = withLineIds(turnsDf, merges, vocabDf, byteLevel, hf, gpt2Ws)
       .withColumn("__nt", size(col("__ids")).cast("long"))
       .withColumn("tok_start", coalesce(
         sum(col("__nt")).over(wT.rowsBetween(Window.unboundedPreceding, -1)),

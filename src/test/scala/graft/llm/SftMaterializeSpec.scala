@@ -103,4 +103,50 @@ class SftMaterializeSpec extends SparkSpec {
     // turn boundary carries no token: lines concatenate directly
     assert(text === "user: click Hà Nội 🙂" + "assistant: reply OK")
   }
+
+  test("blocks under the imported-GPT-2 regime (hf + gpt2Ws + interchange)") {
+    // the full production chain inside the SFT materializer: a merge
+    // table that DIVERGES between the pass and HF kernels (h+e then
+    // T|t+he re-creation), round-tripped through merges.txt/vocab.json,
+    // consumed hf = true + gpt2Ws = true — blocks must carry exactly
+    // the ids the imported tokenizer produces, and still decode back
+    val hfMerges = Array(
+      ("T", "he"), ("t", "he"), ("h", "e"),
+      (Bpe.byteSym(' ').toString, Bpe.byteSym(' ').toString))
+    val tmp = java.nio.file.Files.createTempDirectory("sft_gpt2_import")
+    try {
+      java.nio.file.Files.writeString(tmp.resolve("merges.txt"),
+        Bpe.renderMerges(hfMerges))
+      java.nio.file.Files.writeString(tmp.resolve("vocab.json"),
+        Bpe.renderVocab(Bpe.vocabBytes(spark, hfMerges, specials)))
+      val merges2 = Bpe.mergesOf(Bpe.loadMerges(spark, tmp.resolve("merges.txt").toString))
+      val vocab2 = Bpe.loadVocab(spark, tmp.resolve("vocab.json").toString)
+      val turnsDf = turnsOf(Seq(
+        (1L, 1L, 101L, "click", "The   theme"),
+        (1L, 2L, 102L, "reply", "the The")))
+      val blocks = Sft.materializeBlocks(turnsDf, merges2, vocab2,
+        blockTokens = 1000, nShards = 1, portable = true, byteLevel = true,
+        eosId = Eos, hf = true, gpt2Ws = true)
+      val ids = blocks.orderBy("block_id")
+        .select(col("token_ids")).as[Seq[Int]].collect().flatten
+      // independent expectation: per rendered line, GPT-2 split + HF
+      // kernel + vocab lookup, concatenated in turn order
+      val vmap = Bpe.vocabBytes(spark, hfMerges, specials)
+        .as[(Int, String)].collect().map(_.swap).toMap
+      val idx = new Bpe.MergeIndex(hfMerges)
+      def lineIds(line: String): Seq[Int] =
+        Bpe.preTokenizeGpt2(line).toSeq.flatMap(p =>
+          Bpe.encodeWordHf(Bpe.byteSyms(p), idx).toSeq.map(vmap))
+      val want = lineIds("user: click The   theme") ++
+        lineIds("assistant: reply the The")
+      assert(ids.toSeq === want)
+      // the HF kernel actually fired: "The"/"the" must be single tokens
+      // (the pass form would leave T|t + he split)
+      val tokOf = vmap.map(_.swap)
+      assert(ids.map(tokOf).count(t => t == "The" || t == "the") >= 3)
+      // and the whole thing still decodes back to the rendered lines
+      val text = Bpe.symsToString(ids.map(tokOf).mkString)
+      assert(text === "user: click The   theme" + "assistant: reply the The")
+    } finally graft.storage.TableStore.deleteRecursively(tmp)
+  }
 }
