@@ -559,7 +559,10 @@ object Bench {
         "lm_score_bigram",
         // round-14 capstone: GPT-2 split + HF kernel + imported vocab
         // in one chain — still the narrow encode scan shape
-        "bpe_gpt2_e2e")
+        "bpe_gpt2_e2e",
+        // round-14: interpolated trigram — one more explode + agg +
+        // broadcast model join over the bigram tier
+        "lm_score_trigram")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -793,6 +793,75 @@ object PipelineGates {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- trigram Jelinek-Mercer interpolated scoring ---------------------
+
+  /** [[graft.llm.LmScore.trigramInterpolatedScore]] at minTri = 2,
+    * minPair = 3: the three-tier mix λ = (1/2, 1/4, 1/4) — matched
+    * trigrams, matched-but-tri-pruned positions, and unigram-only
+    * positions all populated on the gate corpus. The oracle restates
+    * each order's MLE over its own position universe, all three
+    * exact-integer-product divisions, the LEFT-TO-RIGHT double adds,
+    * and the VARCHAR-routed decimal quantization.
+    */
+  def lmTrigram(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.trigramInterpolatedScore(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        minTri = 2L, minPair = 3L)
+      .orderBy("doc_id")
+
+  val lmTrigramSql: String =
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |tri AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+       |dttf AS (
+       |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tri GROUP BY 1, 2, 3, 4),
+       |tc AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS n_tri
+       |       FROM dttf GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_ctx2
+       |       FROM tc GROUP BY 1, 2),
+       |kt AS (SELECT * FROM tc WHERE n_tri >= 2),
+       |bp AS (
+       |  SELECT ws[i] AS w2, ws[i + 1] AS w3
+       |  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+       |pc2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n_pair
+       |        FROM bp GROUP BY 1, 2),
+       |cc1 AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_ctx1
+       |        FROM pc2 GROUP BY 1),
+       |kp AS (SELECT * FROM pc2 WHERE n_pair >= 3),
+       |uni AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS term FROM toks)
+       |  WHERE term <> '' GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM uni),
+       |contrib AS (
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(
+       |      (CASE WHEN kt.n_tri IS NOT NULL
+       |        THEN CAST(tf * kt.n_tri AS DOUBLE) / CAST(2 * c2.n_ctx2 AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END)
+       |      + (CASE WHEN kp.n_pair IS NOT NULL
+       |        THEN CAST(tf * kp.n_pair AS DOUBLE) / CAST(4 * cc1.n_ctx1 AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END)
+       |      + CAST(tf * coalesce(u.c, 1) AS DOUBLE) /
+       |        CAST(4 * (SELECT nn FROM n) AS DOUBLE)
+       |    AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dttf
+       |  LEFT JOIN kt USING (w1, w2, w3)
+       |  LEFT JOIN c2 USING (w1, w2)
+       |  LEFT JOIN kp USING (w2, w3)
+       |  LEFT JOIN cc1 ON dttf.w2 = cc1.w2
+       |  LEFT JOIN uni u ON dttf.w3 = u.term),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS tlm_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams, p.tlm_score
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- token-budget selection -----------------------------------------
 
   /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
@@ -1100,6 +1169,7 @@ object PipelineGates {
     "lm_score"           -> (lmScore _),
     "lm_backoff"         -> (lmBackoff _),
     "lm_score_bigram"    -> (lmInterpolated _),
+    "lm_score_trigram"   -> (lmTrigram _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1131,6 +1201,7 @@ object PipelineGates {
     "lm_score"           -> lmScoreSql,
     "lm_backoff"         -> lmBackoffSql,
     "lm_score_bigram"    -> lmInterpolatedSql,
+    "lm_score_trigram"   -> lmTrigramSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

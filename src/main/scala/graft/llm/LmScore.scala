@@ -273,6 +273,100 @@ object LmScore {
         col("ilm_score"))
   }
 
+  /** INTERPOLATED TRIGRAM score — one more rung of the
+    * [[bigramInterpolatedScore]] ladder toward CCNet's 5-gram KenLM:
+    * per document, the mean over trigram positions of
+    *
+    *   S(w3|w1w2) = λ₁·P(w3|w1,w2) + λ₂·P(w3|w2) + λ₃·P(w3)
+    *
+    * with λ = (1/2, 1/4, 1/4) — every weight a power of two, so each
+    * tier stays ONE division of exact integer products
+    * (`tf·c(w1w2w3) / (2·c(w1w2·))`, `tf·c(w2w3) / (4·c(w2·))`,
+    * `tf·c(w3) / (4N)`), their sum two exactly-rounded adds, then the
+    * decimal(28,15) exact-sum recipe verbatim. Each order's
+    * probability is MLE over its OWN position universe (the standard
+    * interpolation construction): trigram counts over trigram
+    * positions, bigram/unigram models shared with the bigram tier.
+    * Unseen/pruned higher orders contribute 0 (never a fallback
+    * boost); `minTri`/`minPair` prune the Zipf tails of the trigram
+    * and bigram models (context totals stay unpruned MLE) — the same
+    * hapax-context argument as the bigram tier, one order up.
+    *
+    * A trigram model separates what a bigram cannot: locally-plausible
+    * word salad whose PAIRS are all common but whose triples never
+    * co-occur. Scale shape: one more explode + (doc, w1, w2, w3) agg
+    * and one more broadcast model join over the bigram tier; no
+    * window, no global sort.
+    *
+    * Output: `(idCol, n_trigrams, tlm_score)`; null below three
+    * tokens.
+    */
+  def trigramInterpolatedScore(docs: DataFrame, idCol: String,
+                               textCol: String,
+                               minTri: Long = 1L,
+                               minPair: Long = 1L,
+                               broadcastModel: Boolean = true): DataFrame = {
+    require(minTri >= 1L, s"minTri must be >= 1, got $minTri")
+    require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val triples = docs.select(col(idCol), explode(zip_with(
+        zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(words, lit(3), size(words)),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+      .where(col("w3").isNotNull) // zip_with pads the tail with nulls
+    val docTriTf = triples.groupBy(col(idCol), col("w1"), col("w2"),
+        col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val triCounts = docTriTf.groupBy("w1", "w2", "w3")
+      .agg(sum(col("tf")).as("n_tri"))
+    val ctx2 = triCounts.groupBy("w1", "w2")
+      .agg(sum(col("n_tri")).as("n_ctx2"))
+    val keptTri = triCounts.where(col("n_tri") >= minTri)
+    // bigram/unigram models over their OWN position universes — the
+    // same tables the bigram tier builds
+    val pairs = docs.select(explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w2"), b.as("w3")))).as("p"))
+      .select(col("p.w2"), col("p.w3"))
+      .where(col("w3").isNotNull)
+    val pairCounts = pairs.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("n_pair"))
+    val ctx1 = pairCounts.groupBy("w2").agg(sum(col("n_pair")).as("n_ctx1"))
+    val keptPair = pairCounts.where(col("n_pair") >= minPair)
+    val uni = unigramCounts(docs, textCol, pruneHapax = false)
+      .withColumnRenamed("term", "w3").withColumnRenamed("c", "__c3")
+    val n = uni.agg(sum(col("__c3"))).head().getLong(0)
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val triTerm = when(col("n_tri").isNotNull,
+      (col("tf") * col("n_tri")).cast("double") /
+        (lit(2L) * col("n_ctx2")).cast("double")).otherwise(lit(0.0d))
+    val biTerm = when(col("n_pair").isNotNull,
+      (col("tf") * col("n_pair")).cast("double") /
+        (lit(4L) * col("n_ctx1")).cast("double")).otherwise(lit(0.0d))
+    val uniTerm = (col("tf") * coalesce(col("__c3"), lit(1L)))
+      .cast("double") / lit(4L * n).cast("double")
+    val contrib = docTriTf
+      .join(maybeB(keptTri), Seq("w1", "w2", "w3"), "left")
+      .join(maybeB(ctx2), Seq("w1", "w2"), "left")
+      .join(maybeB(keptPair), Seq("w2", "w3"), "left")
+      .join(maybeB(ctx1), Seq("w2"), "left")
+      .join(maybeB(uni), Seq("w3"), "left")
+      .select(col(idCol), col("tf"),
+        (triTerm + biTerm + uniTerm).cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__s").cast("double") / col("n_trigrams").cast("double"))
+          .as("tlm_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("tlm_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-

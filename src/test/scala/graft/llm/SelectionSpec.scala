@@ -179,6 +179,35 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(il - (0.5 * 1.0 + 0.5 * 0.5)) < 1e-9, s"il=$il")
   }
 
+  test("interpolated trigram: closed form and pair-plausible salad detection") {
+    // closed form on "a b a b a b": 4 trigram positions, every order
+    // fully predictable except the unigram tier (P = 1/2):
+    // 0.5*1 + 0.25*1 + 0.25*0.5 = 0.875
+    val one = Seq((1L, "a b a b a b")).toDF("id", "text")
+    val s1 = LmScore.trigramInterpolatedScore(one, "id", "text")
+      .select("tlm_score").as[Double].head()
+    assert(math.abs(s1 - 0.875) < 1e-9, s"s1=$s1")
+    // the trigram signal: word salad whose PAIRS are all corpus-common
+    // but whose TRIPLES never co-occur — a bigram model is fooled, the
+    // trigram tier is not. Corpus: "a b x" and "x b c" each 10x; the
+    // salad "a b c" has only common pairs (a,b), (b,c) yet a novel
+    // triple.
+    val docs = ((1L to 10L).map(i => (i, "a b x")) ++
+      (11L to 20L).map(i => (i, "x b c")) ++
+      Seq((21L, "a b x"), (22L, "a b c"))).toDF("id", "text")
+    val tri = LmScore.trigramInterpolatedScore(docs, "id", "text",
+        minTri = 2L, minPair = 2L)
+      .filter($"id" >= 21L).orderBy("id")
+      .select("tlm_score").as[Double].collect()
+    assert(tri(0) > tri(1),
+      s"fluent ${tri(0)} !> pair-plausible salad ${tri(1)}")
+    // sub-3-token docs have no trigram positions: null score
+    val short = Seq((1L, "just two")).toDF("id", "text")
+    val r = LmScore.trigramInterpolatedScore(short, "id", "text")
+      .select("n_trigrams", "tlm_score").collect().head
+    assert(r.getLong(0) === 0L && r.isNullAt(1))
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
