@@ -1712,6 +1712,98 @@ object LlmGates {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** [[graft.llm.Spans.canonicalDupSpans]]: the KEEP-FIRST exact-substring
+    * policy (Lee et al.'s actual tool keeps one occurrence; `dup_spans`
+    * above profiles the cut-every-copy policy) — occurrence-level window
+    * counting (within-doc repeats count), the corpus-minimal
+    * `(doc_id, pos)` occurrence of each distinct window exempted via the
+    * zero-padded min-key, and marked windows merged into maximal
+    * overlapping-or-adjacent spans. The oracle restates the whole chain:
+    * positional 8-grams, md5 keys, printf occurrence keys, the count+min
+    * aggregate, the running-max interval merge.
+    */
+  def dupSpansCanonical(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Spans.canonicalDupSpans(Tables(s, dir, "documents"),
+        "doc_id", "text", spanLen = 8, minOcc = 2L)
+      .orderBy("doc_id", "span_start")
+
+  private def canonicalMarkedCtes(L: Int): String = {
+    val gram = (0 until L).map(o => if (o == 0) "ws[i]" else s"ws[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""norm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, CASE WHEN array_to_string(ws, ' ') = '' THEN 0
+       |    ELSE CAST(len(ws) AS INT) END AS n_tokens, ws FROM norm),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) - ${L - 2})) AS i, ws
+       |  FROM base WHERE n_tokens >= $L),
+       |posting AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, md5($gram) AS g FROM idx),
+       |keyed AS (
+       |  SELECT *, printf('%020d|%010d', doc_id, pos) AS k FROM posting),
+       |st AS (
+       |  SELECT g, min(k) AS firstk FROM keyed
+       |  GROUP BY g HAVING count(*) >= 2),
+       |m AS (
+       |  SELECT keyed.doc_id, keyed.pos FROM keyed JOIN st USING (g)
+       |  WHERE keyed.k <> st.firstk)""".stripMargin
+  }
+
+  val dupSpansCanonicalSql: String = {
+    val L = 8
+    s"""WITH ${canonicalMarkedCtes(L)},
+       |pm AS (
+       |  SELECT doc_id, pos, pos + ${L - 1} AS e,
+       |    max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM m),
+       |f AS (
+       |  SELECT *, CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END AS nf
+       |  FROM pm),
+       |grp AS (
+       |  SELECT *, sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+       |  FROM f)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM grp GROUP BY doc_id, gid
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** [[graft.llm.Spans.trimDupSpansKeepFirst]]: the keep-first surgery —
+    * redundant copies excised, the canonical occurrence of every
+    * repeated passage retained. Same covered-position union and
+    * list-comprehension rebuild as `span_trim`, over the keep-first
+    * marked set.
+    */
+  def spanTrimKeepFirst(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Spans.trimDupSpansKeepFirst(Tables(s, dir, "documents"),
+        "doc_id", "text", spanLen = 8, minOcc = 2L)
+      .orderBy("doc_id")
+
+  val spanTrimKeepFirstSql: String = {
+    val L = 8
+    s"""WITH ${canonicalMarkedCtes(L)},
+       |cov0 AS (
+       |  SELECT doc_id, unnest(range(pos, pos + $L)) AS t FROM m),
+       |covl AS (
+       |  SELECT doc_id, list(DISTINCT t) AS cov,
+       |    CAST(count(DISTINCT t) AS BIGINT) AS nc
+       |  FROM cov0 GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.nc, 0) AS BIGINT) AS n_removed,
+       |  CASE WHEN b.n_tokens = 0 THEN ''
+       |    ELSE coalesce(array_to_string(
+       |      [b.ws[CAST(p AS INT) + 1] FOR p IN range(0, b.n_tokens)
+       |        IF c.cov IS NULL OR NOT list_contains(c.cov, p)], ' '), '')
+       |  END AS text_clean
+       |FROM base b LEFT JOIN covl c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** [[graft.operators.Sampling.splitByCluster]] over the minhash
     * cluster resolution: every doc splits by the md5 of its cluster
     * CANON, so near-duplicate families never straddle train/eval — the
@@ -2115,6 +2207,8 @@ object LlmGates {
     "mix_rates"           -> (mixRates _),
     "dup_spans"           -> (dupSpans _),
     "span_trim"           -> (spanTrim _),
+    "dup_spans_canonical" -> (dupSpansCanonical _),
+    "span_trim_keepfirst" -> (spanTrimKeepFirst _),
     "dedup_jaccard"       -> (dedupJaccard _),
     "dedup_audit"         -> (dedupAudit _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -2167,6 +2261,8 @@ object LlmGates {
     "mix_rates"           -> mixRatesSql,
     "dup_spans"           -> dupSpansSql,
     "span_trim"           -> spanTrimSql,
+    "dup_spans_canonical" -> dupSpansCanonicalSql,
+    "span_trim_keepfirst" -> spanTrimKeepFirstSql,
     "dedup_jaccard"       -> dedupJaccardSql,
     "dedup_audit"         -> dedupAuditSql,
     "dedup_simhash"       -> dedupSimhashSql,

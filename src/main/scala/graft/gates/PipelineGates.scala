@@ -862,6 +862,68 @@ object PipelineGates {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- Kneser-Ney interpolated bigram scoring --------------------------
+
+  /** [[graft.llm.LmScore.knBigramScore]] at minPair = 3: the KenLM-regime
+    * absolute-discount smoothing — every kept pair donates D = 3/4 of a
+    * count, redistributed through the CONTINUATION distribution
+    * N1+(·w2)/N1+(··) (not the unigram). The oracle restates the full
+    * chain: pair model, per-context totals + distinct-continuation
+    * counts, continuation counts, total distinct pairs, the matched
+    * integer-product division, the pinned two-division continuation
+    * parenthesization, and the VARCHAR-routed decimal quantization.
+    */
+  def lmKneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.knBigramScore(
+        Tables(s, dir, "documents"), "doc_id", "text", minPair = 3L)
+      .orderBy("doc_id")
+
+  val lmKneserNeySql: String =
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM toks, UNNEST(range(1, len(ws))) AS u(i)),
+       |dtf AS (
+       |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       |  FROM pairs GROUP BY 1, 2, 3),
+       |pc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n_pair
+       |       FROM dtf GROUP BY 1, 2),
+       |cc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_ctx,
+       |         CAST(count(*) AS BIGINT) AS n1p
+       |       FROM pc GROUP BY 1),
+       |cw AS (SELECT w2, CAST(count(*) AS BIGINT) AS t_w2
+       |       FROM pc GROUP BY 1),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pc),
+       |kept AS (SELECT * FROM pc WHERE n_pair >= 3),
+       |contrib AS (
+       |  -- matched: one exact-integer-product division (counts >= 1 so
+       |  -- 4c-3 >= 1, the max() is structural); continuation: two
+       |  -- divisions + one multiply in the engine's parenthesization
+       |  -- ((3*n1p*tf)/(4*ctx)) * (t_w2/T); VARCHAR-routed decimal
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(
+       |      (CASE WHEN k.n_pair IS NOT NULL
+       |        THEN CAST(tf * (4 * k.n_pair - 3) AS DOUBLE) /
+       |             CAST(4 * cc.n_ctx AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END)
+       |      + CAST(3 * cc.n1p * tf AS DOUBLE) /
+       |          CAST(4 * cc.n_ctx AS DOUBLE)
+       |        * (CAST(cw.t_w2 AS DOUBLE) /
+       |           CAST((SELECT t FROM tt) AS DOUBLE))
+       |    AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dtf
+       |  LEFT JOIN kept k USING (w1, w2)
+       |  LEFT JOIN cc ON dtf.w1 = cc.w1
+       |  LEFT JOIN cw ON dtf.w2 = cw.w2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS kn_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.kn_score
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- token-budget selection -----------------------------------------
 
   /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
@@ -1170,6 +1232,7 @@ object PipelineGates {
     "lm_backoff"         -> (lmBackoff _),
     "lm_score_bigram"    -> (lmInterpolated _),
     "lm_score_trigram"   -> (lmTrigram _),
+    "lm_score_kn"        -> (lmKneserNey _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1202,6 +1265,7 @@ object PipelineGates {
     "lm_backoff"         -> lmBackoffSql,
     "lm_score_bigram"    -> lmInterpolatedSql,
     "lm_score_trigram"   -> lmTrigramSql,
+    "lm_score_kn"        -> lmKneserNeySql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

@@ -843,4 +843,5 @@ object Dedup {
             col(textCol).substr(s.getField("start_cp") + 1, s.getField("n_cp"))),
           ""), lit("")).as("text_clean"))
   }
+
 }

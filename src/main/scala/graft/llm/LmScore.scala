@@ -367,6 +367,102 @@ object LmScore {
         col("tlm_score"))
   }
 
+  /** KNESER-NEY interpolated bigram score — the discounting scheme the
+    * production CCNet filter actually ships (KenLM estimates interpolated
+    * modified Kneser-Ney; [[bigramInterpolatedScore]]'s Jelinek-Mercer
+    * mixes with FIXED weights, KN subtracts an absolute discount D from
+    * every seen pair and redistributes exactly that mass through the
+    * CONTINUATION distribution): per document, the mean over positions of
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *               + (D·N1+(w1·)/c(w1·)) · P_cont(w2)
+    *   P_cont(w2)  = N1+(·w2) / N1+(··)
+    *
+    * where N1+(w1·) counts DISTINCT continuations of w1, N1+(·w2)
+    * counts distinct contexts preceding w2, and N1+(··) is the total
+    * distinct-pair count. The continuation distribution is KN's whole
+    * point: "Francisco" is frequent but follows only "San", so its
+    * continuation probability is tiny — a unigram fallback overrates it,
+    * P_cont does not.
+    *
+    * D = 3/4 — the standard absolute discount, chosen here because it is
+    * exactly representable: the matched term is ONE division of exact
+    * integer products (`tf·(4·c(w1,w2) − 3) / (4·c(w1·))`; counts ≥ 1 so
+    * the max() is structural), and the continuation term is two
+    * exactly-rounded divisions and one multiply in fixed parenthesization
+    * (`(3·N1+(w1·)·tf / (4·c(w1·))) · (N1+(·w2)/N1+(··))` — the
+    * two-factor form keeps every integer product inside long range where
+    * a single fused numerator could overflow). Then the decimal(28,15)
+    * exact-sum recipe verbatim; no `ln` anywhere.
+    *
+    * `minPair` prunes the pair model's Zipf tail exactly as the JM tiers
+    * do: pruned pairs lose their matched term (contribute only the
+    * continuation mass — pruned-KN semantics), while the model tables
+    * c(w1·), N1+(w1·), N1+(·w2), N1+(··) are all computed over the FULL
+    * pair table so discount mass and continuation weights are true
+    * statistics, not artifacts of the pruning threshold.
+    *
+    * Scale shape identical to [[bigramInterpolatedScore]]: one pair
+    * explode, `(doc, w1, w2)` tf agg, vocabulary-sized model aggs with
+    * map-side partials, broadcast model joins, one per-doc decimal-sum
+    * agg, plus ONE count job for N1+(··) (a model-sized scalar, the
+    * `uni` N pattern verbatim). No window, no global sort.
+    *
+    * Output: `(idCol, n_bigrams, kn_score)`; `kn_score` ∈ (0, 1], null
+    * for documents with fewer than two tokens.
+    */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    minPair: Long = 1L,
+                    broadcastModel: Boolean = true): DataFrame = {
+    require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val pairs = docs.select(col(idCol), explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull)
+    val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val pairCounts = docPairTf.groupBy("w1", "w2")
+      .agg(sum(col("tf")).as("n_pair"))
+    // per-context totals AND distinct-continuation counts in one agg:
+    // both are per-w1 rows over the pair table
+    val ctx = pairCounts.groupBy("w1")
+      .agg(sum(col("n_pair")).as("n_ctx"), count(lit(1)).as("n1p"))
+    // continuation counts: distinct contexts PRECEDING each w2
+    val contw = pairCounts.groupBy("w2").agg(count(lit(1)).as("t_w2"))
+    // N1+(··): total distinct pairs — one model-sized count job
+    val tTot = pairCounts.count()
+    val kept = pairCounts.where(col("n_pair") >= minPair)
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    // matched term: counts >= 1 make 4c − 3 >= 1, so max(c − D, 0) is
+    // structurally the positive branch
+    val matchedTerm = when(col("n_pair").isNotNull,
+      (col("tf") * (lit(4L) * col("n_pair") - lit(3L))).cast("double") /
+        (lit(4L) * col("n_ctx")).cast("double")).otherwise(lit(0.0d))
+    // continuation term: ((3·n1p·tf)/(4·ctx)) · (t_w2/T) — two divisions
+    // + one multiply, each exactly rounded, parenthesization pinned so
+    // the oracle computes the bitwise-identical double
+    val contTerm = (lit(3L) * col("n1p") * col("tf")).cast("double") /
+      (lit(4L) * col("n_ctx")).cast("double") *
+      (col("t_w2").cast("double") / lit(tTot).cast("double"))
+    val contrib = docPairTf
+      .join(maybeB(kept), Seq("w1", "w2"), "left")
+      .join(maybeB(ctx), Seq("w1"), "left")
+      .join(maybeB(contw), Seq("w2"), "left")
+      .select(col(idCol), col("tf"),
+        (matchedTerm + contTerm).cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .as("kn_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-

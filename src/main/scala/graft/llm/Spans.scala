@@ -120,4 +120,127 @@ object Spans {
               p => element_at(split(col("__norm"), " "), p + 1)),
             " ")).as("text_clean"))
   }
+
+  // ---- canonical-occurrence (keep-first) tier ---------------------------
+  //
+  // [[dupSpanProfile]]/[[trimDupSpans]] implement the drop/cut-EVERY-copy
+  // policy: a span duplicated across minDocs documents is removed from
+  // ALL of them, so the corpus loses that text entirely. Lee et al.'s
+  // actual ExactSubstr tool keeps ONE occurrence — the corpus retains a
+  // single copy of every repeated passage and only the REDUNDANT copies
+  // are cut. The tier below implements that policy, plus two semantics
+  // the cross-doc tier cannot express:
+  //   - WITHIN-document repeats count (a k-window repeated twice inside
+  //     one document is a duplicate — generation loops, self-plagiarized
+  //     boilerplate); occurrence counting is positional, not per-doc;
+  //   - the canonical survivor is deterministic: the corpus-minimal
+  //     (id, pos) occurrence of each window, totally ordered by the
+  //     zero-padded "%020d|%010d" key (ids must be non-negative;
+  //     lexicographic = numeric order).
+
+  /** Marked (redundant) window starts under the canonical-occurrence
+    * policy: every `spanLen`-token window whose text occurs at `minOcc`+
+    * positions corpus-wide, MINUS the single canonical occurrence per
+    * distinct window when `keepFirst` (pass `keepFirst = false` for the
+    * cut-every-copy composition). Output `(idCol, __pos)` — 0-based
+    * window starts over the normalized token stream.
+    *
+    * Scale shape: the [[coveredPositions]] posting build verbatim
+    * (chained-concat shingles, one posting row per token), then ONE
+    * `(window-hash)` count+min aggregation with map-side partials and
+    * one hash-keyed join back — both sides shuffle on the same key, so
+    * the join is co-partitioned. Never all-pairs; no suffix array's
+    * global sort (the reference construction is single-machine — every
+    * duplicated substring of length ≥ spanLen is a union of duplicated
+    * spanLen-windows, so window counting finds the same coverage).
+    */
+  private def markedStarts(base: DataFrame, idCol: String, spanLen: Int,
+                           minOcc: Long, keepFirst: Boolean): DataFrame = {
+    val posting = base.filter(col("n_tokens") >= spanLen)
+      .select(col(idCol),
+        posexplode(Dedup.shingles(col("__norm"), spanLen)).as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__g"))
+      .withColumn("__key",
+        format_string("%020d|%010d", col(idCol), col("__pos")))
+    val stats = posting.groupBy("__g")
+      .agg(count(lit(1)).as("__n"), min(col("__key")).as("__first"))
+      .filter(col("__n") >= minOcc)
+    val m = posting.join(stats, Seq("__g"))
+    (if (keepFirst) m.where(col("__key") =!= col("__first")) else m)
+      .select(col(idCol), col("__pos"))
+  }
+
+  /** Redundant-substring SPANS per document: [[markedStarts]] merged
+    * into maximal regions. Each marked window covers token positions
+    * `[__pos, __pos+spanLen−1]`; overlapping or ADJACENT windows (a
+    * duplicated passage longer than spanLen tokens is a run of adjacent
+    * duplicated windows) merge into one span — the contiguous region a
+    * pipeline cuts.
+    *
+    * Output: `(idCol, span_start, span_end, n_windows)` — 0-based
+    * INCLUSIVE token coordinates over the normalized token stream (the
+    * [[trimDupSpans]] position convention), `n_windows` the count of
+    * marked windows merged into the span. Documents with no redundant
+    * windows emit no rows.
+    *
+    * The merge is the classic running-max interval pass: one window
+    * partitioned BY DOCUMENT (never global — parallelism is the doc
+    * count, per-task state the doc's own marked-window list).
+    */
+  def canonicalDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        spanLen: Int = 8, minOcc: Long = 2L,
+                        keepFirst: Boolean = true): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
+    val base = withTokens(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevEnd = max(col("__end")).over(w.rowsBetween(Long.MinValue, -1))
+    val flagged = markedStarts(base, idCol, spanLen, minOcc, keepFirst)
+      .withColumn("__end", col("__pos") + lit(spanLen - 1))
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__pos") > prevEnd + lit(1), 1L)
+          .otherwise(0L))
+      .withColumn("__grp",
+        sum(col("__new")).over(w.rowsBetween(Long.MinValue, 0)))
+    flagged.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        max(col("__end")).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Keep-first trim: [[trimDupSpans]]'s surgery under the canonical-
+    * occurrence policy — redundant copies cut, the corpus-first
+    * occurrence of every repeated passage KEPT (and within-doc repeats
+    * cut too). Output `(idCol, n_tokens, n_removed, text_clean)` with
+    * the empty→`("", 0)` convention; `text_clean` is the normalized
+    * text with covered tokens dropped (the [[trimDupSpans]]
+    * `array_except` shape verbatim — hash-based, never a per-token
+    * scan).
+    */
+  def trimDupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                            spanLen: Int = 8, minOcc: Long = 2L): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
+    val base = withTokens(df, idCol, textCol)
+    val cov = markedStarts(base, idCol, spanLen, minOcc, keepFirst = true)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(spanLen - 1))).as("__t"))
+      .distinct()
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("__t"))).as("__cov"))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("n_tokens") === 0, lit("")).otherwise(
+          array_join(
+            transform(
+              array_except(
+                sequence(lit(0), col("n_tokens") - 1),
+                coalesce(col("__cov"), array().cast("array<int>"))),
+              p => element_at(split(col("__norm"), " "), p + 1)),
+            " ")).as("text_clean"))
+  }
 }

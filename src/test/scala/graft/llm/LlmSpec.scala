@@ -437,6 +437,53 @@ class LlmSpec extends SparkSpec {
     assert(ft == Map(1L -> "", 2L -> ""), ft.toString)
   }
 
+  test("keep-first spans: canonical occurrence survives, redundant copies marked and trimmed") {
+    import graft.llm.Spans
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india" // 9 words
+    val d = Seq(
+      (1L, shared + " one two three"), // canonical copy: windows at pos 0,1
+      (2L, "zulu " + shared),          // redundant copy: windows at pos 1,2
+      (3L, "unique words only here nothing shared at all whatsoever"),
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    // keep-first: doc 1 holds the corpus-minimal (id,pos) occurrence of
+    // both 8-grams, so ONLY doc 2's windows are marked — merged into one
+    // span [1, 9] (two overlapping windows)
+    val spans = Spans.canonicalDupSpans(d, "doc_id", "text", spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((2L, 1L, 9L, 2L)), spans.mkString(","))
+    // keepFirst = false restores the cut-every-copy marking: doc 1's
+    // windows mark too (span [0, 8])
+    val all = Spans.canonicalDupSpans(d, "doc_id", "text", spanLen = 8,
+        keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(all.toSeq == Seq((1L, 0L, 8L), (2L, 1L, 9L)), all.mkString(","))
+    // trim: doc 1 intact (normalized), doc 2 loses the 9 covered tokens
+    val t = Spans.trimDupSpansKeepFirst(d, "doc_id", "text", spanLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(t(1L) == ((12L, 0L, shared + " one two three")), t(1L).toString)
+    assert(t(2L) == ((10L, 9L, "zulu")), t(2L).toString)
+    assert(t(3L) == ((9L, 0L, "unique words only here nothing shared at all whatsoever")))
+    assert(t(5L) == ((0L, 0L, "")))
+    // WITHIN-doc repeats count (the cross-doc tier cannot see these):
+    // shared+shared repeats both 8-grams at pos 9,10 — the second copy
+    // marks, the first survives
+    val selfRep = Seq((7L, shared + " " + shared)).toDF("doc_id", "text")
+    val selfSpans = Spans.canonicalDupSpans(selfRep, "doc_id", "text", spanLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(selfSpans.toSeq == Seq((7L, 9L, 17L, 2L)), selfSpans.mkString(","))
+    val selfTrim = Spans.trimDupSpansKeepFirst(selfRep, "doc_id", "text", spanLen = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(selfTrim == ((18L, 9L, shared)), selfTrim.toString)
+    // identical docs: the lower id keeps the text, the higher id empties
+    val eight = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val twins = Seq((1L, eight), (2L, eight)).toDF("doc_id", "text")
+    val tt = Spans.trimDupSpansKeepFirst(twins, "doc_id", "text", spanLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(tt == Map(1L -> eight, 2L -> ""), tt.toString)
+  }
+
   test("tfidf stopword blocklist drops listed terms from scoring") {
     val d = Seq((1L, "beta gamma beta delta"), (2L, "epsilon zeta eta")).toDF("doc_id", "text")
     val terms = Keywords.tfidfTopK(d, "doc_id", "text", k = 10,

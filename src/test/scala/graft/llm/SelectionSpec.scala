@@ -208,6 +208,78 @@ class SelectionSpec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.isNullAt(1))
   }
 
+  test("kneser-ney bigram: closed form, discount property, null under 2 tokens") {
+    // "a b a b a b": pairs (a,b)x3, (b,a)x2. Model: ctx(a)=3 n1p(a)=1,
+    // ctx(b)=2 n1p(b)=1; continuation counts t(a)=t(b)=1; T=2 pairs.
+    //   (a,b): matched (4*3-3)/(4*3) = 0.75,  cont (3*1)/(4*3)*(1/2) = 0.125
+    //   (b,a): matched (4*2-3)/(4*2) = 0.625, cont (3*1)/(4*2)*(1/2) = 0.1875
+    // doc mean = (3*0.875 + 2*0.8125)/5 = 0.85
+    val one = Seq((1L, "a b a b a b")).toDF("id", "text")
+    val kn = LmScore.knBigramScore(one, "id", "text")
+      .select("kn_score").as[Double].head()
+    assert(math.abs(kn - 0.85) < 1e-9, s"kn=$kn")
+    // discounting strictly reserves mass: on a fully-seen corpus the
+    // backoff score is pure MLE (= 1.0 here); KN must land BELOW it
+    val sb = LmScore.bigramBackoffScore(one, "id", "text")
+      .select("sb_score").as[Double].head()
+    assert(kn < sb)
+    // sub-2-token and empty docs: 0 bigrams, null score
+    val r = LmScore.knBigramScore(
+        Seq((1L, "solo"), (2L, "")).toDF("id", "text"), "id", "text")
+      .orderBy("id").select("n_bigrams", "kn_score").collect()
+    assert(r.forall(row => row.getLong(0) == 0L && row.isNullAt(1)))
+  }
+
+  test("kneser-ney bigram: continuation beats unigram on a Francisco corpus") {
+    // the KN signature: "francisco" is FREQUENT (high unigram) but
+    // follows only "san" (continuation count 1). A doc pairing it with
+    // a novel context must score lower under KN than under JM
+    // interpolation, which redistributes by raw frequency. Corpus:
+    // "san francisco" x50 (unigram mass 51/114 for francisco) + a
+    // diverse "the X" tail (T = 8 distinct pairs; francisco keeps
+    // continuation count 2 of 8 once the probe lands).
+    //   KN probe contribution: (3/4)*(2/8)        = 0.1875
+    //   JM probe contribution: (1/2)*(51/114)     = 0.2237
+    val base = (1L to 50L).map(i => (i, "san francisco")) ++
+      Seq((51L, "the cat"), (52L, "the dog"), (53L, "the fox"),
+        (54L, "the owl"), (55L, "the hen"), (56L, "the ant"))
+    val probe = Seq((60L, "the francisco")) // novel pair, frequent w2
+    val docs = (base ++ probe).toDF("id", "text")
+    val knP = LmScore.knBigramScore(docs, "id", "text", minPair = 2L)
+      .filter($"id" === 60L).select("kn_score").as[Double].head()
+    val jmP = LmScore.bigramInterpolatedScore(docs, "id", "text",
+        minPair = 2L)
+      .filter($"id" === 60L).select("ilm_score").as[Double].head()
+    // JM's unigram tier credits francisco's 12 raw occurrences; KN's
+    // continuation tier sees ONE distinct context — strictly harsher
+    assert(knP < jmP, s"kn=$knP !< jm=$jmP")
+    // scores stay in (0, 1]
+    val all = LmScore.knBigramScore(docs, "id", "text", minPair = 2L)
+      .select("kn_score").as[Double].collect()
+    assert(all.forall(s => s > 0.0 && s <= 1.0))
+  }
+
+  test("kneser-ney bigram: separation on the planted-language corpus") {
+    val fluent = (1L to 20L).map(i =>
+      (i, "the quick fox jumps over the lazy dog and the quick fox sleeps"))
+    val scrambled = Seq((21L,
+      "fox the dog quick lazy the jumps and sleeps fox quick the over"))
+    val cross = Seq((22L,
+      "dog xylophone the banana over quantum fox helix jumps"))
+    val docs = (fluent ++ scrambled ++ cross).toDF("id", "text")
+    val out = LmScore.knBigramScore(docs, "id", "text", minPair = 3L)
+      .orderBy("id").select("kn_score").as[Double].collect()
+    // KN separates fluent text from BOTH noise regimes by matched mass.
+    // (Unlike JM, it does NOT pin the scrambled-vs-cross ordering on a
+    // corpus this small: each probe's novel pairs enlarge N1+(··) and
+    // their own words' continuation counts, so the two noise docs'
+    // continuation masses are self-licensed artifacts, not signal.)
+    assert(out(0) > out(20), s"fluent ${out(0)} !> scrambled ${out(20)}")
+    assert(out(0) > out(21), s"fluent ${out(0)} !> cross ${out(21)}")
+    assert(out(0) > 5.0 * math.max(out(20), out(21)),
+      s"fluent ${out(0)} not >> noise ${out(20)} / ${out(21)}")
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
