@@ -562,7 +562,15 @@ object Bench {
         "bpe_gpt2_e2e",
         // round-14: interpolated trigram — one more explode + agg +
         // broadcast model join over the bigram tier
-        "lm_score_trigram")
+        "lm_score_trigram",
+        // round-14 batch 2: Kneser-Ney — the bigram-tier shape plus one
+        // model-sized count job; keep-first substring dedup — the
+        // dup_spans posting shape + a per-doc interval-merge window;
+        // the unigram tokenizer family — seed is a substring explode +
+        // one agg, encode the zero-shuffle broadcast Viterbi kernel,
+        // train one EM round over the Heaps-bounded distinct-word table
+        "lm_score_kn", "dup_spans_canonical", "span_trim_keepfirst",
+        "uni_seed_vocab", "uni_encode", "uni_train", "uni_tokens")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

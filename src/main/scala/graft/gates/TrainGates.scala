@@ -2155,6 +2155,288 @@ object TrainGates {
        |FROM cand c JOIN gsd g ON c.lang = g.lang AND c.source = g.source
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- Unigram (SentencePiece-family) tokenizer ------------------------
+  //
+  // The [[graft.llm.Unigram]] tier: seed vocabulary, Viterbi encode,
+  // hard-EM training. The oracle restates the WHOLE pipeline — substring
+  // seed counts, the clamped-probability lattice, the Viterbi DP as a
+  // recursive CTE carrying (bests, backpointers) vectors (smallest-j
+  // tie-break as list_min over the bitwise argmax set), the backpointer
+  // walk as a second recursion, hard-EM recounting, and the budgeted
+  // M-step. Every double is one exactly-rounded op in pinned
+  // parenthesization (score = greatest(cnt/N, 1/2^40); candidate =
+  // p·best[j]) so both engines compute bitwise-identical DP tables.
+
+  private val UniMaxLen = 6
+  private val UniBudget = 200
+
+  /** Corpus word counts + seed vocabulary CTEs (`wc`, `seed`). */
+  private def uniBaseCtes: String =
+    s"""unorm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS word FROM unorm)
+       |  WHERE word <> '' GROUP BY 1),
+       |subs AS (
+       |  SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, cnt
+       |  FROM wc, UNNEST(range(1, len(word) + 1)) AS u(s),
+       |       UNNEST(range(1, least($UniMaxLen, len(word) - s + 1) + 1)) AS v(l)),
+       |scnt AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |         FROM subs GROUP BY 1),
+       |seed AS (
+       |  SELECT piece, cnt FROM scnt WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM scnt
+       |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniBudget)),
+       |lat0 AS (
+       |  SELECT w.word, CAST(j AS INT) AS j, CAST(j + l AS INT) AS e,
+       |         substr(w.word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
+       |  FROM (SELECT DISTINCT word FROM wc) w,
+       |       UNNEST(range(0, len(w.word))) AS u(j),
+       |       UNNEST(range(1, least($UniMaxLen, len(w.word) - j) + 1)) AS v(l))""".stripMargin
+
+  /** One Viterbi pass over the distinct-word lattice under model CTE
+    * `model` — emits `seg_<tag>(word, pieces)`.
+    */
+  private def uniViterbiCtes(tag: String, model: String): String =
+    s"""mn_$tag AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM $model),
+       |lat_$tag AS (
+       |  SELECT l0.word, l0.j, l0.e,
+       |    CASE WHEN m.piece IS NOT NULL
+       |         THEN greatest(CAST(m.cnt AS DOUBLE) /
+       |                CAST((SELECT nn FROM mn_$tag) AS DOUBLE),
+       |              1.0/1099511627776.0)
+       |         ELSE 1.0/1099511627776.0 END AS p
+       |  FROM lat0 l0 LEFT JOIN $model m ON l0.piece = m.piece
+       |  WHERE m.piece IS NOT NULL OR l0.e - l0.j = 1),
+       |latl_$tag AS (
+       |  SELECT word, list(struct_pack(j := j, e := e, p := p) ORDER BY e, j) AS lat
+       |  FROM lat_$tag GROUP BY word),
+       |dp_$tag AS (
+       |  SELECT word, CAST(len(word) AS INT) AS n, 0 AS i,
+       |         [CAST(1.0 AS DOUBLE)] AS bests, [CAST(-1 AS INT)] AS bps
+       |  FROM latl_$tag
+       |  UNION ALL
+       |  SELECT d.word, d.n, d.i + 1,
+       |    list_append(d.bests, coalesce(list_max(
+       |      [x.p * d.bests[x.j + 1] FOR x IN l.lat
+       |       IF x.e = d.i + 1 AND d.bests[x.j + 1] > 0]), -1.0)),
+       |    list_append(d.bps, coalesce(list_min(
+       |      [x.j FOR x IN l.lat
+       |       IF x.e = d.i + 1 AND d.bests[x.j + 1] > 0
+       |          AND x.p * d.bests[x.j + 1] = list_max(
+       |            [y.p * d.bests[y.j + 1] FOR y IN l.lat
+       |             IF y.e = d.i + 1 AND d.bests[y.j + 1] > 0])]),
+       |      CAST(-1 AS INT)))
+       |  FROM dp_$tag d JOIN latl_$tag l ON d.word = l.word
+       |  WHERE d.i < d.n),
+       |fin_$tag AS (SELECT word, n, bps FROM dp_$tag WHERE i = n),
+       |bt_$tag AS (
+       |  SELECT word, n AS i, [CAST(n AS INT)] AS cuts FROM fin_$tag
+       |  UNION ALL
+       |  SELECT b.word, f.bps[b.i + 1], list_prepend(f.bps[b.i + 1], b.cuts)
+       |  FROM bt_$tag b JOIN fin_$tag f ON b.word = f.word
+       |  WHERE b.i > 0),
+       |seg_$tag AS (
+       |  SELECT word, [substr(word, cuts[t] + 1, cuts[t + 1] - cuts[t])
+       |                FOR t IN range(1, len(cuts))] AS pieces
+       |  FROM bt_$tag WHERE i = 0)""".stripMargin
+
+  /** Hard-EM recount + budgeted M-step over `seg_0` — emits `m1`. */
+  private def uniEmCtes: String =
+    s"""ecnt AS (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM (SELECT s.word, unnest(s.pieces) AS piece FROM seg_0 s) p
+       |  JOIN wc USING (word) GROUP BY piece),
+       |m1 AS (
+       |  SELECT piece, cnt FROM ecnt WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT s.piece, CAST(0 AS BIGINT) AS cnt FROM seed s
+       |  WHERE len(s.piece) = 1
+       |    AND s.piece NOT IN (SELECT piece FROM ecnt)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM ecnt
+       |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniBudget))""".stripMargin
+
+  /** Doc-level piece assembly over `seg_<tag>` — the final SELECT. */
+  private def uniDocSelect(tag: String): String =
+    s"""dt AS (
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, ws[i] AS word
+       |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[i] <> ''),
+       |dj AS (
+       |  SELECT d.doc_id, d.wpos, array_to_string(s.pieces, '|') AS ps,
+       |         CAST(len(s.pieces) AS BIGINT) AS np
+       |  FROM dt d JOIN seg_$tag s ON d.word = s.word)
+       |SELECT n.doc_id,
+       |  coalesce(string_agg(j.ps, '|' ORDER BY j.wpos), '') AS pieces,
+       |  CAST(coalesce(sum(j.np), 0) AS BIGINT) AS n_pieces
+       |FROM unorm n LEFT JOIN dj j ON n.doc_id = j.doc_id
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+
+  /** [[graft.llm.Unigram.seedVocab]]: substring counts, all singles +
+    * top-budget multis by (cnt desc, piece asc).
+    */
+  def uniSeedVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.seedVocab(Tables(s, dir, "documents"), "text",
+        maxPieceLen = UniMaxLen, budget = UniBudget)
+      .orderBy("piece")
+
+  val uniSeedVocabSql: String =
+    s"""WITH $uniBaseCtes
+       |SELECT piece, cnt FROM seed ORDER BY piece""".stripMargin
+
+  /** [[graft.llm.Unigram.encode]] under the seed model: per-doc Viterbi
+    * piece streams and counts.
+    */
+  def uniEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val model = graft.llm.Unigram.seedVocab(d, "text", UniMaxLen, UniBudget)
+    graft.llm.Unigram.encode(d, "doc_id", "text", model, UniMaxLen)
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val uniEncodeSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |${uniDocSelect("0")}""".stripMargin
+
+  /** [[graft.llm.Unigram.trainHard]] at one hard-EM round: Viterbi-
+    * recounted piece masses, singles retained at 0, budgeted multis.
+    */
+  def uniTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.trainHard(Tables(s, dir, "documents"), "text",
+        iters = 1, maxPieceLen = UniMaxLen, budget = UniBudget,
+        seedBudget = UniBudget)
+      .orderBy("piece")
+
+  val uniTrainSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes
+       |SELECT piece, cnt FROM m1 ORDER BY piece""".stripMargin
+
+  /** The unigram capstone: encode the corpus under the TRAINED model —
+    * seed → hard-EM round → second Viterbi pass, one chained oracle.
+    */
+  def uniTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val model = graft.llm.Unigram.trainHard(d, "text", iters = 1,
+      maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
+    graft.llm.Unigram.encode(d, "doc_id", "text", model, UniMaxLen)
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val uniTokensSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes,
+       |${uniViterbiCtes("1", "m1")},
+       |${uniDocSelect("1")}""".stripMargin
+
+  private def uniTrained(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.trainHard(Tables(s, dir, "documents"), "text",
+      iters = 1, maxPieceLen = UniMaxLen, budget = UniBudget,
+      seedBudget = UniBudget)
+
+  /** [[graft.llm.Unigram.vocabIds]] over the trained model: ids by
+    * (cnt desc, piece asc) — id order is mass order.
+    */
+  def uniVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.vocabIds(uniTrained(s, dir)).orderBy("piece_id")
+
+  val uniVocabSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1
+       |         AS INT) AS piece_id, piece
+       |FROM m1 ORDER BY piece_id""".stripMargin
+
+  /** [[graft.llm.Unigram.encodeIds]]: trained-model Viterbi streams in
+    * trainer-contract integer ids.
+    */
+  def uniEncodeIds(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val m = uniTrained(s, dir)
+    graft.llm.Unigram.encodeIds(d, "doc_id", "text", m,
+        graft.llm.Unigram.vocabIds(m), UniMaxLen)
+      .select(col("doc_id"),
+        array_join(transform(col("piece_ids"), i => i.cast("string")), "|")
+          .as("piece_ids"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val uniEncodeIdsSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes,
+       |${uniViterbiCtes("1", "m1")},
+       |vid AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1
+       |           AS INT) AS piece_id, piece FROM m1),
+       |sp AS (
+       |  SELECT word, CAST(t AS INT) AS ppos, pieces[CAST(t AS INT)] AS piece
+       |  FROM seg_1, UNNEST(range(1, len(pieces) + 1)) AS u(t)),
+       |spi AS (SELECT word, ppos, v.piece_id FROM sp JOIN vid v USING (piece)),
+       |wids AS (
+       |  SELECT word, string_agg(CAST(piece_id AS VARCHAR), '|' ORDER BY ppos) AS ids,
+       |         CAST(count(*) AS BIGINT) AS np
+       |  FROM spi GROUP BY word),
+       |dt AS (
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, ws[i] AS word
+       |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[i] <> ''),
+       |dj AS (SELECT d.doc_id, d.wpos, w.ids, w.np
+       |       FROM dt d JOIN wids w USING (word))
+       |SELECT n.doc_id,
+       |  coalesce(string_agg(j.ids, '|' ORDER BY j.wpos), '') AS piece_ids,
+       |  CAST(coalesce(sum(j.np), 0) AS BIGINT) AS n_pieces
+       |FROM unorm n LEFT JOIN dj j ON n.doc_id = j.doc_id
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+
+  /** [[graft.llm.Unigram.fertility]] by language under the trained
+    * model — pieces per word, the tokenizer-quality triage rollup.
+    */
+  def uniFertility(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.fertility(Tables(s, dir, "documents"), "doc_id",
+        "text", "lang", uniTrained(s, dir), UniMaxLen)
+      .orderBy("lang")
+
+  val uniFertilitySql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes,
+       |${uniViterbiCtes("1", "m1")},
+       |wnp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS np FROM seg_1),
+       |dt AS (
+       |  SELECT doc_id, ws[i] AS word
+       |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[i] <> ''),
+       |dnp AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |         CAST(sum(w.np) AS BIGINT) AS np
+       |  FROM dt d JOIN wnp w USING (word) GROUP BY d.doc_id),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(coalesce(p.nw, 0) AS BIGINT) AS nw,
+       |    CAST(coalesce(p.np, 0) AS BIGINT) AS np
+       |  FROM documents d LEFT JOIN dnp p USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CASE WHEN sum(nw) = 0 THEN NULL
+       |    ELSE CAST(sum(np) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+       |  END AS fertility
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registration ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2203,6 +2485,13 @@ object TrainGates {
     "sft_mask_audit"  -> (sftMaskAudit _),
     "sft_run"         -> (sftRun _),
     "bpe_fertility"   -> (bpeFertility _),
+    "uni_seed_vocab"  -> (uniSeedVocab _),
+    "uni_encode"      -> (uniEncode _),
+    "uni_train"       -> (uniTrain _),
+    "uni_tokens"      -> (uniTokens _),
+    "uni_vocab"       -> (uniVocab _),
+    "uni_encode_ids"  -> (uniEncodeIds _),
+    "uni_fertility"   -> (uniFertility _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2251,5 +2540,12 @@ object TrainGates {
     "sft_mask_audit"  -> sftMaskAuditSql,
     "sft_run"         -> sftRunSql,
     "bpe_fertility"   -> bpeFertilitySql,
+    "uni_seed_vocab"  -> uniSeedVocabSql,
+    "uni_encode"      -> uniEncodeSql,
+    "uni_train"       -> uniTrainSql,
+    "uni_tokens"      -> uniTokensSql,
+    "uni_vocab"       -> uniVocabSql,
+    "uni_encode_ids"  -> uniEncodeIdsSql,
+    "uni_fertility"   -> uniFertilitySql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

@@ -1,0 +1,353 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Unigram-LM tokenizer — the OTHER production subword family (Kudo
+  * 2018, the SentencePiece unigram model shipped by T5/Llama-class
+  * tokenizers; [[Bpe]] covers the GPT-class merge family): a vocabulary
+  * of PIECES with probabilities, segmentation by Viterbi
+  * (maximum-product-of-piece-probabilities), and training by EM over
+  * (segment → recount) rounds.
+  *
+  * Semantics (pinned, engine-portable):
+  *   - Words are the whitespace-normalized tokens of `trim(lower(text))`
+  *     — the [[Bpe.train]] char-tier convention. Pieces never cross a
+  *     word boundary.
+  *   - All string positions are CODE POINTS (what Spark `substring`/
+  *     `length` and DuckDB `substr`/`len` both count — the JVM kernel
+  *     steps `offsetByCodePoints`, never UTF-16 units, so surrogate
+  *     pairs segment identically in both engines).
+  *   - Piece score = `greatest(cnt/N, 2^−40)` with N the model's total
+  *     mass: ONE exactly-rounded division (both factors exact longs)
+  *     and an exactly-representable floor (`1/2^40`; the floor also
+  *     scores OOV single code points, so segmentation is TOTAL — any
+  *     string segments, unknown characters pass through as singles).
+  *     No `ln` anywhere: Viterbi runs on raw products.
+  *   - VITERBI: `best(i) = max over j of best(j)·score(word[j..i))`,
+  *     j ascending with strict `>` — ties break to the SMALLEST j
+  *     (= the longest final piece), pinned for the oracle.
+  *   - Underflow is structurally impossible: a word is DP'd in chunks
+  *     of at most [[MaxDpLen]] = 24 code points (longer words split into
+  *     consecutive 24-cp segments segmented independently — the
+  *     SentencePiece max-length analogue), and the floored per-piece
+  *     score is ≥ 2^−40, so any partial product is ≥ 2^−960 — far above
+  *     the 2^−1022 normal range, never subnormal, bitwise portable.
+  *   - TRAINING is hard-EM (Viterbi E-step): expected counts are the
+  *     piece counts of each word's Viterbi-best segmentation weighted by
+  *     word frequency; the M-step renormalizes and prunes to the budget.
+  *     (Kudo's soft forward–backward E-step is a documented refinement;
+  *     the hard variant is the standard deterministic approximation and
+  *     keeps every step one exact aggregation.) Single-code-point pieces
+  *     are NEVER pruned (they are the totality floor), surviving at
+  *     count 0 when unused.
+  *
+  * Scale shape: the corpus-sized work is ONE distributed word-count
+  * aggregation ([[Bpe.wordCounts]]); everything after runs on the
+  * DISTINCT-word table (Heaps-bounded ≪ corpus). Seeding is a narrow
+  * substring explode + one aggregation; each EM round is a narrow
+  * broadcast-model Viterbi kernel over distinct words ([[Bpe.MemoCap]]-
+  * bounded memos) + one piece-count aggregation + a top-`budget`
+  * TakeOrdered. Encoding is a zero-shuffle broadcast kernel, the
+  * [[Bpe.encodeWithMergesFast]] shape verbatim. The model is rows
+  * (`piece, cnt`) — parquet-persistable, bounded-collect on use.
+  */
+object Unigram {
+
+  /** The probability floor and OOV-single score: 2^−40, written as a
+    * division of exactly-representable values so any engine computes
+    * the identical double.
+    */
+  val POov: Double = 1.0 / 1099511627776.0
+
+  /** Maximum code points per Viterbi DP — the underflow bound (see the
+    * header: 24·40 < 1022). Longer words chunk.
+    */
+  val MaxDpLen: Int = 24
+
+  /** Seed vocabulary over a `(word, cnt)` table: every substring of
+    * 1..`maxPieceLen` code points, weighted by word frequency (a
+    * substring occurring twice in a word counts twice); ALL single-cp
+    * pieces kept (the totality floor) + the top-`budget` multi-cp
+    * pieces by `(cnt desc, piece asc)` — the deterministic budget
+    * ranking every bounded model here uses. Output `(piece, cnt)`.
+    */
+  def seedVocabFromWordCounts(wc: DataFrame, maxPieceLen: Int = 10,
+                              budget: Int = 4096): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val n = length(col("word"))
+    val subs = wc.select(col("cnt").cast("long").as("__c"),
+      explode(flatten(transform(sequence(lit(1), n), s =>
+        transform(sequence(lit(1), least(lit(maxPieceLen), n - s + lit(1))),
+          l => col("word").substr(s, l))))).as("piece"))
+    val counts = subs.groupBy("piece").agg(sum(col("__c")).as("cnt"))
+    val singles = counts.where(length(col("piece")) === 1)
+    val multis = counts.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(budget)
+    singles.unionByName(multis)
+  }
+
+  /** [[seedVocabFromWordCounts]] over a corpus. */
+  def seedVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 10,
+                budget: Int = 4096): DataFrame =
+    seedVocabFromWordCounts(Bpe.wordCounts(docs, textCol), maxPieceLen,
+      budget)
+
+  /** Collected piece→score map of a model (bounded-model contract, the
+    * [[Bpe.mergesOf]] analogue): `score = max(cnt/N, 2^−40)` with N the
+    * model's total mass.
+    */
+  def scoresOf(model: DataFrame): Map[String, Double] = {
+    val rows = model.select(col("piece"), col("cnt").cast("long")).collect()
+    val n = rows.iterator.map(_.getLong(1)).sum
+    require(n > 0L, "unigram model has zero total mass")
+    val nd = n.toDouble
+    rows.iterator.map { r =>
+      r.getString(0) -> math.max(r.getLong(1).toDouble / nd, POov)
+    }.toMap
+  }
+
+  /** Score lookup closure over a collected model: vocab pieces at their
+    * clamped probability, OOV SINGLE code points at the floor, OOV
+    * multi-cp pieces absent (−1 = not a lattice edge).
+    */
+  private[llm] def mkScore(m: Map[String, Double]): String => Double =
+    piece => m.getOrElse(piece,
+      if (piece.codePointCount(0, piece.length) == 1) POov else -1.0)
+
+  /** The Viterbi kernel: best-product segmentation of one word (code-
+    * point positions, smallest-j tie-break, [[MaxDpLen]] chunking).
+    * Pure and deterministic in `(word, score, maxPieceLen)` — memoizable
+    * per partition.
+    */
+  private[llm] def viterbiSegment(word: String, score: String => Double,
+                                  maxPieceLen: Int): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    if (n == 0) return Array.empty
+    if (n > MaxDpLen) {
+      val out = mutable.ArrayBuffer.empty[String]
+      var s = 0
+      var done = 0
+      while (done < n) {
+        val take = math.min(MaxDpLen, n - done)
+        val e = word.offsetByCodePoints(s, take)
+        out ++= viterbiSegment(word.substring(s, e), score, maxPieceLen)
+        s = e
+        done += take
+      }
+      return out.toArray
+    }
+    // code-point start offsets into the UTF-16 backing
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var t = 0
+    while (t < n) {
+      offs(t) = o
+      o = word.offsetByCodePoints(o, 1)
+      t += 1
+    }
+    offs(n) = word.length
+    val best = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    best(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var b = -1.0
+      var a = -1
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) > 0) {
+          val p = score(word.substring(offs(j), offs(i)))
+          if (p > 0) {
+            val cand = best(j) * p // ONE exactly-rounded multiply
+            if (cand > b) { b = cand; a = j }
+          }
+        }
+        j += 1
+      }
+      best(i) = b
+      bp(i) = a
+      i += 1
+    }
+    val buf = mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) {
+      val j = bp(k)
+      word.substring(offs(j), offs(k)) +=: buf
+      k = j
+    }
+    buf.toArray
+  }
+
+  /** Viterbi-encode a corpus under a model: `(idCol, pieces, n_pieces)`
+    * — the [[Bpe.encodeWithMergesFast]] shape: zero shuffle, broadcast
+    * scores, per-partition word→pieces memo, empty text → empty array.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             model: DataFrame, maxPieceLen: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scoresOf(model))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    val encoded = norm.as[(Long, String)].mapPartitions { rows =>
+      val sc = mkScore(bc.value)
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val pieces =
+          if (t.isEmpty) Array.empty[String]
+          else t.split(" ").iterator.flatMap { w =>
+            Bpe.memoized(memo, w)(viterbiSegment(w, sc, maxPieceLen))
+          }.toArray
+        (id, pieces)
+      }
+    }.toDF(idCol, "pieces")
+    encoded.select(col(idCol), col("pieces"),
+      size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
+  /** One hard-EM round: Viterbi-segment the distinct-word table under
+    * `model`, recount pieces weighted by word frequency, keep ALL
+    * single-cp pieces of the previous model (at count 0 when unused —
+    * the totality floor survives) plus any new singles, plus the
+    * top-`budget` multi-cp pieces by `(cnt desc, piece asc)`. Output
+    * `(piece, cnt)` — the next round's model.
+    */
+  def emStepHard(wc: DataFrame, model: DataFrame, maxPieceLen: Int = 10,
+                 budget: Int = 4096): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scoresOf(model))
+    val segmented = wc
+      .select(col("word"), col("cnt").cast("long").as("cnt"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val sc = mkScore(bc.value)
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        rows.flatMap { case (w, c) =>
+          Bpe.memoized(memo, w)(viterbiSegment(w, sc, maxPieceLen))
+            .iterator.map(p => (p, c))
+        }
+      }.toDF("piece", "__c")
+    val counts = segmented.groupBy("piece").agg(sum(col("__c")).as("cnt"))
+    val newSingles = counts.where(length(col("piece")) === 1)
+    val keptSingles = model.select(col("piece"))
+      .where(length(col("piece")) === 1)
+      .join(counts, Seq("piece"), "left_anti")
+      .select(col("piece"), lit(0L).as("cnt"))
+    val multis = counts.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(budget)
+    newSingles.unionByName(keptSingles).unionByName(multis)
+  }
+
+  /** Trainer-contract id table over a model: `(piece_id, piece)` with
+    * ids assigned by `(cnt desc, piece asc)` — the budget ranking, so
+    * id order IS mass order and a truncated id range keeps the
+    * highest-mass pieces. Driver-side zipWithIndex over the collected
+    * model (the [[Bpe.vocab]] bounded-model contract).
+    */
+  def vocabIds(model: DataFrame): DataFrame = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("piece"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+      .sortBy { case (p, c) => (-c, p) }
+    spark.createDataset(rows.toIndexedSeq.zipWithIndex
+        .map { case ((p, _), i) => (i, p) })
+      .toDF("piece_id", "piece")
+  }
+
+  /** Viterbi-encode to integer ids: `(idCol, piece_ids, n_pieces)` —
+    * [[encode]]'s pieces mapped through a broadcast `(piece, piece_id)`
+    * table ([[vocabIds]] output), the [[Bpe.encodeIds]] shape. Pieces
+    * absent from the id table map to −1 (only possible for OOV
+    * single-code-point pass-throughs when encoding text whose charset
+    * the model never saw — impossible self-corpus, spec-pinned).
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, vocabDf: DataFrame,
+                maxPieceLen: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap: Map[String, Int] = vocabDf
+      .select(col("piece"), col("piece_id").cast("int"))
+      .as[(String, Int)].collect().toMap
+    val bcV = spark.sparkContext.broadcast(vmap)
+    val bcS = spark.sparkContext.broadcast(scoresOf(model))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    norm.as[(Long, String)].mapPartitions { rows =>
+      val sc = mkScore(bcS.value)
+      val vm = bcV.value
+      val memo = mutable.HashMap.empty[String, Array[Int]]
+      rows.map { case (id, t) =>
+        val ids =
+          if (t.isEmpty) Array.empty[Int]
+          else t.split(" ").iterator.flatMap { w =>
+            Bpe.memoized(memo, w)(
+              viterbiSegment(w, sc, maxPieceLen).map(vm.getOrElse(_, -1)))
+          }.toArray
+        (id, ids)
+      }
+    }.toDF(idCol, "piece_ids")
+      .select(col(idCol), col("piece_ids"),
+        size(col("piece_ids")).cast("long").as("n_pieces"))
+  }
+
+  /** Per-group fertility (pieces per word) under a model — the
+    * [[Bpe.fertility]] shape: tokenizer-quality triage per language/
+    * source slice, one encode scan + one partial-agg rollup, fertility
+    * = ONE exactly-rounded double division.
+    */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, model: DataFrame,
+                maxPieceLen: Int = 10): DataFrame = {
+    val enc = encode(docs, idCol, textCol, model, maxPieceLen)
+      .select(col(idCol), col("n_pieces").as("__np"))
+    val t = regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+      "\\s+", " ")
+    val words = docs.select(col(idCol).cast("long").as(idCol),
+      col(groupCol),
+      when(t === "", lit(0L)).otherwise(size(split(t, " ")).cast("long"))
+        .as("__nw"))
+    words.join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__np")).as("n_pieces"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_pieces"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_pieces").cast("double")
+            / col("n_words").cast("double")).as("fertility"))
+  }
+
+  /** Hard-EM training: seed → `iters` rounds of [[emStepHard]]. The
+    * word-count table is computed once and persisted across rounds
+    * (each round is one action over it). Output `(piece, cnt)`.
+    */
+  def trainHard(docs: DataFrame, textCol: String, iters: Int = 2,
+                maxPieceLen: Int = 10, budget: Int = 4096,
+                seedBudget: Int = 65536): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wc = Bpe.wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var model = seedVocabFromWordCounts(wc, maxPieceLen, seedBudget)
+    var i = 0
+    while (i < iters) {
+      model = emStepHard(wc, model, maxPieceLen, budget)
+      i += 1
+    }
+    // materialize the final model before releasing the word table its
+    // lineage still references
+    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    wc.unpersist()
+    out
+  }
+}

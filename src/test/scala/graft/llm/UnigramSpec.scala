@@ -1,0 +1,212 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the unigram-LM (SentencePiece-family) tokenizer:
+  * Viterbi closed forms and tie-breaks, code-point handling, chunked
+  * long words, seed counting, hard-EM concentration, and encode/OOV
+  * semantics. (The `uni_*` DuckDB-oracle gates verify the distributed
+  * chains end-to-end; these pin the kernel semantics the gate fixture
+  * can't.)
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(m: Map[String, Long]): String => Double = {
+    val n = m.values.sum.toDouble
+    Unigram.mkScore(m.map { case (k, v) =>
+      k -> math.max(v.toDouble / n, Unigram.POov)
+    })
+  }
+
+  test("viterbi: closed form prefers the high-mass whole piece") {
+    // vocab {ab:4, c:2, a:1, b:1}, N=8. "abc":
+    //   [ab][c]   = (4/8)(2/8) = 0.125
+    //   [a][b][c] = (1/8)(1/8)(2/8) ~ 0.004
+    val sc = score(Map("ab" -> 4L, "c" -> 2L, "a" -> 1L, "b" -> 1L))
+    assert(Unigram.viterbiSegment("abc", sc, 10).toSeq == Seq("ab", "c"))
+  }
+
+  test("viterbi: exact ties break to the smallest backpointer (longest final piece)") {
+    // vocab {aa:2, a:2}, N=4: on "aaa" the products [aa][a] and [a][aa]
+    // are both 0.25 BITWISE; ascending-j strict > keeps the SMALLEST j
+    // at the final position, i.e. the longest final piece: [a][aa]
+    val sc = score(Map("aa" -> 2L, "a" -> 2L))
+    assert(Unigram.viterbiSegment("aaa", sc, 10).toSeq == Seq("a", "aa"))
+  }
+
+  test("viterbi: OOV code points pass through as floor-scored singles") {
+    val sc = score(Map("a" -> 1L))
+    assert(Unigram.viterbiSegment("axa", sc, 10).toSeq == Seq("a", "x", "a"))
+    // an entirely-OOV word still segments (totality): one single per cp
+    assert(Unigram.viterbiSegment("zzz", sc, 10).toSeq == Seq("z", "z", "z"))
+  }
+
+  test("viterbi: maxPieceLen bounds the lattice") {
+    val sc = score(Map("abcd" -> 100L, "ab" -> 1L, "cd" -> 1L,
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    // with the whole word admissible it wins outright...
+    assert(Unigram.viterbiSegment("abcd", sc, 4).toSeq == Seq("abcd"))
+    // ...at maxPieceLen 2 it is not an edge at all
+    assert(Unigram.viterbiSegment("abcd", sc, 2).toSeq == Seq("ab", "cd"))
+  }
+
+  test("viterbi: segmentation is lossless on arbitrary unicode, incl. non-BMP") {
+    val sc = score(Map("ab" -> 3L, "a" -> 1L))
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab cé世🎉" // é, 世, 🎉 (surrogate pair)
+    val cps = alphabet.codePoints().toArray
+    (1 to 100).foreach { _ =>
+      val n = 1 + rng.nextInt(40) // > MaxDpLen sometimes → chunk path
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      val w = sb.toString.replace(" ", "x") // words carry no spaces
+      val pieces = Unigram.viterbiSegment(w, sc, 6)
+      assert(pieces.mkString("") == w, s"lossy on $w")
+      // no piece splits a surrogate pair
+      assert(pieces.forall(p => !Character.isLowSurrogate(p.charAt(0))))
+    }
+  }
+
+  test("viterbi: long words chunk at MaxDpLen code points and never underflow") {
+    val sc = score(Map("aaa" -> 5L, "a" -> 1L))
+    val w = "a" * 100 // 4 chunks: 24+24+24+24 then 4
+    val pieces = Unigram.viterbiSegment(w, sc, 10)
+    assert(pieces.mkString("") == w)
+    // chunks of 24 segment as 8×"aaa"; no piece crosses a chunk edge
+    assert(pieces.take(8).forall(_ == "aaa"))
+    // an all-OOV 100-cp word: products would underflow without chunking
+    // ((2^-40)^100 = 2^-4000); chunked, every position segments
+    val oov = "q" * 100
+    val op = Unigram.viterbiSegment(oov, score(Map("a" -> 1L)), 10)
+    assert(op.length == 100 && op.forall(_ == "q"))
+  }
+
+  test("seed vocab: substring counts weight by word frequency and in-word multiplicity") {
+    val docs = Seq((1L, "ana ana"), (2L, "ana")).toDF("id", "text")
+    val seed = Unigram.seedVocab(docs, "text", maxPieceLen = 3, budget = 100)
+      .as[(String, Long)].collect().toMap
+    // "ana" occurs 3 times; substring "a" twice PER occurrence
+    assert(seed("a") == 6L)
+    assert(seed("n") == 3L)
+    assert(seed("an") == 3L && seed("na") == 3L)
+    assert(seed("ana") == 3L)
+  }
+
+  test("seed vocab: budget cuts multis by (cnt desc, piece asc); singles always survive") {
+    val docs = Seq((1L, "abc abd")).toDF("id", "text")
+    val seed = Unigram.seedVocab(docs, "text", maxPieceLen = 3, budget = 2)
+      .as[(String, Long)].collect().toMap
+    // multis: ab(2), abc/abd/bc/bd/... (1 each) → budget 2 keeps ab + the
+    // lexicographically smallest count-1 multi ("abc")
+    val multis = seed.keySet.filter(_.length > 1)
+    assert(multis == Set("ab", "abc"), multis.toString)
+    assert(Set("a", "b", "c", "d").subsetOf(seed.keySet))
+  }
+
+  test("hard-EM concentrates mass on whole words; unused multis drop; singles survive at 0") {
+    val docs = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
+    val model = Unigram.trainHard(docs, "text", iters = 1,
+      maxPieceLen = 5, budget = 100)
+    val m = model.as[(String, Long)].collect().toMap
+    // Viterbi under the seed picks the whole word (same count, fewer
+    // factors) → all EM mass lands on the two words
+    assert(m("hello") == 50L && m("world") == 50L)
+    val multis = m.keySet.filter(_.length > 1)
+    assert(multis == Set("hello", "world"), multis.toString)
+    // singles retained at zero mass (the totality floor)
+    assert(m.keySet.filter(_.length == 1) ==
+      Set("h", "e", "l", "o", "w", "r", "d"))
+    assert(m("h") == 0L)
+  }
+
+  test("encode: trained model segments text; OOV and empty docs follow conventions") {
+    val train = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
+    val model = Unigram.trainHard(train, "text", iters = 1,
+      maxPieceLen = 5, budget = 100)
+    val docs = Seq((1L, "hello world"), (2L, "helloworld"),
+      (3L, "hellx"), (4L, "")).toDF("id", "text")
+    val out = Unigram.encode(docs, "id", "text", model, maxPieceLen = 5)
+      .orderBy("id")
+      .select(col("id"), array_join(col("pieces"), "|"), col("n_pieces"))
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "hello|world", 2L)))
+    // concatenated word: both pieces still found (no space needed)
+    assert(out(1) == ((2L, "hello|world", 2L)))
+    // "hellx": "hell" is not a piece (dropped in EM) → singles, with the
+    // OOV "x" floor-scored
+    assert(out(2) == ((3L, "h|e|l|l|x", 5L)))
+    assert(out(3) == ((4L, "", 0L)))
+  }
+
+  test("em step: model pieces with zero count stay usable (floor-clamped) in the next round") {
+    // a model whose singles carry count 0 must still score words
+    val wc = Seq(("ab", 4L)).toDF("word", "cnt")
+    val model = Seq(("ab", 4L), ("a", 0L), ("b", 0L)).toDF("piece", "cnt")
+    val next = Unigram.emStepHard(wc, model, maxPieceLen = 2, budget = 10)
+      .as[(String, Long)].collect().toMap
+    assert(next("ab") == 4L)
+    assert(next.get("a").contains(0L) && next.get("b").contains(0L))
+  }
+
+  test("vocab ids are mass-ordered; encodeIds maps streams; OOV singles map to -1") {
+    val train = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
+    val model = Unigram.trainHard(train, "text", iters = 1,
+      maxPieceLen = 5, budget = 100)
+    val vocab = Unigram.vocabIds(model)
+    val v = vocab.as[(Int, String)].collect().toMap
+    // (cnt desc, piece asc): the two 50-count words first, then the
+    // zero-count singles alphabetically
+    assert(v(0) == "hello" && v(1) == "world")
+    assert((2 to 8).map(v) == Seq("d", "e", "h", "l", "o", "r", "w"))
+    val docs = Seq((1L, "hello world"), (2L, "hellx"), (3L, ""))
+      .toDF("id", "text")
+    val out = Unigram.encodeIds(docs, "id", "text", model, vocab, 5)
+      .orderBy("id")
+      .select(col("id"), col("piece_ids"), col("n_pieces"))
+      .as[(Long, Seq[Int], Long)].collect()
+    assert(out(0) == ((1L, Seq(0, 1), 2L)))
+    // h|e|l|l|x → ids 4,3,5,5 and the OOV 'x' → -1
+    assert(out(1) == ((2L, Seq(4, 3, 5, 5, -1), 5L)))
+    assert(out(2) == ((3L, Seq(), 0L)))
+  }
+
+  test("fertility: pieces per word by group, null on wordless groups") {
+    val train = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
+    val model = Unigram.trainHard(train, "text", iters = 1,
+      maxPieceLen = 5, budget = 100)
+    val docs = Seq((1L, "hello world", "en"), (2L, "", "en"),
+      (3L, "hellx", "xx"), (4L, "   ", "zz")).toDF("id", "text", "lang")
+    val out = Unigram.fertility(docs, "id", "text", "lang", model, 5)
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // en: 2 docs, 2 words, 2 pieces → 1.0; xx: 1 word → 5 singles → 5.0;
+    // zz: wordless → null
+    assert(out(0) == (("en", 2L, 2L, 2L, 1.0)))
+    assert(out(1) == (("xx", 1L, 1L, 5L, 5.0)))
+    assert(out(2)._5.isNaN && out(2)._3 == 0L)
+  }
+
+  test("encode plans narrow: zero Exchange (broadcast scores, per-partition kernel)") {
+    val docs = (1L to 100L).map(i => (i, "hello world")).toDF("id", "text")
+    val model = Unigram.seedVocab(docs, "text", maxPieceLen = 4, budget = 50)
+    val plan = Unigram.encode(docs, "id", "text", model, maxPieceLen = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  test("encode is partition-invariant (kernel is per-word, memo is a pure cache)") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"hello world token$i hello")).toDF("id", "text")
+    val model = Unigram.seedVocab(docs, "text", maxPieceLen = 4, budget = 50)
+    val a = Unigram.encode(docs.repartition(1), "id", "text", model, 4)
+      .select(col("id"), array_join(col("pieces"), "|").as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Unigram.encode(docs.repartition(13), "id", "text", model, 4)
+      .select(col("id"), array_join(col("pieces"), "|").as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
