@@ -570,7 +570,10 @@ object Bench {
         // one agg, encode the zero-shuffle broadcast Viterbi kernel,
         // train one EM round over the Heaps-bounded distinct-word table
         "lm_score_kn", "dup_spans_canonical", "span_trim_keepfirst",
-        "uni_seed_vocab", "uni_encode", "uni_train", "uni_tokens")
+        "uni_seed_vocab", "uni_encode", "uni_train", "uni_tokens",
+        // the id/fertility surface and the soft E-step: same
+        // distinct-word broadcast-kernel shapes, one extra agg each
+        "uni_vocab", "uni_encode_ids", "uni_fertility", "uni_em_soft")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

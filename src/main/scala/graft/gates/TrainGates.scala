@@ -2402,6 +2402,94 @@ object TrainGates {
        |FROM unorm n LEFT JOIN dj j ON n.doc_id = j.doc_id
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
 
+  /** [[graft.llm.Unigram.emStepSoft]] from the seed model: the TRUE
+    * Kudo E-step — per-piece posterior masses over every word's full
+    * segmentation lattice (forward–backward, not just the Viterbi-best
+    * path). The oracle restates both DP recursions as recursive CTEs
+    * carrying the α/β vectors (sequential left-fold sums via
+    * list_reduce — the engine's ascending-j/ascending-e accumulation
+    * order), the pinned ((α·p)·β)/Z edge posteriors, the word-frequency
+    * multiply, and the VARCHAR-routed decimal(28,15) exact sum; the
+    * budget cut compares exact decimals. Output weights are projected
+    * to DOUBLE at the end (the established decimal→double parity
+    * direction).
+    */
+  def uniEmSoft(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val wcDf = Bpe.wordCounts(d, "text")
+    val seed = graft.llm.Unigram.seedVocabFromWordCounts(
+      wcDf, UniMaxLen, UniBudget)
+    graft.llm.Unigram.emStepSoft(wcDf, seed, UniMaxLen, UniBudget)
+      .select(col("piece"), col("weight").cast("double").as("weight"))
+      .orderBy("piece")
+  }
+
+  val uniEmSoftSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |mn_0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM seed),
+       |lat_0 AS (
+       |  SELECT l0.word, l0.j, l0.e,
+       |    CASE WHEN m.piece IS NOT NULL
+       |         THEN greatest(CAST(m.cnt AS DOUBLE) /
+       |                CAST((SELECT nn FROM mn_0) AS DOUBLE),
+       |              1.0/1099511627776.0)
+       |         ELSE 1.0/1099511627776.0 END AS p
+       |  FROM lat0 l0 LEFT JOIN seed m ON l0.piece = m.piece
+       |  WHERE m.piece IS NOT NULL OR l0.e - l0.j = 1),
+       |latl_0 AS (
+       |  SELECT word, list(struct_pack(j := j, e := e, p := p) ORDER BY e, j) AS lat
+       |  FROM lat_0 GROUP BY word),
+       |af AS (
+       |  SELECT word, CAST(len(word) AS INT) AS n, 0 AS i,
+       |         [CAST(1.0 AS DOUBLE)] AS alphas
+       |  FROM latl_0
+       |  UNION ALL
+       |  SELECT a.word, a.n, a.i + 1,
+       |    list_append(a.alphas, coalesce(list_reduce(
+       |      [x.p * a.alphas[x.j + 1] FOR x IN l.lat IF x.e = a.i + 1],
+       |      (s, v) -> s + v), 0.0))
+       |  FROM af a JOIN latl_0 l ON a.word = l.word
+       |  WHERE a.i < a.n),
+       |afin AS (SELECT word, n, alphas FROM af WHERE i = n),
+       |bf AS (
+       |  SELECT word, CAST(len(word) AS INT) AS n,
+       |         CAST(len(word) AS INT) AS l, [CAST(1.0 AS DOUBLE)] AS betas
+       |  FROM latl_0
+       |  UNION ALL
+       |  SELECT b.word, b.n, b.l - 1,
+       |    list_prepend(coalesce(list_reduce(
+       |      [x.p * b.betas[x.e - b.l + 1] FOR x IN lt.lat IF x.j = b.l - 1],
+       |      (s, v) -> s + v), 0.0), b.betas)
+       |  FROM bf b JOIN latl_0 lt ON b.word = lt.word
+       |  WHERE b.l > 0),
+       |bfin AS (SELECT word, betas FROM bf WHERE l = 0),
+       |ec AS (
+       |  SELECT e.word, substr(e.word, e.j + 1, e.e - e.j) AS piece,
+       |    a.alphas[e.j + 1] * e.p * b.betas[e.e + 1] / a.alphas[a.n + 1] AS ev
+       |  FROM lat_0 e JOIN afin a USING (word) JOIN bfin b USING (word)),
+       |wq AS (
+       |  SELECT ec.piece,
+       |    CAST(CAST(ec.ev * CAST(w.cnt AS DOUBLE) AS VARCHAR)
+       |      AS DECIMAL(28,15)) AS q
+       |  FROM ec JOIN wc w USING (word)),
+       |wsum AS (SELECT piece, sum(q) AS weight FROM wq GROUP BY piece),
+       |msoft AS (
+       |  SELECT piece, weight FROM wsum WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT s.piece, CAST(0 AS DECIMAL(38,15)) AS weight FROM seed s
+       |  WHERE len(s.piece) = 1
+       |    AND s.piece NOT IN (SELECT piece FROM wsum)
+       |  UNION ALL
+       |  SELECT piece, weight FROM (SELECT piece, weight FROM wsum
+       |    WHERE len(piece) > 1 ORDER BY weight DESC, piece ASC
+       |    LIMIT $UniBudget))
+       |-- decimal -> double via VARCHAR: DuckDB's direct wide-decimal
+       |-- cast double-rounds (int128 -> double, then /10^15) where
+       |-- Spark's BigDecimal.doubleValue rounds once — the string
+       |-- carries the exact digits, so strtod rounds once like Java
+       |SELECT piece, CAST(CAST(weight AS VARCHAR) AS DOUBLE) AS weight
+       |FROM msoft ORDER BY piece""".stripMargin
+
   /** [[graft.llm.Unigram.fertility]] by language under the trained
     * model — pieces per word, the tokenizer-quality triage rollup.
     */
@@ -2492,6 +2580,7 @@ object TrainGates {
     "uni_vocab"       -> (uniVocab _),
     "uni_encode_ids"  -> (uniEncodeIds _),
     "uni_fertility"   -> (uniFertility _),
+    "uni_em_soft"     -> (uniEmSoft _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2547,5 +2636,6 @@ object TrainGates {
     "uni_vocab"       -> uniVocabSql,
     "uni_encode_ids"  -> uniEncodeIdsSql,
     "uni_fertility"   -> uniFertilitySql,
+    "uni_em_soft"     -> uniEmSoftSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

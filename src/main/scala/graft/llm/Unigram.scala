@@ -327,6 +327,151 @@ object Unigram {
             / col("n_words").cast("double")).as("fertility"))
   }
 
+  /** Per-chunk forward–backward edge expectations of one word — the
+    * SOFT (true Kudo) E-step kernel: over the word's piece lattice,
+    *
+    *   α(0) = 1;  α(i) = Σ_j α(j)·p(word[j..i))   (ascending j)
+    *   β(n) = 1;  β(j) = Σ_i p(word[j..i))·β(i)   (ascending i)
+    *   E[(j,i)]  = ((α(j)·p)·β(i)) / α(n)
+    *
+    * Every sum is a sequential left-fold in PINNED order (ascending j /
+    * ascending i, seeded at 0.0 — exact for positive terms), every
+    * product/division one exactly-rounded op in pinned parenthesization,
+    * so both engines produce bitwise-identical expectations. The same
+    * [[MaxDpLen]] chunking and 2^−40 floor as [[viterbiSegment]] keep
+    * all quantities inside the normal double range (α is also bounded
+    * above by the path count ≤ 2^23 at 24 positions — no overflow).
+    * Emits `(piece, expectation)` rows, one per lattice edge.
+    */
+  private[llm] def fbExpectations(word: String, score: String => Double,
+                                  maxPieceLen: Int): Iterator[(String, Double)] = {
+    val n = word.codePointCount(0, word.length)
+    if (n == 0) return Iterator.empty
+    if (n > MaxDpLen) {
+      // chunk exactly as viterbiSegment: independent sub-lattices
+      val out = mutable.ArrayBuffer.empty[(String, Double)]
+      var s = 0
+      var done = 0
+      while (done < n) {
+        val take = math.min(MaxDpLen, n - done)
+        val e = word.offsetByCodePoints(s, take)
+        out ++= fbExpectations(word.substring(s, e), score, maxPieceLen)
+        s = e
+        done += take
+      }
+      return out.iterator
+    }
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var t = 0
+    while (t < n) {
+      offs(t) = o
+      o = word.offsetByCodePoints(o, 1)
+      t += 1
+    }
+    offs(n) = word.length
+    def pieceAt(j: Int, i: Int): String = word.substring(offs(j), offs(i))
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val p = score(pieceAt(j, i))
+        if (p > 0) s += alpha(j) * p
+        j += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    var j = n - 1
+    while (j >= 0) {
+      var s = 0.0
+      var e = j + 1
+      val eMax = math.min(n, j + maxPieceLen)
+      while (e <= eMax) {
+        val p = score(pieceAt(j, e))
+        if (p > 0) s += p * beta(e)
+        e += 1
+      }
+      beta(j) = s
+      j -= 1
+    }
+    val z = alpha(n)
+    val out = mutable.ArrayBuffer.empty[(String, Double)]
+    var jj = 0
+    while (jj < n) {
+      var e = jj + 1
+      val eMax = math.min(n, jj + maxPieceLen)
+      while (e <= eMax) {
+        val piece = pieceAt(jj, e)
+        val p = score(piece)
+        if (p > 0) {
+          // pinned parenthesization: ((α·p)·β)/Z
+          out += piece -> (alpha(jj) * p * beta(e) / z)
+        }
+        e += 1
+      }
+      jj += 1
+    }
+    out.iterator
+  }
+
+  /** One SOFT-EM round (the true Kudo E-step, [[emStepHard]]'s
+    * refinement): per-piece EXPECTED masses under the current model —
+    * each lattice edge contributes its posterior probability times the
+    * word's corpus frequency (the frequency multiply is one more
+    * exactly-rounded op), quantized to `decimal(28,15)` and summed
+    * EXACTLY (the [[LmScore]] portability recipe — no summation-order
+    * dependence across partitionings or engines). Singles survive at
+    * weight 0; multis keep the top `budget` by `(weight desc, piece
+    * asc)` — decimal comparisons are exact, so the cut is
+    * deterministic. Output `(piece, weight: decimal(28,15))`.
+    *
+    * What soft catches that hard cannot: a piece that is never in any
+    * single BEST segmentation but carries posterior mass across many
+    * near-best ones keeps a nonzero weight instead of being pruned on
+    * the first round. (A full soft-EM LOOP needs a weighted-model
+    * scoring variant — `weight/total` is two exactly-rounded casts +
+    * one division, portable by the same argument — but the training
+    * default stays [[trainHard]]: integer masses keep every later
+    * consumer's exactness story one hop shorter.)
+    */
+  def emStepSoft(wc: DataFrame, model: DataFrame, maxPieceLen: Int = 10,
+                 budget: Int = 4096): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scoresOf(model))
+    val contrib = wc
+      .select(col("word"), col("cnt").cast("long").as("cnt"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val sc = mkScore(bc.value)
+        // memo on the word's edge expectations (pure in word)
+        val memo = mutable.HashMap.empty[String, Array[(String, Double)]]
+        rows.flatMap { case (w, c) =>
+          val cd = c.toDouble
+          Bpe.memoized(memo, w)(fbExpectations(w, sc, maxPieceLen).toArray)
+            .iterator.map { case (p, e) => (p, e * cd) }
+        }
+      }.toDF("piece", "__w")
+    val weights = contrib
+      .select(col("piece"), col("__w").cast("decimal(28,15)").as("__q"))
+      .groupBy("piece").agg(sum(col("__q")).as("weight"))
+    val newSingles = weights.where(length(col("piece")) === 1)
+    val keptSingles = model.select(col("piece"))
+      .where(length(col("piece")) === 1)
+      .join(weights, Seq("piece"), "left_anti")
+      .select(col("piece"),
+        lit(0).cast("decimal(28,15)").as("weight"))
+    val multis = weights.where(length(col("piece")) > 1)
+      .orderBy(col("weight").desc, col("piece").asc).limit(budget)
+    newSingles.unionByName(keptSingles).unionByName(multis)
+  }
+
   /** Hard-EM training: seed → `iters` rounds of [[emStepHard]]. The
     * word-count table is computed once and persisted across rounds
     * (each round is one action over it). Output `(piece, cnt)`.

@@ -150,6 +150,48 @@ class UnigramSpec extends SparkSpec {
     assert(next.get("a").contains(0L) && next.get("b").contains(0L))
   }
 
+  test("soft E-step: closed-form posteriors and per-position conservation") {
+    // vocab {ab:2, a:1, b:1}, N=4: p(ab)=0.5, p(a)=p(b)=0.25. On "ab":
+    // paths [ab] 0.5 and [a][b] 0.0625, Z = 0.5625 →
+    // E[ab] = 0.5/0.5625 = 8/9, E[a] = E[b] = 0.0625/0.5625 = 1/9
+    val sc = score(Map("ab" -> 2L, "a" -> 1L, "b" -> 1L))
+    val ev = Unigram.fbExpectations("ab", sc, 10).toSeq.toMap
+    assert(math.abs(ev("ab") - 8.0 / 9) < 1e-12, ev.toString)
+    assert(math.abs(ev("a") - 1.0 / 9) < 1e-12)
+    assert(math.abs(ev("b") - 1.0 / 9) < 1e-12)
+    // per-position conservation on a fuzzed lattice: every token
+    // position is covered by posterior mass exactly 1
+    val sc2 = score(Map("ab" -> 3L, "ba" -> 2L, "aba" -> 5L, "a" -> 4L,
+      "b" -> 1L))
+    val w = "ababab"
+    val edges = Unigram.fbExpectations(w, sc2, 3).toSeq
+    // conservation: posterior mass × piece length sums to the word
+    // length (each position carries total posterior 1)
+    val massLen = edges.map { case (p, e) => e * p.length }.sum
+    assert(math.abs(massLen - w.length) < 1e-9, massLen.toString)
+  }
+
+  test("soft vs hard EM: near-best mass survives soft, is pruned hard") {
+    // corpus = "ab" repeated: hard-EM segments every occurrence [ab],
+    // so singles recount to 0; soft keeps the [a][b] path's posterior
+    val docs = (1L to 20L).map(i => (i, "ab")).toDF("id", "text")
+    val wc = Bpe.wordCounts(docs, "text")
+    val seed = Unigram.seedVocabFromWordCounts(wc, maxPieceLen = 2,
+      budget = 10)
+    val hard = Unigram.emStepHard(wc, seed, 2, 10)
+      .as[(String, Long)].collect().toMap
+    assert(hard("ab") == 20L && hard("a") == 0L && hard("b") == 0L)
+    val soft = Unigram.emStepSoft(wc, seed, 2, 10)
+      .select(col("piece"), col("weight").cast("double"))
+      .as[(String, Double)].collect().toMap
+    // seed: ab=20, a=20, b=20, N=60 → p(ab)=1/3, p(a)=p(b)=1/3;
+    // paths: [ab] 1/3, [a][b] 1/9 → Z = 4/9; E[ab] = 3/4, E[a]=E[b]=1/4;
+    // ×20 occurrences
+    assert(math.abs(soft("ab") - 15.0) < 1e-9, soft.toString)
+    assert(math.abs(soft("a") - 5.0) < 1e-9)
+    assert(math.abs(soft("b") - 5.0) < 1e-9)
+  }
+
   test("vocab ids are mass-ordered; encodeIds maps streams; OOV singles map to -1") {
     val train = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
     val model = Unigram.trainHard(train, "text", iters = 1,
