@@ -577,8 +577,14 @@ object PipelineGates {
        |      AS DECIMAL(28,15)) AS q
        |  FROM tf JOIN model USING (term)),
        |perdoc AS (
+       |  -- the decimal SUM also leaves via VARCHAR: DuckDB's direct
+       |  -- wide-decimal -> double cast double-rounds (int128 -> double,
+       |  -- then /10^15) where Spark's BigDecimal.doubleValue rounds
+       |  -- once — bites whenever the scaled sum exceeds 2^53 (sum > ~9),
+       |  -- which these per-doc sums routinely do (found live on
+       |  -- uni_em_soft; hardened here before it bites)
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-       |    CAST(sum(q) AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n)
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n)
        |      / CAST(sum(tf) AS DOUBLE) AS lm_score
        |  FROM contrib GROUP BY 1)
        |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, p.lm_score,
@@ -728,7 +734,7 @@ object PipelineGates {
        |  LEFT JOIN uni u ON dtf.w2 = u.term),
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS sb_score
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS sb_score
        |  FROM contrib GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.sb_score
@@ -786,7 +792,7 @@ object PipelineGates {
        |  LEFT JOIN uni u ON dtf.w2 = u.term),
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS ilm_score
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS ilm_score
        |  FROM contrib GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.ilm_score
@@ -855,7 +861,7 @@ object PipelineGates {
        |  LEFT JOIN uni u ON dttf.w3 = u.term),
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
-       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS tlm_score
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS tlm_score
        |  FROM contrib GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams, p.tlm_score
@@ -917,7 +923,7 @@ object PipelineGates {
        |  LEFT JOIN cw ON dtf.w2 = cw.w2),
        |perdoc AS (
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-       |    CAST(sum(q) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS kn_score
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS kn_score
        |  FROM contrib GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, p.kn_score
