@@ -573,7 +573,10 @@ object Bench {
         "uni_seed_vocab", "uni_encode", "uni_train", "uni_tokens",
         // the id/fertility surface and the soft E-step: same
         // distinct-word broadcast-kernel shapes, one extra agg each
-        "uni_vocab", "uni_encode_ids", "uni_fertility", "uni_em_soft")
+        "uni_vocab", "uni_encode_ids", "uni_fertility", "uni_em_soft",
+        // the ▁-marker tier: same shapes over the case-preserving
+        // word table; the round-trip is one extra narrow projection
+        "uni_encode_sp", "uni_roundtrip_sp")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

@@ -2170,16 +2170,12 @@ object TrainGates {
   private val UniMaxLen = 6
   private val UniBudget = 200
 
-  /** Corpus word counts + seed vocabulary CTEs (`wc`, `seed`). */
-  private def uniBaseCtes: String =
-    s"""unorm AS (
-       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
-       |  FROM documents),
-       |wc AS (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(ws) AS word FROM unorm)
-       |  WHERE word <> '' GROUP BY 1),
-       |subs AS (
+  /** The word-independent tail of the unigram base CTEs (substring
+    * seed + lattice spans) — shared by the lowercased and ▁-marker
+    * tiers, which differ only in `unorm`/`wc`.
+    */
+  private def uniBaseCtesCore: String =
+    s"""subs AS (
        |  SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, cnt
        |  FROM wc, UNNEST(range(1, len(word) + 1)) AS u(s),
        |       UNNEST(range(1, least($UniMaxLen, len(word) - s + 1) + 1)) AS v(l)),
@@ -2196,6 +2192,33 @@ object TrainGates {
        |  FROM (SELECT DISTINCT word FROM wc) w,
        |       UNNEST(range(0, len(w.word))) AS u(j),
        |       UNNEST(range(1, least($UniMaxLen, len(w.word) - j) + 1)) AS v(l))""".stripMargin
+
+  /** Corpus word counts + seed vocabulary CTEs (`wc`, `seed`) — the
+    * lowercased shared-word tier.
+    */
+  private def uniBaseCtes: String =
+    s"""unorm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS word FROM unorm)
+       |  WHERE word <> '' GROUP BY 1),
+       |$uniBaseCtesCore""".stripMargin
+
+  /** The ▁-marker tier's base: case-preserving, every word prefixed
+    * with ▁ (add_dummy_prefix) — same CTE names, so the Viterbi/EM
+    * builders compose unchanged.
+    */
+  private def uniBaseCtesSp: String =
+    s"""unorm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |wc AS (
+       |  SELECT '▁' || word AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS word FROM unorm)
+       |  WHERE word <> '' GROUP BY 1),
+       |$uniBaseCtesCore""".stripMargin
 
   /** One Viterbi pass over the distinct-word lattice under model CTE
     * `model` — emits `seg_<tag>(word, pieces)`.
@@ -2260,10 +2283,14 @@ object TrainGates {
        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM ecnt
        |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniBudget))""".stripMargin
 
-  /** Doc-level piece assembly over `seg_<tag>` — the final SELECT. */
-  private def uniDocSelect(tag: String): String =
+  /** Doc-level piece assembly over `seg_<tag>` — the final SELECT.
+    * `marker` prefixes each document word with ▁ to join the SP tier's
+    * word table.
+    */
+  private def uniDocSelect(tag: String, marker: Boolean = false): String = {
+    val w = if (marker) "'▁' || ws[i]" else "ws[i]"
     s"""dt AS (
-       |  SELECT doc_id, CAST(i AS INT) AS wpos, ws[i] AS word
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, $w AS word
        |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
        |  WHERE ws[i] <> ''),
        |dj AS (
@@ -2275,6 +2302,7 @@ object TrainGates {
        |  CAST(coalesce(sum(j.np), 0) AS BIGINT) AS n_pieces
        |FROM unorm n LEFT JOIN dj j ON n.doc_id = j.doc_id
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+  }
 
   /** [[graft.llm.Unigram.seedVocab]]: substring counts, all singles +
     * top-budget multis by (cnt desc, piece asc).
@@ -2490,6 +2518,47 @@ object TrainGates {
        |SELECT piece, CAST(CAST(weight AS VARCHAR) AS DOUBLE) AS weight
        |FROM msoft ORDER BY piece""".stripMargin
 
+  /** [[graft.llm.Unigram.encodeSp]] under a 1-round ▁-tier trained
+    * model: the production SentencePiece conventions — case preserved,
+    * every word entering the lattice as `▁word` (add_dummy_prefix).
+    * The oracle is the full trained chain re-run over the ▁ word table
+    * (same CTE builders, SP base).
+    */
+  def uniEncodeSp(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val m = graft.llm.Unigram.trainHardSp(d, "text", iters = 1,
+      maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
+    graft.llm.Unigram.encodeSp(d, "doc_id", "text", m, UniMaxLen)
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val uniEncodeSpSql: String =
+    s"""WITH RECURSIVE $uniBaseCtesSp,
+       |${uniViterbiCtes("0", "seed")},
+       |$uniEmCtes,
+       |${uniViterbiCtes("1", "m1")},
+       |${uniDocSelect("1", marker = true)}""".stripMargin
+
+  /** `decodeSp ∘ encodeSp` = identity on the whitespace-collapsed
+    * trimmed text — the SP tier's losslessness contract (the
+    * `bpe_bytes_roundtrip` analogue). The oracle is the identity.
+    */
+  def uniRoundtripSp(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val m = graft.llm.Unigram.seedVocabSp(d, "text", UniMaxLen, UniBudget)
+    graft.llm.Unigram.decodeSp(
+        graft.llm.Unigram.encodeSp(d, "doc_id", "text", m, UniMaxLen),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val uniRoundtripSpSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS text_rt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** [[graft.llm.Unigram.fertility]] by language under the trained
     * model — pieces per word, the tokenizer-quality triage rollup.
     */
@@ -2581,6 +2650,8 @@ object TrainGates {
     "uni_encode_ids"  -> (uniEncodeIds _),
     "uni_fertility"   -> (uniFertility _),
     "uni_em_soft"     -> (uniEmSoft _),
+    "uni_encode_sp"   -> (uniEncodeSp _),
+    "uni_roundtrip_sp" -> (uniRoundtripSp _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2637,5 +2708,7 @@ object TrainGates {
     "uni_encode_ids"  -> uniEncodeIdsSql,
     "uni_fertility"   -> uniFertilitySql,
     "uni_em_soft"     -> uniEmSoftSql,
+    "uni_encode_sp"   -> uniEncodeSpSql,
+    "uni_roundtrip_sp" -> uniRoundtripSpSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

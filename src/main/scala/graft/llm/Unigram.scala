@@ -244,6 +244,96 @@ object Unigram {
     newSingles.unionByName(keptSingles).unionByName(multis)
   }
 
+  // ---- ▁-marker (SentencePiece word-boundary) tier -----------------------
+  //
+  // The tier above lowercases and discards word boundaries — right for
+  // shared-word analytics, wrong for a production artifact. SentencePiece
+  // proper is CASE-PRESERVING and marks word boundaries with ▁ (U+2581):
+  // whitespace runs collapse, every word carries a leading ▁ (including
+  // the first — the add_dummy_prefix convention), and decode is
+  // concat → ▁→space → drop the leading space. That makes the token
+  // stream losslessly invertible back to the whitespace-collapsed text —
+  // the [[Bpe.encodeBytes]] Ġ-convention, one family over. (Precondition
+  // shared with real SentencePiece: text containing a literal ▁ decodes
+  // it as a space — the marker is reserved.)
+
+  private def spNorm(textCol: String) =
+    regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " ")
+
+  /** Case-preserving `(word, cnt)` table with the ▁ marker prepended to
+    * every word — the SP tier's training input.
+    */
+  def wordCountsSp(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(spNorm(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(concat(lit("▁"), col("__w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** [[seedVocab]] under the ▁ convention. */
+  def seedVocabSp(docs: DataFrame, textCol: String, maxPieceLen: Int = 10,
+                  budget: Int = 4096): DataFrame =
+    seedVocabFromWordCounts(wordCountsSp(docs, textCol), maxPieceLen,
+      budget)
+
+  /** [[encode]] under the ▁ convention: case preserved, every word
+    * entering the kernel as `▁word`. Same zero-shuffle broadcast+memo
+    * shape; [[decodeSp]] inverts the stream exactly.
+    */
+  def encodeSp(docs: DataFrame, idCol: String, textCol: String,
+               model: DataFrame, maxPieceLen: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scoresOf(model))
+    val norm = docs.select(col(idCol).cast("long"),
+      spNorm(textCol).as("__t"))
+    val encoded = norm.as[(Long, String)].mapPartitions { rows =>
+      val sc = mkScore(bc.value)
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val pieces =
+          if (t.isEmpty) Array.empty[String]
+          else t.split(" ").iterator.flatMap { w =>
+            val mw = "▁" + w
+            Bpe.memoized(memo, mw)(viterbiSegment(mw, sc, maxPieceLen))
+          }.toArray
+        (id, pieces)
+      }
+    }.toDF(idCol, "pieces")
+    encoded.select(col(idCol), col("pieces"),
+      size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
+  /** Exact inverse of [[encodeSp]]: `(idCol, text_rt)` — concatenate,
+    * ▁→space, drop the leading space. `decodeSp ∘ encodeSp` is the
+    * identity on the whitespace-collapsed trimmed text (gate-pinned).
+    */
+  def decodeSp(enc: DataFrame, idCol: String): DataFrame = {
+    val joined = array_join(col("pieces"), "")
+    enc.select(col(idCol),
+      when(size(col("pieces")) === 0, lit(""))
+        .otherwise(substring(translate(joined, "▁", " "), 2,
+          Int.MaxValue)).as("text_rt"))
+  }
+
+  /** [[trainHard]] under the ▁ convention. */
+  def trainHardSp(docs: DataFrame, textCol: String, iters: Int = 2,
+                  maxPieceLen: Int = 10, budget: Int = 4096,
+                  seedBudget: Int = 65536): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wc = wordCountsSp(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var model = seedVocabFromWordCounts(wc, maxPieceLen, seedBudget)
+    var i = 0
+    while (i < iters) {
+      model = emStepHard(wc, model, maxPieceLen, budget)
+      i += 1
+    }
+    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    wc.unpersist()
+    out
+  }
+
   /** Trainer-contract id table over a model: `(piece_id, piece)` with
     * ids assigned by `(cnt desc, piece asc)` — the budget ranking, so
     * id order IS mass order and a truncated id range keeps the

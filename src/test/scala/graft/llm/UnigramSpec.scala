@@ -231,6 +231,38 @@ class UnigramSpec extends SparkSpec {
     assert(out(2)._5.isNaN && out(2)._3 == 0L)
   }
 
+  test("sp tier: case-preserving ▁ words, exact round-trip, boundary-aware pieces") {
+    val docs = Seq(
+      (1L, "Hello World hello"),
+      (2L, "  spaced   out  "),   // collapses, trims
+      (3L, ""),
+      (4L, "Hello")).toDF("id", "text")
+    val wc = Unigram.wordCountsSp(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // case preserved and every word carries the marker
+    assert(wc("▁Hello") == 2L && wc("▁hello") == 1L && wc("▁World") == 1L)
+    val model = Unigram.seedVocabSp(docs, "text", maxPieceLen = 6,
+      budget = 100)
+    val enc = Unigram.encodeSp(docs, "id", "text", model, 6)
+    // round-trip: whitespace-collapsed trimmed text, bitwise
+    val rt = Unigram.decodeSp(enc, "id")
+      .as[(Long, String)].collect().toMap
+    assert(rt(1L) == "Hello World hello")
+    assert(rt(2L) == "spaced out")
+    assert(rt(3L) == "")
+    assert(rt(4L) == "Hello")
+    // the marker rides the FIRST piece of each word: every word start
+    // is recoverable from the stream alone
+    val pieces = enc.filter($"id" === 1L)
+      .select("pieces").as[Seq[String]].head()
+    assert(pieces.count(_.contains("▁")) == 3, pieces.toString)
+    // trained ▁ tier learns whole ▁words as pieces
+    val m1 = Unigram.trainHardSp(docs, "text", iters = 1,
+      maxPieceLen = 6, budget = 100)
+      .as[(String, Long)].collect().toMap
+    assert(m1("▁Hello") == 2L)
+  }
+
   test("encode plans narrow: zero Exchange (broadcast scores, per-partition kernel)") {
     val docs = (1L to 100L).map(i => (i, "hello world")).toDF("id", "text")
     val model = Unigram.seedVocab(docs, "text", maxPieceLen = 4, budget = 50)
