@@ -576,7 +576,10 @@ object Bench {
         "uni_vocab", "uni_encode_ids", "uni_fertility", "uni_em_soft",
         // the ▁-marker tier: same shapes over the case-preserving
         // word table; the round-trip is one extra narrow projection
-        "uni_encode_sp", "uni_roundtrip_sp")
+        "uni_encode_sp", "uni_roundtrip_sp",
+        // the soft-EM loop: two FB kernel passes over distinct words +
+        // one weighted Viterbi serve — all broadcast, zero shuffle
+        "uni_train_soft", "uni_encode_soft")
       for (name <- sweep; fn <- SparkEntry.queries.get(name)) {
         try {
           val (s, b) = minOfTwoBytes(() => ())(fn(spark, scaleDir).count())

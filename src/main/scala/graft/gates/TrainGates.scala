@@ -188,7 +188,7 @@ object TrainGates {
        |  FROM c),
        |nb AS (SELECT count(*) AS n FROM b),
        |m0(rank, token) AS (VALUES $mvals),
-       |m1 AS (
+       |m1 AS MATERIALIZED (
        |  SELECT token, min(rank) AS rank FROM m0
        |  WHERE token NOT IN (SELECT token FROM b)
        |  GROUP BY token),
@@ -450,7 +450,7 @@ object TrainGates {
        |  SELECT i AS token_id, ${sqlByteSym("i")} AS token
        |  FROM r),
        |m0(rank, token) AS (VALUES $mvals),
-       |m1 AS (
+       |m1 AS MATERIALIZED (
        |  SELECT token, min(rank) AS rank FROM m0
        |  WHERE token NOT IN (SELECT token FROM b)
        |  GROUP BY token),
@@ -890,7 +890,7 @@ object TrainGates {
        |  SELECT CAST(i + $k AS INT) AS token_id, ${sqlByteSym("i")} AS token
        |  FROM r),
        |m0(rank, token) AS (VALUES $mvals),
-       |m1 AS (
+       |m1 AS MATERIALIZED (
        |  SELECT token, min(rank) AS rank FROM m0
        |  WHERE token NOT IN (SELECT token FROM b)
        |    AND token NOT IN (SELECT token FROM sp)
@@ -2181,12 +2181,12 @@ object TrainGates {
        |       UNNEST(range(1, least($UniMaxLen, len(word) - s + 1) + 1)) AS v(l)),
        |scnt AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
        |         FROM subs GROUP BY 1),
-       |seed AS (
+       |seed AS MATERIALIZED (
        |  SELECT piece, cnt FROM scnt WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (SELECT piece, cnt FROM scnt
        |    WHERE len(piece) > 1 ORDER BY cnt DESC, piece ASC LIMIT $UniBudget)),
-       |lat0 AS (
+       |lat0 AS MATERIALIZED (
        |  SELECT w.word, CAST(j AS INT) AS j, CAST(j + l AS INT) AS e,
        |         substr(w.word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
        |  FROM (SELECT DISTINCT word FROM wc) w,
@@ -2200,7 +2200,7 @@ object TrainGates {
     s"""unorm AS (
        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM documents),
-       |wc AS (
+       |wc AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(ws) AS word FROM unorm)
        |  WHERE word <> '' GROUP BY 1),
@@ -2214,7 +2214,7 @@ object TrainGates {
     s"""unorm AS (
        |  SELECT doc_id, string_split(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM documents),
-       |wc AS (
+       |wc AS MATERIALIZED (
        |  SELECT '▁' || word AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(ws) AS word FROM unorm)
        |  WHERE word <> '' GROUP BY 1),
@@ -2223,20 +2223,9 @@ object TrainGates {
   /** One Viterbi pass over the distinct-word lattice under model CTE
     * `model` — emits `seg_<tag>(word, pieces)`.
     */
-  private def uniViterbiCtes(tag: String, model: String): String =
-    s"""mn_$tag AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM $model),
-       |lat_$tag AS (
-       |  SELECT l0.word, l0.j, l0.e,
-       |    CASE WHEN m.piece IS NOT NULL
-       |         THEN greatest(CAST(m.cnt AS DOUBLE) /
-       |                CAST((SELECT nn FROM mn_$tag) AS DOUBLE),
-       |              1.0/1099511627776.0)
-       |         ELSE 1.0/1099511627776.0 END AS p
-       |  FROM lat0 l0 LEFT JOIN $model m ON l0.piece = m.piece
-       |  WHERE m.piece IS NOT NULL OR l0.e - l0.j = 1),
-       |latl_$tag AS (
-       |  SELECT word, list(struct_pack(j := j, e := e, p := p) ORDER BY e, j) AS lat
-       |  FROM lat_$tag GROUP BY word),
+  private def uniViterbiCtes(tag: String, model: String,
+                             weighted: Boolean = false): String =
+    s"""${uniLatCtes(tag, model, weighted)},
        |dp_$tag AS (
        |  SELECT word, CAST(len(word) AS INT) AS n, 0 AS i,
        |         [CAST(1.0 AS DOUBLE)] AS bests, [CAST(-1 AS INT)] AS bps
@@ -2255,25 +2244,25 @@ object TrainGates {
        |      CAST(-1 AS INT)))
        |  FROM dp_$tag d JOIN latl_$tag l ON d.word = l.word
        |  WHERE d.i < d.n),
-       |fin_$tag AS (SELECT word, n, bps FROM dp_$tag WHERE i = n),
+       |fin_$tag AS MATERIALIZED (SELECT word, n, bps FROM dp_$tag WHERE i = n),
        |bt_$tag AS (
        |  SELECT word, n AS i, [CAST(n AS INT)] AS cuts FROM fin_$tag
        |  UNION ALL
        |  SELECT b.word, f.bps[b.i + 1], list_prepend(f.bps[b.i + 1], b.cuts)
        |  FROM bt_$tag b JOIN fin_$tag f ON b.word = f.word
        |  WHERE b.i > 0),
-       |seg_$tag AS (
+       |seg_$tag AS MATERIALIZED (
        |  SELECT word, [substr(word, cuts[t] + 1, cuts[t + 1] - cuts[t])
        |                FOR t IN range(1, len(cuts))] AS pieces
        |  FROM bt_$tag WHERE i = 0)""".stripMargin
 
   /** Hard-EM recount + budgeted M-step over `seg_0` — emits `m1`. */
   private def uniEmCtes: String =
-    s"""ecnt AS (
+    s"""ecnt AS MATERIALIZED (
        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
        |  FROM (SELECT s.word, unnest(s.pieces) AS piece FROM seg_0 s) p
        |  JOIN wc USING (word) GROUP BY piece),
-       |m1 AS (
+       |m1 AS MATERIALIZED (
        |  SELECT piece, cnt FROM ecnt WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT s.piece, CAST(0 AS BIGINT) AS cnt FROM seed s
@@ -2452,71 +2441,154 @@ object TrainGates {
       .orderBy("piece")
   }
 
-  val uniEmSoftSql: String =
-    s"""WITH RECURSIVE $uniBaseCtes,
-       |mn_0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM seed),
-       |lat_0 AS (
+  /** The lattice score under a count model (`cnt/N`) or a WEIGHTED one
+    * (`weight/total` — both operands leaving decimal via VARCHAR, the
+    * engine's correctly-rounded `BigDecimal.doubleValue`).
+    */
+  private def uniScoreCase(tag: String, weighted: Boolean): String =
+    if (weighted)
+      s"""greatest(CAST(CAST(m.weight AS VARCHAR) AS DOUBLE) /
+         |                CAST(CAST((SELECT nn FROM mn_$tag) AS VARCHAR) AS DOUBLE),
+         |              1.0/1099511627776.0)""".stripMargin
+    else
+      s"""greatest(CAST(m.cnt AS DOUBLE) /
+         |                CAST((SELECT nn FROM mn_$tag) AS DOUBLE),
+         |              1.0/1099511627776.0)""".stripMargin
+
+  private def uniMassCte(tag: String, model: String,
+                         weighted: Boolean): String =
+    if (weighted) s"mn_$tag AS MATERIALIZED (SELECT sum(weight) AS nn FROM $model)"
+    else s"mn_$tag AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM $model)"
+
+  private def uniLatCtes(tag: String, model: String,
+                         weighted: Boolean): String =
+    s"""${uniMassCte(tag, model, weighted)},
+       |lat_$tag AS MATERIALIZED (
        |  SELECT l0.word, l0.j, l0.e,
        |    CASE WHEN m.piece IS NOT NULL
-       |         THEN greatest(CAST(m.cnt AS DOUBLE) /
-       |                CAST((SELECT nn FROM mn_0) AS DOUBLE),
-       |              1.0/1099511627776.0)
+       |         THEN ${uniScoreCase(tag, weighted)}
        |         ELSE 1.0/1099511627776.0 END AS p
-       |  FROM lat0 l0 LEFT JOIN seed m ON l0.piece = m.piece
+       |  FROM lat0 l0 LEFT JOIN $model m ON l0.piece = m.piece
        |  WHERE m.piece IS NOT NULL OR l0.e - l0.j = 1),
-       |latl_0 AS (
+       |latl_$tag AS MATERIALIZED (
        |  SELECT word, list(struct_pack(j := j, e := e, p := p) ORDER BY e, j) AS lat
-       |  FROM lat_0 GROUP BY word),
-       |af AS (
+       |  FROM lat_$tag GROUP BY word)""".stripMargin
+
+  /** One forward–backward pass under model CTE `model` — emits
+    * `ec_<tag>(word, piece, ev)`: per-edge posteriors.
+    */
+  private def uniFbCtes(tag: String, model: String,
+                        weighted: Boolean = false): String =
+    s"""${uniLatCtes(tag, model, weighted)},
+       |af_$tag AS (
        |  SELECT word, CAST(len(word) AS INT) AS n, 0 AS i,
        |         [CAST(1.0 AS DOUBLE)] AS alphas
-       |  FROM latl_0
+       |  FROM latl_$tag
        |  UNION ALL
        |  SELECT a.word, a.n, a.i + 1,
        |    list_append(a.alphas, coalesce(list_reduce(
        |      [x.p * a.alphas[x.j + 1] FOR x IN l.lat IF x.e = a.i + 1],
        |      (s, v) -> s + v), 0.0))
-       |  FROM af a JOIN latl_0 l ON a.word = l.word
+       |  FROM af_$tag a JOIN latl_$tag l ON a.word = l.word
        |  WHERE a.i < a.n),
-       |afin AS (SELECT word, n, alphas FROM af WHERE i = n),
-       |bf AS (
+       |afin_$tag AS MATERIALIZED (SELECT word, n, alphas FROM af_$tag WHERE i = n),
+       |bf_$tag AS (
        |  SELECT word, CAST(len(word) AS INT) AS n,
        |         CAST(len(word) AS INT) AS l, [CAST(1.0 AS DOUBLE)] AS betas
-       |  FROM latl_0
+       |  FROM latl_$tag
        |  UNION ALL
        |  SELECT b.word, b.n, b.l - 1,
        |    list_prepend(coalesce(list_reduce(
        |      [x.p * b.betas[x.e - b.l + 1] FOR x IN lt.lat IF x.j = b.l - 1],
        |      (s, v) -> s + v), 0.0), b.betas)
-       |  FROM bf b JOIN latl_0 lt ON b.word = lt.word
+       |  FROM bf_$tag b JOIN latl_$tag lt ON b.word = lt.word
        |  WHERE b.l > 0),
-       |bfin AS (SELECT word, betas FROM bf WHERE l = 0),
-       |ec AS (
+       |bfin_$tag AS MATERIALIZED (SELECT word, betas FROM bf_$tag WHERE l = 0),
+       |ec_$tag AS MATERIALIZED (
        |  SELECT e.word, substr(e.word, e.j + 1, e.e - e.j) AS piece,
        |    a.alphas[e.j + 1] * e.p * b.betas[e.e + 1] / a.alphas[a.n + 1] AS ev
-       |  FROM lat_0 e JOIN afin a USING (word) JOIN bfin b USING (word)),
-       |wq AS (
-       |  SELECT ec.piece,
-       |    CAST(CAST(ec.ev * CAST(w.cnt AS DOUBLE) AS VARCHAR)
+       |  FROM lat_$tag e JOIN afin_$tag a USING (word)
+       |       JOIN bfin_$tag b USING (word))""".stripMargin
+
+  /** One soft M-step over `ec_<tag>` — emits `msoft_<tag>(piece,
+    * weight)`, singles retained from `prevModel`.
+    */
+  private def uniSoftMStep(tag: String, prevModel: String): String =
+    s"""wq_$tag AS (
+       |  SELECT e.piece,
+       |    CAST(CAST(e.ev * CAST(w.cnt AS DOUBLE) AS VARCHAR)
        |      AS DECIMAL(28,15)) AS q
-       |  FROM ec JOIN wc w USING (word)),
-       |wsum AS (SELECT piece, sum(q) AS weight FROM wq GROUP BY piece),
-       |msoft AS (
-       |  SELECT piece, weight FROM wsum WHERE len(piece) = 1
+       |  FROM ec_$tag e JOIN wc w USING (word)),
+       |wsum_$tag AS MATERIALIZED (SELECT piece, sum(q) AS weight FROM wq_$tag GROUP BY piece),
+       |msoft_$tag AS MATERIALIZED (
+       |  SELECT piece, weight FROM wsum_$tag WHERE len(piece) = 1
        |  UNION ALL
-       |  SELECT s.piece, CAST(0 AS DECIMAL(38,15)) AS weight FROM seed s
+       |  SELECT s.piece, CAST(0 AS DECIMAL(38,15)) AS weight FROM $prevModel s
        |  WHERE len(s.piece) = 1
-       |    AND s.piece NOT IN (SELECT piece FROM wsum)
+       |    AND s.piece NOT IN (SELECT piece FROM wsum_$tag)
        |  UNION ALL
-       |  SELECT piece, weight FROM (SELECT piece, weight FROM wsum
+       |  SELECT piece, weight FROM (SELECT piece, weight FROM wsum_$tag
        |    WHERE len(piece) > 1 ORDER BY weight DESC, piece ASC
-       |    LIMIT $UniBudget))
-       |-- decimal -> double via VARCHAR: DuckDB's direct wide-decimal
-       |-- cast double-rounds (int128 -> double, then /10^15) where
-       |-- Spark's BigDecimal.doubleValue rounds once — the string
-       |-- carries the exact digits, so strtod rounds once like Java
-       |SELECT piece, CAST(CAST(weight AS VARCHAR) AS DOUBLE) AS weight
-       |FROM msoft ORDER BY piece""".stripMargin
+       |    LIMIT $UniBudget))""".stripMargin
+
+  // decimal -> double via VARCHAR: DuckDB's direct wide-decimal cast
+  // double-rounds (int128 -> double, then /10^15) where Spark's
+  // BigDecimal.doubleValue rounds once — the string carries the exact
+  // digits, so strtod rounds once like Java
+  private val uniWeightOut =
+    "CAST(CAST(weight AS VARCHAR) AS DOUBLE) AS weight"
+
+  val uniEmSoftSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniFbCtes("0", "seed")},
+       |${uniSoftMStep("0", "seed")}
+       |SELECT piece, $uniWeightOut
+       |FROM msoft_0 ORDER BY piece""".stripMargin
+
+  /** [[graft.llm.Unigram.trainSoft]] at two rounds — the literal Kudo
+    * loop: seed → soft round from counts → soft round from WEIGHTS
+    * (scores = weight/total, both via the VARCHAR-routed decimal→double
+    * parity direction). The oracle chains two full forward–backward
+    * passes and two M-steps.
+    */
+  def uniTrainSoft(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.trainSoft(Tables(s, dir, "documents"), "text",
+        iters = 2, maxPieceLen = UniMaxLen, budget = UniBudget,
+        seedBudget = UniBudget)
+      .select(col("piece"), col("weight").cast("double").as("weight"))
+      .orderBy("piece")
+
+  val uniTrainSoftSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniFbCtes("0", "seed")},
+       |${uniSoftMStep("0", "seed")},
+       |${uniFbCtes("1", "msoft_0", weighted = true)},
+       |${uniSoftMStep("1", "msoft_0")}
+       |SELECT piece, $uniWeightOut
+       |FROM msoft_1 ORDER BY piece""".stripMargin
+
+  /** [[graft.llm.Unigram.encodeW]] under the 2-round soft-trained
+    * model — the soft artifact's serving path: one more Viterbi pass,
+    * weighted scores.
+    */
+  def uniEncodeSoft(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val m = graft.llm.Unigram.trainSoft(d, "text", iters = 2,
+      maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
+    graft.llm.Unigram.encodeW(d, "doc_id", "text", m, UniMaxLen)
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val uniEncodeSoftSql: String =
+    s"""WITH RECURSIVE $uniBaseCtes,
+       |${uniFbCtes("0", "seed")},
+       |${uniSoftMStep("0", "seed")},
+       |${uniFbCtes("1", "msoft_0", weighted = true)},
+       |${uniSoftMStep("1", "msoft_0")},
+       |${uniViterbiCtes("2", "msoft_1", weighted = true)},
+       |${uniDocSelect("2")}""".stripMargin
 
   /** [[graft.llm.Unigram.encodeSp]] under a 1-round ▁-tier trained
     * model: the production SentencePiece conventions — case preserved,
@@ -2650,6 +2722,8 @@ object TrainGates {
     "uni_encode_ids"  -> (uniEncodeIds _),
     "uni_fertility"   -> (uniFertility _),
     "uni_em_soft"     -> (uniEmSoft _),
+    "uni_train_soft"  -> (uniTrainSoft _),
+    "uni_encode_soft" -> (uniEncodeSoft _),
     "uni_encode_sp"   -> (uniEncodeSp _),
     "uni_roundtrip_sp" -> (uniRoundtripSp _),
     "c4_blocklist"    -> (c4Blocklist _))
@@ -2708,6 +2782,8 @@ object TrainGates {
     "uni_encode_ids"  -> uniEncodeIdsSql,
     "uni_fertility"   -> uniFertilitySql,
     "uni_em_soft"     -> uniEmSoftSql,
+    "uni_train_soft"  -> uniTrainSoftSql,
+    "uni_encode_soft" -> uniEncodeSoftSql,
     "uni_encode_sp"   -> uniEncodeSpSql,
     "uni_roundtrip_sp" -> uniRoundtripSpSql,
     "c4_blocklist"    -> c4BlocklistSql)

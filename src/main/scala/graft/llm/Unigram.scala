@@ -531,10 +531,45 @@ object Unigram {
     * consumer's exactness story one hop shorter.)
     */
   def emStepSoft(wc: DataFrame, model: DataFrame, maxPieceLen: Int = 10,
-                 budget: Int = 4096): DataFrame = {
+                 budget: Int = 4096): DataFrame =
+    emStepSoftScores(wc, scoresOf(model), model, maxPieceLen, budget)
+
+  /** Score map of a WEIGHTED model (`piece, weight: decimal` — an
+    * [[emStepSoft]] output): `p = max(weight/total, 2^−40)` with both
+    * operands leaving decimal through the correctly-rounded
+    * `BigDecimal.doubleValue` (= the oracle's VARCHAR route), the total
+    * an EXACT decimal sum. The soft-EM loop's scoring half.
+    */
+  def scoresOfWeighted(model: DataFrame): Map[String, Double] = {
+    val rows = model
+      .select(col("piece"), col("weight").cast("decimal(38,15)"))
+      .collect()
+    val total = rows.iterator.map(_.getDecimal(1))
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val tD = total.doubleValue
+    require(tD > 0, "weighted unigram model has zero total mass")
+    rows.iterator.map { r =>
+      r.getString(0) -> math.max(r.getDecimal(1).doubleValue / tD, POov)
+    }.toMap
+  }
+
+  /** [[emStepSoft]] from a WEIGHTED model — the soft-EM loop's round
+    * 2+. Same E-step and M-step; only the score map differs.
+    */
+  def emStepSoftW(wc: DataFrame, modelW: DataFrame, maxPieceLen: Int = 10,
+                  budget: Int = 4096): DataFrame =
+    emStepSoftScores(wc, scoresOfWeighted(modelW), modelW, maxPieceLen,
+      budget)
+
+  /** Shared soft-round body: E-step posteriors under `scores`, singles
+    * retained from `prevModel`'s piece column, budgeted M-step.
+    */
+  private def emStepSoftScores(wc: DataFrame, scores: Map[String, Double],
+                               prevModel: DataFrame, maxPieceLen: Int,
+                               budget: Int): DataFrame = {
     val spark = wc.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(scoresOf(model))
+    val bc = spark.sparkContext.broadcast(scores)
     val contrib = wc
       .select(col("word"), col("cnt").cast("long").as("cnt"))
       .as[(String, Long)]
@@ -552,7 +587,7 @@ object Unigram {
       .select(col("piece"), col("__w").cast("decimal(28,15)").as("__q"))
       .groupBy("piece").agg(sum(col("__q")).as("weight"))
     val newSingles = weights.where(length(col("piece")) === 1)
-    val keptSingles = model.select(col("piece"))
+    val keptSingles = prevModel.select(col("piece"))
       .where(length(col("piece")) === 1)
       .join(weights, Seq("piece"), "left_anti")
       .select(col("piece"),
@@ -560,6 +595,62 @@ object Unigram {
     val multis = weights.where(length(col("piece")) > 1)
       .orderBy(col("weight").desc, col("piece").asc).limit(budget)
     newSingles.unionByName(keptSingles).unionByName(multis)
+  }
+
+  /** SOFT-EM training — the literal Kudo loop: seed → one
+    * [[emStepSoft]] round from counts → `iters − 1` [[emStepSoftW]]
+    * rounds from weights. Output `(piece, weight: decimal)`; encode
+    * under it with [[encodeW]]. (Vocabulary SHRINKING between rounds is
+    * by mass budget, not the paper's likelihood-loss prune — the loss
+    * criterion needs log-space sums across words, outside this repo's
+    * bitwise-portability envelope; the budget cut is the documented
+    * stand-in.)
+    */
+  def trainSoft(docs: DataFrame, textCol: String, iters: Int = 2,
+                maxPieceLen: Int = 10, budget: Int = 4096,
+                seedBudget: Int = 65536): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wc = Bpe.wordCounts(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var model = emStepSoft(wc,
+      seedVocabFromWordCounts(wc, maxPieceLen, seedBudget), maxPieceLen,
+      budget)
+    var i = 1
+    while (i < iters) {
+      model = emStepSoftW(wc, model, maxPieceLen, budget)
+      i += 1
+    }
+    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    wc.unpersist()
+    out
+  }
+
+  /** [[encode]] under a WEIGHTED model — Viterbi with
+    * [[scoresOfWeighted]]; the soft-trained artifact's serving path.
+    */
+  def encodeW(docs: DataFrame, idCol: String, textCol: String,
+              modelW: DataFrame, maxPieceLen: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scoresOfWeighted(modelW))
+    val norm = docs.select(col(idCol).cast("long"),
+      regexp_replace(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+", " ").as("__t"))
+    val encoded = norm.as[(Long, String)].mapPartitions { rows =>
+      val sc = mkScore(bc.value)
+      val memo = mutable.HashMap.empty[String, Array[String]]
+      rows.map { case (id, t) =>
+        val pieces =
+          if (t.isEmpty) Array.empty[String]
+          else t.split(" ").iterator.flatMap { w =>
+            Bpe.memoized(memo, w)(viterbiSegment(w, sc, maxPieceLen))
+          }.toArray
+        (id, pieces)
+      }
+    }.toDF(idCol, "pieces")
+    encoded.select(col(idCol), col("pieces"),
+      size(col("pieces")).cast("long").as("n_pieces"))
   }
 
   /** Hard-EM training: seed → `iters` rounds of [[emStepHard]]. The

@@ -231,6 +231,31 @@ class UnigramSpec extends SparkSpec {
     assert(out(2)._5.isNaN && out(2)._3 == 0L)
   }
 
+  test("soft-EM loop: weighted scoring closes the loop; encodeW serves the artifact") {
+    // corpus "ab" x20: round 1 (from counts) gives ab=15, a=b=5 (see the
+    // soft-vs-hard test). Round 2 re-scores under those weights:
+    // total=25, p(ab)=3/5, p(a)=p(b)=1/5 → paths [ab] 3/5, [a][b] 1/25
+    // → Z=16/25 → E[ab]=15/16, E[a]=E[b]=1/16; ×20 → 18.75 / 1.25
+    val docs = (1L to 20L).map(i => (i, "ab")).toDF("id", "text")
+    val m2 = Unigram.trainSoft(docs, "text", iters = 2, maxPieceLen = 2,
+      budget = 10, seedBudget = 10)
+    val w = m2.select(col("piece"), col("weight").cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(w("ab") - 18.75) < 1e-9, w.toString)
+    assert(math.abs(w("a") - 1.25) < 1e-9)
+    assert(math.abs(w("b") - 1.25) < 1e-9)
+    // soft iterations CONCENTRATE: round-2 posterior on [ab] grew
+    // (15/20 = 0.75 → 18.75/20 = 0.9375)
+    // encodeW under the weighted artifact picks the dominant piece
+    val enc = Unigram.encodeW(docs.limit(1), "id", "text", m2, 2)
+      .select(array_join(col("pieces"), "|")).as[String].head()
+    assert(enc == "ab")
+    // scoresOfWeighted clamps zero-weight singles to the floor
+    val sc = Unigram.scoresOfWeighted(m2)
+    assert(sc.keySet == Set("ab", "a", "b"))
+    assert(sc("a") > 0 && sc("b") > 0)
+  }
+
   test("sp tier: case-preserving ▁ words, exact round-trip, boundary-aware pieces") {
     val docs = Seq(
       (1L, "Hello World hello"),
