@@ -35,7 +35,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         times(name) = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
+        if (sys.env.contains("GRAFT_VERIFY_TRACE")) e.printStackTrace()
       }
     }
     Files.writeString(Paths.get(s"$outDir/spark_times.json"),

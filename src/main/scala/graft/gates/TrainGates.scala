@@ -2293,11 +2293,41 @@ object TrainGates {
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
   }
 
+  /** Fixture guard for the engine/oracle chunking seam: the engine DPs
+    * words longer than [[graft.llm.Unigram.MaxDpLen]] code points in
+    * independent 24-cp sub-lattices, while the oracle CTEs run the DP
+    * over the FULL word (and a long floor-scored word's products would
+    * underflow to 0.0 there, silently dropping it from `seg_`). The uni
+    * gates therefore REQUIRE every fixture word to fit one chunk — the
+    * −1 covers the ▁-marker tier's extra code point. Checked once per
+    * fixture dir (one tiny scan), loud-fail on violation.
+    */
+  private val uniFixtureChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def uniDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    uniFixtureChecked.getOrElseUpdate(dir, {
+      val limit = graft.llm.Unigram.MaxDpLen - 1
+      val bad = d.select(explode(split(regexp_replace(
+          trim(coalesce(col("text"), lit(""))), "\\s+", " "), " ")).as("__w"))
+        .where(length(col("__w")) > limit)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"unigram gate fixture has a word over $limit code points " +
+          s"('${bad.head.getString(0)}') — the oracle's full-word DP and " +
+          s"the engine's ${graft.llm.Unigram.MaxDpLen}-cp chunking would " +
+          "diverge; shorten the fixture or mirror the chunking in SQL")
+      true
+    })
+    d
+  }
+
   /** [[graft.llm.Unigram.seedVocab]]: substring counts, all singles +
     * top-budget multis by (cnt desc, piece asc).
     */
   def uniSeedVocab(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Unigram.seedVocab(Tables(s, dir, "documents"), "text",
+    graft.llm.Unigram.seedVocab(uniDocs(s, dir), "text",
         maxPieceLen = UniMaxLen, budget = UniBudget)
       .orderBy("piece")
 
@@ -2309,7 +2339,7 @@ object TrainGates {
     * piece streams and counts.
     */
   def uniEncode(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val model = graft.llm.Unigram.seedVocab(d, "text", UniMaxLen, UniBudget)
     graft.llm.Unigram.encode(d, "doc_id", "text", model, UniMaxLen)
       .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
@@ -2326,7 +2356,7 @@ object TrainGates {
     * recounted piece masses, singles retained at 0, budgeted multis.
     */
   def uniTrain(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Unigram.trainHard(Tables(s, dir, "documents"), "text",
+    graft.llm.Unigram.trainHard(uniDocs(s, dir), "text",
         iters = 1, maxPieceLen = UniMaxLen, budget = UniBudget,
         seedBudget = UniBudget)
       .orderBy("piece")
@@ -2341,7 +2371,7 @@ object TrainGates {
     * seed → hard-EM round → second Viterbi pass, one chained oracle.
     */
   def uniTokens(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val model = graft.llm.Unigram.trainHard(d, "text", iters = 1,
       maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
     graft.llm.Unigram.encode(d, "doc_id", "text", model, UniMaxLen)
@@ -2358,7 +2388,7 @@ object TrainGates {
        |${uniDocSelect("1")}""".stripMargin
 
   private def uniTrained(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Unigram.trainHard(Tables(s, dir, "documents"), "text",
+    graft.llm.Unigram.trainHard(uniDocs(s, dir), "text",
       iters = 1, maxPieceLen = UniMaxLen, budget = UniBudget,
       seedBudget = UniBudget)
 
@@ -2380,7 +2410,7 @@ object TrainGates {
     * trainer-contract integer ids.
     */
   def uniEncodeIds(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val m = uniTrained(s, dir)
     graft.llm.Unigram.encodeIds(d, "doc_id", "text", m,
         graft.llm.Unigram.vocabIds(m), UniMaxLen)
@@ -2402,7 +2432,8 @@ object TrainGates {
        |sp AS (
        |  SELECT word, CAST(t AS INT) AS ppos, pieces[CAST(t AS INT)] AS piece
        |  FROM seg_1, UNNEST(range(1, len(pieces) + 1)) AS u(t)),
-       |spi AS (SELECT word, ppos, v.piece_id FROM sp JOIN vid v USING (piece)),
+       |spi AS (SELECT word, ppos, coalesce(v.piece_id, -1) AS piece_id
+       |        FROM sp LEFT JOIN vid v USING (piece)),
        |wids AS (
        |  SELECT word, string_agg(CAST(piece_id AS VARCHAR), '|' ORDER BY ppos) AS ids,
        |         CAST(count(*) AS BIGINT) AS np
@@ -2432,7 +2463,7 @@ object TrainGates {
     * direction).
     */
   def uniEmSoft(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val wcDf = Bpe.wordCounts(d, "text")
     val seed = graft.llm.Unigram.seedVocabFromWordCounts(
       wcDf, UniMaxLen, UniBudget)
@@ -2552,7 +2583,7 @@ object TrainGates {
     * passes and two M-steps.
     */
   def uniTrainSoft(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Unigram.trainSoft(Tables(s, dir, "documents"), "text",
+    graft.llm.Unigram.trainSoft(uniDocs(s, dir), "text",
         iters = 2, maxPieceLen = UniMaxLen, budget = UniBudget,
         seedBudget = UniBudget)
       .select(col("piece"), col("weight").cast("double").as("weight"))
@@ -2572,7 +2603,7 @@ object TrainGates {
     * weighted scores.
     */
   def uniEncodeSoft(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val m = graft.llm.Unigram.trainSoft(d, "text", iters = 2,
       maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
     graft.llm.Unigram.encodeW(d, "doc_id", "text", m, UniMaxLen)
@@ -2597,7 +2628,7 @@ object TrainGates {
     * (same CTE builders, SP base).
     */
   def uniEncodeSp(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val m = graft.llm.Unigram.trainHardSp(d, "text", iters = 1,
       maxPieceLen = UniMaxLen, budget = UniBudget, seedBudget = UniBudget)
     graft.llm.Unigram.encodeSp(d, "doc_id", "text", m, UniMaxLen)
@@ -2618,7 +2649,7 @@ object TrainGates {
     * `bpe_bytes_roundtrip` analogue). The oracle is the identity.
     */
   def uniRoundtripSp(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+    val d = uniDocs(s, dir)
     val m = graft.llm.Unigram.seedVocabSp(d, "text", UniMaxLen, UniBudget)
     graft.llm.Unigram.decodeSp(
         graft.llm.Unigram.encodeSp(d, "doc_id", "text", m, UniMaxLen),
@@ -2635,7 +2666,7 @@ object TrainGates {
     * model — pieces per word, the tokenizer-quality triage rollup.
     */
   def uniFertility(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Unigram.fertility(Tables(s, dir, "documents"), "doc_id",
+    graft.llm.Unigram.fertility(uniDocs(s, dir), "doc_id",
         "text", "lang", uniTrained(s, dir), UniMaxLen)
       .orderBy("lang")
 

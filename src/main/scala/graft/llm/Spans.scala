@@ -160,8 +160,16 @@ object Spans {
       .select(col(idCol),
         posexplode(Dedup.shingles(col("__norm"), spanLen)).as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), md5(col("__gram")).as("__g"))
+      // the zero-padded key is numeric-ordered ONLY for non-negative ids
+      // (a '-' sign sorts before digits); fail loudly instead of picking
+      // a wrong canonical survivor silently
       .withColumn("__key",
-        format_string("%020d|%010d", col(idCol), col("__pos")))
+        when(col(idCol) >= 0,
+          format_string("%020d|%010d", col(idCol), col("__pos")))
+          .otherwise(raise_error(format_string(
+            "canonicalDupSpans: negative %s %s breaks the zero-padded " +
+              "canonical-occurrence key (ids must be non-negative)",
+            lit(idCol), col(idCol).cast("string")))))
     val stats = posting.groupBy("__g")
       .agg(count(lit(1)).as("__n"), min(col("__key")).as("__first"))
       .filter(col("__n") >= minOcc)
