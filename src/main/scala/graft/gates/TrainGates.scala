@@ -2697,6 +2697,227 @@ object TrainGates {
        |  END AS fertility
        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- imported SentencePiece vocabulary (unigram tier) ----------------
+  //
+  // [[graft.llm.Unigram.loadVocab]]/[[graft.llm.Unigram.encodeImported]]:
+  // a pinned Llama/T5-style `.vocab` fixture — specials, the full
+  // `<0x00>`..`<0xFF>` byte-fallback tier, and a hand-pinned lattice of
+  // ▁-multis/singles with binary-fraction log-probs (exactly
+  // representable, so both engines build the bitwise-identical lattice)
+  // — is RENDERED to the text interchange, read back through the
+  // Hadoop-layer loader, and drives the log-space Viterbi + byte-
+  // fallback encode. The oracle never sees the file: it restates the
+  // expected end state from the same pinned rows.
+
+  /** The lattice (non-control) pieces of the import fixture, in id
+    * order after the 3 specials + 256 byte pieces. Scores are binary
+    * fractions — `-4.75` etc. round-trip exactly through the `.vocab`
+    * text and through both engines' literal parsers.
+    */
+  private val UniImportLattice: Seq[(String, Double)] =
+    Seq("▁" -> -3.0, "▁the" -> -2.0, "▁and" -> -2.5, "▁of" -> -2.75,
+      "▁to" -> -2.75, "▁a" -> -2.5, "th" -> -4.5, "he" -> -4.25,
+      "in" -> -4.0, "ing" -> -3.75, "ion" -> -4.0, "er" -> -4.5,
+      "on" -> -4.5, "an" -> -4.75, "re" -> -4.75, "ed" -> -4.75,
+      "es" -> -4.75, "en" -> -5.0, "at" -> -5.0, "or" -> -5.0,
+      "is" -> -5.0, "it" -> -5.25, "al" -> -5.25, "ar" -> -5.25,
+      "st" -> -5.25, "nt" -> -5.5, "nd" -> -5.5) ++
+      ('a' to 'z').map(c => c.toString -> -8.0) ++
+      ('A' to 'Z').map(c => c.toString -> -9.0) ++
+      ('0' to '9').map(c => c.toString -> -9.5) ++
+      Seq(".", ",", ";", ":", "!", "?", "'", "-", "(", ")")
+        .map(_ -> -10.0)
+
+  /** The full fixture in `.vocab` line order (line index = piece id):
+    * specials 0..2, bytes 3..258 (id = 3 + byte — the oracle pins this
+    * arithmetic), lattice pieces 259+.
+    */
+  private def uniImportVocabRows: Seq[(String, Double)] =
+    Seq("<unk>" -> 0.0, "<s>" -> 0.0, "</s>" -> 0.0) ++
+      (0 until 256).map(b => graft.llm.Unigram.bytePiece(b) -> -13.0) ++
+      UniImportLattice
+
+  private val uniImportMaxLen: Int =
+    UniImportLattice.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+
+  /** Planted union rows: Vietnamese diacritics (2–3-byte fallback),
+    * an astral-plane emoji (4-byte fallback), whitespace collapse over
+    * vocab multis, and the empty document.
+    */
+  private val UniImportPlanted: Seq[(Long, String)] = Seq(
+    9000001L -> "Xin chào thế giới",
+    9000002L -> "naïve café ☕ vs 🚀 launch",
+    9000003L -> "  the   and of  ",
+    9000004L -> "")
+
+  private val uniImportDocVals: String = UniImportPlanted
+    .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+    .mkString(", ")
+
+  private def uniImportDocsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    uniDocs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .unionByName(UniImportPlanted.toDF("doc_id", "text"))
+  }
+
+  /** Build the fixture vocab THROUGH the interchange boundary: render →
+    * temp `.vocab` file → [[graft.llm.Unigram.loadVocab]] (which
+    * collects eagerly — bounded-model contract — so the file is
+    * deletable before evaluation).
+    */
+  private def uniImportVocabDf(s: SparkSession): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni_vocab")
+    try {
+      val vPath = tmp.resolve("fixture.vocab")
+      java.nio.file.Files.writeString(vPath,
+        graft.llm.Unigram.renderVocab(uniImportVocabRows))
+      val v = graft.llm.Unigram.loadVocab(s, vPath.toString)
+      v.persist()
+      v.count()
+      v
+    } finally {
+      graft.storage.TableStore.deleteRecursively(tmp)
+    }
+  }
+
+  /** The import → encode path end to end: loaded fixture vocab, log-
+    * space Viterbi, byte-fallback OOV expansion, line-order ids.
+    */
+  def uniImportVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.encodeImported(uniImportDocsDf(s, dir), "doc_id",
+        "text", uniImportVocabDf(s))
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        array_join(transform(col("piece_ids"), i => i.cast("string")), "|")
+          .as("piece_ids"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+
+  /** Oracle: the log-space Viterbi + byte-fallback chain restated from
+    * the pinned rows — lattice edges from the non-control VALUES, OOV
+    * singles at the pinned −64 floor, DP on sums (each `+` one exactly-
+    * rounded op on identical doubles, so the tables match bitwise),
+    * smallest-j tie-break, then the OOV post-map through the UTF-8
+    * packing formula with byte ids at the pinned `3 + byte`.
+    */
+  val uniImportVocabSql: String = {
+    val latticeVals = UniImportLattice.zipWithIndex.map {
+      case ((p, lp), i) =>
+        s"('${p.replace("'", "''")}', CAST($lp AS DOUBLE), ${259 + i})"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |ud AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text
+       |  FROM (VALUES $uniImportDocVals) v(doc_id, text)),
+       |unorm AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM ud),
+       |iwc AS MATERIALIZED (
+       |  SELECT DISTINCT '▁' || word AS word
+       |  FROM (SELECT unnest(ws) AS word FROM unorm) WHERE word <> ''),
+       |lvoc AS MATERIALIZED (
+       |  SELECT piece, lp, piece_id
+       |  FROM (VALUES $latticeVals) v(piece, lp, piece_id)),
+       |ilat0 AS MATERIALIZED (
+       |  SELECT w.word, CAST(j AS INT) AS j, CAST(j + l AS INT) AS e,
+       |         substr(w.word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece
+       |  FROM iwc w,
+       |       UNNEST(range(0, len(w.word))) AS u(j),
+       |       UNNEST(range(1, least($uniImportMaxLen, len(w.word) - j) + 1)) AS v(l)),
+       |ilat AS MATERIALIZED (
+       |  SELECT l0.word, l0.j, l0.e,
+       |    CASE WHEN v.piece IS NOT NULL THEN v.lp
+       |         ELSE CAST(-64.0 AS DOUBLE) END AS p
+       |  FROM ilat0 l0 LEFT JOIN lvoc v ON l0.piece = v.piece
+       |  WHERE v.piece IS NOT NULL OR l0.e - l0.j = 1),
+       |ilatl AS MATERIALIZED (
+       |  SELECT word, list(struct_pack(j := j, e := e, p := p) ORDER BY e, j) AS lat
+       |  FROM ilat GROUP BY word),
+       |idp AS (
+       |  SELECT word, CAST(len(word) AS INT) AS n, 0 AS i,
+       |         [CAST(0.0 AS DOUBLE)] AS bests, [CAST(-1 AS INT)] AS bps
+       |  FROM ilatl
+       |  UNION ALL
+       |  SELECT d.word, d.n, d.i + 1,
+       |    list_append(d.bests, list_max(
+       |      [x.p + d.bests[x.j + 1] FOR x IN l.lat IF x.e = d.i + 1])),
+       |    list_append(d.bps, list_min(
+       |      [x.j FOR x IN l.lat
+       |       IF x.e = d.i + 1
+       |          AND x.p + d.bests[x.j + 1] = list_max(
+       |            [y.p + d.bests[y.j + 1] FOR y IN l.lat IF y.e = d.i + 1])]))
+       |  FROM idp d JOIN ilatl l ON d.word = l.word
+       |  WHERE d.i < d.n),
+       |ifin AS MATERIALIZED (SELECT word, n, bps FROM idp WHERE i = n),
+       |ibt AS (
+       |  SELECT word, n AS i, [CAST(n AS INT)] AS cuts FROM ifin
+       |  UNION ALL
+       |  SELECT b.word, f.bps[b.i + 1], list_prepend(f.bps[b.i + 1], b.cuts)
+       |  FROM ibt b JOIN ifin f ON b.word = f.word
+       |  WHERE b.i > 0),
+       |iseg AS MATERIALIZED (
+       |  SELECT word, [substr(word, cuts[t] + 1, cuts[t + 1] - cuts[t])
+       |                FOR t IN range(1, len(cuts))] AS pieces
+       |  FROM ibt WHERE i = 0),
+       |isegp AS (
+       |  SELECT word, CAST(t AS INT) AS ppos, pieces[CAST(t AS INT)] AS piece
+       |  FROM iseg, UNNEST(range(1, len(pieces) + 1)) AS u(t)),
+       |imapped AS (
+       |  SELECT s.word, s.ppos, 0 AS bpos, s.piece AS out_piece, v.piece_id
+       |  FROM isegp s JOIN lvoc v USING (piece)
+       |  UNION ALL
+       |  SELECT s.word, s.ppos, CAST(bi AS INT) AS bpos,
+       |    printf('<0x%02X>', s.bl[CAST(bi AS INT)]) AS out_piece,
+       |    CAST(3 + s.bl[CAST(bi AS INT)] AS INT) AS piece_id
+       |  FROM (SELECT word, ppos, piece,
+       |          ${sqlUtf8Bytes("unicode(piece)")} AS bl
+       |        FROM isegp
+       |        WHERE piece NOT IN (SELECT piece FROM lvoc)) s,
+       |       UNNEST(range(1, len(s.bl) + 1)) AS u(bi)),
+       |iwp AS MATERIALIZED (
+       |  SELECT word,
+       |    string_agg(out_piece, '|' ORDER BY ppos, bpos) AS ps,
+       |    string_agg(CAST(piece_id AS VARCHAR), '|' ORDER BY ppos, bpos) AS ids,
+       |    CAST(count(*) AS BIGINT) AS np
+       |  FROM imapped GROUP BY word),
+       |idt AS (
+       |  SELECT doc_id, CAST(i AS INT) AS wpos, '▁' || ws[i] AS word
+       |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[i] <> ''),
+       |idj AS (
+       |  SELECT d.doc_id, d.wpos, w.ps, w.ids, w.np
+       |  FROM idt d JOIN iwp w USING (word))
+       |SELECT n.doc_id,
+       |  coalesce(string_agg(j.ps, '|' ORDER BY j.wpos), '') AS pieces,
+       |  coalesce(string_agg(j.ids, '|' ORDER BY j.wpos), '') AS piece_ids,
+       |  CAST(coalesce(sum(j.np), 0) AS BIGINT) AS n_pieces
+       |FROM unorm n LEFT JOIN idj j ON n.doc_id = j.doc_id
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+  }
+
+  /** `decodeImported ∘ encodeImported` = identity on the whitespace-
+    * collapsed trimmed text — the byte-fallback losslessness contract
+    * on arbitrary UTF-8 (diacritics, BMP symbols, astral plane). The
+    * oracle is the identity.
+    */
+  def uniRoundtripBytes(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.decodeImported(
+        graft.llm.Unigram.encodeImported(uniImportDocsDf(s, dir),
+          "doc_id", "text", uniImportVocabDf(s)),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val uniRoundtripBytesSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS text_rt
+       |FROM (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text
+       |  FROM (VALUES $uniImportDocVals) v(doc_id, text))
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registration ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2757,6 +2978,8 @@ object TrainGates {
     "uni_encode_soft" -> (uniEncodeSoft _),
     "uni_encode_sp"   -> (uniEncodeSp _),
     "uni_roundtrip_sp" -> (uniRoundtripSp _),
+    "uni_import_vocab" -> (uniImportVocab _),
+    "uni_roundtrip_bytes" -> (uniRoundtripBytes _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -2817,5 +3040,7 @@ object TrainGates {
     "uni_encode_soft" -> uniEncodeSoftSql,
     "uni_encode_sp"   -> uniEncodeSpSql,
     "uni_roundtrip_sp" -> uniRoundtripSpSql,
+    "uni_import_vocab" -> uniImportVocabSql,
+    "uni_roundtrip_bytes" -> uniRoundtripBytesSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

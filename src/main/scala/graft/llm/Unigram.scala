@@ -676,4 +676,281 @@ object Unigram {
     wc.unpersist()
     out
   }
+
+  // ---- imported-vocabulary (SentencePiece `.vocab`) tier -----------------
+  //
+  // Everything above trains its own model; production users reach for
+  // the unigram family WITH a published vocabulary (Llama/T5-class
+  // SentencePiece artifacts) — the exact gap [[Bpe.loadMerges]]/
+  // [[Bpe.loadVocab]] close for the GPT-2 merge family. The interchange
+  // read here is SentencePiece's own text `.vocab` dump (`spm_export_vocab`:
+  // one `piece<TAB>log_prob` line per piece, LINE ORDER = PIECE ID); the
+  // binary `.model` protobuf is out of scope (a proto2 schema with
+  // normalizer-FST blobs — users export the text form precisely for
+  // interchange).
+  //
+  // Imported scores are LOG probabilities, so the imported tier runs
+  // Viterbi in LOG space: `best(i) = max over j of best(j) + logp`.
+  // IEEE `+` is one exactly-rounded op exactly as the self-trained
+  // tier's `·`, so the DP stays bitwise engine-portable; there is no
+  // underflow in log space, but the [[MaxDpLen]] chunking contract is
+  // kept so per-word cost stays bounded and both tiers segment long
+  // words identically.
+  //
+  // CONTROL pieces — `<unk>`, `<s>`, `</s>` and the byte-fallback tier
+  // `<0x00>`..`<0xFF>` — never enter the lattice (they are artifact
+  // conventions, not surface text; a document literally containing
+  // "<unk>" segments it as characters). OOV handling follows
+  // SentencePiece: an un-coverable code point segments as a single at
+  // the pinned [[LogPOov]] floor, then the post-pass either expands it
+  // into its UTF-8 `<0xXX>` byte pieces (when the vocabulary carries
+  // all 256 — the `byte_fallback` convention, lossless round-trip on
+  // arbitrary UTF-8) or leaves the surface piece mapped to `<unk>`'s id.
+
+  /** OOV single-code-point log-score floor for the imported tier:
+    * an exact pinned constant (−64 is far below any real vocabulary's
+    * log-prob, and exactly representable, so any engine computes the
+    * identical lattice).
+    */
+  val LogPOov: Double = -64.0
+
+  /** Is `piece` a control/byte artifact piece (excluded from the
+    * lattice)? `<unk>`/`<s>`/`</s>` + the `<0xXX>` byte tier.
+    */
+  def isControlPiece(piece: String): Boolean =
+    piece == "<unk>" || piece == "<s>" || piece == "</s>" ||
+      (piece.length == 6 && piece.startsWith("<0x") && piece.endsWith(">") &&
+        piece.substring(3, 5).forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')))
+
+  /** The `<0xXX>` byte-piece name of byte `b` (0..255) — SentencePiece's
+    * byte-fallback surface convention.
+    */
+  def bytePiece(b: Int): String = f"<0x$b%02X>"
+
+  /** Render a `(piece, log_prob)` model as SentencePiece's text `.vocab`
+    * interchange (`piece<TAB>log_prob`, line order = piece id). Pieces
+    * cannot contain tab/newline (the format cannot carry them).
+    */
+  def renderVocab(rows: Seq[(String, Double)]): String = {
+    rows.foreach { case (p, _) =>
+      require(p.nonEmpty && !p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"a .vocab line cannot represent piece '$p'")
+    }
+    rows.map { case (p, lp) =>
+      // shortest round-trip decimal: both engines' strtod re-read it
+      // to the identical double
+      val s = if (lp == lp.toLong.toDouble && math.abs(lp) < 1e15)
+        lp.toLong.toString else lp.toString
+      s"$p\t$s"
+    }.mkString("\n")
+  }
+
+  /** Parse `.vocab` content: one `piece<TAB>log_prob` per line, blank
+    * lines skipped; returns rows in LINE ORDER (= piece-id order).
+    */
+  def parseVocab(content: String): Array[(String, Double)] =
+    content.linesIterator.filter(_.nonEmpty).map { ln =>
+      val i = ln.indexOf('\t')
+      require(i > 0 && i < ln.length - 1, s"malformed .vocab line: '$ln'")
+      (ln.substring(0, i), ln.substring(i + 1).toDouble)
+    }.toArray
+
+  /** Load a published SentencePiece `.vocab` into model-as-rows form:
+    * `(piece_id, piece, log_prob)` with `piece_id` the line index —
+    * SentencePiece assigns ids by line order, so a truncated or
+    * reordered read would silently remap every id (the gate pins the
+    * full order). Reads through the Hadoop filesystem layer; bounded-
+    * model contract (a vocabulary is an artifact, not a dataset).
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = {
+    val content = spark.sparkContext.wholeTextFiles(path)
+      .map(_._2).collect().mkString("\n")
+    val rows = parseVocab(content)
+    import spark.implicits._
+    spark.createDataset(rows.toIndexedSeq.zipWithIndex.map {
+      case ((p, lp), i) => (i, p, lp)
+    }).toDF("piece_id", "piece", "log_prob")
+  }
+
+  /** Collected imported model: lattice scores (non-control pieces →
+    * log-prob), the id map, the longest lattice piece in code points,
+    * byte-fallback availability, and `<unk>`'s id (−1 when absent).
+    */
+  private[llm] final case class ImportedModel(
+      scores: Map[String, Double], ids: Map[String, Int],
+      maxPieceLen: Int, byteFallback: Boolean, unkId: Int)
+
+  private[llm] def collectImported(vocab: DataFrame): ImportedModel = {
+    val rows = vocab.select(col("piece_id").cast("int"), col("piece"),
+      col("log_prob").cast("double")).collect()
+    val ids = rows.iterator.map(r => r.getString(1) -> r.getInt(0)).toMap
+    require(ids.size == rows.length,
+      "imported .vocab has duplicate pieces — ids would be ambiguous")
+    val scores = rows.iterator.filterNot(r => isControlPiece(r.getString(1)))
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val maxLen = if (scores.isEmpty) 1
+      else scores.keysIterator.map(p => p.codePointCount(0, p.length)).max
+    val byteFallback = (0 until 256).forall(b => ids.contains(bytePiece(b)))
+    ImportedModel(scores, ids, math.max(1, maxLen), byteFallback,
+      ids.getOrElse("<unk>", -1))
+  }
+
+  /** Log-space score lookup: vocab non-control pieces at their log-prob,
+    * OOV SINGLE code points at [[LogPOov]], OOV multi-cp NaN (no edge).
+    */
+  private[llm] def mkScoreLog(m: Map[String, Double]): String => Double =
+    piece => m.getOrElse(piece,
+      if (piece.codePointCount(0, piece.length) == 1) LogPOov
+      else Double.NaN)
+
+  /** Log-space Viterbi: identical structure to [[viterbiSegment]] —
+    * code-point positions, smallest-j tie-break, [[MaxDpLen]] chunking —
+    * with `+` for `·` and NaN for "no edge". Totality holds the same
+    * way: every single code point scores (vocab or [[LogPOov]]).
+    */
+  private[llm] def viterbiSegmentLog(word: String, score: String => Double,
+                                     maxPieceLen: Int): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    if (n == 0) return Array.empty
+    if (n > MaxDpLen) {
+      val out = mutable.ArrayBuffer.empty[String]
+      var s = 0
+      var done = 0
+      while (done < n) {
+        val take = math.min(MaxDpLen, n - done)
+        val e = word.offsetByCodePoints(s, take)
+        out ++= viterbiSegmentLog(word.substring(s, e), score, maxPieceLen)
+        s = e
+        done += take
+      }
+      return out.toArray
+    }
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var t = 0
+    while (t < n) {
+      offs(t) = o
+      o = word.offsetByCodePoints(o, 1)
+      t += 1
+    }
+    offs(n) = word.length
+    val best = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var b = Double.NegativeInfinity
+      var a = -1
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val p = score(word.substring(offs(j), offs(i)))
+        if (!p.isNaN) {
+          val cand = best(j) + p // ONE exactly-rounded add
+          if (cand > b) { b = cand; a = j }
+        }
+        j += 1
+      }
+      best(i) = b
+      bp(i) = a
+      i += 1
+    }
+    val buf = mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) {
+      val j = bp(k)
+      word.substring(offs(j), offs(k)) +=: buf
+      k = j
+    }
+    buf.toArray
+  }
+
+  /** OOV post-pass of one segmented word under an imported model:
+    * in-vocab pieces keep their surface and id; an OOV piece (a single
+    * code point the Viterbi floored) expands into its UTF-8 `<0xXX>`
+    * byte pieces when the vocabulary carries the byte tier, else keeps
+    * its surface at `<unk>`'s id.
+    */
+  private[llm] def fallbackPieces(m: ImportedModel,
+                                  segs: Array[String]): Array[(String, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(String, Int)]
+    segs.foreach { p =>
+      m.ids.get(p) match {
+        case Some(id) if !isControlPiece(p) => out += ((p, id))
+        case _ =>
+          if (m.byteFallback) {
+            p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+              val bp = bytePiece(b & 0xff)
+              out += ((bp, m.ids(bp)))
+            }
+          } else out += ((p, m.unkId))
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode a corpus under an IMPORTED SentencePiece vocabulary —
+    * production conventions end to end: case preserved, whitespace
+    * collapsed, every word entering the lattice as `▁word`
+    * (add_dummy_prefix), log-space Viterbi over the vocabulary's own
+    * max piece length, byte-fallback/unk OOV post-pass. Output
+    * `(idCol, pieces, piece_ids, n_pieces)`. Same zero-shuffle
+    * broadcast+memo shape as [[encodeSp]]; [[decodeImported]] inverts
+    * the stream exactly under a byte-fallback vocabulary.
+    */
+  def encodeImported(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectImported(vocab))
+    val norm = docs.select(col(idCol).cast("long"),
+      spNorm(textCol).as("__t"))
+    norm.as[(Long, String)].mapPartitions { rows =>
+      val m = bc.value
+      val sc = mkScoreLog(m.scores)
+      val memo = mutable.HashMap.empty[String, Array[(String, Int)]]
+      rows.map { case (id, t) =>
+        val ps =
+          if (t.isEmpty) Array.empty[(String, Int)]
+          else t.split(" ").iterator.flatMap { w =>
+            val mw = "▁" + w
+            Bpe.memoized(memo, mw)(fallbackPieces(m,
+              viterbiSegmentLog(mw, sc, m.maxPieceLen)))
+          }.toArray
+        (id, ps.map(_._1), ps.map(_._2))
+      }
+    }.toDF(idCol, "pieces", "piece_ids")
+      .select(col(idCol), col("pieces"), col("piece_ids"),
+        size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
+  /** Exact inverse of [[encodeImported]] under a byte-fallback
+    * vocabulary: `<0xXX>` runs → bytes → UTF-8, other pieces concatenate,
+    * ▁ → space, drop the leading space. A JVM kernel (byte-run grouping
+    * has no composable Column form), zero shuffle.
+    */
+  def decodeImported(enc: DataFrame, idCol: String): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    enc.select(col(idCol).cast("long"), col("pieces"))
+      .as[(Long, Seq[String])].map { case (id, pieces) =>
+        val sb = new java.lang.StringBuilder
+        val bytes = new java.io.ByteArrayOutputStream
+        def flushBytes(): Unit = if (bytes.size() > 0) {
+          sb.append(new String(bytes.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+          bytes.reset()
+        }
+        pieces.foreach { p =>
+          if (p.length == 6 && p.startsWith("<0x") && p.endsWith(">") &&
+              isControlPiece(p))
+            bytes.write(Integer.parseInt(p.substring(3, 5), 16))
+          else { flushBytes(); sb.append(p) }
+        }
+        flushBytes()
+        val joined = sb.toString.replace('▁', ' ')
+        (id, if (joined.startsWith(" ")) joined.substring(1) else joined)
+      }.toDF(idCol, "text_rt")
+  }
 }

@@ -308,4 +308,102 @@ class UnigramSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  // ---- imported-vocabulary tier -----------------------------------------
+
+  private def importFixture(byteFallback: Boolean): Seq[(String, Double)] =
+    Seq("<unk>" -> 0.0, "<s>" -> 0.0, "</s>" -> 0.0) ++
+      (if (byteFallback) (0 until 256).map(b => Unigram.bytePiece(b) -> -13.0)
+       else Seq.empty) ++
+      Seq("▁" -> -3.0, "▁hello" -> -2.0, "he" -> -4.0, "ll" -> -4.5,
+        "o" -> -8.0, "h" -> -8.0, "e" -> -8.0, "l" -> -8.0, "w" -> -8.0,
+        "r" -> -8.0, "d" -> -8.0)
+
+  test("renderVocab / parseVocab round-trip the (piece, log_prob) rows in order") {
+    val rows = importFixture(byteFallback = true)
+    assert(Unigram.parseVocab(Unigram.renderVocab(rows)).toSeq == rows)
+    // tabs/newlines in a piece are unrepresentable — loud, not lossy
+    intercept[IllegalArgumentException] {
+      Unigram.renderVocab(Seq("a\tb" -> -1.0))
+    }
+  }
+
+  test("loadVocab assigns ids by line order (the SentencePiece id contract)") {
+    val tmp = java.nio.file.Files.createTempDirectory("uni_vocab_spec")
+    try {
+      val p = tmp.resolve("f.vocab")
+      java.nio.file.Files.writeString(p,
+        Unigram.renderVocab(importFixture(byteFallback = true)))
+      val v = Unigram.loadVocab(spark, p.toString)
+        .orderBy("piece_id")
+        .select("piece_id", "piece").as[(Int, String)].collect()
+      assert(v(0) == ((0, "<unk>")))
+      assert(v(3) == ((3, "<0x00>")))
+      assert(v(258) == ((258, "<0xFF>")))
+      assert(v(259) == ((259, "▁")))
+    } finally graft.storage.TableStore.deleteRecursively(tmp)
+  }
+
+  test("encodeImported: log-space viterbi, ▁ convention, line-order ids") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = true).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    val docs = Seq((1L, "hello world")).toDF("id", "text")
+    val enc = Unigram.encodeImported(docs, "id", "text", vocab)
+    val (pieces, ids) = enc.select($"pieces", $"piece_ids")
+      .as[(Seq[String], Seq[Int])].head()
+    // "▁hello" is a whole vocab piece; "▁world" segments as singles
+    assert(pieces.head == "▁hello", pieces.toString)
+    assert(pieces.contains("▁") && pieces.contains("w"), pieces.toString)
+    // every id is the piece's line index — none are -1 or unk
+    val idOf = importFixture(byteFallback = true).map(_._1).zipWithIndex.toMap
+    assert(ids == pieces.map(idOf(_)), ids.toString)
+  }
+
+  test("byte-fallback: OOV code points expand to <0xXX> pieces and round-trip") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = true).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    // é (2-byte), 世 (3-byte), 🚀 (4-byte astral) are all OOV
+    val docs = Seq((1L, "hello é世🚀"), (2L, "")).toDF("id", "text")
+    val enc = Unigram.encodeImported(docs, "id", "text", vocab)
+    val pieces = enc.filter($"id" === 1L).select($"pieces")
+      .as[Seq[String]].head()
+    assert(pieces.count(_.startsWith("<0x")) == 2 + 3 + 4, pieces.toString)
+    val ids = enc.filter($"id" === 1L).select($"piece_ids")
+      .as[Seq[Int]].head()
+    assert(!ids.contains(-1) && !ids.contains(0), ids.toString)
+    val rt = Unigram.decodeImported(enc, "id")
+      .orderBy("id").select("text_rt").as[String].collect().toSeq
+    assert(rt == Seq("hello é世🚀", ""))
+  }
+
+  test("no byte tier: OOV keeps its surface at <unk>'s id") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = false).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    val docs = Seq((1L, "hello é")).toDF("id", "text")
+    val (pieces, ids) = Unigram.encodeImported(docs, "id", "text", vocab)
+      .select($"pieces", $"piece_ids").as[(Seq[String], Seq[Int])].head()
+    assert(pieces.last == "é", pieces.toString)
+    assert(ids.last == 0, ids.toString) // <unk> is line 0
+  }
+
+  test("encodeImported plans narrow: zero Exchange") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = true).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    val docs = (1L to 50L).map(i => (i, "hello world")).toDF("id", "text")
+    val plan = Unigram.encodeImported(docs, "id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
 }
