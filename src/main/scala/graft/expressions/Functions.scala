@@ -54,6 +54,8 @@ object Functions {
       exprs.lift(3).map(windowArg).getOrElse(32),
       exprs.lift(4).map(windowArg).getOrElse(256))),
     "unicode_nfc"   -> (exprs => UnicodeNormalize(exprs.head, strip = false)),
+    "unicode_nfkc"  -> (exprs => UnicodeNormalize(exprs.head, strip = false,
+      compat = true)),
     "strip_accents" -> (exprs => UnicodeNormalize(exprs.head, strip = true)),
     "jaro_winkler"  -> (exprs => JaroWinkler(exprs.head, exprs(1))))
 

@@ -12,6 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * canonicalization step before tokenizing / hashing / deduplicating a
   * multilingual corpus (the same document crawled twice can arrive in
   * composed and decomposed forms and would otherwise hash differently).
+  * `compat = true` switches both regimes to the COMPATIBILITY forms
+  * (NFKC / NFKD) — ligatures split (ﬁ→fi), fullwidth and circled forms
+  * fold (Ａ→A, ①→1), compatibility spaces become U+0020 — the
+  * SentencePiece nmt-NFKC-family default a production tokenizer
+  * normalizes with before segmenting.
   *
   * A pure-ASCII input (the common case in an English-heavy corpus) is
   * returned untouched after a byte scan — no decode, no `Normalizer`
@@ -27,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the Unicode-faithful behavior and callers wanting locale-style
   * transliteration need a mapping table, not normalization.
   */
-case class UnicodeNormalize(child: Expression, strip: Boolean)
+case class UnicodeNormalize(child: Expression, strip: Boolean,
+                            compat: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -40,14 +46,15 @@ case class UnicodeNormalize(child: Expression, strip: Boolean)
         s"$prettyName needs a string child, got ${child.dataType}")
 
   override def prettyName: String =
-    if (strip) "strip_accents" else "unicode_nfc"
+    if (strip) { if (compat) "strip_accents_nfkc" else "strip_accents" }
+    else if (compat) "unicode_nfkc" else "unicode_nfc"
 
   override def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], strip)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], strip, compat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.UnicodeNormalize.normalize($c, $strip);")
+      s"${ev.value} = graft.expressions.UnicodeNormalize.normalize($c, $strip, $compat);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -55,18 +62,28 @@ case class UnicodeNormalize(child: Expression, strip: Boolean)
 
 object UnicodeNormalize {
 
-  /** Shared kernel for the interpreted and generated paths. */
-  def normalize(u: UTF8String, strip: Boolean): UTF8String = {
-    // ASCII fast path: ASCII is NFC-normalized and accent-free already
+  /** Shared kernel for the interpreted and generated paths.
+    * The two-arg form (canonical regimes) is kept for source compat.
+    */
+  def normalize(u: UTF8String, strip: Boolean): UTF8String =
+    normalize(u, strip, compat = false)
+
+  def normalize(u: UTF8String, strip: Boolean, compat: Boolean): UTF8String = {
+    // ASCII fast path: ASCII is normalization-invariant under all four
+    // forms (NFC/NFD/NFKC/NFKD) and accent-free already
     var i = 0
     val n = u.numBytes()
     var ascii = true
     while (ascii && i < n) { if (u.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) return u
     val s = u.toString
+    val deForm = if (compat) java.text.Normalizer.Form.NFKD
+                 else java.text.Normalizer.Form.NFD
+    val reForm = if (compat) java.text.Normalizer.Form.NFKC
+                 else java.text.Normalizer.Form.NFC
     val out =
       if (strip) {
-        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        val nfd = java.text.Normalizer.normalize(s, deForm)
         val sb = new java.lang.StringBuilder(nfd.length)
         var j = 0
         while (j < nfd.length) {
@@ -74,8 +91,8 @@ object UnicodeNormalize {
           if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
           j += 1
         }
-        java.text.Normalizer.normalize(sb, java.text.Normalizer.Form.NFC)
-      } else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        java.text.Normalizer.normalize(sb, reForm)
+      } else java.text.Normalizer.normalize(s, reForm)
     UTF8String.fromString(out)
   }
 
@@ -91,5 +108,15 @@ object UnicodeNormalize {
   def strip_accents(c: Column): Column = {
     val shim = org.apache.spark.sql.GraftColumnShim
     shim.column(UnicodeNormalize(shim.expression(c), strip = true))
+  }
+
+  /** NFKC compatibility composition — the tokenizer-regime normalizer
+    * (SentencePiece's nmt-NFKC family): ligatures split, fullwidth/
+    * circled/unit forms fold, compatibility spaces become U+0020.
+    */
+  def unicode_nfkc(c: Column): Column = {
+    val shim = org.apache.spark.sql.GraftColumnShim
+    shim.column(UnicodeNormalize(shim.expression(c), strip = false,
+      compat = true))
   }
 }

@@ -2799,17 +2799,16 @@ object TrainGates {
     * smallest-j tie-break, then the OOV post-map through the UTF-8
     * packing formula with byte ids at the pinned `3 + byte`.
     */
-  val uniImportVocabSql: String = {
+  /** The whole post-`ud` oracle chain, shared with the NFKC gate
+    * (which differs only in the `ud` rows).
+    */
+  private def uniImportChainSql(udBody: String): String = {
     val latticeVals = UniImportLattice.zipWithIndex.map {
       case ((p, lp), i) =>
         s"('${p.replace("'", "''")}', CAST($lp AS DOUBLE), ${259 + i})"
     }.mkString(", ")
     s"""WITH RECURSIVE
-       |ud AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT CAST(doc_id AS BIGINT), text
-       |  FROM (VALUES $uniImportDocVals) v(doc_id, text)),
+       |ud AS ($udBody),
        |unorm AS (
        |  SELECT doc_id, string_split(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'), ' ') AS ws
        |  FROM ud),
@@ -2896,6 +2895,13 @@ object TrainGates {
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
   }
 
+  val uniImportVocabSql: String = uniImportChainSql(
+    s"""
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text
+       |  FROM (VALUES $uniImportDocVals) v(doc_id, text)""".stripMargin)
+
   /** `decodeImported ∘ encodeImported` = identity on the whitespace-
     * collapsed trimmed text — the byte-fallback losslessness contract
     * on arbitrary UTF-8 (diacritics, BMP symbols, astral plane). The
@@ -2907,6 +2913,50 @@ object TrainGates {
           "doc_id", "text", uniImportVocabDf(s)),
         "doc_id")
       .orderBy("doc_id")
+
+  /** NFKC-regime planted rows: `(id, raw, expected-NFKC)`. The raw form
+    * is what the ENGINE normalizes (ligatures, fullwidth, circled
+    * digits, squared units, NBSP); the expected form is pinned directly
+    * in the ORACLE's rows — the mapping itself is part of the gate, not
+    * re-derived in SQL (DuckDB has no NFKC function). A spec asserts
+    * raw→expected under `java.text.Normalizer` so the pin cannot rot.
+    */
+  private[graft] val UniNfkcPlanted: Seq[(Long, String, String)] = Seq(
+    (9000011L, "ﬁne ﬂow works", "fine flow works"),
+    (9000012L, "Ｆｕｌｌｗｉｄｔｈ ４２ ok", "Fullwidth 42 ok"),
+    (9000013L, "①②③ and ㎞ here", "123 and km here"),
+    (9000014L, "a b plus", "a b plus"))
+
+  /** [[graft.llm.Unigram.encodeImported]] under `nfkc = true` — the
+    * SentencePiece nmt-NFKC-family normalization regime in front of the
+    * imported-vocabulary tier. Real documents are ASCII (NFKC-invariant,
+    * asserted cheap by the ASCII fast path); the planted rows carry the
+    * compatibility forms.
+    */
+  def uniEncodeNfkc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = uniDocs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .unionByName(UniNfkcPlanted.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+    graft.llm.Unigram.encodeImported(docs, "doc_id", "text",
+        uniImportVocabDf(s), nfkc = true)
+      .select(col("doc_id"), array_join(col("pieces"), "|").as("pieces"),
+        array_join(transform(col("piece_ids"), i => i.cast("string")), "|")
+          .as("piece_ids"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared import chain over documents plus the PINNED
+    * post-NFKC planted text.
+    */
+  val uniEncodeNfkcSql: String = uniImportChainSql(
+    s"""
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text
+       |  FROM (VALUES ${UniNfkcPlanted
+             .map { case (id, _, n) => s"($id, '${n.replace("'", "''")}')" }
+             .mkString(", ")}) v(doc_id, text)""".stripMargin)
 
   val uniRoundtripBytesSql: String =
     s"""SELECT doc_id,
@@ -2980,6 +3030,7 @@ object TrainGates {
     "uni_roundtrip_sp" -> (uniRoundtripSp _),
     "uni_import_vocab" -> (uniImportVocab _),
     "uni_roundtrip_bytes" -> (uniRoundtripBytes _),
+    "uni_encode_nfkc" -> (uniEncodeNfkc _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -3042,5 +3093,6 @@ object TrainGates {
     "uni_roundtrip_sp" -> uniRoundtripSpSql,
     "uni_import_vocab" -> uniImportVocabSql,
     "uni_roundtrip_bytes" -> uniRoundtripBytesSql,
+    "uni_encode_nfkc" -> uniEncodeNfkcSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

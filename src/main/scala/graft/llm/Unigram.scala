@@ -257,22 +257,35 @@ object Unigram {
   // shared with real SentencePiece: text containing a literal ▁ decodes
   // it as a space — the marker is reserved.)
 
-  private def spNorm(textCol: String) =
-    regexp_replace(trim(coalesce(col(textCol), lit(""))), "\\s+", " ")
+  private def spNorm(textCol: String): org.apache.spark.sql.Column =
+    spNorm(textCol, nfkc = false)
+
+  /** The SP tier's normalizer: optional NFKC compatibility fold (the
+    * SentencePiece nmt-NFKC-family default — ligatures split, fullwidth
+    * forms fold, compatibility spaces become U+0020 BEFORE the
+    * whitespace collapse, so an NBSP becomes a word boundary), then
+    * trim + whitespace-run collapse.
+    */
+  private def spNorm(textCol: String, nfkc: Boolean): org.apache.spark.sql.Column = {
+    val t = coalesce(col(textCol), lit(""))
+    val n = if (nfkc) graft.expressions.UnicodeNormalize.unicode_nfkc(t) else t
+    regexp_replace(trim(n), "\\s+", " ")
+  }
 
   /** Case-preserving `(word, cnt)` table with the ▁ marker prepended to
     * every word — the SP tier's training input.
     */
-  def wordCountsSp(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(spNorm(textCol), " ")).as("__w"))
+  def wordCountsSp(docs: DataFrame, textCol: String,
+                   nfkc: Boolean = false): DataFrame =
+    docs.select(explode(split(spNorm(textCol, nfkc), " ")).as("__w"))
       .filter(col("__w") =!= "")
       .select(concat(lit("▁"), col("__w")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** [[seedVocab]] under the ▁ convention. */
   def seedVocabSp(docs: DataFrame, textCol: String, maxPieceLen: Int = 10,
-                  budget: Int = 4096): DataFrame =
-    seedVocabFromWordCounts(wordCountsSp(docs, textCol), maxPieceLen,
+                  budget: Int = 4096, nfkc: Boolean = false): DataFrame =
+    seedVocabFromWordCounts(wordCountsSp(docs, textCol, nfkc), maxPieceLen,
       budget)
 
   /** [[encode]] under the ▁ convention: case preserved, every word
@@ -280,12 +293,13 @@ object Unigram {
     * shape; [[decodeSp]] inverts the stream exactly.
     */
   def encodeSp(docs: DataFrame, idCol: String, textCol: String,
-               model: DataFrame, maxPieceLen: Int = 10): DataFrame = {
+               model: DataFrame, maxPieceLen: Int = 10,
+               nfkc: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(scoresOf(model))
     val norm = docs.select(col(idCol).cast("long"),
-      spNorm(textCol).as("__t"))
+      spNorm(textCol, nfkc).as("__t"))
     val encoded = norm.as[(Long, String)].mapPartitions { rows =>
       val sc = mkScore(bc.value)
       val memo = mutable.HashMap.empty[String, Array[String]]
@@ -318,9 +332,9 @@ object Unigram {
   /** [[trainHard]] under the ▁ convention. */
   def trainHardSp(docs: DataFrame, textCol: String, iters: Int = 2,
                   maxPieceLen: Int = 10, budget: Int = 4096,
-                  seedBudget: Int = 65536): DataFrame = {
+                  seedBudget: Int = 65536, nfkc: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val wc = wordCountsSp(docs, textCol)
+    val wc = wordCountsSp(docs, textCol, nfkc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var model = seedVocabFromWordCounts(wc, maxPieceLen, seedBudget)
     var i = 0
@@ -900,12 +914,12 @@ object Unigram {
     * the stream exactly under a byte-fallback vocabulary.
     */
   def encodeImported(docs: DataFrame, idCol: String, textCol: String,
-                     vocab: DataFrame): DataFrame = {
+                     vocab: DataFrame, nfkc: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(collectImported(vocab))
     val norm = docs.select(col(idCol).cast("long"),
-      spNorm(textCol).as("__t"))
+      spNorm(textCol, nfkc).as("__t"))
     norm.as[(Long, String)].mapPartitions { rows =>
       val m = bc.value
       val sc = mkScoreLog(m.scores)

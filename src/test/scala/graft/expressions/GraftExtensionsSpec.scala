@@ -25,6 +25,6 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extension and programmatic registration share one builder table") {
     assert(Functions.builders.map(_._1).toSet ==
       Set("rolling_hash_min", "content_chunk_bounds", "unicode_nfc",
-        "strip_accents", "jaro_winkler"))
+        "unicode_nfkc", "strip_accents", "jaro_winkler"))
   }
 }

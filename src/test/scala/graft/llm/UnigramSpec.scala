@@ -317,7 +317,7 @@ class UnigramSpec extends SparkSpec {
        else Seq.empty) ++
       Seq("▁" -> -3.0, "▁hello" -> -2.0, "he" -> -4.0, "ll" -> -4.5,
         "o" -> -8.0, "h" -> -8.0, "e" -> -8.0, "l" -> -8.0, "w" -> -8.0,
-        "r" -> -8.0, "d" -> -8.0)
+        "r" -> -8.0, "d" -> -8.0, "f" -> -8.0, "i" -> -8.0, "n" -> -8.0)
 
   test("renderVocab / parseVocab round-trip the (piece, log_prob) rows in order") {
     val rows = importFixture(byteFallback = true)
@@ -393,6 +393,36 @@ class UnigramSpec extends SparkSpec {
       .select($"pieces", $"piece_ids").as[(Seq[String], Seq[Int])].head()
     assert(pieces.last == "é", pieces.toString)
     assert(ids.last == 0, ids.toString) // <unk> is line 0
+  }
+
+  test("nfkc regime: compatibility forms fold before segmentation") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = true).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    // ﬁ → fi (ligature), nbsp → space (a WORD BOUNDARY after folding)
+    val docs = Seq((1L, "ﬁn hello world")).toDF("id", "text")
+    val pieces = Unigram.encodeImported(docs, "id", "text", vocab,
+        nfkc = true)
+      .select($"pieces").as[Seq[String]].head()
+    // "ﬁn" folds to "fin": no byte-fallback pieces anywhere, and the
+    // nbsp split means "world" carries its own ▁ marker
+    assert(!pieces.exists(_.startsWith("<0x")), pieces.toString)
+    assert(pieces.count(_ == "▁") >= 1 && pieces.contains("▁hello"),
+      pieces.toString)
+    // without the flag the ligature byte-falls-back and nbsp is NOT a
+    // word boundary
+    val raw = Unigram.encodeImported(docs, "id", "text", vocab)
+      .select($"pieces").as[Seq[String]].head()
+    assert(raw.exists(_.startsWith("<0x")), raw.toString)
+  }
+
+  test("the uni_encode_nfkc gate's pinned raw→expected rows match java NFKC") {
+    graft.gates.TrainGates.UniNfkcPlanted.foreach { case (id, raw, exp) =>
+      assert(java.text.Normalizer.normalize(raw,
+        java.text.Normalizer.Form.NFKC) == exp, s"row $id")
+    }
   }
 
   test("encodeImported plans narrow: zero Exchange") {
