@@ -930,6 +930,135 @@ object PipelineGates {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- modified Kneser-Ney trigram scoring ------------------------------
+
+  /** [[graft.llm.LmScore.knTrigramScore]] at minTri = 2: the Chen &
+    * Goodman modified-KN estimator — three count-of-count discounts per
+    * level, continuation counts at the bigram level, unigram
+    * continuation at the bottom. The oracle restates the WHOLE chain:
+    * both count-of-count rows, the pinned discount arithmetic
+    * (left-associated, exact casts) with the degenerate-counts 3/4
+    * fallback, per-context Nk tallies, the three-level interpolation in
+    * the engine's parenthesization, and the VARCHAR-routed decimal
+    * quantization of `tf × score`.
+    */
+  def lmKn3(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.knTrigramScore(
+        Tables(s, dir, "documents"), "doc_id", "text", minTri = 2L)
+      .orderBy("doc_id")
+
+  val lmKn3Sql: String = {
+    val (d1, d2, d3) = ("(SELECT d1 FROM dd3)", "(SELECT d2 FROM dd3)",
+      "(SELECT d3 FROM dd3)")
+    val (e1, e2, e3) = ("(SELECT e1 FROM dd2)", "(SELECT e2 FROM dd2)",
+      "(SELECT e3 FROM dd2)")
+    // the [[graft.llm.LmScore.mknDiscounts]] arithmetic verbatim:
+    // Y = n1/(n1 + 2 n2); Dk = k − (k+1)·Y·n(k+1)/nk, left-associated
+    def disc(k: Int, nk: String, nk1: String): String =
+      s"CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75 ELSE " +
+        s"CAST($k.0 AS DOUBLE) - ${k + 1}.0 * " +
+        s"(CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))) * " +
+        s"CAST($nk1 AS DOUBLE) / CAST($nk AS DOUBLE) END"
+    val pcExpr =
+      "CAST(coalesce(cw.t_w3, 1) AS DOUBLE) / CAST((SELECT t FROM tt) AS DOUBLE)"
+    val p2Expr =
+      s"""(CASE WHEN cx.n_ctx2c IS NOT NULL THEN
+         |        (CASE WHEN cn.c_cont IS NOT NULL
+         |          THEN (CAST(cn.c_cont AS DOUBLE) -
+         |                (CASE WHEN cn.c_cont = 1 THEN $e1
+         |                      WHEN cn.c_cont = 2 THEN $e2
+         |                      ELSE $e3 END)) / CAST(cx.n_ctx2c AS DOUBLE)
+         |          ELSE CAST(0.0 AS DOUBLE) END)
+         |        + ($e1 * CAST(cx.u1 AS DOUBLE)
+         |           + $e2 * CAST(cx.u2 AS DOUBLE)
+         |           + $e3 * CAST(cx.u3p AS DOUBLE))
+         |          / CAST(cx.n_ctx2c AS DOUBLE)
+         |          * ($pcExpr)
+         |      ELSE $pcExpr END)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |tri AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+       |dttf AS (
+       |  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tri GROUP BY 1, 2, 3, 4),
+       |tc AS MATERIALIZED (
+       |  SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS n_tri
+       |  FROM dttf GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT w1, w2, CAST(sum(n_tri) AS BIGINT) AS n_ctx3,
+       |    CAST(sum(CASE WHEN n_tri = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+       |    CAST(sum(CASE WHEN n_tri = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(sum(CASE WHEN n_tri >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3p
+       |  FROM tc GROUP BY 1, 2),
+       |cc3 AS MATERIALIZED (SELECT
+       |    CAST(sum(CASE WHEN n_tri = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN n_tri = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN n_tri = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN n_tri = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM tc),
+       |dd3 AS MATERIALIZED (SELECT
+       |    ${disc(1, "n1", "n2")} AS d1,
+       |    ${disc(2, "n2", "n3")} AS d2,
+       |    ${disc(3, "n3", "n4")} AS d3
+       |  FROM cc3),
+       |cont AS MATERIALIZED (
+       |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS c_cont
+       |  FROM tc GROUP BY 1, 2),
+       |ctx2c AS (
+       |  SELECT w2, CAST(sum(c_cont) AS BIGINT) AS n_ctx2c,
+       |    CAST(sum(CASE WHEN c_cont = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+       |    CAST(sum(CASE WHEN c_cont = 2 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+       |    CAST(sum(CASE WHEN c_cont >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS u3p
+       |  FROM cont GROUP BY 1),
+       |cc2 AS MATERIALIZED (SELECT
+       |    CAST(sum(CASE WHEN c_cont = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c_cont = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN c_cont = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN c_cont = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM cont),
+       |dd2 AS MATERIALIZED (SELECT
+       |    ${disc(1, "n1", "n2")} AS e1,
+       |    ${disc(2, "n2", "n3")} AS e2,
+       |    ${disc(3, "n3", "n4")} AS e3
+       |  FROM cc2),
+       |cw AS (SELECT w3, CAST(count(*) AS BIGINT) AS t_w3
+       |       FROM cont GROUP BY 1),
+       |tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS t FROM cont),
+       |kt AS (SELECT * FROM tc WHERE n_tri >= 2),
+       |contrib AS (
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(CAST(tf AS DOUBLE) * (
+       |      CASE WHEN c3.n_ctx3 IS NOT NULL THEN
+       |        (CASE WHEN k.n_tri IS NOT NULL
+       |          THEN (CAST(k.n_tri AS DOUBLE) -
+       |                (CASE WHEN k.n_tri = 1 THEN $d1
+       |                      WHEN k.n_tri = 2 THEN $d2
+       |                      ELSE $d3 END)) / CAST(c3.n_ctx3 AS DOUBLE)
+       |          ELSE CAST(0.0 AS DOUBLE) END)
+       |        + ($d1 * CAST(c3.t1 AS DOUBLE)
+       |           + $d2 * CAST(c3.t2 AS DOUBLE)
+       |           + $d3 * CAST(c3.t3p AS DOUBLE))
+       |          / CAST(c3.n_ctx3 AS DOUBLE)
+       |          * $p2Expr
+       |      ELSE $p2Expr END
+       |    ) AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dttf
+       |  LEFT JOIN kt k USING (w1, w2, w3)
+       |  LEFT JOIN ctx3 c3 USING (w1, w2)
+       |  LEFT JOIN cont cn USING (w2, w3)
+       |  LEFT JOIN ctx2c cx USING (w2)
+       |  LEFT JOIN cw USING (w3)),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS kn3_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams, p.kn3_score
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- token-budget selection -----------------------------------------
 
   /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
@@ -1239,6 +1368,7 @@ object PipelineGates {
     "lm_score_bigram"    -> (lmInterpolated _),
     "lm_score_trigram"   -> (lmTrigram _),
     "lm_score_kn"        -> (lmKneserNey _),
+    "lm_score_kn3"       -> (lmKn3 _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1272,6 +1402,7 @@ object PipelineGates {
     "lm_score_bigram"    -> lmInterpolatedSql,
     "lm_score_trigram"   -> lmTrigramSql,
     "lm_score_kn"        -> lmKneserNeySql,
+    "lm_score_kn3"       -> lmKn3Sql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

@@ -463,6 +463,166 @@ object LmScore {
         col("kn_score"))
   }
 
+  /** The modified-KN discount triple (D1, D2, D3+) from count-of-counts
+    * (Chen & Goodman 1999): `Y = n1/(n1 + 2·n2)`, `Dk = k − (k+1)·Y·
+    * n(k+1)/nk` — each a pinned left-associated chain of exactly-rounded
+    * double ops over exact long→double casts, so the oracle's SQL
+    * restatement computes the bitwise-identical discounts. Degenerate
+    * count-of-counts (any of n1, n2, n3 zero — tiny or pathologically
+    * repetitive corpora, where KenLM itself refuses to estimate) fall
+    * back to the plain absolute discount `(3/4, 3/4, 3/4)`, keeping the
+    * operator total and deterministic instead of NaN-poisoned.
+    */
+  private[llm] def mknDiscounts(n1: Long, n2: Long,
+                                n3: Long, n4: Long): (Double, Double, Double) =
+    if (n1 == 0L || n2 == 0L || n3 == 0L) (0.75, 0.75, 0.75)
+    else {
+      val (n1d, n2d, n3d, n4d) = (n1.toDouble, n2.toDouble, n3.toDouble,
+        n4.toDouble)
+      val y = n1d / (n1d + 2.0 * n2d)
+      (1.0 - 2.0 * y * n2d / n1d,
+        2.0 - 3.0 * y * n3d / n2d,
+        3.0 - 4.0 * y * n4d / n3d)
+    }
+
+  /** MODIFIED KNESER-NEY interpolated TRIGRAM score — the Chen &
+    * Goodman estimator KenLM actually ships (the CCNet filter's 5-gram
+    * family, here at order 3): [[knBigramScore]]'s absolute discount
+    * becomes three count-dependent discounts per level, estimated from
+    * that level's own count-of-counts, and the bigram level runs on
+    * CONTINUATION counts, not raw counts. Per trigram position:
+    *
+    *   P(w3|w1w2) = (c(w1w2w3) − D(c))/c(w1w2·) + γ(w1w2)·P'(w3|w2)
+    *   γ(w1w2)    = (D1·N1(w1w2·) + D2·N2(w1w2·) + D3·N3+(w1w2·))
+    *                  / c(w1w2·)
+    *   P'(w3|w2)  = (c'(w2w3) − D'(c'))/c'(w2·) + γ'(w2)·Pc(w3)
+    *   Pc(w3)     = N1+(·w3) / N1+(··)
+    *
+    * with `c'(w2w3) = N1+(·w2w3)` the continuation count (distinct w1
+    * preceding), `Nk(x·)` the number of distinct continuations of `x`
+    * seen exactly k (or 3+) times, and `(D1,D2,D3)` / `(D1',D2',D3')`
+    * the [[mknDiscounts]] of the trigram / continuation tables. The
+    * subtraction is structurally non-negative (`Dk ≤ k ≤ c` — Y and the
+    * count-of-count ratios are non-negative), so no clamp is needed; an
+    * unseen context at either level backs off to the next level whole
+    * (only reachable scoring a foreign corpus — on self-corpus every
+    * position's context is in the model).
+    *
+    * Every per-position value is a pinned parenthesization of exactly-
+    * rounded double ops over exact integer casts and the shared discount
+    * doubles, then `tf × score` quantized decimal(28,15) and summed
+    * exactly — the established engine-portability recipe; no `ln`.
+    *
+    * `minTri` prunes the matched trigram tier's Zipf tail exactly as
+    * [[knBigramScore]]'s `minPair` (pruned trigrams keep their backoff
+    * mass; all model statistics are computed over the FULL table).
+    *
+    * Scale shape: two explodes, `(doc, w1, w2, w3)` tf agg, model aggs
+    * with map-side partials over the trigram-type table (persisted —
+    * four consumers), THREE scalar driver jobs (two count-of-count
+    * rows, one distinct-pair count — all model-sized), broadcast model
+    * joins, one per-doc decimal-sum agg. No window, no global sort.
+    *
+    * Output: `(idCol, n_trigrams, kn3_score)`; null below three tokens.
+    */
+  def knTrigramScore(docs: DataFrame, idCol: String, textCol: String,
+                     minTri: Long = 1L,
+                     broadcastModel: Boolean = true): DataFrame = {
+    require(minTri >= 1L, s"minTri must be >= 1, got $minTri")
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val triples = docs.select(col(idCol), explode(zip_with(
+        zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(words, lit(3), size(words)),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3")))).as("t"))
+      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
+      .where(col("w3").isNotNull)
+    val docTriTf = triples.groupBy(col(idCol), col("w1"), col("w2"),
+        col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val triCounts = docTriTf.groupBy("w1", "w2", "w3")
+      .agg(sum(col("tf")).as("n_tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // trigram level: context totals + per-count distinct-continuation
+    // counts in ONE agg over the type table
+    val ctx3 = triCounts.groupBy("w1", "w2")
+      .agg(sum(col("n_tri")).as("n_ctx3"),
+        sum(when(col("n_tri") === 1L, 1L).otherwise(0L)).as("t1"),
+        sum(when(col("n_tri") === 2L, 1L).otherwise(0L)).as("t2"),
+        sum(when(col("n_tri") >= 3L, 1L).otherwise(0L)).as("t3p"))
+    // coalesce: an empty trigram table (all docs under three tokens)
+    // sums to NULL — fall through to the degenerate-discount path
+    val ccTri = triCounts.agg(
+      coalesce(sum(when(col("n_tri") === 1L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_tri") === 2L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_tri") === 3L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_tri") === 4L, 1L).otherwise(0L)), lit(0L))).head()
+    val (d1, d2, d3) = mknDiscounts(ccTri.getLong(0), ccTri.getLong(1),
+      ccTri.getLong(2), ccTri.getLong(3))
+    // continuation level: c'(w2w3) = distinct w1 preceding — the type
+    // table is already distinct per (w1,w2,w3), so count(*) counts w1s
+    val cont = triCounts.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("c_cont"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx2c = cont.groupBy("w2")
+      .agg(sum(col("c_cont")).as("n_ctx2c"),
+        sum(when(col("c_cont") === 1L, 1L).otherwise(0L)).as("u1"),
+        sum(when(col("c_cont") === 2L, 1L).otherwise(0L)).as("u2"),
+        sum(when(col("c_cont") >= 3L, 1L).otherwise(0L)).as("u3p"))
+    val ccCont = cont.agg(
+      coalesce(sum(when(col("c_cont") === 1L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("c_cont") === 2L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("c_cont") === 3L, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("c_cont") === 4L, 1L).otherwise(0L)), lit(0L))).head()
+    val (e1, e2, e3) = mknDiscounts(ccCont.getLong(0), ccCont.getLong(1),
+      ccCont.getLong(2), ccCont.getLong(3))
+    // unigram continuation: distinct contexts preceding w3 / total types
+    val contw = cont.groupBy("w3").agg(count(lit(1)).as("t_w3"))
+    val tTot = cont.count()
+    val keptTri = triCounts.where(col("n_tri") >= minTri)
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val dOf = when(col("n_tri") === 1L, lit(d1))
+      .when(col("n_tri") === 2L, lit(d2)).otherwise(lit(d3))
+    val eOf = when(col("c_cont") === 1L, lit(e1))
+      .when(col("c_cont") === 2L, lit(e2)).otherwise(lit(e3))
+    val matched3 = when(col("n_tri").isNotNull,
+      (col("n_tri").cast("double") - dOf) / col("n_ctx3").cast("double"))
+      .otherwise(lit(0.0d))
+    val gamma3 = (lit(d1) * col("t1").cast("double")
+      + lit(d2) * col("t2").cast("double")
+      + lit(d3) * col("t3p").cast("double")) / col("n_ctx3").cast("double")
+    val matched2 = when(col("c_cont").isNotNull,
+      (col("c_cont").cast("double") - eOf) / col("n_ctx2c").cast("double"))
+      .otherwise(lit(0.0d))
+    val gamma2 = (lit(e1) * col("u1").cast("double")
+      + lit(e2) * col("u2").cast("double")
+      + lit(e3) * col("u3p").cast("double")) / col("n_ctx2c").cast("double")
+    val pc = coalesce(col("t_w3"), lit(1L)).cast("double") /
+      lit(tTot).cast("double")
+    val p2 = when(col("n_ctx2c").isNotNull, matched2 + gamma2 * pc)
+      .otherwise(pc)
+    val score = when(col("n_ctx3").isNotNull, matched3 + gamma3 * p2)
+      .otherwise(p2)
+    val contrib = docTriTf
+      .join(maybeB(keptTri), Seq("w1", "w2", "w3"), "left")
+      .join(maybeB(ctx3), Seq("w1", "w2"), "left")
+      .join(maybeB(cont), Seq("w2", "w3"), "left")
+      .join(maybeB(ctx2c), Seq("w2"), "left")
+      .join(maybeB(contw), Seq("w3"), "left")
+      .select(col(idCol), col("tf"),
+        (col("tf").cast("double") * score).cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__s").cast("double") / col("n_trigrams").cast("double"))
+          .as("kn3_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("kn3_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-

@@ -280,6 +280,61 @@ class SelectionSpec extends SparkSpec {
       s"fluent ${out(0)} not >> noise ${out(20)} / ${out(21)}")
   }
 
+  test("modified-KN trigram: separation on the planted corpus, measured vs JM") {
+    // fluent docs share one sentence; the salad doc's PAIRS are all
+    // plausible (every adjacent pair occurs in the fluent corpus) but
+    // its TRIPLES never co-occur — the case a trigram model exists for
+    val fluent = (1L to 20L).map(i =>
+      (i, "the quick fox jumps over the lazy dog and the quick fox sleeps"))
+    val salad = Seq((21L,
+      "the quick fox sleeps and the lazy dog jumps over the quick fox"))
+    val docs = (fluent ++ salad).toDF("id", "text")
+    val kn3 = LmScore.knTrigramScore(docs, "id", "text")
+      .orderBy("id").select("kn3_score").as[Double].collect()
+    assert(kn3(0) > kn3(20), s"fluent ${kn3(0)} !> salad ${kn3(20)}")
+    // measured separation vs the JM trigram on the same corpus: the
+    // discounted matched tier + continuation backoff punishes the
+    // never-seen triples harder than the fixed-λ mix does
+    val jm = LmScore.trigramInterpolatedScore(docs, "id", "text")
+      .orderBy("id").select("tlm_score").as[Double].collect()
+    assert(kn3(0) / kn3(20) > jm(0) / jm(20),
+      s"kn3 separation ${kn3(0) / kn3(20)} !> jm ${jm(0) / jm(20)}")
+    // scores stay in (0, 1]
+    assert(kn3.forall(s => s > 0.0 && s <= 1.0))
+  }
+
+  test("modified-KN trigram: degenerate count-of-counts fall back to D=3/4") {
+    assert(LmScore.mknDiscounts(0L, 5L, 3L, 1L) == ((0.75, 0.75, 0.75)))
+    assert(LmScore.mknDiscounts(5L, 0L, 3L, 1L) == ((0.75, 0.75, 0.75)))
+    assert(LmScore.mknDiscounts(5L, 3L, 0L, 1L) == ((0.75, 0.75, 0.75)))
+    // n4 = 0 is NOT degenerate (D3 = 3 − 0)
+    val (d1, d2, d3) = LmScore.mknDiscounts(4L, 2L, 1L, 0L)
+    assert(d1 > 0 && d2 > 0 && d3 == 3.0)
+    // end to end on a corpus whose trigram types are all singletons
+    // (n2 = n3 = 0 → fallback): scores stay finite and positive
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("id", "text")
+    val out = LmScore.knTrigramScore(docs, "id", "text")
+      .select("kn3_score").as[Double].collect()
+    assert(out.forall(s => !s.isNaN && !s.isInfinite && s > 0.0),
+      out.mkString(","))
+  }
+
+  test("modified-KN trigram: null below three tokens; minTri prunes matched mass") {
+    val r = LmScore.knTrigramScore(
+        Seq((1L, "just two"), (2L, "")).toDF("id", "text"), "id", "text")
+      .orderBy("id").select("n_trigrams", "kn3_score").collect()
+    assert(r.forall(row => row.getLong(0) == 0L && row.isNullAt(1)))
+    // pruning the matched tier can only lower a doc's score (its
+    // backoff mass survives, its matched mass does not)
+    val docs = ((1L to 5L).map(i => (i, "one two three four")) ++
+      Seq((9L, "one two three four"))).toDF("id", "text")
+    val full = LmScore.knTrigramScore(docs, "id", "text")
+      .filter($"id" === 9L).select("kn3_score").as[Double].head()
+    val pruned = LmScore.knTrigramScore(docs, "id", "text", minTri = 100L)
+      .filter($"id" === 9L).select("kn3_score").as[Double].head()
+    assert(pruned < full, s"$pruned !< $full")
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
