@@ -373,19 +373,18 @@ object Sft {
     * decode-back law under the full imported-GPT-2 regime.
     *
     * Scale shape: the distinct-line encode join + the funnel-free
-    * offset cumsum (both shared with [[packTokens]]). Block assembly is one
-    * `(shard, block)` aggregation; its per-ROW state before the final
-    * slice is O(conversation tokens) — the conv rollup carries one
-    * conversation's whole id stream, and the explode re-ships that
-    * array into every block the conversation touches (duplication
-    * factor ⌈conv/blockTokens⌉ + 1). The bound is therefore
-    * per-CONVERSATION (the same per-entity assumption the whole Sft
-    * family documents — sessionize unbounded entities first), NOT
-    * `blockTokens`; only the post-slice aggregation state is bounded
-    * by the block size. The `sft_materialize_blocks` oracle restates
-    * the chain position-based (one row per token) precisely because
-    * carrying the list per exploded row OOMs engines without
-    * array-slice pushdown.
+    * offset cumsum over COUNTS ONLY (both shared with [[packTokens]]),
+    * then the position-based assembly the oracle itself uses: one row
+    * per token at its global shard position (`posexplode` of the
+    * per-turn id arrays — per-row state a scalar), one `(shard, block)`
+    * aggregation whose buffer is bounded by `blockTokens`. No row ever
+    * carries a conversation's id stream, so the memory bound is the
+    * BLOCK size, not the conversation size (the round-14 shape carried
+    * each conversation's whole array into every block it touched —
+    * duplication factor ⌈conv/blockTokens⌉ + 1). The offsets join
+    * reuses the conv_id hash partitioning the turn window established;
+    * the per-turn window itself is over turn COUNTS, the Sft family's
+    * usual per-entity bound.
     */
   def materializeBlocks(turnsDf: DataFrame,
                         merges: Array[(String, String)],
@@ -405,62 +404,47 @@ object Sft {
       .withColumn("tok_start", coalesce(
         sum(col("__nt")).over(wT.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .withColumn("tok_end", col("tok_start") + col("__nt"))
-    val conv = toks.groupBy(col("conv_id"))
-      .agg(
-        sum(col("__nt")).as("__n"),
-        flatten(transform(
-          sort_array(collect_list(struct(col("turn_idx"), col("__ids")))),
-          s => s.getField("__ids"))).as("__ids"),
-        transform(
-          sort_array(collect_list(when(col("masked"),
-            struct(col("turn_idx"), col("tok_start"), col("tok_end"))))),
-          s => struct(s.getField("tok_start").as("s"),
-            s.getField("tok_end").as("e"))).as("__spans"))
+    // counts-only conversation totals: nothing conversation-sized ever
+    // rides the cumsum or any later row
+    val convN = toks.groupBy(col("conv_id"))
+      .agg(sum(col("__nt")).as("__n"))
       .filter(col("__n") > 0)
     val sid = if (portable) Sharding.shardIdPortable(col("conv_id"), nShards)
               else Sharding.shardId(col("conv_id"), nShards)
-    // funnel-free offsets, as in [[pack]]; the id arrays ride through
-    // the two-pass checkpoint (one materialization, both passes local)
-    val base = graft.operators.Cumsum.exclusivePerShard(
-      conv.select(sid.as("shard"), col("conv_id"), col("__n"),
-          col("__ids"), col("__spans"))
+    // funnel-free offsets, as in [[pack]] — two passes over a slim
+    // (shard, conv_id, count) checkpoint
+    val offsets = graft.operators.Cumsum.exclusivePerShard(
+      convN.select(sid.as("shard"), col("conv_id"), col("__n"))
         .withColumn("__w", col("__n") + lit(1L)),
-      "shard", "conv_id", "__w", "conv_offset").drop("__w")
-    val kb = col("block_id") * b
-    val content = base
-      .select(col("shard"), col("conv_offset"), col("__n"), col("__ids"),
-        col("__spans"),
-        explode(sequence(floor(col("conv_offset") / b),
-          floor((col("conv_offset") + col("__n") - 1) / b))).as("block_id"))
-      .select(col("shard"), col("block_id"),
-        (greatest(col("conv_offset"), kb) - kb).as("start_in_block"),
-        (greatest(col("conv_offset"), kb) - col("conv_offset")).as("__lo"),
-        (least(col("conv_offset") + col("__n"), kb + b)
-          - col("conv_offset")).as("__hi"),
-        col("__ids"), col("__spans"))
-      .select(col("shard"), col("block_id"), col("start_in_block"),
-        slice(col("__ids"), (col("__lo") + 1).cast("int"),
-          (col("__hi") - col("__lo")).cast("int")).as("__piece"),
-        transform(sequence(col("__lo"), col("__hi") - 1),
-          p => when(exists(col("__spans"),
-            sp => p >= sp.getField("s") && p < sp.getField("e")),
-            lit(1)).otherwise(lit(0))).as("__mask"))
-    val joints = base.filter(col("conv_offset") > 0)
+      "shard", "conv_id", "__w", "conv_offset")
+      .select(col("shard"), col("conv_id"), col("conv_offset"))
+    // ONE ROW PER TOKEN at its global shard position — the oracle's own
+    // position-based shape: per-row state is a scalar, the only
+    // array-valued state anywhere is the final per-block buffer
+    // (O(blockTokens)). The join reuses the conv_id hash partitioning
+    // the turn window already established.
+    val tokens = toks
+      .join(offsets, Seq("conv_id"))
       .select(col("shard"),
-        floor((col("conv_offset") - 1) / b).as("block_id"),
-        ((col("conv_offset") - 1) % b).as("start_in_block"),
-        array(lit(eosId)).as("__piece"),
-        array(lit(0)).as("__mask"))
-    val blocks = content.unionByName(joints)
+        (col("conv_offset") + col("tok_start")).as("__t0"),
+        when(col("masked"), lit(1)).otherwise(lit(0)).as("__m"),
+        posexplode(col("__ids")).as(Seq("__i", "__id")))
+      .select(col("shard"), (col("__t0") + col("__i")).as("__gpos"),
+        col("__id"), col("__m"))
+    // the packer's +1 joint, materialized: one eosId at the slot before
+    // every non-first conversation, mask 0
+    val joints = offsets.filter(col("conv_offset") > 0)
+      .select(col("shard"), (col("conv_offset") - 1).as("__gpos"),
+        lit(eosId).as("__id"), lit(0).as("__m"))
+    val blocks = tokens.unionByName(joints)
+      .select(col("shard"), floor(col("__gpos") / b).as("block_id"),
+        (col("__gpos") % b).as("__p"), col("__id"), col("__m"))
       .groupBy(col("shard"), col("block_id"))
-      .agg(
-        flatten(transform(sort_array(collect_list(
-          struct(col("start_in_block"), col("__piece"), col("__mask")))),
-          s => s.getField("__piece"))).as("token_ids"),
-        flatten(transform(sort_array(collect_list(
-          struct(col("start_in_block"), col("__piece"), col("__mask")))),
-          s => s.getField("__mask"))).as("loss_mask"))
+      .agg(sort_array(collect_list(
+        struct(col("__p"), col("__id"), col("__m")))).as("__s"))
+      .select(col("shard"), col("block_id"),
+        transform(col("__s"), x => x.getField("__id")).as("token_ids"),
+        transform(col("__s"), x => x.getField("__m")).as("loss_mask"))
       .withColumn("n_tokens", size(col("token_ids")))
     padId match {
       case Some(pid) =>

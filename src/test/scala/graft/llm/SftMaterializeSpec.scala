@@ -149,4 +149,29 @@ class SftMaterializeSpec extends SparkSpec {
       assert(text === "user: click The   theme" + "assistant: reply the The")
     } finally graft.storage.TableStore.deleteRecursively(tmp)
   }
+
+  test("per-row state is O(blockTokens): position-based plan, no conversation rollup") {
+    val turnsDf = turnsOf((1L to 40L).map(i =>
+      (1L, i, 100L + i, "click", s"some words here number $i")))
+    val vocab = Bpe.vocabBytes(spark, merges, specials)
+    val blocks = Sft.materializeBlocks(turnsDf, merges, vocab,
+      blockTokens = 8, nShards = 1, portable = true, byteLevel = true,
+      eosId = Eos)
+    val plan = blocks.queryExecution.executedPlan.toString
+    // the only array-building aggregate is the per-(shard, block)
+    // collect over scalar token rows; nothing collects per-conversation
+    // id arrays or span lists (the round-14 shape's markers)
+    assert(!plan.contains("__spans"), plan.take(600))
+    assert(!plan.contains("flatten("), plan.take(600))
+    assert(plan.contains("posexplode"), plan.take(600))
+    // a single conversation many times blockTokens still lays out
+    // exactly: block sizes are all B except the ragged tail, and the
+    // concatenated stream length is the transcript's token count
+    val sizes = blocks.orderBy("block_id")
+      .select(col("n_tokens").cast("long")).as[Long].collect()
+    val total = Sft.transcriptsTokens(turnsDf, merges, byteLevel = true)
+      .agg(sum(col("n_tokens"))).as[Long].head()
+    assert(sizes.sum === total) // one conversation: no joints
+    assert(sizes.init.forall(_ == 8L) && sizes.last <= 8L, sizes.toSeq)
+  }
 }
