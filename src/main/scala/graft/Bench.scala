@@ -26,6 +26,29 @@ object Bench {
     * path written. A flagged or smoke run can never replace an
     * existing authoritative artifact (BenchArtifactSpec pins this).
     */
+  /** Total + per-query sweep ratios extracted from a committed
+    * BENCH_FULL.json — quoted into the stdout summary when a live run
+    * self-flags (contaminated load / shrunk sweep), so the round
+    * snapshot never carries a noisy run's ratios. The artifact is this
+    * tool's own single-line output, so a pinned regex over its
+    * `"name":{"base":..,"scaled":..,"ratio":R}` rows and the leading
+    * `"metric":"total","value":V` is reliable; any read/parse failure
+    * degrades to None (live numbers, as before).
+    */
+  def canonicalSummary(path: java.nio.file.Path)
+      : Option[(Double, Seq[(String, Double)])] =
+    try {
+      if (!java.nio.file.Files.exists(path)) None
+      else {
+        val txt = java.nio.file.Files.readString(path)
+        val rRe = """"([A-Za-z0-9_]+)":\{"base":([-0-9.eE]+),"scaled":([-0-9.eE]+),"ratio":([-0-9.eE]+)""".r
+        val rs = rRe.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(4).toDouble).toSeq
+        val tRe = """"metric":"total","value":([-0-9.eE]+)""".r
+        tRe.findFirstMatchIn(txt).map(m => (m.group(1).toDouble, rs))
+      }
+    } catch { case _: Throwable => None }
+
   def writeArtifact(root: java.nio.file.Path, json: String,
                     contaminated: Boolean,
                     fullSweep: Boolean): java.nio.file.Path = {
@@ -810,8 +833,26 @@ object Bench {
       if (v == math.floor(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
     }
     val byCost = timings.toSeq.sortBy(-_._2)
-    val ratios = scaleQs.toSeq.map { case (k, (b, s)) =>
-      "\"" + esc(k) + "\":" + (if (b > 0) fmt(s / b, 2) else "-1") }
+    // When the run self-flagged (contaminated load or shrunk sweep),
+    // its own ratios are noise — quote the CANONICAL idle artifact's
+    // sweep instead, marked from_canonical, so the round snapshot never
+    // carries misleading scale numbers (r14 verdict #1). The canonical
+    // file is this tool's own output, so a pinned regex extraction of
+    // the ratio/total fields is reliable.
+    val canonical: Option[(Double, Seq[(String, Double)])] =
+      if (artifactName == "BENCH_FULL.json") None
+      else canonicalSummary(java.nio.file.Paths.get("BENCH_FULL.json"))
+    val ratios = canonical match {
+      case Some((_, rs)) => rs.map { case (k, r) =>
+        "\"" + esc(k) + "\":" + fmt(r, 2) }
+      case None => scaleQs.toSeq.map { case (k, (b, s)) =>
+        "\"" + esc(k) + "\":" + (if (b > 0) fmt(s / b, 2) else "-1") }
+    }
+    val canonMark = canonical match {
+      case Some((t, _)) =>
+        s""""from_canonical":true,"canonical_total":${fmt(t, 3)},"""
+      case None => ""
+    }
     def compact(nq: Int, nr: Int): String = {
       val q = byCost.take(nq).map { case (k, v) => "\"" + esc(k) + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
@@ -820,7 +861,7 @@ object Bench {
         .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v.take(60)) + "\"" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$q,""" +
-        s""""queries_omitted":$omitted$e,"scale":{"factor":$scaleF,"ratios":${ratios.take(nr).mkString("{", ",", "}")},""" +
+        s""""queries_omitted":$omitted$e,"scale":{"factor":$scaleF,$canonMark"ratios":${ratios.take(nr).mkString("{", ",", "}")},""" +
         s""""single_shot":[${sweepSingleShot.map(n => "\"" + esc(n) + "\"").mkString(",")}]},""" +
         s""""detail":"${esc(artifactName)}","sf":"${esc(sfDir)}"}"""
     }

@@ -50,4 +50,28 @@ class BenchArtifactSpec extends AnyFunSuite {
       Files.deleteIfExists(dir)
     }
   }
+
+  test("canonicalSummary extracts total + sweep ratios from a committed artifact") {
+    val dir = Files.createTempDirectory("bench_canon_spec")
+    try {
+      val art = """{"metric":"total","value":176.25,"unit":"sec",""" +
+        """"queries":{"a":1.5},"scale":{"factor":10,"gen_sec":2.0,""" +
+        """"queries":{"dedup_jaccard":{"base":0.5,"scaled":1.855,"ratio":3.71,""" +
+        """"bytes_base":{"shuffle_read":1,"shuffle_write":2,"spill":0}},""" +
+        """"warehouse_day":{"base":1.0,"scaled":2.72,"ratio":2.72}}}}"""
+      val f = dir.resolve("BENCH_FULL.json")
+      Files.writeString(f, art)
+      val Some((total, ratios)) = Bench.canonicalSummary(f)
+      assert(total === 176.25)
+      assert(ratios.toMap === Map("dedup_jaccard" -> 3.71,
+        "warehouse_day" -> 2.72))
+      // missing file and malformed content both degrade to None
+      assert(Bench.canonicalSummary(dir.resolve("nope.json")).isEmpty)
+      Files.writeString(f, "not json at all")
+      assert(Bench.canonicalSummary(f).isEmpty)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      Files.deleteIfExists(dir)
+    }
+  }
 }
