@@ -223,7 +223,14 @@ object Bpe {
     * probes worst-case — per WORD, independent of the merge-table size
     * (the property that matters at a 32k-merge production vocabulary),
     * and amortized away by the per-partition word memo like the other
-    * kernels.
+    * kernels. This quadratic-in-word-length rescan is WHY the
+    * heap-indexed [[encodeWordFast]] remains the default for
+    * self-trained tables: the re-probing here is the HF semantics
+    * itself, not an implementation shortcut, and no [[Unigram.MaxDpLen]]-
+    * style chunk bound applies (chunking would change which pairs are
+    * adjacent, i.e. the tokenization) — a pathologically long unbroken
+    * "word" pays the full quadratic; the GPT-2 pre-splitter upstream is
+    * what keeps real words short.
     */
   private[llm] def encodeWordHf(word: String,
                                 idx: MergeIndex): Array[String] = {

@@ -967,4 +967,34 @@ object Unigram {
         (id, if (joined.startsWith(" ")) joined.substring(1) else joined)
       }.toDF(idCol, "text_rt")
   }
+
+  /** Export a self-trained ▁-tier model ([[trainHardSp]] output) as the
+    * `.vocab` interchange rows [[renderVocab]] serializes and any
+    * SentencePiece-family consumer (including [[loadVocab]] +
+    * [[encodeImported]]) can read: specials first, then the full
+    * `<0xXX>` byte tier (so the artifact is byte-fallback-complete),
+    * then the trained pieces in the [[vocabIds]] mass order with
+    * `log_prob = ln(max(cnt/N, 2^−40))`.
+    *
+    * The `ln` here is deliberate and OUT of the repo's bitwise-
+    * portability envelope (libm's last ulp varies) — an exported
+    * artifact is a one-way product for external consumers, never an
+    * oracle-compared intermediate; the import side's log-space Viterbi
+    * consumes whatever doubles the file carries. Byte pieces score at
+    * the pinned −13 (below any real piece, above the import tier's −64
+    * OOV floor). Bounded-model contract: the model is collected.
+    */
+  def exportVocab(model: DataFrame,
+                  specials: Seq[String] = Seq("<unk>", "<s>", "</s>"),
+                  byteFallback: Boolean = true): Seq[(String, Double)] = {
+    val sc = scoresOf(model)
+    val ranked = model.select(col("piece"), col("cnt").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }
+    specials.map(_ -> 0.0) ++
+      (if (byteFallback) (0 until 256).map(b => bytePiece(b) -> -13.0)
+       else Seq.empty) ++
+      ranked.map { case (p, _) => p -> math.log(sc(p)) }
+  }
 }

@@ -425,6 +425,37 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("export → import closes the loop: trained model serves through encodeImported") {
+    import spark.implicits._
+    // distinct word frequencies → no near-ties, so the product-space
+    // and log-space argmax paths coincide on this fixture
+    val docs = Seq((1L, "hello world hello"), (2L, "hello there world"),
+      (3L, "hello world world there")).toDF("id", "text")
+    val m = Unigram.trainHardSp(docs, "text", iters = 1,
+      maxPieceLen = 6, budget = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("uni_export_spec")
+    try {
+      val f = tmp.resolve("trained.vocab")
+      java.nio.file.Files.writeString(f,
+        Unigram.renderVocab(Unigram.exportVocab(m)))
+      val vocab = Unigram.loadVocab(spark, f.toString)
+      // specials + byte tier lead, trained pieces follow in mass order
+      val head = vocab.orderBy("piece_id").select("piece")
+        .as[String].take(4).toSeq
+      assert(head.take(3) == Seq("<unk>", "<s>", "</s>") &&
+        head(3) == "<0x00>", head.toString)
+      val imp = Unigram.encodeImported(docs, "id", "text", vocab)
+      val sp = Unigram.encodeSp(docs, "id", "text", m, 6)
+      val a = imp.orderBy("id").select(array_join(col("pieces"), "|"))
+        .as[String].collect().toSeq
+      val b = sp.orderBy("id").select(array_join(col("pieces"), "|"))
+        .as[String].collect().toSeq
+      assert(a == b, s"imported $a != self-trained $b")
+      // and no byte fallback fired (every char is in the trained model)
+      assert(!a.exists(_.contains("<0x")), a.toString)
+    } finally graft.storage.TableStore.deleteRecursively(tmp)
+  }
+
   test("encodeImported plans narrow: zero Exchange") {
     import spark.implicits._
     val vocab = spark.createDataset(
