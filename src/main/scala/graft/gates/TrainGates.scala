@@ -2799,10 +2799,11 @@ object TrainGates {
     * smallest-j tie-break, then the OOV post-map through the UTF-8
     * packing formula with byte ids at the pinned `3 + byte`.
     */
-  /** The whole post-`ud` oracle chain, shared with the NFKC gate
-    * (which differs only in the `ud` rows).
+  /** The shared oracle core through per-word piece/id streams (`iwp`),
+    * parameterized on the `ud` rows — the doc-assembly and the
+    * per-language fallback-rollup tails both build on it.
     */
-  private def uniImportChainSql(udBody: String): String = {
+  private def uniImportCoreCtes(udBody: String): String = {
     val latticeVals = UniImportLattice.zipWithIndex.map {
       case ((p, lp), i) =>
         s"('${p.replace("'", "''")}', CAST($lp AS DOUBLE), ${259 + i})"
@@ -2863,12 +2864,13 @@ object TrainGates {
        |  SELECT word, CAST(t AS INT) AS ppos, pieces[CAST(t AS INT)] AS piece
        |  FROM iseg, UNNEST(range(1, len(pieces) + 1)) AS u(t)),
        |imapped AS (
-       |  SELECT s.word, s.ppos, 0 AS bpos, s.piece AS out_piece, v.piece_id
+       |  SELECT s.word, s.ppos, 0 AS bpos, s.piece AS out_piece, v.piece_id,
+       |    0 AS fb
        |  FROM isegp s JOIN lvoc v USING (piece)
        |  UNION ALL
        |  SELECT s.word, s.ppos, CAST(bi AS INT) AS bpos,
        |    printf('<0x%02X>', s.bl[CAST(bi AS INT)]) AS out_piece,
-       |    CAST(3 + s.bl[CAST(bi AS INT)] AS INT) AS piece_id
+       |    CAST(3 + s.bl[CAST(bi AS INT)] AS INT) AS piece_id, 1 AS fb
        |  FROM (SELECT word, ppos, piece,
        |          ${sqlUtf8Bytes("unicode(piece)")} AS bl
        |        FROM isegp
@@ -2878,8 +2880,13 @@ object TrainGates {
        |  SELECT word,
        |    string_agg(out_piece, '|' ORDER BY ppos, bpos) AS ps,
        |    string_agg(CAST(piece_id AS VARCHAR), '|' ORDER BY ppos, bpos) AS ids,
-       |    CAST(count(*) AS BIGINT) AS np
-       |  FROM imapped GROUP BY word),
+       |    CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(fb) AS BIGINT) AS nfb
+       |  FROM imapped GROUP BY word)""".stripMargin
+  }
+
+  private def uniImportChainSql(udBody: String): String =
+    s"""${uniImportCoreCtes(udBody)},
        |idt AS (
        |  SELECT doc_id, CAST(i AS INT) AS wpos, '▁' || ws[i] AS word
        |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
@@ -2893,7 +2900,6 @@ object TrainGates {
        |  CAST(coalesce(sum(j.np), 0) AS BIGINT) AS n_pieces
        |FROM unorm n LEFT JOIN idj j ON n.doc_id = j.doc_id
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
-  }
 
   val uniImportVocabSql: String = uniImportChainSql(
     s"""
@@ -2901,6 +2907,72 @@ object TrainGates {
        |  UNION ALL
        |  SELECT CAST(doc_id AS BIGINT), text
        |  FROM (VALUES $uniImportDocVals) v(doc_id, text)""".stripMargin)
+
+  /** Planted rows for the coverage audit, with a lang slice: real
+    * documents are fully inside the fixture lattice (fallback 0 per
+    * language), the planted slices are mostly outside it.
+    */
+  private val UniFallbackPlanted: Seq[(Long, String, String)] = Seq(
+    (9000021L, "Xin chào thế giới bạn", "vi"),
+    (9000022L, "naïve café ☕ 🚀 ok", "sym"))
+
+  /** [[graft.llm.Unigram.fallbackStats]] under the import fixture: the
+    * vocabulary-coverage triage — per-language fallback fraction of the
+    * encoded stream. Real langs audit at 0; the planted Vietnamese and
+    * symbol slices at their exact byte-expansion fractions.
+    */
+  def uniFallbackStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = uniDocs(s, dir)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .unionByName(UniFallbackPlanted.toDF("doc_id", "text", "lang"))
+    graft.llm.Unigram.fallbackStats(docs, "doc_id", "text", "lang",
+        uniImportVocabDf(s))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the shared import core, per-word fallback tallies rolled
+    * up to the language slice.
+    */
+  val uniFallbackStatsSql: String = {
+    val docVals = UniFallbackPlanted
+      .map { case (id, t, _) => s"($id, '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    val langVals = UniFallbackPlanted
+      .map { case (id, _, l) => s"($id, '$l')" }.mkString(", ")
+    s"""${uniImportCoreCtes(
+        s"""
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT CAST(doc_id AS BIGINT), text
+           |  FROM (VALUES $docVals) v(doc_id, text)""".stripMargin)},
+       |ul AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), lang
+       |  FROM (VALUES $langVals) v(doc_id, lang)),
+       |idt AS (
+       |  SELECT doc_id, '▁' || ws[i] AS word
+       |  FROM unorm, UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[i] <> ''),
+       |idj AS (
+       |  SELECT d.doc_id, w.np, w.nfb
+       |  FROM idt d JOIN iwp w USING (word)),
+       |perdoc AS (
+       |  SELECT n.doc_id,
+       |    CAST(coalesce(sum(j.np), 0) AS BIGINT) AS np,
+       |    CAST(coalesce(sum(j.nfb), 0) AS BIGINT) AS nfb
+       |  FROM unorm n LEFT JOIN idj j ON n.doc_id = j.doc_id
+       |  GROUP BY n.doc_id)
+       |SELECT u.lang,
+       |  CAST(sum(p.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(p.nfb) AS BIGINT) AS n_fallback,
+       |  CASE WHEN sum(p.np) = 0 THEN NULL
+       |    ELSE CAST(sum(p.nfb) AS DOUBLE) / CAST(sum(p.np) AS DOUBLE)
+       |  END AS fallback_frac
+       |FROM perdoc p JOIN ul u USING (doc_id)
+       |GROUP BY u.lang ORDER BY u.lang""".stripMargin
+  }
 
   /** `decodeImported ∘ encodeImported` = identity on the whitespace-
     * collapsed trimmed text — the byte-fallback losslessness contract
@@ -3031,6 +3103,7 @@ object TrainGates {
     "uni_import_vocab" -> (uniImportVocab _),
     "uni_roundtrip_bytes" -> (uniRoundtripBytes _),
     "uni_encode_nfkc" -> (uniEncodeNfkc _),
+    "uni_fallback_stats" -> (uniFallbackStats _),
     "c4_blocklist"    -> (c4Blocklist _))
 
   val oracleSql: Map[String, String] = Map(
@@ -3094,5 +3167,6 @@ object TrainGates {
     "uni_import_vocab" -> uniImportVocabSql,
     "uni_roundtrip_bytes" -> uniRoundtripBytesSql,
     "uni_encode_nfkc" -> uniEncodeNfkcSql,
+    "uni_fallback_stats" -> uniFallbackStatsSql,
     "c4_blocklist"    -> c4BlocklistSql)
 }

@@ -968,6 +968,47 @@ object Unigram {
       }.toDF(idCol, "text_rt")
   }
 
+  /** Vocabulary-coverage audit of an IMPORTED vocabulary over a corpus
+    * slice column (typically language): per group, how much of the
+    * encoded stream had to leave the learned pieces — byte-fallback (or
+    * `<unk>`-mapped) pieces per total pieces. The triage a team runs
+    * BEFORE committing a run to a published tokenizer: a language whose
+    * fallback fraction is high is effectively character-modeled by that
+    * vocabulary ([[Bpe.fertility]]'s counterpart for the imported
+    * tier). One encode scan + one partial-agg rollup; `fallback_frac`
+    * is ONE exactly-rounded double division of two exact longs (null
+    * for piece-less groups) — engine-portable.
+    *
+    * A piece counts as fallback iff it is NOT a lattice piece: the
+    * `<0xXX>` expansions under a byte-fallback vocabulary, or the
+    * surface-at-`<unk>`-id pass-throughs without one.
+    */
+  def fallbackStats(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, vocab: DataFrame,
+                    nfkc: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the lattice-piece membership probe is a BROADCAST LEFT JOIN (no
+    // UDF — stays inside codegen): a piece with no lattice match is a
+    // fallback emission
+    val lattice = broadcast(
+      spark.createDataset(collectImported(vocab).scores.keys.toSeq)
+        .toDF("__p").withColumn("__lat", lit(1)))
+    val enc = encodeImported(docs, idCol, textCol, vocab, nfkc)
+    enc.select(col(idCol), explode_outer(col("pieces")).as("__p"))
+      .join(lattice, Seq("__p"), "left")
+      .join(docs.select(col(idCol).cast("long").as(idCol), col(groupCol)),
+        Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(col("__p")).as("n_pieces"),
+        sum(when(col("__p").isNotNull && col("__lat").isNull, 1L)
+          .otherwise(0L)).as("n_fallback"))
+      .select(col(groupCol), col("n_pieces"), col("n_fallback"),
+        when(col("n_pieces") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_fallback").cast("double")
+            / col("n_pieces").cast("double")).as("fallback_frac"))
+  }
+
   /** Export a self-trained ▁-tier model ([[trainHardSp]] output) as the
     * `.vocab` interchange rows [[renderVocab]] serializes and any
     * SentencePiece-family consumer (including [[loadVocab]] +

@@ -456,6 +456,28 @@ class UnigramSpec extends SparkSpec {
     } finally graft.storage.TableStore.deleteRecursively(tmp)
   }
 
+  test("fallbackStats: coverage audit separates in-lattice and fallback slices") {
+    import spark.implicits._
+    val vocab = spark.createDataset(
+      importFixture(byteFallback = true).zipWithIndex.map {
+        case ((p, lp), i) => (i, p, lp)
+      }).toDF("piece_id", "piece", "log_prob")
+    val docs = Seq(
+      (1L, "hello world", "en"),
+      (2L, "hello hello", "en"),
+      (3L, "é世", "xx"), // ▁ in-lattice + 2+3 byte pieces → frac 5/6
+      (4L, "", "empty")).toDF("id", "text", "lang")
+    val out = Unigram.fallbackStats(docs, "id", "text", "lang", vocab)
+      .orderBy("lang")
+      .select("lang", "n_pieces", "n_fallback", "fallback_frac").collect()
+    val byLang = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(byLang("en")._2 == 0L && byLang("en")._3 == 0.0, byLang.toString)
+    assert(byLang("xx") == ((6L, 5L, 5.0 / 6.0)), byLang.toString)
+    // piece-less group: 0 pieces, null frac (surfaced as -1 above)
+    assert(byLang("empty") == ((0L, 0L, -1.0)), byLang.toString)
+  }
+
   test("encodeImported plans narrow: zero Exchange") {
     import spark.implicits._
     val vocab = spark.createDataset(
