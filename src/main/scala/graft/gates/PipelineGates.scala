@@ -1059,6 +1059,125 @@ object PipelineGates {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- order-n modified Kneser-Ney (the 5-gram CCNet rung) --------------
+
+  /** [[graft.llm.LmScore.knNgramScore]] at order 5, minTop = 2 — the
+    * CCNet production regime's order. The oracle is GENERATED level by
+    * level from the same recursion the engine runs (type-table chain
+    * T5→T2, per-level contexts and count-of-count discounts with the
+    * degenerate fallback, the nested interpolation in the engine's
+    * parenthesization), so the restatement cannot drift from the
+    * construction.
+    */
+  def lmKn5(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LmScore.knNgramScore(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        order = 5, minTop = 2L)
+      .orderBy("doc_id")
+
+  val lmKn5Sql: String = knNgramSqlFor(5, 2L)
+
+  /** The order-n modified-KN oracle generator — one CTE block per
+    * level, mirroring [[graft.llm.LmScore.knNgramScore]]'s recursion
+    * and [[graft.llm.LmScore.mknDiscounts]]' pinned arithmetic.
+    */
+  private def knNgramSqlFor(n: Int, minTop: Long): String = {
+    def disc(k: Int): String =
+      s"CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75 ELSE " +
+        s"CAST($k.0 AS DOUBLE) - ${k + 1}.0 * " +
+        s"(CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))) * " +
+        s"CAST(n${k + 1} AS DOUBLE) / CAST(n$k AS DOUBLE) END"
+    def keys(k: Int): Seq[String] = (n - k + 1 to n).map(j => s"w$j")
+    def ctxKeys(k: Int): Seq[String] = (n - k + 1 until n).map(j => s"w$j")
+    val gramCols = (1 to n).map(j => s"ws[i + ${j - 1}] AS w$j").mkString(", ")
+    val allW = (1 to n).map(j => s"w$j").mkString(", ")
+    val levelCtes = (2 to n).reverse.map { k =>
+      val src = if (k == n)
+        s"""t$n AS MATERIALIZED (
+           |  SELECT $allW, CAST(sum(tf) AS BIGINT) AS cnt
+           |  FROM dtf GROUP BY ${keys(n).mkString(", ")})"""
+      else
+        s"""t$k AS MATERIALIZED (
+           |  SELECT ${keys(k).mkString(", ")}, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM t${k + 1} GROUP BY ${keys(k).mkString(", ")})"""
+      val ctx =
+        s"""ctx$k AS (
+           |  SELECT ${ctxKeys(k).mkString(", ")},
+           |    CAST(sum(cnt) AS BIGINT) AS ctx,
+           |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+           |    CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3p
+           |  FROM t$k GROUP BY ${ctxKeys(k).mkString(", ")})"""
+      val cc =
+        s"""cc$k AS MATERIALIZED (SELECT
+           |    CAST(coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+           |    CAST(coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+           |    CAST(coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+           |    CAST(coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n4
+           |  FROM t$k)"""
+      val dd =
+        s"""dd$k AS MATERIALIZED (SELECT
+           |    ${disc(1)} AS d1, ${disc(2)} AS d2, ${disc(3)} AS d3
+           |  FROM cc$k)"""
+      Seq(src, ctx, cc, dd).mkString(",\n")
+    }.mkString(",\n")
+    // the nested interpolation, innermost (unigram continuation) out
+    var score =
+      "CAST(coalesce(cw.t_wn, 1) AS DOUBLE) / CAST((SELECT t FROM tt) AS DOUBLE)"
+    (2 to n).foreach { k =>
+      val tA = if (k == n) "kt" else s"t$k"
+      val (d1, d2, d3) = (s"(SELECT d1 FROM dd$k)", s"(SELECT d2 FROM dd$k)",
+        s"(SELECT d3 FROM dd$k)")
+      score =
+        s"""(CASE WHEN ctx$k.ctx IS NOT NULL THEN
+           |        (CASE WHEN $tA.cnt IS NOT NULL
+           |          THEN (CAST($tA.cnt AS DOUBLE) -
+           |                (CASE WHEN $tA.cnt = 1 THEN $d1
+           |                      WHEN $tA.cnt = 2 THEN $d2
+           |                      ELSE $d3 END)) / CAST(ctx$k.ctx AS DOUBLE)
+           |          ELSE CAST(0.0 AS DOUBLE) END)
+           |        + ($d1 * CAST(ctx$k.t1 AS DOUBLE)
+           |           + $d2 * CAST(ctx$k.t2 AS DOUBLE)
+           |           + $d3 * CAST(ctx$k.t3p AS DOUBLE))
+           |          / CAST(ctx$k.ctx AS DOUBLE)
+           |          * ($score)
+           |      ELSE ($score) END)""".stripMargin
+    }
+    val joins = Seq(s"LEFT JOIN kt USING ($allW)") ++
+      (2 until n).reverse.map(k =>
+        s"LEFT JOIN t$k USING (${keys(k).mkString(", ")})") ++
+      (2 to n).map(k =>
+        s"LEFT JOIN ctx$k USING (${ctxKeys(k).mkString(", ")})") ++
+      Seq(s"LEFT JOIN cw USING (w$n)")
+    s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
+       |gr AS (
+       |  SELECT doc_id, $gramCols
+       |  FROM toks, UNNEST(range(1, len(ws) - ${n - 2})) AS u(i)),
+       |dtf AS (
+       |  SELECT doc_id, $allW, CAST(count(*) AS BIGINT) AS tf
+       |  FROM gr GROUP BY doc_id, $allW),
+       |$levelCtes,
+       |cw AS (SELECT w$n, CAST(count(*) AS BIGINT) AS t_wn
+       |       FROM t2 GROUP BY w$n),
+       |tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS t FROM t2),
+       |kt AS (SELECT * FROM t$n WHERE cnt >= $minTop),
+       |contrib AS (
+       |  SELECT doc_id, tf,
+       |    CAST(CAST(CAST(tf AS DOUBLE) * (
+       |$score
+       |    ) AS VARCHAR) AS DECIMAL(28,15)) AS q
+       |  FROM dtf
+       |  ${joins.mkString("\n  ")}),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+       |    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS kn_score
+       |  FROM contrib GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams, p.kn_score
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- token-budget selection -----------------------------------------
 
   /** [[graft.operators.Selection.byTokenBudget]]: best-n_chars-first
@@ -1369,6 +1488,7 @@ object PipelineGates {
     "lm_score_trigram"   -> (lmTrigram _),
     "lm_score_kn"        -> (lmKneserNey _),
     "lm_score_kn3"       -> (lmKn3 _),
+    "lm_score_kn5"       -> (lmKn5 _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1403,6 +1523,7 @@ object PipelineGates {
     "lm_score_trigram"   -> lmTrigramSql,
     "lm_score_kn"        -> lmKneserNeySql,
     "lm_score_kn3"       -> lmKn3Sql,
+    "lm_score_kn5"       -> lmKn5Sql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

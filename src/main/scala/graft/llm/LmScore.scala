@@ -623,6 +623,137 @@ object LmScore {
         col("kn3_score"))
   }
 
+  /** MODIFIED KNESER-NEY at ARBITRARY ORDER — [[knTrigramScore]]'s
+    * recursion generalized to the CCNet production regime (Wenzek et
+    * al. filter with a 5-gram KenLM): per n-gram position,
+    *
+    *   P_k = (c_k − D_k(c_k))/c_k(ctx·) + γ_k(ctx)·P_{k−1}   (k = n..2)
+    *   P_1 = N1+(·w_n) / |T_2|
+    *
+    * where the level-n counts are raw n-gram counts, every lower
+    * level's counts are CONTINUATION counts (level k's type table =
+    * the distinct level-(k+1) types projected onto their last k words,
+    * counted — the Chen & Goodman chain), each level's three discounts
+    * come from that level's own count-of-counts ([[mknDiscounts]],
+    * with the degenerate 3/4 fallback per level), and γ_k is the
+    * per-context reserved mass `(D1·N1 + D2·N2 + D3·N3+)/c_k(ctx·)`.
+    * `minTop` prunes only the TOP level's matched tier (pruned n-grams
+    * keep their backoff mass); all statistics are over full tables.
+    * `order = 3` reproduces [[knTrigramScore]] bitwise (spec-pinned).
+    *
+    * Same exactness recipe: pinned-parenthesization double ops over
+    * exact integer casts and shared per-level discount doubles, then
+    * `tf × score` decimal(28,15) exact-summed; no `ln`.
+    *
+    * Scale shape: ONE n-gram explode + `(doc, gram)` tf agg (the
+    * n-gram-sized shuffle any order-n model pays), a chain of n−1
+    * type-table aggregations each SMALLER than its parent (T_k groups
+    * T_{k+1} by a suffix), per-level context aggs with map-side
+    * partials, 2(n−1)+1 model-sized driver scalars (count-of-count
+    * rows + one type count), and 2(n−1)+1 broadcast model joins on one
+    * pass over the position table. Type tables persist for their three
+    * consumers each. No window, no global sort.
+    *
+    * Output: `(idCol, n_grams, kn_score)`; null below `order` tokens.
+    */
+  def knNgramScore(docs: DataFrame, idCol: String, textCol: String,
+                   order: Int, minTop: Long = 1L,
+                   broadcastModel: Boolean = true): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    require(minTop >= 1L, s"minTop must be >= 1, got $minTop")
+    val n = order
+    val words = split(Dedup.normalize(col(textCol)), " ")
+    val grams = docs.select(col(idCol),
+      explode(when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - lit(n - 1)),
+          i => slice(words, i, lit(n))))
+        .otherwise(array().cast("array<array<string>>"))).as("__g"))
+    val wcols = (1 to n).map(k => element_at(col("__g"), k).as(s"w$k"))
+    val pos = grams.select(col(idCol) +: wcols: _*)
+      .where(col(s"w$n").isNotNull)
+    val wNames = (1 to n).map(k => s"w$k")
+    val docTf = pos.groupBy(col(idCol) +: wNames.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+    // type-table chain: T_n = raw n-gram counts; T_k = T_{k+1}'s types
+    // projected onto their last k words, counted (continuation counts)
+    val typeTables = scala.collection.mutable.Map.empty[Int, DataFrame]
+    typeTables(n) = docTf
+      .groupBy(wNames.map(col): _*)
+      .agg(sum(col("tf")).as(s"cnt_$n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var k = n - 1
+    while (k >= 2) {
+      val keys = (n - k + 1 to n).map(j => s"w$j")
+      typeTables(k) = typeTables(k + 1)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"cnt_$k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k -= 1
+    }
+    def ccOf(t: DataFrame, cntCol: String): (Double, Double, Double) = {
+      val r = t.agg(
+        coalesce(sum(when(col(cntCol) === 1L, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col(cntCol) === 2L, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col(cntCol) === 3L, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col(cntCol) === 4L, 1L).otherwise(0L)), lit(0L))).head()
+      mknDiscounts(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val discounts: Map[Int, (Double, Double, Double)] =
+      (2 to n).map(k => k -> ccOf(typeTables(k), s"cnt_$k")).toMap
+    val ctxTables: Map[Int, DataFrame] = (2 to n).map { k =>
+      val ctxKeys = (n - k + 1 until n).map(j => s"w$j")
+      k -> typeTables(k).groupBy(ctxKeys.map(col): _*)
+        .agg(sum(col(s"cnt_$k")).as(s"ctx_$k"),
+          sum(when(col(s"cnt_$k") === 1L, 1L).otherwise(0L)).as(s"t1_$k"),
+          sum(when(col(s"cnt_$k") === 2L, 1L).otherwise(0L)).as(s"t2_$k"),
+          sum(when(col(s"cnt_$k") >= 3L, 1L).otherwise(0L)).as(s"t3p_$k"))
+    }.toMap
+    val contw = typeTables(2).groupBy(s"w$n").agg(count(lit(1)).as("t_wn"))
+    val tTot = typeTables(2).count()
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val keptTop = typeTables(n).where(col(s"cnt_$n") >= minTop)
+    var joined = docTf
+      .join(maybeB(keptTop), wNames, "left")
+    k = n - 1
+    while (k >= 2) {
+      joined = joined.join(maybeB(typeTables(k)),
+        (n - k + 1 to n).map(j => s"w$j"), "left")
+      k -= 1
+    }
+    (2 to n).foreach { k =>
+      joined = joined.join(maybeB(ctxTables(k)),
+        (n - k + 1 until n).map(j => s"w$j"), "left")
+    }
+    joined = joined.join(maybeB(contw), Seq(s"w$n"), "left")
+    var p: org.apache.spark.sql.Column =
+      coalesce(col("t_wn"), lit(1L)).cast("double") /
+        lit(tTot).cast("double")
+    (2 to n).foreach { k =>
+      val (d1, d2, d3) = discounts(k)
+      val cnt = col(s"cnt_$k")
+      val ctx = col(s"ctx_$k").cast("double")
+      val dOf = when(cnt === 1L, lit(d1)).when(cnt === 2L, lit(d2))
+        .otherwise(lit(d3))
+      val matched = when(cnt.isNotNull,
+        (cnt.cast("double") - dOf) / ctx).otherwise(lit(0.0d))
+      val gamma = (lit(d1) * col(s"t1_$k").cast("double")
+        + lit(d2) * col(s"t2_$k").cast("double")
+        + lit(d3) * col(s"t3p_$k").cast("double")) / ctx
+      p = when(col(s"ctx_$k").isNotNull, matched + gamma * p).otherwise(p)
+    }
+    val contrib = joined.select(col(idCol), col("tf"),
+      (col("tf").cast("double") * p).cast("decimal(28,15)").as("__q"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_grams"), sum(col("__q")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        (col("__s").cast("double") / col("n_grams").cast("double"))
+          .as("kn_score"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("kn_score"))
+  }
+
   /** CCNet-style band label over the score: documents below `lo` are
     * head-boilerplate, above `hi` tail-noise, between is the band a
     * perplexity filter keeps. Thresholds compare against the bitwise-

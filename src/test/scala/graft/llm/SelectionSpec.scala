@@ -335,6 +335,44 @@ class SelectionSpec extends SparkSpec {
     assert(pruned < full, s"$pruned !< $full")
   }
 
+  test("order-n modified KN: order 3 reproduces knTrigramScore bitwise") {
+    val docs = ((1L to 20L).map(i =>
+      (i, "the quick fox jumps over the lazy dog and the quick fox sleeps")) ++
+      Seq((21L, "the quick fox sleeps and the lazy dog jumps over the quick"),
+        (22L, "just two"), (23L, ""))).toDF("id", "text")
+    val a = LmScore.knTrigramScore(docs, "id", "text", minTri = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val b = LmScore.knNgramScore(docs, "id", "text", order = 3, minTop = 2L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(a.toSeq == b.toSeq) // bitwise: same doubles, same nulls
+  }
+
+  test("order-n modified KN: the 5-gram rung separates 4-gram-novel text") {
+    // fluent docs repeat one sentence; the probe shares every TRIGRAM
+    // with the corpus (sliding windows of the same sentence) but its
+    // 5-gram positions are novel — only an order-5 model sees that
+    val sent = "the quick fox jumps over the lazy dog again and again today"
+    val fluent = (1L to 20L).map(i => (i, sent))
+    // rotate the sentence: trigrams mostly survive, 5-grams break
+    val probe = Seq((21L,
+      "lazy dog again and again today the quick fox jumps over the"))
+    val docs = (fluent ++ probe).toDF("id", "text")
+    val kn5 = LmScore.knNgramScore(docs, "id", "text", order = 5)
+      .orderBy("id").select("kn_score").as[Double].collect()
+    assert(kn5(0) > kn5(20), s"fluent ${kn5(0)} !> rotated ${kn5(20)}")
+    assert(kn5.forall(s => s > 0.0 && s <= 1.0))
+    // below-order docs: 0 positions, null
+    val short = LmScore.knNgramScore(
+        Seq((1L, "one two three four")).toDF("id", "text"), "id", "text",
+        order = 5)
+      .select("n_grams", "kn_score").collect().head
+    assert(short.getLong(0) == 0L && short.isNullAt(1))
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
