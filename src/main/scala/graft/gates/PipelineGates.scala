@@ -1077,11 +1077,31 @@ object PipelineGates {
 
   val lmKn5Sql: String = knNgramSqlFor(5, 2L)
 
+  /** [[graft.llm.LmScore.knNgramScore]] with an EXTERNAL reference
+    * model — the literal CCNet setting (Wenzek et al. score crawl text
+    * against a clean reference corpus): statistics from a 5% id slice,
+    * every document scored against them. The thin slice is the point —
+    * ~20% of positions carry a top-context the model never saw, so this
+    * gate EXERCISES the unseen-context backoff branches (`ELSE inner`)
+    * on thousands of real rows (self-corpus gates structurally cannot
+    * reach them), plus the OOV-final-word hapax convention.
+    */
+  def lmKnRef(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    graft.llm.LmScore.knNgramScore(d, "doc_id", "text",
+        order = 3, minTop = 2L,
+        model = Some(d.where(col("doc_id") % 20 === 0)))
+      .orderBy("doc_id")
+  }
+
+  val lmKnRefSql: String = knNgramSqlFor(3, 2L, Some("doc_id % 20 = 0"))
+
   /** The order-n modified-KN oracle generator — one CTE block per
     * level, mirroring [[graft.llm.LmScore.knNgramScore]]'s recursion
     * and [[graft.llm.LmScore.mknDiscounts]]' pinned arithmetic.
     */
-  private def knNgramSqlFor(n: Int, minTop: Long): String = {
+  private def knNgramSqlFor(n: Int, minTop: Long,
+                            refWhere: Option[String] = None): String = {
     def disc(k: Int): String =
       s"CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.75 ELSE " +
         s"CAST($k.0 AS DOUBLE) - ${k + 1}.0 * " +
@@ -1092,10 +1112,16 @@ object PipelineGates {
     val gramCols = (1 to n).map(j => s"ws[i + ${j - 1}] AS w$j").mkString(", ")
     val allW = (1 to n).map(j => s"w$j").mkString(", ")
     val levelCtes = (2 to n).reverse.map { k =>
-      val src = if (k == n)
-        s"""t$n AS MATERIALIZED (
-           |  SELECT $allW, CAST(sum(tf) AS BIGINT) AS cnt
-           |  FROM dtf GROUP BY ${keys(n).mkString(", ")})"""
+      val src = if (k == n) refWhere match {
+        case None =>
+          s"""t$n AS MATERIALIZED (
+             |  SELECT $allW, CAST(sum(tf) AS BIGINT) AS cnt
+             |  FROM dtf GROUP BY ${keys(n).mkString(", ")})"""
+        case Some(_) =>
+          s"""t$n AS MATERIALIZED (
+             |  SELECT $allW, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM mgr GROUP BY ${keys(n).mkString(", ")})"""
+      }
       else
         s"""t$k AS MATERIALIZED (
            |  SELECT ${keys(k).mkString(", ")}, CAST(count(*) AS BIGINT) AS cnt
@@ -1149,6 +1175,12 @@ object PipelineGates {
       (2 to n).map(k =>
         s"LEFT JOIN ctx$k USING (${ctxKeys(k).mkString(", ")})") ++
       Seq(s"LEFT JOIN cw USING (w$n)")
+    val refCtes = refWhere.fold("")(w =>
+      s"""mtoks AS (SELECT $NormWs AS ws FROM documents WHERE $w),
+         |mgr AS (
+         |  SELECT $gramCols
+         |  FROM mtoks, UNNEST(range(1, len(ws) - ${n - 2})) AS u(i)),
+         |""".stripMargin)
     s"""WITH toks AS (SELECT doc_id, $NormWs AS ws FROM documents),
        |gr AS (
        |  SELECT doc_id, $gramCols
@@ -1156,7 +1188,7 @@ object PipelineGates {
        |dtf AS (
        |  SELECT doc_id, $allW, CAST(count(*) AS BIGINT) AS tf
        |  FROM gr GROUP BY doc_id, $allW),
-       |$levelCtes,
+       |$refCtes$levelCtes,
        |cw AS (SELECT w$n, CAST(count(*) AS BIGINT) AS t_wn
        |       FROM t2 GROUP BY w$n),
        |tt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS t FROM t2),
@@ -1489,6 +1521,7 @@ object PipelineGates {
     "lm_score_kn"        -> (lmKneserNey _),
     "lm_score_kn3"       -> (lmKn3 _),
     "lm_score_kn5"       -> (lmKn5 _),
+    "lm_score_kn_ref"    -> (lmKnRef _),
     "select_budget"      -> (selectBudget _),
     "corpus_quantiles"   -> (corpusQuantiles _),
     "corpus_diff"        -> (corpusDiff _),
@@ -1524,6 +1557,7 @@ object PipelineGates {
     "lm_score_kn"        -> lmKneserNeySql,
     "lm_score_kn3"       -> lmKn3Sql,
     "lm_score_kn5"       -> lmKn5Sql,
+    "lm_score_kn_ref"    -> lmKnRefSql,
     "select_budget"      -> selectBudgetSql,
     "corpus_quantiles"   -> corpusQuantilesSql,
     "corpus_diff"        -> corpusDiffSql,

@@ -658,29 +658,39 @@ object LmScore {
     */
   def knNgramScore(docs: DataFrame, idCol: String, textCol: String,
                    order: Int, minTop: Long = 1L,
-                   broadcastModel: Boolean = true): DataFrame = {
+                   broadcastModel: Boolean = true,
+                   model: Option[DataFrame] = None): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
     require(minTop >= 1L, s"minTop must be >= 1, got $minTop")
     val n = order
     val words = split(Dedup.normalize(col(textCol)), " ")
-    val grams = docs.select(col(idCol),
-      explode(when(size(words) >= n,
+    def gramsOf(df: DataFrame, cols: Seq[org.apache.spark.sql.Column])
+        : DataFrame = {
+      val g = df.select(cols :+ explode(when(size(words) >= n,
         transform(sequence(lit(1), size(words) - lit(n - 1)),
           i => slice(words, i, lit(n))))
-        .otherwise(array().cast("array<array<string>>"))).as("__g"))
-    val wcols = (1 to n).map(k => element_at(col("__g"), k).as(s"w$k"))
-    val pos = grams.select(col(idCol) +: wcols: _*)
-      .where(col(s"w$n").isNotNull)
+        .otherwise(array().cast("array<array<string>>"))).as("__g"): _*)
+      val wcols = (1 to n).map(k => element_at(col("__g"), k).as(s"w$k"))
+      g.select(cols.indices.map(i => g.columns(i)).map(col) ++ wcols: _*)
+        .where(col(s"w$n").isNotNull)
+    }
+    val pos = gramsOf(docs, Seq(col(idCol)))
     val wNames = (1 to n).map(k => s"w$k")
     val docTf = pos.groupBy(col(idCol) +: wNames.map(col): _*)
       .agg(count(lit(1)).as("tf"))
-    // type-table chain: T_n = raw n-gram counts; T_k = T_{k+1}'s types
+    // type-table chain: T_n = raw n-gram counts over the MODEL corpus
+    // (`model` = the CCNet reference-corpus setting: score `docs`
+    // against statistics trained elsewhere; None = self-corpus, reusing
+    // the tf aggregate so no second scan); T_k = T_{k+1}'s types
     // projected onto their last k words, counted (continuation counts)
     val typeTables = scala.collection.mutable.Map.empty[Int, DataFrame]
-    typeTables(n) = docTf
-      .groupBy(wNames.map(col): _*)
-      .agg(sum(col("tf")).as(s"cnt_$n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    typeTables(n) = (model match {
+      case None => docTf.groupBy(wNames.map(col): _*)
+        .agg(sum(col("tf")).as(s"cnt_$n"))
+      case Some(ref) => gramsOf(ref, Seq.empty)
+        .groupBy(wNames.map(col): _*)
+        .agg(count(lit(1)).as(s"cnt_$n"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var k = n - 1
     while (k >= 2) {
       val keys = (n - k + 1 to n).map(j => s"w$j")

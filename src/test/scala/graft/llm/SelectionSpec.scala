@@ -373,6 +373,34 @@ class SelectionSpec extends SparkSpec {
     assert(short.getLong(0) == 0L && short.isNullAt(1))
   }
 
+  test("order-n modified KN: external reference model (the CCNet setting)") {
+    val ref = (1L to 20L).map(i =>
+      (i, "the quick fox jumps over the lazy dog")).toDF("id", "text")
+    val target = Seq(
+      (101L, "the quick fox jumps over the lazy dog"), // fully in-model
+      (102L, "zcrawl gibberish tokens never seen anywhere")) // fully OOV
+      .toDF("id", "text")
+    val out = LmScore.knNgramScore(target, "id", "text", order = 3,
+        model = Some(ref))
+      .orderBy("id").select("kn_score").as[Double].collect()
+    // in-model text scores high; fully-unseen text gets only the
+    // hapax-floored unigram continuation, at most 1/|T2| per position
+    // (1/6 on this tiny reference) — well below the matched mass
+    assert(out(0) > 5.0 * out(1), s"in-model ${out(0)} !>> oov ${out(1)}")
+    assert(out(1) <= 1.0 / 6.0 + 1e-12, s"oov ${out(1)} above the 1/|T2| ceiling")
+    assert(out.forall(s => s > 0.0 && s <= 1.0))
+    // passing the corpus itself as the model reproduces self-corpus
+    // scoring exactly (same counts, same arithmetic)
+    val docs = (1L to 10L).map(i =>
+      (i, "one two three one two four")).toDF("id", "text")
+    val a = LmScore.knNgramScore(docs, "id", "text", order = 3)
+      .orderBy("id").select("kn_score").as[Double].collect().toSeq
+    val b = LmScore.knNgramScore(docs, "id", "text", order = 3,
+        model = Some(docs))
+      .orderBy("id").select("kn_score").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
   test("lm score: scoring against an external model treats OOV as hapax") {
     val ref = Seq((1L, "common common common common")).toDF("id", "text")
     val model = LmScore.unigramCounts(ref, "text") // common → c=4, N=4
