@@ -23,9 +23,16 @@ object Hashes {
     * membership, split assignment, feature buckets, CMS cells) is this
     * one expression, and every DuckDB oracle re-derives it byte-for-
     * byte — keep the single definition; a drifted copy would silently
-    * re-route one consumer while the rest stay consistent. */
+    * re-route one consumer while the rest stay consistent.
+    *
+    * Since round 15 the value is computed by the
+    * [[graft.expressions.Md5U32]] kernel (digest bytes directly — no
+    * hex render, substring or base-16 parse, thread-local digest
+    * object); bit-identical to `conv(substring(md5(c), 1, 8), 16, 10)`,
+    * which every oracle still restates (Md5U32Spec pins equivalence).
+    */
   def u32OfMd5(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.expressions.Md5U32.md5_u32(c.cast("string"))
 
   /** F12: ''/'None' → null (`parser.py:273`'s `df.replace`). */
   def nullifyEmpty(c: Column): Column =

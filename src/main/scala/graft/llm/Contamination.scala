@@ -28,7 +28,7 @@ object Contamination {
              textCol: String, threshold: Double, shingleN: Int = 3,
              maxPostings: Int = 0): DataFrame = {
     val t = train.select(col(idCol).as("train_id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("__sh"))
+      explode(Dedup.shinglesDistinct(col(textCol), shingleN)).as("__sh"))
     val posts =
       if (maxPostings > 0) {
         // partial-agg sizes + semi-join, same shape as the LSH bucket caps
@@ -37,7 +37,7 @@ object Contamination {
         t.join(keep, Seq("__sh"), "left_semi")
       } else t
     val e = evalSet.select(col(idCol).as("eval_id"),
-        array_distinct(Dedup.shingles(col(textCol), shingleN)).as("__set"))
+        Dedup.shinglesDistinct(col(textCol), shingleN).as("__set"))
       .select(col("eval_id"), size(col("__set")).as("__esz"),
         explode(col("__set")).as("__sh"))
     posts.join(e, Seq("__sh"))

@@ -106,22 +106,25 @@ object Dedup {
   /** Word n-gram shingles of the normalized text (whole text as a single
     * shingle when shorter than n words).
     *
-    * Built as n−1 chained `zip_with` concats against shifted copies of the
-    * word array — O(L) cheap string concats per row. (A transform-over-
-    * indices with `slice`+`array_join` is O(L·n) with per-gram array
-    * allocation, and higher-order functions are interpreted, so constant
-    * factors dominate: this form measured ~2× faster at sf0.1. A window/
-    * lead formulation was slower still — 3 shuffles.) Trailing positions
-    * null out via concat's null propagation and are filtered.
+    * One O(len) byte scan via [[graft.expressions.WordShingles]]: on a
+    * normalized (single-space) string every shingle is a contiguous
+    * substring between word boundaries, so the kernel finds space
+    * positions once and emits substrings — no per-gram concat, no
+    * intermediate arrays. Replaces the n−1 chained `zip_with` concats
+    * (interpreted higher-order passes) that previously dominated every
+    * dedup/contamination/span pipeline's scan stage; identical output
+    * (DedupSpec pins the equivalence property).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(normalize(text), " ")
-    val grams = (2 to n).foldLeft(words) { (acc, k) =>
-      zip_with(acc, slice(words, lit(k), size(words)), (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(words) < n, array(array_join(words, " ")))
-      .otherwise(filter(grams, x => x.isNotNull))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.WordShingles.word_shingles(normalize(text), n)
+
+  /** `array_distinct(shingles(text, n))` fused into the same single
+    * pass (first-occurrence order — identical output, one array build
+    * instead of three).
+    */
+  def shinglesDistinct(text: Column, n: Int): Column =
+    graft.expressions.WordShingles.word_shingles(normalize(text), n,
+      distinct = true)
 
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * One explode + one groupBy(id) shuffle; k mins aggregate map-side.
@@ -145,7 +148,7 @@ object Dedup {
     val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(P))).as(s"__h$i") }
     df.select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("__shingle"))
+        explode(shinglesDistinct(col(textCol), shingleN)).as("__shingle"))
       .withColumn("__h", hash(col("__shingle")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -166,13 +169,15 @@ object Dedup {
     val rnd = new scala.util.Random(9591)
     val coefs = IndexedSeq.fill(numHashes)(
       (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
-    val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
+    val hs = transform(shinglesDistinct(col(textCol), shingleN),
       s => hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    // one fused k×|shingles| loop ([[graft.expressions.MinhashAffine]])
+    // instead of k interpreted array_min(transform(...)) passes —
+    // identical arithmetic and null semantics (OptKernelsSpec)
     df.select(col(idCol), hs.as("__hs"))
       .select(col(idCol),
-        array(coefs.map { case (a, b) =>
-          array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P))))
-        }: _*).as("signature"))
+        graft.expressions.MinhashAffine.minhash_affine(col("__hs"), coefs, P)
+          .as("signature"))
   }
 
   /** The seeded universal-family coefficients behind
@@ -198,13 +203,14 @@ object Dedup {
                                 numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val P = 2147483647L
     val coefs = minhashCoefsPortable(numHashes)
-    val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
+    val hs = transform(shinglesDistinct(col(textCol), shingleN),
       s => graft.functions.Hashes.u32OfMd5(s))
+    // same fused kernel as the inline variant (identical output values
+    // to the k array_min(transform(...)) form — OptKernelsSpec)
     df.select(col(idCol), hs.as("__hs"))
       .select(col(idCol),
-        array(coefs.map { case (a, b) =>
-          array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P))))
-        }: _*).as("signature"))
+        graft.expressions.MinhashAffine.minhash_affine(col("__hs"), coefs, P)
+          .as("signature"))
   }
 
   /** LSH banding: (band index, hash of the band's r signature rows) keys.
@@ -293,13 +299,18 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+      shinglesDistinct(col(textCol), shingleN).as("__set"))
     pairs
       .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), Seq("id_a"))
       .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
+        // |A∪B| = |A| + |B| − |A∩B| (sets are distinct by construction):
+        // one intersect per pair instead of intersect + a materialized
+        // union array — identical value, ~half the per-candidate work
         (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          size(array_union(col("__sa"), col("__sb")))).as("jaccard"))
+          (size(col("__sa")) + size(col("__sb")) -
+            size(array_intersect(col("__sa"), col("__sb")))))
+          .as("jaccard"))
   }
 
   /** Full MinHash/LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
@@ -561,7 +572,7 @@ object Dedup {
   def nearDupJaccardExact(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleN: Int = 3): DataFrame = {
     val sets = df.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleN)).as("__set"))
+      shinglesDistinct(col(textCol), shingleN).as("__set"))
     val posts = sets.select(col(idCol), explode(col("__set")).as("__sh"),
       size(col("__set")).as("__L"))
     val dfreq = posts.groupBy("__sh").agg(count(lit(1)).as("__df"))

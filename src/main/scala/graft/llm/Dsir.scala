@@ -71,11 +71,20 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String, textCol: String,
                         dim: Int = 4096): DataFrame = {
-    val tf = bigramTf(raw, idCol, textCol, dim)
+    // ONE raw-corpus scan: the per-doc tf is materialized (bounded —
+    // ≤ min(bigrams, dim) numeric rows per doc, the same relation the
+    // per-doc aggregation shuffles anyway) and the raw model p is
+    // RE-AGGREGATED from it (Σ per-doc counts per bucket ≡
+    // hashedBigramCounts(raw) exactly, both integer sums). The previous
+    // shape scanned raw three times (Np scalar job, p model, tf) and
+    // target twice (Nq scalar job, q model); now raw and target are
+    // each read once and the scalar masses are jobs over the bounded
+    // checkpoints.
+    val tf = bigramTf(raw, idCol, textCol, dim).localCheckpoint(true)
+    val p = tf.groupBy(col("__i")).agg(sum(col("__tf")).as("__pc"))
     val q = hashedBigramCounts(target, textCol, dim)
       .withColumnRenamed("i", "__i").withColumnRenamed("c", "__qc")
-    val p = hashedBigramCounts(raw, textCol, dim)
-      .withColumnRenamed("i", "__i").withColumnRenamed("c", "__pc")
+      .localCheckpoint(true) // ≤ dim rows
     val nq = q.agg(coalesce(sum(col("__qc")), lit(0L))).head().getLong(0)
     val np = p.agg(coalesce(sum(col("__pc")), lit(0L))).head().getLong(0)
     // four exactly-rounded ops per term — (q+1)/(Nq+D), (p+1)/(Np+D),

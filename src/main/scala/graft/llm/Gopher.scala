@@ -63,15 +63,34 @@ object Gopher {
               minStopwords: Int = 2): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
-    val t = col(textCol)
-    val empty = t.isNull || trim(t) === ""
-    val words = normWords(t)
-    val nw = when(empty, 0).otherwise(size(words)).cast("int")
+    // STAGED projection: the normalized string, word array and line
+    // array are computed ONCE per row as attributes and every metric
+    // reads the attribute. The previous single-select form repeated the
+    // regexp_replace+split tree inside each metric expression (and per
+    // HOF lambda element) — ~12 regex+split evaluations per row;
+    // CollapseProject keeps these stages separate because the aliases
+    // are non-cheap and multiply referenced.
+    val t0 = col(textCol)
+    val staged = docs.select(col(idCol), t0.as("__t"),
+      (t0.isNull || trim(t0) === "").as("__empty"),
+      regexp_replace(trim(lower(t0)), "\\s+", " ").as("__norm"),
+      lines(t0).as("__l"))
+    val t = col("__t")
+    val empty = col("__empty")
+    val words = split(col("__norm"), " ")
+    val withWords = staged.select(col(idCol), t, empty,
+      col("__norm"), col("__l"), words.as("__w"))
+    val w = col("__w")
+    val nw = when(empty, 0).otherwise(size(w)).cast("int")
     val nwD = nw.cast("double")
     // one exactly-rounded division per ratio; 0.0 when the denominator
-    // is empty (the keep verdict is decided by ok_words then)
+    // is empty (the keep verdict is decided by ok_words then).
+    // Σ word lengths = length(norm) − (n_words − 1): the words are the
+    // segments of the single-space-separated norm, so total length is
+    // its length minus the separators — same exact integer as the old
+    // aggregate() fold, without the interpreted per-word pass.
     val meanLen = when(nw === 0, 0.0).otherwise(round(
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nwD, 6))
+      (length(col("__norm")) - (nw - 1)).cast("double") / nwD, 6))
     // '#' chars + non-overlapping '...' occurrences; '....' counts once
     // in both engines (leftmost-first replacement)
     val nHash = when(empty, 0L).otherwise(
@@ -80,7 +99,7 @@ object Gopher {
       ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long"))
     val symbolRatio = when(nw === 0, 0.0)
       .otherwise(round((nHash + nEllipsis).cast("double") / nwD, 6))
-    val ls = lines(t)
+    val ls = col("__l")
     val nl = when(empty, 0).otherwise(size(ls)).cast("int")
     val nBullet = size(filter(ls, l =>
       l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
@@ -89,14 +108,22 @@ object Gopher {
       .otherwise(round(nBullet.cast("double") / nl.cast("double"), 6))
     val ellipsisFrac = when(nl === 0, 0.0)
       .otherwise(round(nEll.cast("double") / nl.cast("double"), 6))
-    val nAlpha = size(filter(words, w => w.rlike("[a-z]")))
+    // words containing an ASCII letter, counted in ONE regex pass over
+    // the normalized string instead of a per-word rlike: each match
+    // must start at a word boundary (the prepended/separator space),
+    // consume non-spaces and hit a letter — exactly one non-overlapping
+    // match per letter-containing word (greedy backtracking ends the
+    // match inside the word; no later match can start before the next
+    // space). GopherSpec pins equivalence with the per-word form.
+    val nAlpha = regexp_count(concat(lit(" "), col("__norm")),
+      lit(" [^ ]*[a-z]"))
     val alphaFrac = when(nw === 0, 0.0)
       .otherwise(round(nAlpha.cast("double") / nwD, 6))
     // distinct stop-word membership: iterate the 8-literal list, not
     // the document (cost 8 array_contains, no dedup pass)
     val nStop = when(empty, 0).otherwise(size(filter(
-      typedLit(stopwords), s => array_contains(words, s)))).cast("int")
-    val out = docs.select(col(idCol), nw.as("n_words"),
+      typedLit(stopwords), s => array_contains(w, s)))).cast("int")
+    val out = withWords.select(col(idCol), nw.as("n_words"),
       meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
       bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
       alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))

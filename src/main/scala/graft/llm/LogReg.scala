@@ -87,14 +87,30 @@ object LogReg {
       s"LogReg.train: ragged feature vectors — lengths span " +
         s"[${dims.getInt(0)}, ${dims.getInt(1)}] (must be uniform)")
     val dim = dims.getInt(0)
-    val n = base.count().toDouble
+    val nRows = base.count()
+    val n = nRows.toDouble
+    // Size the per-iteration parallelism from the DATA, not the ambient
+    // partition count (guide §2.2): every iteration launches two stages
+    // over `base`, and a sample-sized labeled slice spread over the
+    // cluster-default partitioning pays task-scheduling floor × iters.
+    // ~16 MB of dense vectors per task, capped at the default
+    // parallelism — at a 1M×(dim+1) slice this still uses every core;
+    // at a 5k-row slice the iteration collapses to one task. coalesce
+    // is a narrow op on the checkpointed relation; the gradient is an
+    // exact decimal sum, so partitioning cannot move any published bit.
+    val targetParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      nRows * (dim + 1) * 8L / (16L << 20))).toInt
+    val iterBase =
+      if (base.rdd.getNumPartitions > targetParts) base.coalesce(targetParts)
+      else base
     var w = Array.fill(dim)(0.0d)
     var it = 0
     while (it < iters) {
       // residual pass is narrow (weights as literals); the only
       // shuffle is the dim+1-group gradient aggregation
       val wLit = array(w.map(lit(_)): _*)
-      val withP = base.select(col("__y"), col("__x"),
+      val withP = iterBase.select(col("__y"), col("__x"),
         round6(sigmoidAlg(
           aggregate(
             zip_with(col("__x"), wLit,

@@ -25,11 +25,24 @@ object Repetition {
       .otherwise(size(array_distinct(ws)).cast("double") / size(ws))
   }
 
-  /** Word bigrams of the normalized text ("a b", "b c", ...). */
+  /** Word bigrams of the normalized text ("a b", "b c", ...).
+    *
+    * One [[graft.expressions.WordShingles]] pass. The previous
+    * `transform` form re-evaluated `element_at(split(...), i+2)` — the
+    * WHOLE split+regex tree — once per element inside the interpreted
+    * lambda, i.e. O(words²) regex work per document; it alone made a
+    * fully-materialized [[profile]] ~50× slower than its scan.
+    * Boundary semantics match the old form: <2 words → empty array
+    * (old: slice of length 0), null text → null.
+    */
   private[graft] def bigrams(text: Column): Column = {
-    val ws = split(Dedup.normalize(text), " ")
-    transform(slice(ws, lit(1), size(ws) - 1),
-      (w, i) => concat(w, lit(" "), element_at(ws, i + 2)))
+    val norm = Dedup.normalize(text)
+    val sh = graft.expressions.WordShingles.word_shingles(norm, 2)
+    // WordShingles returns [whole text] for 1-word input where the old
+    // slice form returned []; mask that branch (single word ⇒ no space)
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(when(contains(norm, lit(" ")), sh)
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Per-document repetition profile.

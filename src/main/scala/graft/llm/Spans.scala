@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   *   - per-doc coverage joins the postings back over the (small)
   *     duplicated-span set with a LEFT-SEMI join, then unions covered
   *     token positions per doc — bounded by each doc's token count;
-  *   - membership at trim time is `array_except` over position arrays
-  *     (hash-based, O(tokens + covered)), never a per-token
-  *     `array_contains` scan (quadratic on a fully-covered doc);
+  *   - trim surgery is the [[graft.expressions.WordDropPositions]]
+  *     kernel: one byte pass with hash-set position membership,
+  *     O(tokens + covered) — never a per-token scan (quadratic on a
+  *     fully-covered doc);
   *   - the postings relation is deliberately NOT checkpointed: it is
   *     corpus-sized, and recomputing it (split + chained concats, all
   *     codegen'd Column ops) for its two consumers is cheaper than
@@ -108,17 +109,17 @@ object Spans {
     val base = withTokens(df, idCol, textCol)
     base.join(coveredPositions(base, idCol, spanLen, minDocs), Seq(idCol), "left")
       .select(col(idCol),
-        // kept = positions \ covered via hash-based array_except (order-
-        // preserving on the left arg); guard n_tokens = 0 — sequence
-        // would otherwise step DOWN from 0 to -1
+        // one O(len + |cov|) byte pass ([[graft.expressions.WordDropPositions]]):
+        // hash-set membership, bytes copied once. The previous
+        // transform-over-array_except form re-evaluated the whole
+        // element_at(split(...)) tree per KEPT TOKEN inside the
+        // interpreted lambda — O(tokens · text_len) per row. Guard
+        // n_tokens = 0 (no words).
         when(col("n_tokens") === 0, lit("")).otherwise(
-          array_join(
-            transform(
-              array_except(
-                sequence(lit(0), col("n_tokens") - 1),
-                coalesce(col("__cov"), array().cast("array<int>"))),
-              p => element_at(split(col("__norm"), " "), p + 1)),
-            " ")).as("text_clean"))
+          graft.expressions.WordDropPositions.word_drop_positions(
+            col("__norm"),
+            coalesce(col("__cov"), array().cast("array<int>"))))
+          .as("text_clean"))
   }
 
   // ---- canonical-occurrence (keep-first) tier ---------------------------
@@ -135,8 +136,8 @@ object Spans {
   //     boilerplate); occurrence counting is positional, not per-doc;
   //   - the canonical survivor is deterministic: the corpus-minimal
   //     (id, pos) occurrence of each window, totally ordered by the
-  //     zero-padded "%020d|%010d" key (ids must be non-negative;
-  //     lexicographic = numeric order).
+  //     (id, pos) struct key (field-by-field numeric order — valid for
+  //     any ids).
 
   /** Marked (redundant) window starts under the canonical-occurrence
     * policy: every `spanLen`-token window whose text occurs at `minOcc`+
@@ -160,16 +161,13 @@ object Spans {
       .select(col(idCol),
         posexplode(Dedup.shingles(col("__norm"), spanLen)).as(Seq("__pos", "__gram")))
       .select(col(idCol), col("__pos"), md5(col("__gram")).as("__g"))
-      // the zero-padded key is numeric-ordered ONLY for non-negative ids
-      // (a '-' sign sorts before digits); fail loudly instead of picking
-      // a wrong canonical survivor silently
-      .withColumn("__key",
-        when(col(idCol) >= 0,
-          format_string("%020d|%010d", col(idCol), col("__pos")))
-          .otherwise(raise_error(format_string(
-            "canonicalDupSpans: negative %s %s breaks the zero-padded " +
-              "canonical-occurrence key (ids must be non-negative)",
-            lit(idCol), col(idCol).cast("string")))))
+      // canonical-occurrence key as a STRUCT: field-by-field ordering is
+      // (id, pos) numeric order for ANY ids — replaces the zero-padded
+      // "%020d|%010d" string render, which cost a format per posting row,
+      // shuffled 31 chars instead of 12 bytes, and mis-ordered negative
+      // ids (the old code guarded that with a per-row raise_error branch;
+      // struct ordering makes the guard unnecessary)
+      .withColumn("__key", struct(col(idCol).as("id"), col("__pos").as("pos")))
     val stats = posting.groupBy("__g")
       .agg(count(lit(1)).as("__n"), min(col("__key")).as("__first"))
       .filter(col("__n") >= minOcc)
@@ -224,9 +222,9 @@ object Spans {
     * occurrence of every repeated passage KEPT (and within-doc repeats
     * cut too). Output `(idCol, n_tokens, n_removed, text_clean)` with
     * the empty→`("", 0)` convention; `text_clean` is the normalized
-    * text with covered tokens dropped (the [[trimDupSpans]]
-    * `array_except` shape verbatim — hash-based, never a per-token
-    * scan).
+    * text with covered tokens dropped (the [[trimDupSpans]] kernel
+    * verbatim — [[graft.expressions.WordDropPositions]], one byte pass,
+    * hash-based, never a per-token scan).
     */
   def trimDupSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
                             spanLen: Int = 8, minOcc: Long = 2L): DataFrame = {
@@ -243,12 +241,10 @@ object Spans {
         col("n_tokens").cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
         when(col("n_tokens") === 0, lit("")).otherwise(
-          array_join(
-            transform(
-              array_except(
-                sequence(lit(0), col("n_tokens") - 1),
-                coalesce(col("__cov"), array().cast("array<int>"))),
-              p => element_at(split(col("__norm"), " "), p + 1)),
-            " ")).as("text_clean"))
+          // same single-pass trim kernel as trimDupSpans
+          graft.expressions.WordDropPositions.word_drop_positions(
+            col("__norm"),
+            coalesce(col("__cov"), array().cast("array<int>"))))
+          .as("text_clean"))
   }
 }
