@@ -865,8 +865,20 @@ object Bench {
         s""""single_shot":[${sweepSingleShot.map(n => "\"" + esc(n) + "\"").mkString(",")}]},""" +
         s""""detail":"${esc(artifactName)}","sf":"${esc(sfDir)}"}"""
     }
-    val line = Seq((timings.size, ratios.size), (45, ratios.size), (30, ratios.size),
-        (20, ratios.size), (12, ratios.size), (12, 20), (6, 10), (0, 0))
+    // Every query ≥ 0.5 s should appear in the one-line map (r15 verdict
+    // #2: the fixed top-12 cutoff made IMPROVED queries leave the
+    // round-over-round comparison as "dropped_from_bench" and let
+    // trivially-cheap queries churn the comparison set). The line is
+    // hard-capped by the driver's 2000-char stdout tail, so the ladder
+    // MAXIMIZES query coverage first (descending from all, then the
+    // ≥0.5 s tier, then 5-query steps) and spends leftover budget on
+    // ratios — additions-only relative to the old top-12 emitter.
+    val nSlow = math.max(12, byCost.count(_._2 >= 0.5))
+    val nqLadder = (Seq(timings.size, nSlow) ++ (nSlow - 5 to 12 by -5))
+      .distinct.filter(_ >= 12).sorted.reverse
+    val line = nqLadder
+      .flatMap(nq => Seq(ratios.size, 20, 10, 0).distinct.map(nr => (nq, nr)))
+      .++(Seq((6, 10), (0, 0)))
       .map { case (nq, nr) => compact(nq, nr) }
       .find(_.length <= 1750)
       .getOrElse(compact(0, 0))

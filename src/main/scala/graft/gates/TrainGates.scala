@@ -2772,9 +2772,8 @@ object TrainGates {
       java.nio.file.Files.writeString(vPath,
         graft.llm.Unigram.renderVocab(uniImportVocabRows))
       val v = graft.llm.Unigram.loadVocab(s, vPath.toString)
-      v.persist()
-      v.count()
-      v
+        .localCheckpoint(true) // eager + unregistered (no CacheManager
+      v                        // entry — see Unigram.trainHardSp's note)
     } finally {
       graft.storage.TableStore.deleteRecursively(tmp)
     }

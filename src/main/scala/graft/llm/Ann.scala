@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two float-array columns, computed in double.
+    *
+    * One compiled ascending-index loop ([[graft.expressions.VecDot]])
+    * replacing the interpreted `aggregate(zip_with(...))` fold — same
+    * FP order, same null semantics (OptKernelsSpec pins both).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VecKernels.vec_dot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.expressions.VecKernels.vec_norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -88,15 +91,12 @@ object Ann {
     * side with nulls, so a mismatched plane length would null the whole
     * projection (and silently collapse every row into bucket 0).
     */
-  def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
-    val projections = planes(bits, dim, seed).zipWithIndex.map { case (signs, i) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(signs), (v, s) => v.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    projections.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def signBucket(vec: Column, bits: Int, dim: Int, seed: Int = 42): Column =
+    // one compiled bits×dim loop ([[graft.expressions.SignBucket]])
+    // instead of `bits` interpreted aggregate(zip_with(...)) plane
+    // projections — identical FP fold order and null→bucket-0 semantics
+    // (OptKernelsSpec pins the equivalence on degenerate inputs too)
+    graft.expressions.VecKernels.sign_bucket(vec, planes(bits, dim, seed).toArray)
 
   /** Buckets with all 1-bit flips (multi-probe): recall recovery for
     * near-boundary vectors at the cost of `bits` extra probes. */

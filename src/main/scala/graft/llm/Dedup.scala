@@ -164,17 +164,35 @@ object Dedup {
     * are short-to-medium.
     */
   def minhashSignaturesInline(df: DataFrame, idCol: String, textCol: String,
-                              numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+                              numHashes: Int = 32, shingleN: Int = 3): DataFrame =
+    signaturesFromSets(shingleSets(df, idCol, textCol, shingleN), idCol,
+      numHashes, portable = false)
+
+  /** Signature projection over a PRE-COMPUTED [[shingleSets]] relation —
+    * the shared body of the inline/portable signature variants, and the
+    * hook that lets [[nearDupMinhash]]/[[nearDupAudit]] derive signatures
+    * from the SAME checkpointed sets the verify step reads. One string
+    * hash per shingle, then the fused k-transform MinHash kernel
+    * ([[graft.expressions.MinhashAffine]]); identical output to the
+    * pre-r16 per-variant bodies (same coefficients, same hash family).
+    */
+  private[llm] def signaturesFromSets(sets: DataFrame, idCol: String,
+                                      numHashes: Int,
+                                      portable: Boolean): DataFrame = {
     val P = 2147483647L
-    val rnd = new scala.util.Random(9591)
-    val coefs = IndexedSeq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
-    val hs = transform(shinglesDistinct(col(textCol), shingleN),
-      s => hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    // one fused k×|shingles| loop ([[graft.expressions.MinhashAffine]])
-    // instead of k interpreted array_min(transform(...)) passes —
-    // identical arithmetic and null semantics (OptKernelsSpec)
-    df.select(col(idCol), hs.as("__hs"))
+    val coefs =
+      if (portable) minhashCoefsPortable(numHashes)
+      else {
+        val rnd = new scala.util.Random(9591)
+        IndexedSeq.fill(numHashes)(
+          (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+      }
+    val hs =
+      if (portable) transform(col("__set"),
+        s => graft.functions.Hashes.u32OfMd5(s))
+      else transform(col("__set"),
+        s => hash(s).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    sets.select(col(idCol), hs.as("__hs"))
       .select(col(idCol),
         graft.expressions.MinhashAffine.minhash_affine(col("__hs"), coefs, P)
           .as("signature"))
@@ -200,18 +218,9 @@ object Dedup {
     * overflow here, no BIGINT overflow in the oracle.
     */
   def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
-                                numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
-    val P = 2147483647L
-    val coefs = minhashCoefsPortable(numHashes)
-    val hs = transform(shinglesDistinct(col(textCol), shingleN),
-      s => graft.functions.Hashes.u32OfMd5(s))
-    // same fused kernel as the inline variant (identical output values
-    // to the k array_min(transform(...)) form — OptKernelsSpec)
-    df.select(col(idCol), hs.as("__hs"))
-      .select(col(idCol),
-        graft.expressions.MinhashAffine.minhash_affine(col("__hs"), coefs, P)
-          .as("signature"))
-  }
+                                numHashes: Int = 32, shingleN: Int = 3): DataFrame =
+    signaturesFromSets(shingleSets(df, idCol, textCol, shingleN), idCol,
+      numHashes, portable = true)
 
   /** LSH banding: (band index, hash of the band's r signature rows) keys.
     * Docs sharing any band key are candidates. bands*rowsPerBand must equal
@@ -293,25 +302,40 @@ object Dedup {
     st.droppedRows = if (r.isNullAt(1)) 0L else r.getLong(1)
   }
 
+  /** The `(idCol, __set)` distinct-shingle relation — THE shared input
+    * of the jaccard tiers. Callers that consume it more than once
+    * (candidate generation + both verify sides) checkpoint it ONCE so
+    * the shingle scan never re-runs per consumer (guide §2.4; the r15
+    * dedup_audit plan evaluated word_shingles 16×).
+    */
+  private[llm] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int): DataFrame =
+    df.select(col(idCol), shinglesDistinct(col(textCol), shingleN).as("__set"))
+
   /** Exact Jaccard verification of candidate pairs against the true
     * shingle sets — computed only for candidates, never all pairs.
     */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      shinglesDistinct(col(textCol), shingleN).as("__set"))
+                    textCol: String, shingleN: Int = 3): DataFrame =
+    jaccardVerifySets(pairs, shingleSets(df, idCol, textCol, shingleN), idCol)
+
+  /** [[jaccardVerify]] over a PRE-COMPUTED (usually checkpointed)
+    * [[shingleSets]] relation, so pipelines that already built the sets
+    * feed both join sides from the same materialization.
+    */
+  private[llm] def jaccardVerifySets(pairs: DataFrame, sets: DataFrame,
+                                     idCol: String): DataFrame =
     pairs
-      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__set", "__sa"), Seq("id_a"))
-      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__set", "__sb"), Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
+      // |A∪B| = |A| + |B| − |A∩B| (sets are distinct by construction);
+      // the intersect is PROJECTED ONCE and the division references the
+      // projected column — never two array_intersect evaluations per pair
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .select(col("id_a"), col("id_b"),
-        // |A∪B| = |A| + |B| − |A∩B| (sets are distinct by construction):
-        // one intersect per pair instead of intersect + a materialized
-        // union array — identical value, ~half the per-candidate work
-        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-          (size(col("__sa")) + size(col("__sb")) -
-            size(array_intersect(col("__sa"), col("__sb")))))
+        (col("__inter").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
           .as("jaccard"))
-  }
 
   /** Full MinHash/LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
     * jaccard ≥ threshold.
@@ -320,20 +344,38 @@ object Dedup {
                      threshold: Double = 0.7, numHashes: Int = 32,
                      bands: Int = 8, shingleN: Int = 3,
                      portable: Boolean = false, maxBucket: Int = 1000,
-                     capStats: Option[CapStats] = None): DataFrame = {
-    // Inline signatures: per-row scalar computation, zero shuffle, and
-    // measured 5× faster than the explode+groupBy form (identical
-    // output). Materialized once because the band self-join reads it
-    // twice (a/b sides). `portable = true` swaps in the md5-string hash
-    // family ([[minhashSignaturesPortable]]) so a SQL oracle can mirror
-    // the whole pipeline.
-    val sigs = (if (portable) minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleN)
-                else minhashSignaturesInline(df, idCol, textCol, numHashes, shingleN))
+                     capStats: Option[CapStats] = None): DataFrame =
+    // the sets relation stays LAZY here: post-r15 the shingle kernel is
+    // an O(len) byte scan, and measured at sf0.1 re-deriving it per
+    // consumer beats materializing it (guide §5 — cache only when
+    // recompute is the expensive side; [[nearDupAudit]], whose input is
+    // itself a computed join, is the case where checkpointing wins)
+    nearDupMinhashFromSets(shingleSets(df, idCol, textCol, shingleN),
+      idCol, threshold, numHashes, bands, portable, maxBucket, capStats)
+
+  /** [[nearDupMinhash]] over a caller-provided [[shingleSets]] relation
+    * (checkpointed by callers like [[nearDupAudit]] whose sets are
+    * expensive to re-derive): signatures are a projection over the
+    * sets, and both verify join sides read the same relation.
+    *
+    * Inline signatures: per-row scalar computation, zero shuffle, and
+    * measured 5× faster than the explode+groupBy form (identical
+    * output). Materialized once because the band self-join reads it
+    * twice (a/b sides). `portable = true` swaps in the md5-string hash
+    * family ([[minhashSignaturesPortable]]) so a SQL oracle can mirror
+    * the whole pipeline.
+    */
+  private[llm] def nearDupMinhashFromSets(sets: DataFrame, idCol: String,
+                                          threshold: Double, numHashes: Int,
+                                          bands: Int, portable: Boolean,
+                                          maxBucket: Int,
+                                          capStats: Option[CapStats]): DataFrame = {
+    val sigs = signaturesFromSets(sets, idCol, numHashes, portable)
       .localCheckpoint(true)
     val banded = if (portable) lshBandsPortable(sigs, idCol, bands, numHashes / bands)
                  else lshBands(sigs, idCol, bands, numHashes / bands)
     val cands = candidatePairs(banded, idCol, maxBucket, capStats)
-    jaccardVerify(cands, df, idCol, textCol, shingleN)
+    jaccardVerifySets(cands, sets, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -570,9 +612,18 @@ object Dedup {
     * t·L toward the SAFE side (a longer prefix, never a shorter one).
     */
   def nearDupJaccardExact(df: DataFrame, idCol: String, textCol: String,
-                          threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol),
-      shinglesDistinct(col(textCol), shingleN).as("__set"))
+                          threshold: Double, shingleN: Int = 3): DataFrame =
+    // lazy sets — same measured trade as [[nearDupMinhash]]'s note
+    nearDupJaccardExactFromSets(shingleSets(df, idCol, textCol, shingleN),
+      idCol, threshold)
+
+  /** [[nearDupJaccardExact]] over a caller-provided [[shingleSets]]
+    * relation (checkpointed by [[nearDupAudit]], lazy from the public
+    * wrapper): posting build and both verify sides all read the same
+    * relation.
+    */
+  private[llm] def nearDupJaccardExactFromSets(sets: DataFrame, idCol: String,
+                                               threshold: Double): DataFrame = {
     val posts = sets.select(col(idCol), explode(col("__set")).as("__sh"),
       size(col("__set")).as("__L"))
     val dfreq = posts.groupBy("__sh").agg(count(lit(1)).as("__df"))
@@ -596,7 +647,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         least(col("__La") - col("__ra"), col("__Lb") - col("__rb")) + 1 >= oMin)
       .select("id_a", "id_b").distinct()
-    jaccardVerify(cands, df, idCol, textCol, shingleN)
+    jaccardVerifySets(cands, sets, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -786,10 +837,16 @@ object Dedup {
                    threshold: Double, numHashes: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, portable: Boolean = false,
                    maxBucket: Int = 1000): DataFrame = {
-    val exact = nearDupJaccardExact(docs, idCol, textCol, threshold, shingleN)
+    // ONE shingle scan for the WHOLE audit: both tiers (and both verify
+    // sides of each) read the same checkpointed set relation. Pre-r16
+    // the audit re-shingled the input six times — and the input here is
+    // often itself a computed relation (the gate's planted-pair mixer),
+    // so each re-shingle re-ran that upstream join too.
+    val sets = shingleSets(docs, idCol, textCol, shingleN).localCheckpoint(true)
+    val exact = nearDupJaccardExactFromSets(sets, idCol, threshold)
       .select("id_a", "id_b")
-    val approx = nearDupMinhash(docs, idCol, textCol, threshold, numHashes,
-        bands, shingleN, portable, maxBucket)
+    val approx = nearDupMinhashFromSets(sets, idCol, threshold, numHashes,
+        bands, portable, maxBucket, capStats = None)
       .select("id_a", "id_b")
     exact.withColumn("__e", lit(1))
       .join(approx.withColumn("__a", lit(1)), Seq("id_a", "id_b"), "full_outer")

@@ -46,19 +46,32 @@ object Dsir {
       .groupBy(col("__i").as("i")).agg(sum(col("__tf")).as("c"))
   }
 
-  /** Per-doc hashed-bigram tf: `(idCol, __i, __tf)`. */
+  /** Per-doc hashed-bigram tf: `(idCol, __i, __tf)`.
+    *
+    * Bigrams come from ONE O(len) byte scan
+    * ([[graft.expressions.WordShingles]] at n = 2 — the r15 dedup
+    * kernel) instead of the interpreted `zip_with(words, slice(words))`
+    * concat pass. Identical grams: on the normalized single-space text
+    * every word 2-gram is a contiguous substring, and the one shape
+    * difference (word_shingles emits the WHOLE text as a single shingle
+    * when the doc has < 2 words, where zip_with emitted a null) is
+    * closed by the space filter — a true bigram always contains the
+    * joining space, a whole-short-text shingle never does. The start/
+    * end-space filters are LIVE, not defensive: `trim` strips only
+    * 0x20, so a tab-leading doc normalizes to a leading empty word
+    * whose gram starts with the joining space (OptKernelsSpec pins the
+    * gram-set equivalence on exactly these inputs).
+    */
   private def bigramTf(docs: DataFrame, idCol: String, textCol: String,
-                       dim: Int): DataFrame = {
-    val words = split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ")
-    docs.select(col(idCol), explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => concat(a, lit(" "), b))).as("__g"))
-      .where(col("__g").isNotNull && !col("__g").startsWith(" ") &&
+                       dim: Int): DataFrame =
+    docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(instr(col("__g"), " ") > 0 && !col("__g").startsWith(" ") &&
         !col("__g").endsWith(" "))
       .groupBy(col(idCol),
         pmod(graft.functions.Hashes.u32OfMd5(col("__g")), lit(dim.toLong)).as("__i"))
       .agg(count(lit(1)).as("__tf"))
-  }
 
   /** Importance weight per raw document against a target slice:
     * `(idCol, n_feats, dsir_weight)` — `n_feats` the document's bigram

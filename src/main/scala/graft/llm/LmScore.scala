@@ -541,9 +541,15 @@ object LmScore {
     val docTriTf = triples.groupBy(col(idCol), col("w1"), col("w2"),
         col("w3"))
       .agg(count(lit(1)).as("tf"))
+    // localCheckpoint, NOT persist: the type table has three consumers,
+    // but a persist registers the plan in the CacheManager and is never
+    // released here, so every later identical query (and the bench's
+    // second trial) silently reused it — accidental cross-query result
+    // caching (r15 verdict #4). The checkpoint materializes once with
+    // no registry entry.
     val triCounts = docTriTf.groupBy("w1", "w2", "w3")
       .agg(sum(col("tf")).as("n_tri"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // trigram level: context totals + per-count distinct-continuation
     // counts in ONE agg over the type table
     val ctx3 = triCounts.groupBy("w1", "w2")
@@ -564,7 +570,7 @@ object LmScore {
     // table is already distinct per (w1,w2,w3), so count(*) counts w1s
     val cont = triCounts.groupBy("w2", "w3")
       .agg(count(lit(1)).as("c_cont"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // not persist — see triCounts
     val ctx2c = cont.groupBy("w2")
       .agg(sum(col("c_cont")).as("n_ctx2c"),
         sum(when(col("c_cont") === 1L, 1L).otherwise(0L)).as("u1"),
@@ -690,14 +696,14 @@ object LmScore {
       case Some(ref) => gramsOf(ref, Seq.empty)
         .groupBy(wNames.map(col): _*)
         .agg(count(lit(1)).as(s"cnt_$n"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).localCheckpoint(true) // not persist — see knTrigramScore's note
     var k = n - 1
     while (k >= 2) {
       val keys = (n - k + 1 to n).map(j => s"w$j")
       typeTables(k) = typeTables(k + 1)
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"cnt_$k"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       k -= 1
     }
     def ccOf(t: DataFrame, cntCol: String): (Double, Double, Double) = {

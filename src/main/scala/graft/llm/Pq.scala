@@ -127,10 +127,10 @@ object Pq {
     }
     var result: DataFrame = null
     for (_ <- 0 until iters) {
-      val assigned = encodeKernel(corpus, idCol, vecCol, cents, subDim)
-        .toDF(idCol, "__codes")
-        .join(corpus.select(col(idCol).cast("long").as(idCol), col(vecCol)),
-          Seq(idCol))
+      // the encoder already holds each row's vector — emit it alongside
+      // the codes instead of joining it back by id (guide §2.4: that
+      // join was one full shuffle of the vectors per Lloyd round)
+      val assigned = encodeKernelVec(corpus, idCol, vecCol, cents, subDim)
         .select(col(idCol), col(vecCol),
           posexplode(col("__codes")).as(Seq("__sub", "__code")))
       val means = assigned
@@ -153,6 +153,43 @@ object Pq {
       cents = collectModel(result, m)
     }
     result
+  }
+
+  /** [[encodeKernel]] carrying the input vector through:
+    * `(idCol, vecCol, __codes)` — one row per input row, no join needed
+    * to re-attach the vector (the id-keyed join it replaces shuffled
+    * every vector once per training round).
+    */
+  private def encodeKernelVec(df: DataFrame, idCol: String, vecCol: String,
+                              cents: Model, subDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val m = cs.length
+        rows.map { case (rid, vec) =>
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            var best = -1
+            var bestD = Double.PositiveInfinity
+            val subCents = cs(s)
+            var i = 0
+            while (i < subCents.length) {
+              val d = d2(vec, s * subDim, subCents(i)._2)
+              if (d < bestD) { bestD = d; best = subCents(i)._1 }
+              i += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (rid, vec, codes)
+        }
+      }
+      .toDF(idCol, vecCol, "__codes")
   }
 
   /** Encode vectors against a trained model: `(idCol, codes:
@@ -201,10 +238,11 @@ object Pq {
     val scored = broadcast(tables).crossJoin(codes)
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(aggregate(
-          zip_with(col("__tbl"), col("__codes"),
-            (t, c) => element_at(t, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+        // one compiled m-lookup loop (graft.expressions.AdcSum) instead
+        // of the interpreted aggregate(zip_with(element_at)) fold —
+        // identical ascending-subspace FP order (OptKernelsSpec)
+        round(graft.expressions.VecKernels.adc_sum(
+          col("__tbl"), col("__codes")), 6).as("dist2"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist2").asc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -246,11 +284,10 @@ object Pq {
       .join(corpus.select(col(corpusId).cast("long").as(corpusId),
         col(vecCol).as("__cv")), Seq(corpusId))
       .select(col(queryId), col(corpusId),
-        round(aggregate(
-          zip_with(col("__qv"), col("__cv"),
-            (a, b) => (a.cast("double") - b.cast("double")) *
-              (a.cast("double") - b.cast("double"))),
-          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+        // compiled ascending-dimension (a−b)² fold — same FP order as
+        // the zip_with form it replaces (OptKernelsSpec)
+        round(graft.expressions.VecKernels.vec_l2sq(
+          col("__qv"), col("__cv")), 6).as("dist2"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist2").asc, col(corpusId).asc)
     exact.withColumn("rank", row_number().over(w))
@@ -316,10 +353,9 @@ object Pq {
       .join(codes, Seq("__cent"))
       .filter(col(queryId) =!= col(corpusId))
       .select(col(queryId), col(corpusId),
-        round(aggregate(
-          zip_with(col("__tbl"), col("__codes"),
-            (t, c) => element_at(t, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+        // same compiled ADC loop as pqTopK
+        round(graft.expressions.VecKernels.adc_sum(
+          col("__tbl"), col("__codes")), 6).as("dist2"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist2").asc, col(corpusId).asc)
     scored.withColumn("rank", row_number().over(w))

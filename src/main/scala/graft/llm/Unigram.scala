@@ -342,8 +342,13 @@ object Unigram {
       model = emStepHard(wc, model, maxPieceLen, budget)
       i += 1
     }
-    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // localCheckpoint, NOT persist: materializes the bounded model once
+    // (before the word table it references is released) WITHOUT
+    // registering the plan in the CacheManager — a registered never-
+    // unpersisted model plan was silently substituted into every later
+    // identical query (and the bench's second trial), i.e. accidental
+    // cross-query result caching (r15 verdict #4's re-caching warning).
+    val out = model.localCheckpoint(true)
     wc.unpersist()
     out
   }
@@ -634,8 +639,8 @@ object Unigram {
       model = emStepSoftW(wc, model, maxPieceLen, budget)
       i += 1
     }
-    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // localCheckpoint, not persist — see trainHardSp's note
+    val out = model.localCheckpoint(true)
     wc.unpersist()
     out
   }
@@ -684,9 +689,9 @@ object Unigram {
       i += 1
     }
     // materialize the final model before releasing the word table its
-    // lineage still references
-    val out = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // lineage still references — localCheckpoint, not persist (see
+    // trainHardSp's note on CacheManager cross-query substitution)
+    val out = model.localCheckpoint(true)
     wc.unpersist()
     out
   }

@@ -195,6 +195,150 @@ class OptKernelsSpec extends SparkSpec {
     assert(marked.map(_.getLong(0)).toSet == Set(3L), marked.mkString(";"))
   }
 
+  // ---- round-16 kernels ---------------------------------------------------
+
+  /** Random float vectors incl. degenerate cases: null array, empty,
+    * ragged lengths, null elements, zero vectors.
+    */
+  private def vecRows(rnd: scala.util.Random, n: Int, dim: Int)
+      : Seq[(Option[Seq[Option[Float]]], Option[Seq[Option[Float]]])] = {
+    def mk(len: Int): Option[Seq[Option[Float]]] = Some(
+      Seq.fill(len)(if (rnd.nextInt(50) == 0) None
+                    else Some(rnd.nextFloat() * 4 - 2)))
+    Seq(
+      (None, mk(dim)), (mk(dim), None), (None, None),
+      (Some(Seq.empty), Some(Seq.empty)), (mk(dim), mk(dim - 1)),
+      (mk(dim + 3), mk(dim)), (Some(Seq.fill(dim)(Some(0f))), mk(dim))) ++
+      (1 to n).map(_ => (mk(dim), mk(dim)))
+  }
+
+  test("VecDot/VecNorm/VecL2Sq ≡ old aggregate(zip_with/transform) folds") {
+    val rnd = new scala.util.Random(991)
+    val df = vecRows(rnd, 200, 16).toDF("a", "b")
+    // the pre-r16 expression trees, verbatim (Ann.dot / Ann.norm / the
+    // pqTopKRefined L2 fold)
+    val oldDot = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def oldNorm(c: Column) = sqrt(aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val oldL2 = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val k = graft.expressions.VecKernels
+    val bad = df.select(
+        oldDot.as("od"), k.vec_dot(col("a"), col("b")).as("nd"),
+        oldNorm(col("a")).as("on"), k.vec_norm(col("a")).as("nn"),
+        oldL2.as("ol"), k.vec_l2sq(col("a"), col("b")).as("nl"))
+      .where(not(col("od") <=> col("nd")) || not(col("on") <=> col("nn")) ||
+        not(col("ol") <=> col("nl"))).count()
+    assert(bad == 0L)
+  }
+
+  test("VecDot ≡ old fold on double arrays (kmeans centroid path)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 100).map(_ => (Seq.fill(8)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val oldDot = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val bad = df.select(oldDot.as("o"),
+        graft.expressions.VecKernels.vec_dot(col("a"), col("b")).as("n"))
+      .where(not(col("o") <=> col("n"))).count()
+    assert(bad == 0L)
+  }
+
+  test("SignBucket ≡ old per-plane aggregate(zip_with) reduce") {
+    val bits = 8; val dim = 16
+    val planes = Ann.planes(bits, dim)
+    // the pre-r16 Column form, verbatim
+    val oldBucket = {
+      val projections = planes.zipWithIndex.map { case (signs, i) =>
+        val proj = aggregate(
+          zip_with(col("v"), typedLit(signs), (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      projections.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val rnd = new scala.util.Random(33)
+    val df = vecRows(rnd, 200, dim).map(_._1).toDF("v")
+    val bad = df.select(oldBucket.as("o"),
+        graft.expressions.VecKernels.sign_bucket(col("v"), planes.toArray).as("n"))
+      .where(not(col("o") <=> col("n"))).count()
+    assert(bad == 0L)
+  }
+
+  test("AdcSum ≡ old aggregate(zip_with(element_at)) ADC fold") {
+    val rnd = new scala.util.Random(64)
+    val m = 8; val k = 16
+    val rows = Seq(
+      (None: Option[Seq[Seq[Double]]], Some(Seq.fill(m)(0))),
+      (Some(Seq.fill(m)(Seq.fill(k)(rnd.nextDouble()))), None),
+      (Some(Seq.fill(m - 1)(Seq.fill(k)(rnd.nextDouble()))),
+        Some(Seq.fill(m)(0)))) ++
+      (1 to 150).map { _ =>
+        (Some(Seq.fill(m)(Seq.fill(k)(rnd.nextDouble() * 10))),
+          Some(Seq.fill(m)(rnd.nextInt(k))))
+      }
+    val df = rows.toDF("tbl", "codes")
+    val oldAdc = aggregate(
+      zip_with(col("tbl"), col("codes"),
+        (t, c) => element_at(t, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val bad = df.select(oldAdc.as("o"),
+        graft.expressions.VecKernels.adc_sum(col("tbl"), col("codes")).as("n"))
+      .where(not(col("o") <=> col("n"))).count()
+    assert(bad == 0L)
+  }
+
+  test("Dsir bigram kernel ≡ old zip_with bigram construction") {
+    // old gram construction, verbatim (incl. its null/edge filters)
+    def oldGrams(t: Column): Column = {
+      val words = split(regexp_replace(trim(lower(t)), "\\s+", " "), " ")
+      filter(zip_with(words, slice(words, lit(2), size(words)),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull && !g.startsWith(" ") && !g.endsWith(" "))
+    }
+    def newGrams(t: Column): Column =
+      filter(graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(t), 2),
+        g => instr(g, " ") > 0 && !g.startsWith(" ") && !g.endsWith(" "))
+    val df = adversarial.map(Option(_)).toDF("text")
+    val bad = df.select(oldGrams(col("text")).as("o"),
+        newGrams(col("text")).as("n"), col("text"))
+      .collect().filterNot(r => r.get(0) == r.get(1))
+    assert(bad.isEmpty, bad.map(r =>
+      s"text=${r.get(2)}: old=${r.get(0)} new=${r.get(1)}").mkString("; "))
+  }
+
+  test("jaccardVerifySets single-intersect ≡ old double-intersect form") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "a b c d e f"), (4L, "p q r"), (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    // old form, verbatim
+    val sets = docs.select(col("doc_id").as("__id"),
+      Dedup.shinglesDistinct(col("text"), 3).as("__set"))
+    val old = pairs
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "__sa"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "__sb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          (size(col("__sa")) + size(col("__sb")) -
+            size(array_intersect(col("__sa"), col("__sb")))))
+          .as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val neu = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(old == neu)
+  }
+
   test("profile join composition stays cheap: gopher keep counts match") {
     // composition smoke: Gopher.profile(keep) over the doc fixture used
     // by gates still produces the same keep count as the rule-by-rule
