@@ -731,7 +731,9 @@ object CurationGates {
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    Dsir.importanceWeights(d, d.filter(col("lang") === "en"),
+    // flagged form: one corpus scan builds both models (value-identical
+    // to importanceWeights(d, d.filter(lang='en'), …) — Dsir's note)
+    Dsir.importanceWeightsFlagged(d, col("lang") === "en",
         "doc_id", "text", dim = DsirDim)
       .orderBy("doc_id")
   }
@@ -786,7 +788,7 @@ object CurationGates {
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
-    val w = Dsir.importanceWeights(d, d.filter(col("lang") === "en"),
+    val w = Dsir.importanceWeightsFlagged(d, col("lang") === "en",
       "doc_id", "text", dim = DsirDim)
     Dsir.resampleTop(w, "doc_id", n = 100).orderBy("doc_id")
   }
@@ -811,7 +813,10 @@ object CurationGates {
   def curationSelect(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents")
     val kept = Gopher.keepDocs(d, "doc_id", "text", minStopwords = 0)
-    val w = Dsir.importanceWeights(kept, kept.filter(col("lang") === "en"),
+    // one scan of the Gopher-filtered survivors builds BOTH dsir models
+    // (the generic two-relation form re-ran the whole Gopher battery
+    // for the target side)
+    val w = Dsir.importanceWeightsFlagged(kept, col("lang") === "en",
       "doc_id", "text", dim = DsirDim)
     val sel = Dsir.resampleTop(w, "doc_id", n = 100)
     graft.operators.Sampling.hashSplit(sel, "doc_id",

@@ -307,10 +307,18 @@ object Dedup {
     * (candidate generation + both verify sides) checkpoint it ONCE so
     * the shingle scan never re-runs per consumer (guide §2.4; the r15
     * dedup_audit plan evaluated word_shingles 16×).
+    *
+    * `__set` is SORTED (asc, nulls first) at creation — once per id —
+    * because [[jaccardVerifySets]]' merge kernel requires sorted inputs
+    * on both sides of every candidate pair. Every other consumer is
+    * order-independent: the minhash signature is a min-fold over the
+    * elements, and the exact tier's prefix ranks by (document
+    * frequency, shingle), never by array position.
     */
   private[llm] def shingleSets(df: DataFrame, idCol: String, textCol: String,
                                shingleN: Int): DataFrame =
-    df.select(col(idCol), shinglesDistinct(col(textCol), shingleN).as("__set"))
+    df.select(col(idCol),
+      sort_array(shinglesDistinct(col(textCol), shingleN)).as("__set"))
 
   /** Exact Jaccard verification of candidate pairs against the true
     * shingle sets — computed only for candidates, never all pairs.
@@ -322,20 +330,27 @@ object Dedup {
   /** [[jaccardVerify]] over a PRE-COMPUTED (usually checkpointed)
     * [[shingleSets]] relation, so pipelines that already built the sets
     * feed both join sides from the same materialization.
+    *
+    * Each side is `sort_array`'d ONCE PER ID before the pair join and
+    * the jaccard is ONE merge kernel ([[graft.expressions.JaccardSorted]])
+    * — not `size(array_intersect)/(|A|+|B|−inter)`: callers filter
+    * `jaccard >= t`, Catalyst collapses that into the JOIN CONDITION,
+    * and in predicate context (no subexpression elimination) the old
+    * form materialized the intersection array TWICE per candidate pair.
+    * Intersection count is order-independent and the kernel's division
+    * is the identical IEEE op, so the value is bit-equal (OptKernelsSpec
+    * pins it against the verbatim old tree).
     */
   private[llm] def jaccardVerifySets(pairs: DataFrame, sets: DataFrame,
                                      idCol: String): DataFrame =
+    // `__set` is sorted at creation ([[shingleSets]]), so each side
+    // renames only — no per-side (let alone per-pair) sort here
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("__set").as("__sa")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__set").as("__sb")), Seq("id_b"))
-      // |A∪B| = |A| + |B| − |A∩B| (sets are distinct by construction);
-      // the intersect is PROJECTED ONCE and the division references the
-      // projected column — never two array_intersect evaluations per pair
-      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .select(col("id_a"), col("id_b"),
-        (col("__inter").cast("double") /
-          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
-          .as("jaccard"))
+        graft.expressions.JaccardSorted.jaccard_sorted(
+          col("__sa"), col("__sb")).as("jaccard"))
 
   /** Full MinHash/LSH near-dup pipeline → (id_a, id_b, jaccard) pairs with
     * jaccard ≥ threshold.

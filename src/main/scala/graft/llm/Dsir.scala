@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DSIR-style importance weighting for data selection (Xie et al. 2023,
@@ -102,6 +102,67 @@ object Dsir {
     val np = p.agg(coalesce(sum(col("__pc")), lit(0L))).head().getLong(0)
     // four exactly-rounded ops per term — (q+1)/(Nq+D), (p+1)/(Np+D),
     // their ratio, ×tf — then the exact decimal quantization
+    val contrib = tf
+      .join(broadcast(q), Seq("__i"), "left")
+      .join(broadcast(p), Seq("__i"), "left")
+      .select(col(idCol), col("__tf"),
+        (col("__tf").cast("double") *
+          (((coalesce(col("__qc"), lit(0L)) + 1L).cast("double") /
+              lit(nq + dim).cast("double")) /
+            ((coalesce(col("__pc"), lit(0L)) + 1L).cast("double") /
+              lit(np + dim).cast("double"))))
+          .cast("decimal(28,15)").as("__r"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_feats"), sum(col("__r")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (col("__s").cast("double") / col("n_feats").cast("double"))
+          .as("dsir_weight"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("dsir_weight"))
+  }
+
+  /** [[importanceWeights]] for the common case where the target slice
+    * is a PREDICATE over the raw corpus itself (e.g. `lang = 'en'`) —
+    * the shape every dsir/curation gate uses. One raw-corpus scan
+    * TOTAL: the per-doc tf is computed once carrying the per-doc target
+    * flag, and BOTH models (and both token masses, in one scalar job)
+    * re-aggregate from that bounded checkpoint. The generic form
+    * scanned raw once and target once more — and when raw is itself an
+    * expensive relation (curation_select's Gopher-filtered survivors),
+    * the second scan re-ran the whole upstream battery.
+    *
+    * Exactly [[importanceWeights]](raw, raw.filter(targetFlag), …):
+    * q ≡ hashedBigramCounts(raw.filter(flag)) because both are integer
+    * sums of the same per-(doc, bucket) counts, grouped one level
+    * apart; Nq/Np are the same integer totals. Verified value-identical
+    * by the dsir gates' oracle hashes and DsirSpec.
+    */
+  def importanceWeightsFlagged(raw: DataFrame, targetFlag: Column,
+                               idCol: String, textCol: String,
+                               dim: Int = 4096): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val words = graft.expressions.WordShingles.word_shingles(
+      Dedup.normalize(col(textCol)), 2)
+    // bigramTf with the per-doc flag carried through the aggregation
+    // (one row per doc in the input ⇒ the flag is constant per id)
+    val tf = raw.select(col(idCol), targetFlag.as("__tgt"),
+        explode(words).as("__g"))
+      .where(instr(col("__g"), " ") > 0 && !col("__g").startsWith(" ") &&
+        !col("__g").endsWith(" "))
+      .groupBy(col(idCol), col("__tgt"),
+        pmod(graft.functions.Hashes.u32OfMd5(col("__g")), lit(dim.toLong)).as("__i"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val p = tf.groupBy(col("__i")).agg(sum(col("__tf")).as("__pc"))
+    val q = tf.filter(col("__tgt")).groupBy(col("__i"))
+      .agg(sum(col("__tf")).as("__qc"))
+    // both scalar masses in ONE job over the bounded checkpoint
+    val masses = tf.agg(
+      coalesce(sum(col("__tf")), lit(0L)),
+      coalesce(sum(when(col("__tgt"), col("__tf"))), lit(0L))).head()
+    val np = masses.getLong(0)
+    val nq = masses.getLong(1)
     val contrib = tf
       .join(broadcast(q), Seq("__i"), "left")
       .join(broadcast(p), Seq("__i"), "left")

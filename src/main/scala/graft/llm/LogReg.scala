@@ -47,21 +47,17 @@ object LogReg {
       transform(col(vecCol), x => x.cast("double")))
 
   /** Exact-decimal margin of the augmented vector against a literal
-    * weight array: Σ_j dec28,15(x_j·w_j) → double. The accumulator is
-    * decimal(38,15) with a per-step cast — every add is exact (the sum
-    * of dim+1 unit-scale terms sits far inside 38 digits), and the
-    * result is order-independent, which is what makes the narrow
-    * no-shuffle form safe to restate as DuckDB's group-by sum.
+    * weight array: Σ_j dec28,15(x_j·w_j) → double. Every add is exact
+    * (the sum of dim+1 unit-scale terms sits far inside 38 digits), and
+    * the result is order-independent, which is what makes the narrow
+    * no-shuffle form safe to restate as DuckDB's group-by sum. One
+    * compiled loop ([[graft.expressions.Dec15Dot]]) — the interpreted
+    * `aggregate(zip_with(...cast(decimal)...))` tree it replaces paid
+    * an expression walk and two Decimal boxes per element; the kernel
+    * replicates the cast/sum bit for bit (OptKernelsSpec pins it).
     */
-  private def marginExpr(vecCol: String, w: Array[Double]): Column = {
-    val wLit = array(w.map(lit(_)): _*)
-    aggregate(
-      zip_with(augmented(vecCol), wLit,
-        (x, wj) => (x * wj).cast("decimal(28,15)")),
-      lit(0).cast("decimal(38,15)"),
-      (acc, t) => (acc + t).cast("decimal(38,15)")
-    ).cast("double")
-  }
+  private def marginExpr(vecCol: String, w: Array[Double]): Column =
+    graft.expressions.Dec15Dot.dec15_dot(augmented(vecCol), w)
 
   /** Train `iters` full-batch rounds; returns the fitted weights as
     * `(j, w)` rows — j = 0 is the bias, j = 1…dim the per-dimension
@@ -107,20 +103,27 @@ object LogReg {
     var w = Array.fill(dim)(0.0d)
     var it = 0
     while (it < iters) {
-      // residual pass is narrow (weights as literals); the only
-      // shuffle is the dim+1-group gradient aggregation
-      val wLit = array(w.map(lit(_)): _*)
-      val withP = iterBase.select(col("__y"), col("__x"),
-        round6(sigmoidAlg(
-          aggregate(
-            zip_with(col("__x"), wLit,
-              (x, wj) => (x * wj).cast("decimal(28,15)")),
-            lit(0).cast("decimal(38,15)"),
-            (acc, t) => (acc + t).cast("decimal(38,15)")
-          ).cast("double"))).as("__p"))
-      val grads = withP
-        .select((col("__p") - col("__y")).as("__r"),
-          posexplode(col("__x")).as(Seq("j", "__xj")))
+      // residual pass is narrow (weights ride in a compiled kernel —
+      // graft.expressions.Dec15Dot, same exact decimal fold as the old
+      // zip_with tree); the gradient is ONE global aggregation of dim
+      // decimal sums over element_at projections — the posexplode form
+      // it replaces blew every row up (dim+1)× and shuffled the pairs
+      // into a (dim+1)-group hash agg. Per-term decimals and the exact
+      // order-free decimal sums are identical, so no published bit can
+      // move (pinned by LogRegSpec + the logreg_* oracle gates).
+      val withR = iterBase.select(
+        (round6(sigmoidAlg(
+          graft.expressions.Dec15Dot.dec15_dot(col("__x"), w)))
+          - col("__y")).as("__r"),
+        col("__x"))
+      // gradient: posexplode + (dim+1)-group decimal sums. Measured
+      // AGAINST the "one global agg of dim+1 sum columns" form: that
+      // plan's generated aggregate (33 decimal CheckOverflow buffers)
+      // cost ~1 s of driver-side codegen per iteration on a cold JVM
+      // (10 s across the loop) for ~0.1 s/iter of executor win — the
+      // explode form's per-iteration plan is small and compiles once.
+      val grads = withR
+        .select(col("__r"), posexplode(col("__x")).as(Seq("j", "__xj")))
         .groupBy(col("j"))
         .agg(sum((col("__r") * col("__xj")).cast("decimal(28,15)")).as("__g"))
         .select(col("j"), col("__g").cast("double"))

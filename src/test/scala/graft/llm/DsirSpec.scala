@@ -52,6 +52,27 @@ class DsirSpec extends SparkSpec {
     assert(all.length == 3 && !all.contains(13L) && !all.contains(14L))
   }
 
+  test("importanceWeightsFlagged ≡ importanceWeights(raw, raw.filter(flag))") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // mark a subset of raw as the target (the gates' lang='en' shape),
+    // incl. a null-flag doc (generic filter drops nulls; flagged must too)
+    val flagged = Seq(
+      (10L, "alpha beta gamma delta epsilon alpha beta gamma", Some(true)),
+      (11L, "zebra yak xylophone walrus vulture zebra yak", Some(false)),
+      (12L, "alpha beta zebra yak gamma delta", Some(true)),
+      (13L, "solo", Some(false)),
+      (14L, "", None),
+      (15L, "alpha beta gamma", Some(false)))
+      .toDF("doc_id", "text", "is_en")
+    val generic = Dsir.importanceWeights(flagged,
+        flagged.filter(col("is_en") === lit(true)), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaFlag = Dsir.importanceWeightsFlagged(flagged,
+        col("is_en") === lit(true), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(generic == viaFlag)
+  }
+
   test("hashedBigramCounts is a reusable persisted-model form") {
     val m = Dsir.hashedBigramCounts(target, "text")
     // 2 docs x 6 words -> 5 bigrams each: total token mass 10

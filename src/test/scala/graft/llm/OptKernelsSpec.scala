@@ -339,6 +339,128 @@ class OptKernelsSpec extends SparkSpec {
     assert(old == neu)
   }
 
+  test("JaccardSorted merge ≡ old size(array_intersect) ratio") {
+    // distinct string arrays (the shingleSets contract: NEVER empty —
+    // shinglesDistinct emits [whole input] below n words, so the
+    // both-empty 0/0 case is unreachable; the old ANSI Divide would
+    // throw on it, the kernel returns NaN, and neither is observable).
+    // Adversarial: null elements on one/both sides, one-side-empty,
+    // null arrays, disjoint / identical / subset pairs, multi-byte +
+    // astral chars
+    val cases: Seq[(Option[Seq[Option[String]]], Option[Seq[Option[String]]])] = Seq(
+      (Some(Seq(Some("a"), Some("b"), Some("c"))), Some(Seq(Some("b"), Some("c"), Some("d")))),
+      (Some(Seq(Some("a"))), Some(Seq(Some("a")))),
+      (Some(Seq(Some("a"))), Some(Seq(Some("b")))),
+      (Some(Seq.empty), Some(Seq(Some("x")))),
+      (Some(Seq(None, Some("a"))), Some(Seq(None, Some("b")))),
+      (Some(Seq(None)), Some(Seq(Some("a")))),
+      (Some(Seq(Some(""), Some("a"))), Some(Seq(Some("")))),
+      (Some(Seq(Some("é"), Some("漢"), Some("𝔘"))), Some(Seq(Some("漢"), Some("e")))),
+      (None, Some(Seq(Some("a")))),
+      (Some(Seq(Some("a"))), None),
+      (None, None)) ++
+      // random distinct non-empty sets over a tiny alphabet → dense overlap
+      (1 to 40).map { i =>
+        val r = new scala.util.Random(i)
+        def gen() = Some((0 to r.nextInt(7)).map(_ =>
+          Some(r.nextInt(6).toString)).distinct.toSeq: Seq[Option[String]])
+        (gen(), gen())
+      }
+    val df = cases.toDF("a", "b")
+    val old = (size(array_intersect(col("a"), col("b"))).cast("double") /
+      (size(col("a")) + size(col("b")) -
+        size(array_intersect(col("a"), col("b")))))
+    val neu = graft.expressions.JaccardSorted.jaccard_sorted(
+      sort_array(col("a")), sort_array(col("b")))
+    val bad = df.select(old.as("o"), neu.as("n"), col("a"), col("b"))
+      .collect().filterNot { r =>
+        val o = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+        val n = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+        // NaN == NaN for this comparison (0/0 both-empty case)
+        (o == null && n == null) ||
+          (o != null && n != null &&
+            java.lang.Double.doubleToLongBits(o) == java.lang.Double.doubleToLongBits(n))
+      }
+    assert(bad.isEmpty, bad.map(r =>
+      s"a=${r.get(2)} b=${r.get(3)}: old=${r.get(0)} new=${r.get(1)}").mkString("; "))
+  }
+
+  test("Dec15Dot ≡ old aggregate(zip_with(cast(decimal))) margin fold") {
+    val w = Array(0.5, -1.25, 2.0 / 3.0, 0.1, -0.000001, 123456.789)
+    def oldMargin(c: Column): Column = {
+      val wLit = array(w.map(lit(_)): _*)
+      aggregate(
+        zip_with(c, wLit, (x, wj) => (x * wj).cast("decimal(28,15)")),
+        lit(0).cast("decimal(38,15)"),
+        (acc, t) => (acc + t).cast("decimal(38,15)")).cast("double")
+    }
+    val cases: Seq[Option[Seq[Option[Double]]]] = Seq(
+      Some(Seq(1.0, 0.015625, -3.7, 0.1, 1e-7, 42.0).map(Some(_))),
+      Some(Seq(0.0, -0.0, 1e-16, -1e-16, 0.3, 0.7).map(Some(_))),
+      // round-6 quantizer-adjacent values (the sigmoid's output domain)
+      Some(Seq(0.4999995, 0.5000005, 0.1234565, -0.1234565, 1.0, -1.0).map(Some(_))),
+      Some(Seq(Some(1.0), None, Some(2.0), Some(3.0), Some(4.0), Some(5.0))), // null elem
+      Some(Seq(1.0, 2.0).map(Some(_))), // ragged short (zip_with pads)
+      Some(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0).map(Some(_))), // ragged long
+      None) ++
+      (1 to 30).map { i =>
+        val r = new scala.util.Random(100 + i)
+        Some((0 until 6).map(_ =>
+          Some((r.nextDouble() - 0.5) * math.pow(10, r.nextInt(7) - 3))).toSeq)
+      }
+    val df = cases.toDF("x")
+    val bad = df.select(oldMargin(col("x")).as("o"),
+        graft.expressions.Dec15Dot.dec15_dot(col("x"), w).as("n"), col("x"))
+      .collect().filterNot { r =>
+        (r.isNullAt(0) && r.isNullAt(1)) ||
+          (!r.isNullAt(0) && !r.isNullAt(1) &&
+            java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+              java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    assert(bad.isEmpty, bad.map(r =>
+      s"x=${r.get(2)}: old=${r.get(0)} new=${r.get(1)}").mkString("; "))
+  }
+
+  test("LogReg single-agg gradient ≡ posexplode/groupBy gradient (weights)") {
+    // end-to-end: the fitted weights are the observable — train on a
+    // deterministic slice and pin against the hand-rolled old-form
+    // iteration (posexplode + groupBy j + decimal sums)
+    val r = new scala.util.Random(7)
+    val df = (0 until 64).map { i =>
+      (i.toLong, (0 until 4).map(_ => r.nextInt(8) / 64.0).toArray,
+        if (i % 3 == 0) 1 else 0)
+    }.toDF("id", "vec", "y")
+    val model = LogReg.train(df, "y", "vec", iters = 4, lr = 2.0)
+      .orderBy("j").collect().map(x => (x.getInt(0), x.getDouble(1))).toSeq
+    // old-form reference, computed via the public scores/margin pieces:
+    // replicate the iteration in local exact decimal arithmetic
+    val rows = df.select(col("y").cast("double"),
+        concat(array(lit(1.0d)), col("vec")).as("__x"))
+      .collect().map(x => (x.getDouble(0), x.getSeq[Double](1).toArray))
+    val dim = rows.head._2.length
+    val n = rows.length.toDouble
+    var w = Array.fill(dim)(0.0d)
+    for (_ <- 0 until 4) {
+      val grads = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      rows.foreach { case (y, x) =>
+        val m = graft.expressions.Dec15Dot.dot(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(x), w)
+        val p = math.floor((0.5 * (1.0 + m / (1.0 + math.abs(m)))) * 1e6 + 0.5) / 1e6
+        val rr = p - y
+        (0 until dim).foreach { j =>
+          grads(j) = grads(j).add(java.math.BigDecimal.valueOf(rr * x(j))
+            .setScale(15, java.math.RoundingMode.HALF_UP))
+        }
+      }
+      (0 until dim).foreach { j =>
+        val upd = w(j) - 2.0 * (grads(j).doubleValue() / n)
+        w(j) = math.floor(upd * 1e6 + 0.5) / 1e6
+      }
+    }
+    assert(model == w.zipWithIndex.map { case (wj, j) => (j, wj) }.toSeq,
+      s"model=$model local=${w.toSeq}")
+  }
+
   test("profile join composition stays cheap: gopher keep counts match") {
     // composition smoke: Gopher.profile(keep) over the doc fixture used
     // by gates still produces the same keep count as the rule-by-rule
