@@ -40,12 +40,16 @@ object CorpusStats {
     */
   def bigramLm(docs: DataFrame, textCol: String, minPair: Long = 1L): DataFrame = {
     require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val pairs = docs.select(explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .where(col("w2").isNotNull) // zip_with pads the final token with null
+    // word_shingles pair builder — one O(len) byte scan instead of the
+    // interpreted zip_with/slice walk (LmScore.bigramBackoffScore's
+    // note; OptKernelsSpec pins the position multiset)
+    val pairs = docs.select(explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 1)
+      .select(substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     val pairCounts = pairs.groupBy("w1", "w2")
       .agg(count(lit(1)).as("n_pair"))
     val ctx = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_ctx"))

@@ -697,26 +697,19 @@ object Dedup {
     * conv+substring vs 1 xxhash64) — oracle-verifiable mode, not the
     * default.
     */
-  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one md5 + 16 PROJECTED hex-digit values per word, THEN 64 bit votes
-    // referencing those columns — not 64 repeated conv(substring(md5(..)))
-    // chains per word
-    val words = df.select(col(idCol),
-        explode(array_distinct(split(normalize(col(textCol)), " "))).as("__w"))
-      .withColumn("__h", md5(col("__w")))
-      .select(col(idCol) +: (0 until 16).map(c =>
-        conv(substring(col("__h"), c + 1, 1), 16, 10).cast("long").as(s"__c$c")): _*)
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col(s"__c${i / 4}"), i % 4).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"__b$i")
-    }
-    val packed = (0 until 64).map(i =>
-        when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    words.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), packed.as("simhash"))
-  }
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ONE narrow per-row kernel (graft.expressions.SimhashMd5): distinct
+    // words, one md5 each, the 64 nibble-bit votes and the sign-pack all
+    // in a single pass — replacing explode(distinct words) + 16 hex-digit
+    // projections per word + a 64-conditional-sum hash aggregation (a
+    // corpus×words shuffle). Bit-for-bit the same fingerprint
+    // (OptKernelsSpec pins it against the verbatim old aggregation); the
+    // isNotNull filter replicates the old groupBy's absent row for
+    // null-text documents.
+    df.select(col(idCol),
+        graft.expressions.SimhashMd5.simhash_md5(normalize(col(textCol)))
+          .as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -156,12 +156,19 @@ object LmScore {
                          minPair: Long = 1L,
                          broadcastModel: Boolean = true): DataFrame = {
     require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val pairs = docs.select(col(idCol), explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
-      .where(col("w2").isNotNull) // zip_with pads the final token with null
+    // ONE O(len) word_shingles byte scan per doc instead of the
+    // interpreted zip_with/slice pair builder; a true pair contains
+    // exactly ONE joining space (the <2-word whole-text shingle has
+    // none), and empty boundary words from non-0x20 whitespace keep
+    // their position through the substring_index split — the multiset
+    // of (w1, w2) positions is IDENTICAL (OptKernelsSpec pins it)
+    val pairs = docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 1)
+      .select(col(idCol), substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     // corpus model DERIVED from the per-doc tf table — the pair explode
@@ -232,12 +239,14 @@ object LmScore {
                               minPair: Long = 1L,
                               broadcastModel: Boolean = true): DataFrame = {
     require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val pairs = docs.select(col(idCol), explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
-      .where(col("w2").isNotNull)
+    // word_shingles pair builder — see bigramBackoffScore's note
+    val pairs = docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 1)
+      .select(col(idCol), substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     val pairCounts = docPairTf.groupBy("w1", "w2")
@@ -308,15 +317,18 @@ object LmScore {
                                broadcastModel: Boolean = true): DataFrame = {
     require(minTri >= 1L, s"minTri must be >= 1, got $minTri")
     require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val triples = docs.select(col(idCol), explode(zip_with(
-        zip_with(words, slice(words, lit(2), size(words)),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        slice(words, lit(3), size(words)),
-        (p, c) => struct(p.getField("w1").as("w1"),
-          p.getField("w2").as("w2"), c.as("w3")))).as("t"))
-      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-      .where(col("w3").isNotNull) // zip_with pads the tail with nulls
+    // word_shingles position builders (2 spaces ⇔ a true trigram, 1 ⇔ a
+    // true pair) — see bigramBackoffScore's note; the 3-way split is one
+    // codegen'd split per gram, subexpression-eliminated across the
+    // three projections
+    val __t3 = split(col("__g"), " ")
+    val triples = docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 3)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 2)
+      .select(col(idCol), __t3.getItem(0).as("w1"),
+        __t3.getItem(1).as("w2"), __t3.getItem(2).as("w3"))
     val docTriTf = triples.groupBy(col(idCol), col("w1"), col("w2"),
         col("w3"))
       .agg(count(lit(1)).as("tf"))
@@ -327,11 +339,13 @@ object LmScore {
     val keptTri = triCounts.where(col("n_tri") >= minTri)
     // bigram/unigram models over their OWN position universes — the
     // same tables the bigram tier builds
-    val pairs = docs.select(explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => struct(a.as("w2"), b.as("w3")))).as("p"))
-      .select(col("p.w2"), col("p.w3"))
-      .where(col("w3").isNotNull)
+    val pairs = docs.select(explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 1)
+      .select(substring_index(col("__g"), " ", 1).as("w2"),
+        substring_index(col("__g"), " ", -1).as("w3"))
     val pairCounts = pairs.groupBy("w2", "w3")
       .agg(count(lit(1)).as("n_pair"))
     val ctx1 = pairCounts.groupBy("w2").agg(sum(col("n_pair")).as("n_ctx1"))
@@ -415,12 +429,14 @@ object LmScore {
                     minPair: Long = 1L,
                     broadcastModel: Boolean = true): DataFrame = {
     require(minPair >= 1L, s"minPair must be >= 1, got $minPair")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val pairs = docs.select(col(idCol), explode(zip_with(
-        words, slice(words, lit(2), size(words)),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
-      .where(col("w2").isNotNull)
+    // word_shingles pair builder — see bigramBackoffScore's note
+    val pairs = docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 2)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 1)
+      .select(col(idCol), substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
     val docPairTf = pairs.groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     val pairCounts = docPairTf.groupBy("w1", "w2")
@@ -529,15 +545,15 @@ object LmScore {
                      minTri: Long = 1L,
                      broadcastModel: Boolean = true): DataFrame = {
     require(minTri >= 1L, s"minTri must be >= 1, got $minTri")
-    val words = split(Dedup.normalize(col(textCol)), " ")
-    val triples = docs.select(col(idCol), explode(zip_with(
-        zip_with(words, slice(words, lit(2), size(words)),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        slice(words, lit(3), size(words)),
-        (p, c) => struct(p.getField("w1").as("w1"),
-          p.getField("w2").as("w2"), c.as("w3")))).as("t"))
-      .select(col(idCol), col("t.w1"), col("t.w2"), col("t.w3"))
-      .where(col("w3").isNotNull)
+    // word_shingles trigram builder — see trigramInterpolatedScore
+    val __t3 = split(col("__g"), " ")
+    val triples = docs.select(col(idCol), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col(textCol)), 3)).as("__g"))
+      .where(length(col("__g")) -
+        length(translate(col("__g"), " ", "")) === 2)
+      .select(col(idCol), __t3.getItem(0).as("w1"),
+        __t3.getItem(1).as("w2"), __t3.getItem(2).as("w3"))
     val docTriTf = triples.groupBy(col(idCol), col("w1"), col("w2"),
         col("w3"))
       .agg(count(lit(1)).as("tf"))
@@ -669,16 +685,24 @@ object LmScore {
     require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
     require(minTop >= 1L, s"minTop must be >= 1, got $minTop")
     val n = order
-    val words = split(Dedup.normalize(col(textCol)), " ")
+    // position builder: ONE O(len) word_shingles byte scan emitting the
+    // n-gram SUBSTRINGS (the old form built a position sequence and
+    // SLICED an n-element array per position through an interpreted
+    // transform lambda — the dominant per-row cost of the whole family
+    // at n = 5); a true n-gram has exactly n−1 joining spaces, the
+    // <n-word whole-text shingle fewer, and ONE codegen'd split per
+    // kept gram (subexpression-eliminated across the n projections)
+    // recovers w1…wn with empty boundary words in position
     def gramsOf(df: DataFrame, cols: Seq[org.apache.spark.sql.Column])
         : DataFrame = {
-      val g = df.select(cols :+ explode(when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - lit(n - 1)),
-          i => slice(words, i, lit(n))))
-        .otherwise(array().cast("array<array<string>>"))).as("__g"): _*)
-      val wcols = (1 to n).map(k => element_at(col("__g"), k).as(s"w$k"))
+      val g = df.select(cols :+ explode(
+          graft.expressions.WordShingles.word_shingles(
+            Dedup.normalize(col(textCol)), n)).as("__g"): _*)
+        .where(length(col("__g")) -
+          length(translate(col("__g"), " ", "")) === n - 1)
+      val parts = split(col("__g"), " ")
+      val wcols = (1 to n).map(k => parts.getItem(k - 1).as(s"w$k"))
       g.select(cols.indices.map(i => g.columns(i)).map(col) ++ wcols: _*)
-        .where(col(s"w$n").isNotNull)
     }
     val pos = gramsOf(docs, Seq(col(idCol)))
     val wNames = (1 to n).map(k => s"w$k")

@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. `regexp_count(separators) + 1` ≡
+    * `size(split(trim, "\\s+"))` (fields = separator runs + 1, leading/
+    * trailing empties from non-0x20 whitespace counted by both) without
+    * materializing the word array just to take its length.
+    */
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(regexp_count(trim(text), lit("\\s+")) + 1)
 
   /** BPE-ish subword count: word pieces of ≤4 chars plus standalone
     * punctuation — a cheap, deterministic proxy for tokenizer budgeting.
     */
   def approxBpeTokens(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+    // regexp_count ≡ size(regexp_extract_all(…, 0)) — same non-overlapping
+    // match count without materializing every matched substring
+    regexp_count(text, lit("\\w{1,4}|[^\\w\\s]"))
 
   def charCount(text: Column): Column = length(text)
 
@@ -40,14 +46,17 @@ object TextStats {
       .otherwise(length(regexp_replace(text, "[^A-Z]", "")) /
         length(text).cast("double"))
 
-  /** Mean word length. */
-  def avgWordLen(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
+  /** Mean word length. Σ length(word) over `split(trim, "\\s+")` is
+    * exactly the non-whitespace character count (empty boundary fields
+    * contribute 0), so the interpreted per-word `aggregate` fold is one
+    * regex strip; the denominator is [[tokenCount]]'s separator
+    * arithmetic. Same integers, same double division.
+    */
+  def avgWordLen(text: Column): Column =
     when(trim(text) === "" || text.isNull, 0.0)
       .otherwise(
-        aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-          size(words))
-  }
+        length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+          (regexp_count(trim(text), lit("\\s+")) + 1))
 
   /** Exposed (like Ann.planes / Dedup.minhashCoefsPortable) so the
     * correctness oracle injects the IDENTICAL profile literals.
@@ -59,12 +68,19 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "con", "una"),
     "vi" -> Seq("của", "và", "là", "có", "được", "cho", "này", "không", "người", "những"))
 
-  /** Stopword-hit ratio against a language's profile. */
+  /** Stopword-hit ratio against a language's profile. One
+    * [[graft.expressions.WordSetHits]] pass (≡ the old
+    * `size(filter(words, isin))` interpreted walk) over the normalized
+    * text; the word count is separator arithmetic
+    * (`size(split(norm, " "))` = spaces + 1, empties included by both).
+    */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val words = split(normalizeWords(text), " ")
-    val hits = filter(words, w => w.isin(stopwords(lang).map(_.asInstanceOf[Any]): _*))
-    when(size(words) === 0, 0.0)
-      .otherwise(size(hits).cast("double") / size(words))
+    val norm = normalizeWords(text)
+    val nw = length(norm) - length(translate(norm, " ", "")) + 1
+    val hits = graft.expressions.WordSetHits.word_set_hits(
+      norm, Array(stopwords(lang).toArray)).getItem(0)
+    when(nw === 0, 0.0)
+      .otherwise(hits.cast("double") / nw)
   }
 
   private def normalizeWords(text: Column): Column =
@@ -75,11 +91,13 @@ object TextStats {
     * one pass, max_by over a literal-keyed score array.
     */
   def langId(text: Column): Column = {
-    val words = split(normalizeWords(text), " ")
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(
-        size(filter(words, w => w.isin(sw.map(_.asInstanceOf[Any]): _*))).as("score"),
-        lit(lang).as("lang"))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    // ALL five languages' hit counts in ONE word pass (word → language
+    // bitmask map) instead of five interpreted filter(isin) walks
+    val counts = graft.expressions.WordSetHits.word_set_hits(
+      normalizeWords(text), langs.map(_._2.toArray).toArray)
+    val scored = langs.zipWithIndex.map { case ((lang, _), k) =>
+      struct(counts.getItem(k).as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -461,6 +461,140 @@ class OptKernelsSpec extends SparkSpec {
       s"model=$model local=${w.toSeq}")
   }
 
+  test("SimhashMd5 kernel ≡ old explode/md5-hex/64-vote aggregation") {
+    val texts = Seq(
+      Some("the quick brown fox jumps over the lazy dog"),
+      Some("the the the repeated repeated words words words"),
+      Some(""), Some(" "), Some("\tleading tab"), Some("trailing tab\t"),
+      Some("single"), Some("UPPER case MiXeD"), Some("é 漢字 𝔘𝔫𝔦 mixed"),
+      Some("a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      None) ++
+      (1 to 25).map { i =>
+        val r = new scala.util.Random(i)
+        Some((0 until r.nextInt(30)).map(_ =>
+          "w" + r.nextInt(12)).mkString(" "))
+      }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // verbatim old form
+    val words = docs.select(col("doc_id"),
+        explode(array_distinct(split(Dedup.normalize(col("text")), " "))).as("__w"))
+      .withColumn("__h", md5(col("__w")))
+      .select(col("doc_id") +: (0 until 16).map(c =>
+        conv(substring(col("__h"), c + 1, 1), 16, 10).cast("long").as(s"__c$c")): _*)
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col(s"__c${i / 4}"), i % 4).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"__b$i")
+    }
+    val packed = (0 until 64).map(i =>
+        when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val old = words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val neu = Dedup.simhashPortable(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(old == neu, {
+      val keys = (old.keySet ++ neu.keySet).toSeq.sorted
+      keys.filter(k => old.get(k) != neu.get(k)).map(k =>
+        s"id=$k text=${texts(k.toInt)}: old=${old.get(k)} new=${neu.get(k)}")
+        .mkString("; ")
+    })
+  }
+
+  test("TextStats rewrites ≡ old split/aggregate/filter(isin) forms") {
+    val texts = Seq(
+      Some("the quick brown fox"), Some("le la les et de"), Some(""),
+      Some("   "), Some("\tword"), Some("word\t"), Some("a  b\t\tc"),
+      Some("der die das el la 的"), Some("é 漢字 𝔘 the of"),
+      Some("solo"), None) ++
+      (1 to 20).map { i =>
+        val r = new scala.util.Random(i)
+        Some((0 until r.nextInt(25)).map(_ =>
+          Seq("the", "la", "von", "con", "của", "xyz", "w" + r.nextInt(9))(
+            r.nextInt(7))).mkString(" "))
+      }
+    val df = texts.toDF("text")
+    // verbatim old forms
+    val oldTok = when(trim(col("text")) === "" || col("text").isNull, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val oldAwlWords = split(trim(col("text")), "\\s+")
+    val oldAwl = when(trim(col("text")) === "" || col("text").isNull, 0.0)
+      .otherwise(aggregate(oldAwlWords, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / size(oldAwlWords))
+    def oldNormW = split(regexp_replace(trim(lower(col("text"))), "\\s+", " "), " ")
+    val oldSwHits = filter(oldNormW,
+      w => w.isin(TextStats.stopwords("en").map(_.asInstanceOf[Any]): _*))
+    val oldSw = when(size(oldNormW) === 0, 0.0)
+      .otherwise(size(oldSwHits).cast("double") / size(oldNormW))
+    val oldLang = {
+      val scored = TextStats.stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+        struct(size(filter(oldNormW,
+          w => w.isin(sw.map(_.asInstanceOf[Any]): _*))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+    val bad = df.select(col("text"),
+        oldTok.as("ot"), TextStats.tokenCount(col("text")).as("nt"),
+        oldAwl.as("oa"), TextStats.avgWordLen(col("text")).as("na"),
+        oldSw.as("os"), TextStats.stopwordRatio(col("text")).as("ns"),
+        oldLang.as("ol"), TextStats.langId(col("text")).as("nl"))
+      .collect().filterNot { r =>
+        r.get(1) == r.get(2) && r.get(3) == r.get(4) &&
+          r.get(5) == r.get(6) && r.get(7) == r.get(8)
+      }
+    assert(bad.isEmpty, bad.map(_.toString).mkString("; "))
+  }
+
+  test("LmScore gram builders ≡ old zip_with/slice position builders") {
+    val texts = Seq(
+      Some("a b c d e f g"), Some("a b"), Some("solo"), Some(""),
+      Some("\ttab lead x y z"), Some("trail tab x y z\t"),
+      Some("a a a a a a"), Some("é 漢 𝔘 w1 w2 w3"), None) ++
+      (1 to 15).map { i =>
+        val r = new scala.util.Random(i)
+        Some((0 until r.nextInt(12)).map(_ => "t" + r.nextInt(5)).mkString(" "))
+      }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = split(Dedup.normalize(col("text")), " ")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // n = 2 (pair form)
+    val oldPairs = docs.select(col("doc_id"), explode(zip_with(
+        words, slice(words, lit(2), size(words)),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull)
+    val newPairs = docs.select(col("doc_id"), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col("text")), 2)).as("__g"))
+      .where(length(col("__g")) - length(translate(col("__g"), " ", "")) === 1)
+      .select(col("doc_id"), substring_index(col("__g"), " ", 1).as("w1"),
+        substring_index(col("__g"), " ", -1).as("w2"))
+    assert(multiset(oldPairs) == multiset(newPairs))
+    // n = 5 (the gramsOf form)
+    val n = 5
+    val oldG = docs.select(col("doc_id"), explode(when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - lit(n - 1)),
+          i => slice(words, i, lit(n))))
+        .otherwise(array().cast("array<array<string>>"))).as("__g"))
+      .select(col("doc_id") +: (1 to n).map(k =>
+        element_at(col("__g"), k).as(s"w$k")): _*)
+      .where(col(s"w$n").isNotNull)
+    val partsN = split(col("__g"), " ")
+    val newG = docs.select(col("doc_id"), explode(
+        graft.expressions.WordShingles.word_shingles(
+          Dedup.normalize(col("text")), n)).as("__g"))
+      .where(length(col("__g")) - length(translate(col("__g"), " ", "")) === n - 1)
+      .select(col("doc_id") +: (1 to n).map(k =>
+        partsN.getItem(k - 1).as(s"w$k")): _*)
+    assert(multiset(oldG) == multiset(newG))
+  }
+
   test("profile join composition stays cheap: gopher keep counts match") {
     // composition smoke: Gopher.profile(keep) over the doc fixture used
     // by gates still produces the same keep count as the rule-by-rule
